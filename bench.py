@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side result transfer), after one warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from meshtastic_airsensor_database_spark.plans import REGISTRY
+from meshtastic_airsensor_database_spark.session import get_spark
+
+# Headline set: every operator family, sized to finish in minutes at
+# sf0.1 (the O(n^2) exact pair joins are correctness-oracle tools, not
+# headline operators — their scale path IS the LSH/minhash variants).
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "region_supplier_revenue",
+    "fact_dim_join",
+    "customers_with_urgent_orders",
+    "rollup_lineitem",
+    "topk_expensive_orders",
+    "hourly_avg_by_node",
+    "latest_reading_per_node",
+    "reading_gap_detect",
+    "rolling_avg_value",
+    "session_counts",
+    "props_json_extract",
+    "aligned_type_buckets",
+    "exact_dedup_docs",
+    "token_stats_by_lang",
+    "quality_scores",
+    "minhash_neardup_candidates",
+    "simhash_dedup_buckets",
+    "embedding_topk_cosine",
+    "ann_ivf_topk",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    # warm up the JVM/codegen paths so timings measure the queries
+    REGISTRY["distinct_mktsegments"].builder(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

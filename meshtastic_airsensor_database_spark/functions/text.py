@@ -1,0 +1,107 @@
+"""Text-analysis column functions (SURVEY.md §2.11 `text_analysis`).
+
+Language-ID, quality features, token counting and fingerprinting as
+pure built-in Column expressions so they run in whole-stage codegen at
+100 TB with no Python in the hot path. The heuristics are intentionally
+simple and DETERMINISTIC so the DuckDB oracle can mirror them in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list used by quality scoring.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# Marker words per language for the n-gram-free heuristic language ID.
+# (The synthetic corpus carries a `lang` label; the predictor is judged
+# on determinism/scale-shape, not linguistic accuracy.)
+LANG_MARKERS = [
+    ("en", ("the", "and")),
+    ("es", ("el", "la", "de")),
+    ("de", ("der", "die", "und")),
+    ("fr", ("le", "la", "et")),
+    ("zh", ("de", "shi")),
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> (lowercased, trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank string -> 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (distinct).
+
+    Built via sequence+transform over the token array — stays JVM-side.
+    Documents shorter than ``n`` tokens yield a single shingle of the
+    whole text so they still participate in MinHash.
+    """
+    toks = tokens(col)
+    joined = F.concat_ws(" ", toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(joined))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring features: length, punctuation ratio, stopword ratio.
+
+    Generalizes the reference's implicit 'clean data' notions
+    (cleandata.py drops/rounds; no scoring existed) into the standard
+    training-data quality gates.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    toks = tokens(c)
+    n_tokens = token_count(c)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0),
+    }
+
+
+def lang_id_pred(col: Column | str) -> Column:
+    """Deterministic marker-word language ID; no match -> 'unk'."""
+    toks = tokens(col)
+    pred = F.lit("unk")
+    # Build reversed so earlier entries in LANG_MARKERS win ties.
+    for lang, markers in reversed(LANG_MARKERS):
+        hit = F.arrays_overlap(toks, F.array(*[F.lit(m) for m in markers]))
+        pred = F.when(hit, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def doc_fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of UTF-8 bytes (exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def doc_fingerprint_rolling(col: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens.
+
+    hash = sum(token_hash_i * base^(n-1-i)) mod m, computed with
+    ``aggregate`` over the token array — built-in, no UDF. Spark-only
+    (no SQL-oracle twin); used for shift-robust fingerprinting.
+    """
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)) % mod) % mod,
+    )

@@ -1,0 +1,47 @@
+"""Testdata table loaders (TESTDATA.md).
+
+One place that knows the parquet layout, so every query builder takes
+``(spark, sf_dir)`` and calls ``load(spark, sf_dir, name)``. Plain
+``spark.read.parquet`` — Catalyst handles column pruning and filter
+pushdown from the lazy plan; nothing to hand-tune here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as LongType (set the legacy conf
+        # here so ANY caller's session works, not just ours) and convert
+        # to micros (floor — same truncation DuckDB applies on read).
+        from pyspark.sql.types import LongType
+
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down; fall through and hope it's preset
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,162 @@
+"""Time-series alignment & window operators (SURVEY.md §2.3-§2.6, §3.3).
+
+graphdata.py's "compare co-located sensors on one Pacific-time axis"
+becomes a real declarative query: tag + union the sources, bucket by
+time window, aggregate — plus the window-function family the
+time-series domain demands (latest-per-key, gap detection, rolling
+averages, sessionization).
+
+Scale notes: all Window specs partition by the series key (node /
+user), so state never concentrates on one task; time-bucket
+aggregation is a hash aggregate with map-side partials; the as-of fill
+uses ``last(..., ignorenulls=True)`` over a key-partitioned window —
+no cross-partition ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+OFFLINE_THRESHOLD_MINUTES = 100  # AIRWISEv0.py:20
+
+
+def tag_source(df: DataFrame, name: str) -> DataFrame:
+    return df.withColumn("source", F.lit(name))
+
+
+def timeseries_align(
+    sources: dict[str, DataFrame],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "5 minutes",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Union tagged sources -> per-(window, source) average.
+
+    The Spark-native dual of graphdata.py:99-192's shared-axis overlay
+    (SURVEY §2.3 `timeseries_align`). Returns one row per
+    (bucket_start, source[, extra keys]) with avg/min/max/count.
+    """
+    tagged = None
+    for name, df in sources.items():
+        sl = tag_source(
+            df.select(
+                F.col(ts_col).alias("ts"),
+                F.col(value_col).cast("double").alias("value"),
+                *[F.col(k) for k in (extra_keys or [])],
+            ),
+            name,
+        )
+        tagged = sl if tagged is None else tagged.unionByName(sl)
+    keys = [F.window("ts", bucket).alias("w"), F.col("source")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        tagged.groupBy(*keys)
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket_ts"), "*")
+        .drop("w")
+    )
+
+
+def asof_fill(df: DataFrame, key: str, ts_col: str, value_col: str) -> DataFrame:
+    """As-of (last-observation-carried-forward) fill within each key.
+
+    Union-based as-of join building block: after unioning sparse series,
+    every row gets the most recent non-null value per key — the
+    union+``last(ignorenulls)`` formulation from SURVEY §2.3.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(f"{value_col}_ff", F.last(value_col, ignorenulls=True).over(w))
+
+
+def latest_reading_per_node(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """Current status per key — what the heartbeat dict materializes
+    (AIRWISEv0.py:27,258). row_number desc == 1 (SURVEY §2.5)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def reading_gap_detect(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    threshold_seconds: int = OFFLINE_THRESHOLD_MINUTES * 60,
+) -> DataFrame:
+    """Batch dual of the streaming offline detector (SURVEY §2.5).
+
+    Gap between consecutive readings per key > threshold -> one row per
+    outage with (key, prev_ts, ts, gap_seconds).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    with_prev = df.withColumn("prev_ts", F.lag(ts_col).over(w))
+    gap = F.col(ts_col).cast("long") - F.col("prev_ts").cast("long")
+    return (
+        with_prev.withColumn("gap_seconds", gap)
+        .filter(F.col("prev_ts").isNotNull() & (F.col("gap_seconds") > threshold_seconds))
+        .select(key, "prev_ts", ts_col, "gap_seconds")
+    )
+
+
+def rolling_avg(
+    df: DataFrame, key: str, ts_col: str, value_col: str, window_seconds: int = 3600
+) -> DataFrame:
+    """Trailing time-range average per key (SURVEY §2.5 rolling_avg_pm25)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.withColumn(f"{value_col}_rolling_avg", F.avg(value_col).over(w))
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Assign session ids: a gap > ``gap_seconds`` starts a new session.
+
+    Batch sessionization (lag + cumulative sum of new-session flags);
+    the streaming dual is ``session_window`` (streaming/monitor.py).
+    Outage episodes in the reference are sessions with gap = the
+    100-minute offline threshold (SURVEY §2.9 windowed_ingest).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new_session", new_sess).withColumn(
+        "session_id",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).drop("_new_session")
+
+
+def node_equality_filter(df: DataFrame, key: str, value) -> DataFrame:
+    """Per-node slice (graphdata.py:90-91); partition-prunable at scale."""
+    return df.filter(F.col(key) == F.lit(value))
+
+
+def hourly_stats(df: DataFrame, key: str, ts_col: str, value_cols: list[str]) -> DataFrame:
+    """Per-key hourly min/max/avg/count — the query graphdata's plots
+    visually answer (SURVEY §2.4 per_node_stats)."""
+    aggs: list[Column] = [F.count("*").alias("n")]
+    for v in value_cols:
+        aggs += [
+            F.avg(v).alias(f"avg_{v}"),
+            F.min(v).alias(f"min_{v}"),
+            F.max(v).alias(f"max_{v}"),
+        ]
+    return (
+        df.groupBy(key, F.window(ts_col, "1 hour").alias("w"))
+        .agg(*aggs)
+        .withColumn("hour_ts", F.col("w.start"))
+        .drop("w")
+    )

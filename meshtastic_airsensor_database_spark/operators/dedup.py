@@ -1,0 +1,278 @@
+"""Deduplication operators (SURVEY.md §2.11 exact_dedup / near_dedup).
+
+Four tiers, all built-in expressions (no Python in the row path):
+
+1. exact            — hash-groupBy on a content fingerprint.
+2. MinHash + LSH    — shingle -> P minhashes -> banded bucket join;
+                      the pair space shrinks from O(n^2) to colliding
+                      buckets only. THE scale path for near-dedup.
+3. SimHash          — 64-bit sign-of-weighted-bits signature; near-dups
+                      share prefixes/bands (Hamming proximity).
+4. n-gram Jaccard   — exact similarity, used to VERIFY candidates from
+                      (2)/(3) (and directly at small scale).
+
+Packet-stream exact dedup (MQTT at-least-once + mesh re-broadcast,
+packet ``id`` field AIRWISEv1.py:48) is ``dropDuplicates(["id"])`` /
+``dropDuplicatesWithinWatermark`` in streaming/ingest.py.
+
+At 100 TB: stage 1/2/3 are scan + narrow transforms + ONE shuffle on
+(band_idx, band_hash) whose fan-in is bounded by bucket size; the
+verify join only touches candidate pairs. Skewed buckets (e.g. empty
+docs) are capped by ``MAX_BUCKET`` salting guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint_md5, word_shingles
+
+N_PERMUTATIONS = 32
+N_BANDS = 8  # 8 bands x 4 rows: P(collide) ~= 1-(1-s^4)^8; s=.8 -> .985
+ROWS_PER_BAND = N_PERMUTATIONS // N_BANDS
+MAX_BUCKET = 1000  # guard: buckets larger than this are degenerate (boilerplate)
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep the min-id survivor per distinct content.
+
+    Groups on the 16-byte md5 fingerprint so the shuffle never carries
+    document bodies.
+    """
+    return (
+        df.select(
+            doc_fingerprint_md5(F.col(content_col)).alias("fingerprint"),
+            F.col(id_col).alias("keep_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("keep_id").alias("keep_id"), (F.count("*") - 1).alias("n_duplicates"))
+    )
+
+
+# Universal-hash family for permutation simulation: h_p(x) = (a_p*x + b_p) mod P
+# over x = xxhash64(shingle) mod P. P < 2^31 keeps a_p*x < 2^62 (no ANSI
+# long-overflow), and hashing each shingle STRING once (not once per
+# permutation) cuts the dominant cost 32x.
+_MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
+
+
+def _perm_params(n_perm: int) -> list[tuple[int, int]]:
+    # deterministic LCG-derived (a, b) pairs, a != 0
+    params = []
+    state = 88172645463325252
+    for _ in range(n_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(content_col: Column, n_perm: int = N_PERMUTATIONS) -> Column:
+    """array<long> MinHash signature over word-3-gram shingles.
+
+    One xxhash64 per shingle, then each 'permutation' is a universal
+    hash (a*x+b) mod P over that base hash; min over the shingle set
+    approximates the Jaccard-preserving permutation min. Pure
+    built-ins: transform + array_min.
+    """
+    shingles = word_shingles(content_col, 3)
+    base = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+    )
+    def perm(a: int, b: int):
+        return lambda x: (x * a + b) % _MINHASH_P
+
+    mins = [
+        F.array_min(F.transform(base, perm(a, b))) for a, b in _perm_params(n_perm)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_df(
+    df: DataFrame, id_col: str, content_col: str, n_perm: int = N_PERMUTATIONS
+) -> DataFrame:
+    """(id, sig array<long>) via explode + hash aggregate — the scale shape.
+
+    The column formulation (``minhash_signature``) gets its shingle
+    subexpression inlined once per permutation by Catalyst (no CSE
+    across array elements) — quadratic blowup. Exploding shingles and
+    running ``n_perm`` MIN aggregates hashes each shingle exactly once
+    and shuffles only (id, n_perm longs).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(content_col), 3)).alias("_s"),
+    )
+    hashed = sh.select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_P)).alias("_x"))
+    aggs = [
+        F.min((F.col("_x") * a + b) % _MINHASH_P).alias(f"_m{p}")
+        for p, (a, b) in enumerate(_perm_params(n_perm))
+    ]
+    return (
+        hashed.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[F.col(f"_m{p}") for p in range(n_perm)]).alias("sig"))
+    )
+
+
+def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """id -> (band_idx, band_hash) rows; equal band_hash within a band
+    ==> LSH candidate pair."""
+    with_sig = minhash_signature_df(df, id_col, content_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(*[F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                         for r in range(ROWS_PER_BAND)]).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return (
+        with_sig.select("_id", F.explode(F.array(*bands)).alias("band"))
+        .select("_id", F.col("band.band_idx").alias("band_idx"),
+                F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) from banded LSH.
+
+    The ONLY shuffle is the self-join on (band_idx, band_hash); buckets
+    above MAX_BUCKET rows are dropped as degenerate boilerplate (the
+    standard web-dedup guard), which also de-skews the join.
+    """
+    bands = minhash_bands(df, id_col, content_col)
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+    ).filter(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup_pairs(
+    df: DataFrame, id_col: str, content_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Candidates verified by EXACT shingle Jaccard >= threshold.
+
+    End-to-end near-dedup: LSH prunes, exact Jaccard confirms — no
+    false positives, recall governed by the band/row parameters.
+    """
+    cands = minhash_lsh_candidates(df, id_col, content_col)
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(content_col), 3).alias("sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+
+
+def simhash(content_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure built-ins.
+
+    Accumulate a 64-wide counter array over the token set
+    (aggregate + zip_with), +1 where the token hash has the bit set,
+    -1 otherwise; final signature takes the sign bits. Bit tests use
+    ``getbit`` (column-typed position); bit SETS use literal masks so
+    no column-typed shift is ever needed.
+    """
+    from ..functions.text import tokens
+
+    toks = F.array_distinct(tokens(content_col))
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold sign bits into one long: bit i set iff counter[i] > 0.
+    # Literal masks per bit (bit 63 is the long sign bit -> negative literal).
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_BITS)]
+    bit_terms = [
+        F.when(F.element_at(counters, b + 1) > 0, F.lit(masks[b]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    return F.aggregate(
+        F.array(*bit_terms), F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
+    )
+
+
+def simhash_df(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, simhash) via explode + hash aggregate — the scale shape.
+
+    The nested-lambda column formulation (``simhash``) builds a huge
+    expression tree that codegen executes per row; exploding tokens and
+    running 64 conditional SUMs through a hash aggregate is ~50x faster
+    and shuffles only (id, 64 ints). Empty/token-less docs get simhash 0.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(tokens(F.col(content_col)))).alias("_tok"),
+    )
+    hashed = toks.withColumn("_h", F.xxhash64("_tok"))
+    counter_aggs = [
+        F.sum(
+            F.when(F.col("_tok").isNull(), 0)
+            .when(F.getbit(F.col("_h"), F.lit(b)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counters = hashed.groupBy("_id").agg(*counter_aggs)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_BITS)]
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_c{b}") > 0, F.lit(masks[b]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return counters.select(F.col("_id"), sig.alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """id, simhash, 4 x 16-bit band keys — docs sharing any band are
+    Hamming-near candidates (standard 64-bit / 4-band split detects
+    Hamming distance <= 3 with high probability)."""
+    out = simhash_df(df, id_col, content_col)
+    for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+        out = out.withColumn(
+            f"band_{b}",
+            F.shiftrightunsigned(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)),
+        )
+    return out

@@ -1,0 +1,148 @@
+"""Vector similarity search (SURVEY.md §2.11 similarity_search_topk).
+
+Three tiers over an ``array<float>`` embedding column:
+
+1. brute_force_topk — exact: one scan, cosine in built-in expressions,
+   TakeOrderedAndProject. The correctness baseline at any scale where a
+   full scan is affordable.
+2. hyperplane LSH   — random-hyperplane sign buckets; candidates from
+   colliding buckets only, then exact re-rank. Sub-linear reads when
+   the bucket layout is partitioned/persisted.
+3. ivf_topk         — IVF: vectors pre-assigned to nearest centroid
+   partitions; a query probes only n_probe partitions. At 100 TB the
+   assignment is the table's PARTITION KEY, so probing k of C
+   partitions reads k/C of the data (partition pruning).
+
+All math is double-precision built-ins (zip_with/aggregate); the only
+Python is driver-side centroid handling (tiny, broadcast back).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+N_HYPERPLANES = 16
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k to one stored vector (the oracle baseline)."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def assign_ivf_clusters(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest 'centroid'.
+
+    Deterministic stand-in for k-means training: the first
+    ``n_centroids`` vectors by id act as centroids (documented fake —
+    the assignment/probe PLUMBING is the operator under test; a real
+    deployment drops in trained centroids). Centroids are broadcast;
+    assignment is one narrow pass + a per-id argmax window.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the n_probe clusters nearest the query, exact
+    re-rank inside. Returns (vec_id, cluster, cosine) top-k."""
+    assigned = assign_ivf_clusters(emb, n_centroids, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine_similarity(F.col("centroid_vec"), F.col("_qv")))
+        .orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster", "inner")  # partition pruning dual
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = N_HYPERPLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket per vector.
+
+    Hyperplane p's components are pseudo-random ±1 derived from
+    xxhash64(seed, p, dim_index) — deterministic, no driver RNG, no
+    data movement: one narrow pass computes the n-bit sign bucket.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dims = F.sequence(F.lit(0), F.size(v) - 1)
+    def plane_sign(p: int):
+        return lambda i: F.when(
+            F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0
+        ).otherwise(-1.0)
+
+    bits = []
+    for p in range(n_planes):
+        signs = F.transform(dims, plane_sign(p))
+        proj = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))

@@ -1,0 +1,311 @@
+"""Time-series / streaming-dual queries over the ``events`` table
+(SURVEY.md §2.2, §2.5, §2.8, §2.9 batch duals).
+
+``events`` (event_id, ts, user_id, event_type, value, props-json) plays
+the role of the reference's telemetry stream: user_id ~ node, ts ~
+event time, value ~ measurement, props ~ packet payload JSON. Every
+query here is the batch dual of a reference streaming behavior, so the
+DuckDB oracle can check semantics that the streaming operators
+(streaming/) then reuse verbatim inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import f_to_c, tz_suffix_strip, utc_to_pacific
+from ..io_utils import load
+from ..operators.align import (
+    latest_reading_per_node,
+    reading_gap_detect,
+    rolling_avg,
+    sessionize,
+    timeseries_align,
+)
+from .base import Query, r
+
+
+# --- flagship: per-node hourly aggregate (SURVEY §7.1 M0) --------------------
+
+def hourly_avg_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node, per-hour avg/min/max/count — the query graphdata.py's
+    six plots visually answer (SURVEY §2.4 per_node_stats). One shuffle
+    on (user_id, hour); map-side partial aggregation; window().start
+    == date_trunc('hour') because buckets align to the epoch."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            r(F.avg("value"), 2).alias("avg_value"),
+            r(F.min("value"), 2).alias("min_value"),
+            r(F.max("value"), 2).alias("max_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("user_id"), F.col("w.start").alias("hour_ts"),
+                "avg_value", "min_value", "max_value", "n")
+    )
+
+
+HOURLY_AVG_BY_NODE_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+       CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_value,
+       CAST(ROUND(CAST(MIN(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS min_value,
+       CAST(ROUND(CAST(MAX(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS max_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- latest reading per node (heartbeat-dict dual, SURVEY §2.5) --------------
+
+def latest_reading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    latest = latest_reading_per_node(ev, "user_id", "ts", "event_id")
+    return latest.select("user_id", "event_id", "ts", "event_type",
+                         r("value", 2).alias("value"))
+
+
+LATEST_READING_SQL = """
+SELECT user_id, event_id, ts, event_type, CAST(ROUND(CAST(value AS DECIMAL(38,9)), 2) AS DOUBLE) AS value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# --- offline/gap detection, batch dual (SURVEY §2.5, §2.9) -------------------
+
+GAP_SECONDS = 1800
+
+
+def reading_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return reading_gap_detect(ev, "user_id", "ts", GAP_SECONDS)
+
+
+READING_GAPS_SQL = f"""
+SELECT user_id, prev_ts, ts, gap_seconds
+FROM (SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+             CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+               AS gap_seconds
+      FROM events)
+WHERE prev_ts IS NOT NULL AND gap_seconds > {GAP_SECONDS}
+"""
+
+
+# --- trailing range-window rolling average (SURVEY §2.5) ----------------------
+
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    rolled = rolling_avg(ev, "user_id", "ts", "value", 3600)
+    return rolled.select(
+        "event_id", "user_id", "ts",
+        r("value_rolling_avg", 2).alias("rolling_avg_1h"),
+    )
+
+
+ROLLING_AVG_VALUE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(ROUND(CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DECIMAL(38,9)), 2) AS DOUBLE)
+         AS rolling_avg_1h
+FROM events
+"""
+
+
+# --- sessionization (SURVEY §2.9 windowed_ingest / session_window dual) ------
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", GAP_SECONDS)
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SESSION_COUNTS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > {GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# --- JSON envelope parsing (SURVEY §2.8 json_envelope_parse) ------------------
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the props JSON payload; absent/corrupt key -> null
+    (the reference's .get(key, None) semantics, AIRWISEv0.py:132-135).
+    Covers numeric_coercion via try_cast."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_parsed"),
+            r(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+PROPS_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+       CAST(ROUND(CAST(AVG(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- epoch <-> timestamp <-> string round trip (SURVEY §2.8) ------------------
+
+def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch_to_timestamp + date_format_render parity on real data."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.date_format(F.timestamp_seconds(F.col("ts").cast("long")),
+                      "yyyy-MM-dd HH:mm:ss").alias("rendered"),
+    )
+
+
+EPOCH_ROUNDTRIP_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       strftime(epoch_ms(CAST(floor(epoch(ts)) AS BIGINT) * 1000), '%Y-%m-%d %H:%M:%S') AS rendered
+FROM events
+"""
+
+
+# --- UTC -> Pacific conversion (SURVEY §2.8 utc_to_pacific) -------------------
+
+def pacific_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day boundaries computed in America/Los_Angeles — the tz semantics
+    of cleandata.py:27. Jan-2024 data = PST (UTC-8)."""
+    ev = load(spark, sf_dir, "events")
+    la_day = F.date_format(utc_to_pacific(F.col("ts")), "yyyy-MM-dd")
+    return ev.groupBy(la_day.alias("la_date")).agg(
+        F.count("*").alias("n"),
+        r(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+PACIFIC_DAILY_COUNTS_SQL = """
+SELECT strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/Los_Angeles',
+                '%Y-%m-%d') AS la_date,
+       COUNT(*) AS n, CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# --- tz-suffix strip + coercing parse (SURVEY §2.8) ---------------------------
+
+def tz_suffix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the reference's suffixed string form (graphdata.py:50-53),
+    strip it, parse with coercion (errors -> null), render back."""
+    ev = load(spark, sf_dir, "events")
+    suffixed = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" Pacific Standard Time")
+    )
+    stripped = tz_suffix_strip(suffixed)
+    parsed = F.try_to_timestamp(stripped, F.lit("yyyy-MM-dd HH:mm:ss"))
+    return ev.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("reparsed"),
+    )
+
+
+TZ_SUFFIX_ROUNDTRIP_SQL = """
+SELECT event_id,
+       strftime(strptime(regexp_replace(strftime(ts, '%Y-%m-%d %H:%M:%S')
+                         || ' Pacific Standard Time',
+                         ' Pacific (Standard|Daylight) Time$', ''),
+                '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed
+FROM events
+"""
+
+
+# --- unit conversion + rounding (SURVEY §2.8 f_to_c, round_cols) --------------
+
+def f_to_c_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", r(f_to_c(F.col("value")), 3).alias("value_c"))
+
+
+F_TO_C_VALUES_SQL = """
+SELECT event_id, CAST(ROUND(CAST((value - 32.0) * 5.0 / 9.0 AS DECIMAL(38,9)), 3) AS DOUBLE) AS value_c
+FROM events
+"""
+
+
+# --- multi-source time-bucket alignment (SURVEY §2.3 timeseries_align) -------
+
+def aligned_type_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphdata.py's shared-axis overlay as a real query: two tagged
+    sources -> union -> 5-minute bucket averages per source."""
+    ev = load(spark, sf_dir, "events")
+    sources = {
+        "clicks": ev.filter(F.col("event_type") == "click"),
+        "views": ev.filter(F.col("event_type") == "view"),
+    }
+    aligned = timeseries_align(sources, "ts", "value", "5 minutes")
+    return aligned.select(
+        "bucket_ts", "source",
+        r("avg_value", 2).alias("avg_value"),
+        r("min_value", 2).alias("min_value"),
+        r("max_value", 2).alias("max_value"),
+        "n",
+    )
+
+
+ALIGNED_TYPE_BUCKETS_SQL = """
+WITH u AS (
+  SELECT 'clicks' AS source, ts, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'views'  AS source, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT epoch_ms(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000) AS bucket_ts, source,
+       CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_value,
+       CAST(ROUND(CAST(MIN(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS min_value,
+       CAST(ROUND(CAST(MAX(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS max_value,
+       COUNT(value) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
+QUERIES: list[Query] = [
+    Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
+          ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
+    Query("latest_reading_per_node", latest_reading, LATEST_READING_SQL,
+          ("latest_reading_per_node", "last_seen_per_node"), "heartbeat-dict dual"),
+    Query("reading_gap_detect", reading_gaps, READING_GAPS_SQL,
+          ("reading_gap_detect", "offline_detection"), "batch offline detection"),
+    Query("rolling_avg_value", rolling_avg_value, ROLLING_AVG_VALUE_SQL,
+          ("rolling_avg_pm25",), "trailing 1h range-window average"),
+    Query("session_counts", session_counts, SESSION_COUNTS_SQL,
+          ("windowed_ingest", "offline_detection"), "gap-based sessionization"),
+    Query("props_json_extract", props_json_extract, PROPS_JSON_EXTRACT_SQL,
+          ("json_envelope_parse", "numeric_coercion"), "JSON payload field extraction"),
+    Query("epoch_roundtrip", epoch_roundtrip, EPOCH_ROUNDTRIP_SQL,
+          ("epoch_to_timestamp", "date_format_render"), "epoch<->ts<->string round trip"),
+    Query("pacific_daily_counts", pacific_daily_counts, PACIFIC_DAILY_COUNTS_SQL,
+          ("utc_to_pacific",), "LA-timezone day bucketing"),
+    Query("tz_suffix_roundtrip", tz_suffix_roundtrip, TZ_SUFFIX_ROUNDTRIP_SQL,
+          ("tz_suffix_strip", "timestamp_parse_coerce"), "suffix strip + coercing parse"),
+    Query("f_to_c_values", f_to_c_values, F_TO_C_VALUES_SQL,
+          ("f_to_c", "round_cols"), "unit conversion + rounding"),
+    Query("aligned_type_buckets", aligned_type_buckets, ALIGNED_TYPE_BUCKETS_SQL,
+          ("timeseries_align", "multi_file_union"), "multi-source time-bucket alignment"),
+]

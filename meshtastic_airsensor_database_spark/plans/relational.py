@@ -1,0 +1,404 @@
+"""Relational core queries (SURVEY.md §2.3, §2.4, §2.6, §2.7).
+
+Joins / aggregations / set ops / sorts / top-k over the TPC-H-ish
+testdata. The reference has no GROUP BY and one implicit join (a dict
+lookup); this module is the declared query surface those capabilities
+generalize to, expressed so Catalyst picks broadcast joins for the
+small dimensions and partial (map-side) aggregation everywhere.
+
+Scale posture: region/nation/supplier/customer are dimension-sized ->
+broadcast (no shuffle of the fact side); all aggregates are hash
+aggregates with partial combine; top-k compiles to
+TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from .base import Query, r
+
+
+# --- Q1-style pricing summary (agg showcase: 8 aggregates, 2 keys) ---------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 per_node_stats generalization — hash agg w/ partials."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            r(F.sum(disc_price), 2).alias("sum_disc_price"),
+            r(F.sum(charge), 2).alias("sum_charge"),
+            r(F.avg("l_quantity"), 2).alias("avg_qty"),
+            r(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(38,9)), 2) AS DOUBLE)                                   AS sum_qty,
+       CAST(ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(38,9)), 2) AS DOUBLE)                              AS sum_base_price,
+       CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,9)), 2) AS DOUBLE)           AS sum_disc_price,
+       CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(CAST(AVG(l_quantity) AS DECIMAL(38,9)), 2) AS DOUBLE)                                   AS avg_qty,
+       CAST(ROUND(CAST(AVG(l_extendedprice) AS DECIMAL(38,9)), 2) AS DOUBLE)                              AS avg_price,
+       CAST(ROUND(CAST(AVG(l_discount) AS DECIMAL(38,9)), 4) AS DOUBLE)                                   AS avg_disc,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style: 3-way join + agg + deterministic top-k -----------------------
+
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_ORDERS_BY_REVENUE_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style: 6-way join through the star schema ---------------------------
+
+def region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer and supplier must share a nation — classic 6-way equi-join.
+
+    Dimensions (region/nation/supplier/customer) are broadcast; only
+    lineitem x orders shuffles, on the join key.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+REGION_SUPPLIER_REVENUE_SQL = """
+SELECT n_name, CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- fact -> dim snowflake enrich (node_dim_enrich generalization) ----------
+
+def fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 node_dim_enrich: left broadcast join through 3 dims."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+FACT_DIM_JOIN_SQL = """
+SELECT r_name,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) — customers having >=1 URGENT order, per nation."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITH_URGENT_ORDERS_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS) — customers with no URGENT order, per nation."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# --- set operations (SURVEY §2.7) -------------------------------------------
+
+def nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+NATION_KEYS_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def nation_keys_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+NATION_KEYS_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def union_order_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 multi_file_union: two same-schema slices unioned, then
+    aggregated (the pd.concat pattern, cleandata.py:11-19)."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") >= 200000).select("o_orderstatus", "o_totalprice")
+    lo = orders.filter(F.col("o_totalprice") < 50000).select("o_orderstatus", "o_totalprice")
+    return (
+        hi.unionByName(lo)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), r(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+UNION_ORDER_SLICES_SQL = """
+WITH u AS (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 200000
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 50000
+)
+SELECT o_orderstatus, COUNT(*) AS n, CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_price
+FROM u GROUP BY o_orderstatus
+"""
+
+
+# --- grouping variants: rollup / cube / pivot --------------------------------
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        r(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+ROLLUP_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (stays a single hash aggregate)."""
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.col("1-URGENT").alias("urgent"),
+        F.col("2-HIGH").alias("high"),
+        F.col("3-MEDIUM").alias("medium"),
+    )
+
+
+PIVOT_PRIORITY_BY_STATUS_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- sorts / top-k / distinct -------------------------------------------------
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit -> TakeOrderedAndProject (SURVEY §2.6)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+TOPK_EXPENSIVE_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+DISTINCT_MKTSEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def line_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 line_numbering (QuerryGenerator.py:11-16): stable
+    0-based sequence over an explicit total order."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        (F.row_number().over(w).cast("long") - 1).alias("line_number"),
+    )
+
+
+LINE_NUMBERING_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS line_number
+FROM documents
+"""
+
+
+QUERIES: list[Query] = [
+    Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
+          ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
+    Query("top_orders_by_revenue", top_orders_by_revenue, TOP_ORDERS_BY_REVENUE_SQL,
+          ("fact_dim_join", "time_sort"), "3-way join + agg + deterministic top-k"),
+    Query("region_supplier_revenue", region_supplier_revenue, REGION_SUPPLIER_REVENUE_SQL,
+          ("node_dim_enrich",), "6-way snowflake join, dims broadcast"),
+    Query("fact_dim_join", fact_dim_join, FACT_DIM_JOIN_SQL,
+          ("node_dim_enrich",), "left broadcast enrich through 3 dims + agg"),
+    Query("customers_with_urgent_orders", customers_with_urgent_orders,
+          CUSTOMERS_WITH_URGENT_ORDERS_SQL, ("node_dim_enrich",), "left semi join (EXISTS)"),
+    Query("customers_without_urgent_orders", customers_without_urgent_orders,
+          CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL, ("node_dim_enrich",), "left anti join (NOT EXISTS)"),
+    Query("nation_keys_intersect", nation_keys_intersect, NATION_KEYS_INTERSECT_SQL,
+          ("multi_file_union",), "INTERSECT set op"),
+    Query("nation_keys_except", nation_keys_except, NATION_KEYS_EXCEPT_SQL,
+          ("multi_file_union",), "EXCEPT set op"),
+    Query("union_order_slices", union_order_slices, UNION_ORDER_SLICES_SQL,
+          ("multi_file_union",), "same-schema union + agg (pd.concat dual)"),
+    Query("rollup_lineitem", rollup_lineitem, ROLLUP_LINEITEM_SQL,
+          ("per_node_stats",), "ROLLUP grouping sets"),
+    Query("cube_orders", cube_orders, CUBE_ORDERS_SQL,
+          ("per_node_stats",), "CUBE grouping sets"),
+    Query("pivot_priority_by_status", pivot_priority_by_status, PIVOT_PRIORITY_BY_STATUS_SQL,
+          ("stream_route_multiplex",), "pivot with explicit values"),
+    Query("topk_expensive_orders", topk_expensive_orders, TOPK_EXPENSIVE_ORDERS_SQL,
+          ("time_sort",), "global top-k (TakeOrderedAndProject)"),
+    Query("distinct_mktsegments", distinct_mktsegments, DISTINCT_MKTSEGMENTS_SQL,
+          ("per_node_stats",), "DISTINCT"),
+    Query("line_numbering", line_numbering, LINE_NUMBERING_SQL,
+          ("line_numbering", "text_line_source"), "stable 0-based line numbers"),
+]

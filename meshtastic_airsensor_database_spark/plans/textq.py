@@ -1,0 +1,243 @@
+"""Text-analysis & document-dedup queries over ``documents``
+(SURVEY.md §2.11 text_analysis / exact_dedup / near_dedup).
+
+Tokenization convention shared with the DuckDB oracle:
+``split(trim(lower(text)), '\\s+')`` — identical regex semantics in
+both engines. All heuristics are deterministic built-ins (no UDFs), so
+they hold their shape at 100 TB (embarrassingly parallel scans; the
+near-dup pair join is the only shuffle and has an LSH-banded scale
+path in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    doc_fingerprint_md5,
+    lang_id_pred,
+    quality_features,
+    token_count,
+    word_shingles,
+)
+from ..io_utils import load
+from .base import Query, r
+
+
+# --- exact dedup (SURVEY §2.11 exact_dedup) -----------------------------------
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeping
+    the smallest doc_id (deterministic survivor) + duplicate count.
+    At 100 TB: group on the md5 fingerprint, not the full text, so the
+    shuffle carries 16 bytes + id per row."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(doc_fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_duplicates"),
+        )
+    )
+
+
+EXACT_DEDUP_DOCS_SQL = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_duplicates
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- token counting (SURVEY §2.11 text_analysis) ------------------------------
+
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            r(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+TOKEN_STATS_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(ROUND(CAST(AVG(n_tokens) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM (SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+      FROM documents)
+GROUP BY lang
+"""
+
+
+# --- quality scoring (SURVEY §2.11 text_analysis) -----------------------------
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a pass/fail gate; aggregated per
+    source so the result is compact at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].alias("n_tokens"),
+        r(feats["punct_ratio"], 4).alias("punct_ratio"),
+        r(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+    )
+    passed = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("punct_ratio") < 0.1)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(passed.cast("long")).cast("long").alias("n_passed"),
+        r(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        r(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+    )
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_SCORES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+         CAST(ROUND(CAST(CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE
+                   / length(text) ELSE 0.0 END AS DECIMAL(38,9)), 4) AS DOUBLE) AS punct_ratio,
+         CAST(ROUND(CAST(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) > 0
+              THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                   / len(string_split_regex(trim(lower(text)), '\\s+'))
+              ELSE 0.0 END AS DECIMAL(38,9)), 4) AS DOUBLE) AS stopword_ratio
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens >= 10 AND punct_ratio < 0.1
+                      AND stopword_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       CAST(ROUND(CAST(AVG(stopword_ratio) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_stopword_ratio,
+       CAST(ROUND(CAST(AVG(punct_ratio) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_punct_ratio
+FROM feats GROUP BY source
+"""
+
+
+# --- language ID (SURVEY §2.11 text_analysis) ---------------------------------
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-word language ID vs the labeled lang column
+    — a confusion-matrix query (counts per (lang, pred_lang))."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", lang_id_pred(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_marker_case_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    clauses = []
+    for lang, markers in LANG_MARKERS:
+        arr = ", ".join(f"'{m}'" for m in markers)
+        clauses.append(
+            f"WHEN len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" [{arr}])) > 0 THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'unk' END"
+
+
+LANG_ID_CONFUSION_SQL = f"""
+SELECT lang, {_lang_marker_case_sql()} AS pred_lang, COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# --- fingerprints (SURVEY §2.11 text_analysis) --------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+# --- n-gram Jaccard near-dup pairs (SURVEY §2.11 near_dedup) -------------------
+
+JACCARD_THRESHOLD = 0.8
+SHINGLE_N = 3
+
+
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard >= 0.8 (the 25 planted near-dups).
+
+    This is the EXACT oracle-checkable formulation (O(n^2) self-join —
+    fine at oracle scale). The 100 TB path is operators/dedup.py's
+    MinHash-LSH banding, which prunes the pair space to colliding
+    buckets; its candidate set is verified against this exact query in
+    tests/test_dedup.py."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+JACCARD_NEARDUP_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) >= {SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - {SHINGLE_N - 2}),
+                     i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+{SHINGLE_N - 1}], ' ')))
+              ELSE [array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')]
+         END AS sh
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES: list[Query] = [
+    Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
+          ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
+    Query("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL,
+          ("text_analysis",), "whitespace token counting"),
+    Query("quality_scores", quality_scores, QUALITY_SCORES_SQL,
+          ("text_analysis",), "length/punct/stopword quality gate"),
+    Query("lang_id_confusion", lang_id_confusion, LANG_ID_CONFUSION_SQL,
+          ("text_analysis",), "marker-word language ID confusion matrix"),
+    Query("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
+          ("text_analysis", "exact_dedup"), "md5 content fingerprints"),
+    Query("jaccard_neardup_pairs", jaccard_neardup_pairs, JACCARD_NEARDUP_PAIRS_SQL,
+          ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact)"),
+]

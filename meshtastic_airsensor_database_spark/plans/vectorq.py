@@ -1,0 +1,199 @@
+"""Embedding similarity / multimodal / sketch queries
+(SURVEY.md §2.11 similarity_search_topk, near_dedup, multimodal_columns,
+approx_distinct_nodes).
+
+Oracle-checkable queries compute in double precision with sequential
+reduction order on both engines (Spark ``aggregate`` over the array ==
+DuckDB ``list_dot_product``), rounded to 4 decimals. Sketch-based
+operators (MinHash-LSH, SimHash, IVF, HLL) have no SQL twin by nature
+— they get rows-only checks, and their candidate sets are verified
+against the exact queries in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_norm
+from ..io_utils import load
+from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
+from ..operators.similarity import ivf_topk, brute_force_topk
+from .base import Query, r
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+
+# --- embedding norms (basic vector-math parity) -------------------------------
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", r(l2_norm(F.col("embedding")), 4).alias("l2_norm")
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, label,
+       CAST(ROUND(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(38,9)), 4) AS DOUBLE) AS l2_norm
+FROM embeddings
+"""
+
+
+# --- brute-force cosine top-k (SURVEY §2.11 similarity_search_topk) -----------
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbors of vec_id=0 by cosine, brute force.
+
+    The baseline ANN path: one scan, cosine in codegen'd built-ins
+    (zip_with + aggregate), TakeOrderedAndProject for the top-k — no
+    shuffle of the full table. The query vector is broadcast via a
+    cross join with a 1-row DataFrame (literal at planning time would
+    also work; this formulation scales to query BATCHES)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            r(cosine_similarity(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+EMBEDDING_TOPK_COSINE_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       CAST(ROUND(CAST(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+# --- embedding near-dup pairs (SURVEY §2.11 near_dedup, cosine variant) -------
+
+COSINE_PAIR_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= threshold (exact formulation; the scale path
+    is LSH bucketing in operators/similarity.py — random-hyperplane
+    signatures prune the pair space before the exact check)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    ).alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    ).alias("b")
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", r(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+    )
+
+
+EMBEDDING_NEARDUP_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ROUND(CAST(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS DECIMAL(38,9)), 4) AS DOUBLE)
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+# --- multimodal binary metadata (SURVEY §2.11 multimodal_columns) -------------
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: documents' text treated as a binary blob
+    column (stand-in for image/audio bytes) with typed metadata — byte
+    length + sha256 content address. The decode/feature UDF path lives
+    in operators/multimodal.py (mapInPandas; decode stubbed since no
+    image libs in this container)."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256"),
+        F.col("source").alias("modality_source"),
+    )
+
+
+MULTIMODAL_BINARY_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       source AS modality_source
+FROM documents
+"""
+
+
+# --- approx distinct (SURVEY §2.11 approx_distinct_nodes; rows-only) ----------
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — estimator differs from DuckDB's, so this
+    is rows-only; tests assert the estimate is within rsd of exact."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- MinHash-LSH near-dup candidates (rows-only; verified vs exact in tests) --
+
+def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", "text")
+
+
+# --- SimHash buckets (rows-only) ----------------------------------------------
+
+def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_buckets(docs, "doc_id", "text")
+
+
+# --- IVF-style ANN top-k (rows-only; recall vs brute force in tests) ----------
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=QUERY_VEC_ID, k=TOP_K, n_centroids=8, n_probe=3)
+
+
+QUERIES: list[Query] = [
+    Query("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL,
+          ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
+    Query("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_COSINE_SQL,
+          ("similarity_search_topk",), "brute-force cosine top-k"),
+    Query("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL,
+          ("near_dedup", "similarity_search_topk"), "all-pairs cosine near-dups"),
+    Query("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL,
+          ("multimodal_columns",), "binary column + typed metadata"),
+    Query("approx_distinct_users", approx_distinct_users, None,
+          ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
+    Query("minhash_neardup_candidates", minhash_neardup_candidates, None,
+          ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
+    Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
+          ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
+    Query("ann_ivf_topk", ann_ivf_topk, None,
+          ("similarity_search_topk",), "IVF-partitioned ANN top-k (rows-only)"),
+]

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode posture (tests / bench run on local[N]); the same config keys
+are what we would set on a real cluster, with sizes scaled to the data:
+AQE handles runtime re-planning (skew joins, partition coalescing), the
+session timezone is pinned to UTC for DuckDB-oracle timestamp parity,
+and Arrow is enabled for every pandas interchange path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "meshtastic_airsensor_database_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    At 100 TB the only values that change are ``shuffle_partitions``
+    (sized so post-shuffle partitions are ~128-200 MB) and memory knobs;
+    the qualitative posture (AQE on, broadcast threshold default, UTC
+    session tz, Arrow on) is scale-independent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long
+        # (io_utils.load converts to a proper TimestampType column)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
