@@ -92,16 +92,17 @@ def doc_fingerprint_md5(col: Column | str) -> Column:
     return F.md5(c.cast("binary"))
 
 
-def doc_fingerprint_rolling(col: Column | str, base: int = 31, mod: int = 2**61 - 1) -> Column:
+def doc_fingerprint_rolling(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Order-sensitive polynomial rolling hash over tokens.
 
     hash = sum(token_hash_i * base^(n-1-i)) mod m, computed with
     ``aggregate`` over the token array — built-in, no UDF. Spark-only
     (no SQL-oracle twin); used for shift-robust fingerprinting.
+    mod < 2^31 keeps acc*base + h < 2^37 — no ANSI long overflow.
     """
     toks = tokens(col)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)) % mod) % mod,
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
     )

@@ -1,0 +1,80 @@
+"""Time-series operator tests (SURVEY §2.5, §2.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from meshtastic_airsensor_database_spark.operators.align import (
+    asof_fill,
+    latest_reading_per_node,
+    reading_gap_detect,
+    rolling_avg,
+    sessionize,
+    timeseries_align,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, ["node", "ts", "value"])
+
+
+def test_latest_reading(spark):
+    df = _series(spark, [(1, _ts(0), 1.0), (1, _ts(10), 2.0), (2, _ts(5), 9.0)])
+    out = {r.node: r for r in latest_reading_per_node(df, "node", "ts", "value").collect()}
+    assert out[1].value == 2.0 and out[2].value == 9.0
+
+
+def test_gap_detect_100min_threshold(spark):
+    """Offline threshold semantics (OFFLINE_THRESHOLD_MINUTES=100,
+    AIRWISEv0.py:20): gap of 101 min flags, 99 min does not."""
+    df = _series(
+        spark,
+        [(1, _ts(0), 0.0), (1, _ts(99), 0.0), (1, _ts(200), 0.0), (2, _ts(0), 0.0)],
+    )
+    gaps = reading_gap_detect(df, "node", "ts").collect()
+    assert len(gaps) == 1
+    assert gaps[0].node == 1 and gaps[0].gap_seconds == 101 * 60
+
+
+def test_sessionize(spark):
+    df = _series(
+        spark,
+        [(1, _ts(0), 0.0), (1, _ts(10), 0.0), (1, _ts(100), 0.0), (1, _ts(105), 0.0)],
+    )
+    sess = sessionize(df, "node", "ts", gap_seconds=1800)
+    ids = [r.session_id for r in sess.orderBy("ts").collect()]
+    assert ids == [1, 1, 2, 2]
+
+
+def test_rolling_avg_range_window(spark):
+    df = _series(spark, [(1, _ts(0), 10.0), (1, _ts(30), 20.0), (1, _ts(90), 60.0)])
+    out = {r.ts: r.value_rolling_avg for r in rolling_avg(df, "node", "ts", "value", 3600).collect()}
+    assert out[_ts(0)] == 10.0
+    assert out[_ts(30)] == 15.0       # both first readings in the hour
+    assert out[_ts(90)] == 40.0       # 30min & 90min within trailing hour
+
+
+def test_asof_fill_locf(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 5.0), (1, _ts(10), None), (1, _ts(20), None), (1, _ts(30), 7.0)],
+        ["node", "ts", "value"],
+    )
+    out = [r.value_ff for r in asof_fill(df, "node", "ts", "value").orderBy("ts").collect()]
+    assert out == [5.0, 5.0, 5.0, 7.0]
+
+
+def test_timeseries_align_buckets(spark):
+    a = _series(spark, [(1, _ts(0), 10.0), (1, _ts(2), 20.0)])
+    b = _series(spark, [(1, _ts(1), 100.0)])
+    out = timeseries_align({"a": a, "b": b}, "ts", "value", "5 minutes").collect()
+    by_src = {r.source: r for r in out}
+    assert by_src["a"].avg_value == 15.0 and by_src["a"].n == 2
+    assert by_src["b"].avg_value == 100.0
+    assert by_src["a"].bucket_ts == T0  # same shared bucket axis
+    assert by_src["b"].bucket_ts == T0

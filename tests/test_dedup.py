@@ -1,0 +1,73 @@
+"""Dedup operator tests: LSH candidates vs exact Jaccard ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meshtastic_airsensor_database_spark.io_utils import load
+from meshtastic_airsensor_database_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_neardup_pairs,
+    simhash_df,
+)
+from meshtastic_airsensor_database_spark.plans.textq import jaccard_neardup_pairs
+
+
+def test_exact_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.keep_id: r for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out[1].n_duplicates == 1  # min id survives
+    assert out[3].n_duplicates == 0
+    assert 2 not in out
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidate set must contain (near-)all true >=0.8-Jaccard
+    pairs — the planted near-dups in the synthetic corpus."""
+    docs = load(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b) for r in jaccard_neardup_pairs(spark, sf_dir).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall} too low ({len(truth)} truth pairs)"
+
+
+def test_minhash_verified_pairs_no_false_positives(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    verified = minhash_lsh_neardup_pairs(docs, "doc_id", "text", 0.8)
+    truth = {
+        (r.doc_a, r.doc_b) for r in jaccard_neardup_pairs(spark, sf_dir).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert got <= truth  # exact verify step kills every false positive
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "spark hash join window"), (2, "spark hash join window"),
+         (3, "utterly different content entirely")],
+        ["doc_id", "text"],
+    )
+    out = {r._id: r.simhash for r in simhash_df(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_simhash_empty_doc(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    row = simhash_df(df, "doc_id", "text").collect()
+    assert len(row) == 1  # empty docs keep a row (simhash of no tokens)
+
+
+def test_streaming_style_exact_packet_dedup(spark):
+    """Packet-id dedup (MQTT at-least-once): dropDuplicates on id."""
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["id", "payload"])
+    assert df.dropDuplicates(["id"]).count() == 2
