@@ -1,0 +1,122 @@
+"""Sinks (SURVEY.md §2.1).
+
+parquet_table_sink — the engine-native correctness-bearing sink:
+                     partitioned, columnar, idempotent-append.
+csv_sink           — cleandata.py:51-53 (`to_csv(index=False)`).
+jdbc_table_sink    — the reference's Postgres INSERT path
+                     (AIRWISEv0.py:171-209) as batched JDBC appends.
+jdbc_healthcheck   — startup probe (AIRWISEv0.py:315-327).
+document_sink      — one JSON document per row (QuerryGenerator.py:14-15).
+http_alert_sink    — ntfy.sh POST (AIRWISEv0.py:51-68), import-gated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+def parquet_table_sink(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "append",
+) -> None:
+    """Write facts as partitioned parquet.
+
+    Scale posture: partition by low-cardinality pruning keys (date, not
+    raw node id — a million-node mesh would create a million directories;
+    derive a date column and bucket/sort by node *within* files instead).
+    Replaces the reference's per-row INSERT + commit (AIRWISEv0.py:184-185)
+    with columnar bulk appends.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def csv_sink(df: DataFrame, path: str, header: bool = True, single_file: bool = False) -> None:
+    """Write a frame as CSV (cleandata.py:51-53).
+
+    ``single_file`` coalesces to one partition for small exports only —
+    the reference always wrote one file; at scale leave it False and
+    write one file per partition.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def document_sink(df: DataFrame, path: str) -> None:
+    """One JSON document per row (QuerryGenerator.py:14-15 semantics).
+
+    The reference inserts into MongoDB; the engine-native equivalent is
+    JSON-lines (a Mongo connector would slot in as
+    ``df.write.format("mongodb")`` with the same frame).
+    """
+    df.write.mode("overwrite").json(path)
+
+
+def jdbc_table_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Append rows into a JDBC table, batched per partition.
+
+    Replaces connection-per-message + commit-per-insert
+    (AIRWISEv0.py:162,185) with one connection per partition and
+    ``batchsize`` rows per round trip. JDBC appends are not idempotent
+    (SURVEY §7.2c): when used under foreachBatch, include a
+    (batch_id, row_hash) dedup key or make the parquet sink the
+    correctness-bearing one.
+    """
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+    df.write.jdbc(url, table, mode="append", properties=props)
+
+
+def jdbc_healthcheck(spark: SparkSession, url: str, properties: dict[str, str] | None = None) -> bool:
+    """Fail-fast connectivity probe (`SELECT 1`), AIRWISEv0.py:315-327.
+
+    Returns True on success; raises the driver's exception on failure so
+    pipelines gate on it the way the reference gates startup
+    (AIRWISEv0.py:338-341).
+    """
+    probe = spark.read.jdbc(url, "(SELECT 1 AS ok) AS probe", properties=properties or {})
+    return probe.limit(1).count() == 1
+
+
+def http_alert_sink(rows: Iterable[Row], topic_url: str, timeout_s: int = 10) -> int:
+    """POST one markdown alert per row to an ntfy-style endpoint.
+
+    Mirrors send_ntfy_alert (AIRWISEv0.py:51-68): title/priority/tags
+    headers, markdown body. Driver/foreachBatch-side side effect over a
+    tiny alert frame (alert volume is bounded by alert_edge_dedup to
+    one per outage — the <=250/day budget, AIRWISEv0.py:368).
+    Import-gated: without the ``requests`` package this raises
+    NotImplementedError rather than silently dropping alerts.
+    """
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - requests is absent in CI
+        raise NotImplementedError("http_alert_sink requires the 'requests' package") from exc
+
+    sent = 0
+    for row in rows:
+        requests.post(
+            topic_url,
+            data=str(row["message"]).encode("utf-8"),
+            headers={
+                "Title": str(row["title"]) if "title" in row else "Node Alert",
+                "Priority": str(row["priority"]) if "priority" in row else "high",
+                "Tags": str(row["tags"]) if "tags" in row else "warning",
+                "Markdown": "yes",
+            },
+            timeout=timeout_s,
+        )
+        sent += 1
+    return sent

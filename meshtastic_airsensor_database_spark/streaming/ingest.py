@@ -1,0 +1,144 @@
+"""Streaming ingest pipeline (SURVEY.md §3.1 Spark lifecycle, §2.9).
+
+One landing-dir stream -> parse once -> 4-way route -> three parquet
+fact tables + node-dim upsert, all inside a single ``foreachBatch``
+(`stream_route_multiplex`). The reference runs this as an MQTT callback
+that re-parses each packet up to four times and opens a new DB
+connection per message (AIRWISEv0v1comb.py:380-395, :243); here each
+micro-batch is parsed once, cached, filtered four ways, and bulk-written.
+
+Exactly-once posture: the file source checkpoint tracks consumed files;
+parquet appends within foreachBatch are idempotent per epoch only if
+re-runs overwrite — we accept at-least-once on the fact tables and
+deduplicate on packet ``id`` (`exact_dedup`, mesh re-broadcast produces
+dupes anyway — SURVEY §2.11), which also makes replayed batches a no-op
+for downstream aggregation correctness.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.enrich import dim_upsert_latest_wins, node_dim_enrich, seed_node_dim
+from ..operators.parse import json_envelope_parse, route_packets
+from ..schemas import NODE_DIM_SCHEMA
+from ..sources.landing import packet_stream_source
+from ..sources.sinks import parquet_table_sink
+
+# Watermark for streaming dedup on packet id: mesh re-broadcast dupes
+# arrive within seconds; 10 minutes is generous and keeps dedup state
+# bounded (SURVEY §2.9 late_data_handling).
+DEDUP_WATERMARK = "10 minutes"
+
+
+@dataclass
+class IngestPaths:
+    """Filesystem layout for one ingest deployment."""
+
+    landing_dir: str
+    out_dir: str
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.out_dir, "_checkpoint")
+
+    def table(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+
+def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
+    """Current dimension snapshot: persisted if present, else the static seed."""
+    dim_path = paths.table("node_dim")
+    try:
+        return spark.read.schema(NODE_DIM_SCHEMA).parquet(dim_path)
+    except Exception:
+        return seed_node_dim(spark)
+
+
+def process_packet_batch(batch: DataFrame, paths: IngestPaths) -> dict[str, int]:
+    """Route one (micro-)batch of raw packet lines to the fact tables.
+
+    Pure batch logic — the identical function serves foreachBatch, tests,
+    and bulk replay (SURVEY §7.0 batch-core/streaming-shell stance).
+    Returns per-table appended row counts for observability.
+    """
+    spark = batch.sparkSession
+    parsed = json_envelope_parse(batch)
+    # Mesh re-broadcast + MQTT at-least-once => dedup by packet id inside
+    # the batch (cross-batch dedup is the watermark variant below).
+    # dropDuplicates needs a top-level column; null ids stay undeduped
+    # (no id claim means no duplicate claim).
+    parsed = parsed.withColumn("_pkt_id", F.col("packet.id"))
+    with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(["_pkt_id"])
+    parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop("_pkt_id")
+    parsed = parsed.cache()  # one parse feeds four routes
+    try:
+        routed = route_packets(parsed)
+
+        # Dimension first, so facts in the same batch see their own
+        # nodeinfo updates — matches the reference's callback ordering
+        # (map_nodes runs before the parsers, AIRWISEv0v1comb.py:389-395).
+        dim = _load_node_dim(spark, paths)
+        updates = routed["nodeinfo"]
+        counts: dict[str, int] = {}
+        if not updates.isEmpty():
+            dim = dim_upsert_latest_wins(dim, updates).cache()
+            counts["nodeinfo"] = updates.count()
+            # overwrite the snapshot: tiny dimension, full rewrite per batch
+            dim.write.mode("overwrite").parquet(paths.table("node_dim") + "_next")
+            spark.read.parquet(paths.table("node_dim") + "_next").write.mode(
+                "overwrite"
+            ).parquet(paths.table("node_dim"))
+
+        for slice_name, table in (
+            ("battery", "battery_data"),
+            ("v0_env", "airwise_data"),
+            ("v1_env", "airwise_datav1"),
+        ):
+            facts = node_dim_enrich(routed[slice_name], dim)
+            # partition by event date: prunable, low-cardinality (SURVEY §4.2)
+            facts = facts.withColumn("event_date", F.to_date("event_ts"))
+            parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
+            counts[table] = facts.count()
+        return counts
+    finally:
+        parsed.unpersist()
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    paths: IngestPaths,
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+    dedup_within_watermark: bool = False,
+) -> StreamingQuery:
+    """Start the ingest streaming query (M3).
+
+    ``dedup_within_watermark`` switches on cross-batch packet-id dedup
+    via ``dropDuplicatesWithinWatermark`` upstream of foreachBatch
+    (bounded state; needs event-time on the raw line, so we parse the
+    envelope in-stream for the timestamp and carry the raw line along).
+    """
+    raw = packet_stream_source(spark, paths.landing_dir, max_files_per_trigger)
+
+    stream: DataFrame = raw
+    if dedup_within_watermark:
+        parsed = json_envelope_parse(raw)
+        stream = (
+            parsed.withColumn("event_ts", F.timestamp_seconds(F.col("packet.timestamp")))
+            .withWatermark("event_ts", DEDUP_WATERMARK)
+            .dropDuplicatesWithinWatermark(["packet.id"])
+            .select("value")
+        )
+
+    writer = stream.writeStream.foreachBatch(
+        lambda batch, _epoch: process_packet_batch(batch, paths)
+    ).option("checkpointLocation", paths.checkpoint_dir)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

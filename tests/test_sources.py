@@ -1,0 +1,96 @@
+"""Sources/sinks tests (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meshtastic_airsensor_database_spark.sources.batch import (
+    csv_batch_source,
+    text_line_source,
+)
+from meshtastic_airsensor_database_spark.sources.ddl import ddl_bootstrap
+from meshtastic_airsensor_database_spark.sources.sinks import (
+    csv_sink,
+    document_sink,
+    parquet_table_sink,
+)
+
+
+def test_csv_batch_source_multi_file_union(spark, tmp_path):
+    # multi-file read subsumes pd.concat (cleandata.py:11-19)
+    (tmp_path / "a.csv").write_text("x,y\n1,one\n2,two\n")
+    (tmp_path / "b.csv").write_text("x,y\n3,three\n")
+    df = csv_batch_source(
+        spark, [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")], schema="x int, y string"
+    )
+    assert sorted(r["x"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_csv_batch_source_drops_malformed(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x,y\n1,one\nnot_an_int_with,too,many,cols\n2,two\n")
+    df = csv_batch_source(spark, str(tmp_path / "a.csv"), schema="x int, y string")
+    assert sorted(r["x"] for r in df.dropna(subset=["x"]).collect()) == [1, 2]
+
+
+def test_text_line_source_numbers_lines(spark, tmp_path):
+    # QuerryGenerator.py:9-16 parity: 0-based stable line numbers
+    p = tmp_path / "doc.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    rows = text_line_source(spark, str(p)).orderBy("line_number").collect()
+    assert [(r["line"], r["line_number"]) for r in rows] == [
+        ("alpha", 0),
+        ("beta", 1),
+        ("gamma", 2),
+    ]
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x int, y string")
+    out = str(tmp_path / "out_csv")
+    csv_sink(df, out, single_file=True)
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted(r["y"] for r in back.collect()) == ["a", "b"]
+
+
+def test_document_sink_one_doc_per_row(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("f.txt", "alpha", 0), ("f.txt", "beta", 1)], "Name string, Line string, line_number int"
+    )
+    out = str(tmp_path / "docs")
+    document_sink(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"Name", "Line", "line_number"}
+
+
+def test_parquet_table_sink_partitions(spark, tmp_path):
+    df = spark.createDataFrame([(1, "2025-01-01"), (2, "2025-01-02")], "x int, event_date string")
+    out = str(tmp_path / "pq")
+    parquet_table_sink(df, out, partition_by=("event_date",))
+    dirs = {p.name for p in (tmp_path / "pq").iterdir() if p.is_dir()}
+    assert "event_date=2025-01-01" in dirs
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_ddl_bootstrap_idempotent(spark):
+    first = ddl_bootstrap(spark, database="eureka_test")
+    second = ddl_bootstrap(spark, database="eureka_test")  # IF NOT EXISTS: no error
+    assert first == second
+    tables = {t.name for t in spark.catalog.listTables("eureka_test")}
+    assert {"airwise_data", "airwise_datav1", "battery_data", "node_dim"} <= tables
+    cols = [f.name for f in spark.table("eureka_test.battery_data").schema.fields]
+    assert cols[:3] == ["node", "topic_id", "longname"]
+    spark.sql("DROP DATABASE eureka_test CASCADE")
+
+
+def test_http_alert_sink_is_import_gated():
+    from meshtastic_airsensor_database_spark.sources.sinks import http_alert_sink
+
+    try:
+        import requests  # noqa: F401
+
+        pytest.skip("requests available; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        http_alert_sink([], "https://ntfy.sh/test")
