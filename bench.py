@@ -63,10 +63,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    # warm up the JVM/codegen paths so timings measure the queries
-    REGISTRY["distinct_mktsegments"].builder(spark, sf_dir).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # Warm-up: run every headline query once at the smallest SF so JVM
+    # JIT / codegen compilation happens outside the timed region — the
+    # timings then measure steady-state query execution at the target
+    # SF, not one-time classloading (standard JVM benchmarking practice).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        try:
+            REGISTRY[name].builder(spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

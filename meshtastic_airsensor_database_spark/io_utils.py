@@ -45,3 +45,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a small input is spread across the cluster before a
+    CPU-heavy narrow stage (shingle hashing, all-pairs joins, sketches).
+
+    A table that arrives as one small file is one scan partition, so
+    every downstream narrow transform runs single-threaded no matter how
+    many cores exist. Repartition ONLY when below the session's default
+    parallelism: at 100 TB inputs already carry thousands of splits and
+    this is a no-op (no shuffle); locally it turns a 1-task pipeline
+    into a full-width one for the cost of shuffling a few MB.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

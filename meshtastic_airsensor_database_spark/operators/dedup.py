@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint_md5, word_shingles
+from ..io_utils import fan_out
 
 N_PERMUTATIONS = 32
 N_BANDS = 8  # 8 bands x 4 rows: P(collide) ~= 1-(1-s^4)^8; s=.8 -> .985
@@ -102,7 +103,7 @@ def minhash_signature_df(
     running ``n_perm`` MIN aggregates hashes each shingle exactly once
     and shuffles only (id, n_perm longs).
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(content_col), 3)).alias("_s"),
     )
@@ -171,7 +172,7 @@ def minhash_lsh_neardup_pairs(
     false positives, recall governed by the band/row parameters.
     """
     cands = minhash_lsh_candidates(df, id_col, content_col)
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(content_col), 3).alias("sh")
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -240,7 +241,7 @@ def simhash_df(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """
     from ..functions.text import tokens
 
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.array_distinct(tokens(F.col(content_col)))).alias("_tok"),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ..io_utils import fan_out
 
 N_HYPERPLANES = 16
 
@@ -65,7 +66,7 @@ def assign_ivf_clusters(
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+    scored = fan_out(emb).crossJoin(F.broadcast(cents)).withColumn(
         "_cos", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))

@@ -22,7 +22,7 @@ from ..functions.text import (
     token_count,
     word_shingles,
 )
-from ..io_utils import load
+from ..io_utils import fan_out, load
 from .base import Query, r
 
 
@@ -190,7 +190,7 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; its candidate set is verified against this exact query in
     tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
+    sh = fan_out(docs).select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

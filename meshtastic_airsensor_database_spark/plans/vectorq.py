@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, l2_norm
-from ..io_utils import load
+from ..io_utils import fan_out, load
 from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import ivf_topk, brute_force_topk
 from .base import Query, r
@@ -92,7 +92,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine >= threshold (exact formulation; the scale path
     is LSH bucketing in operators/similarity.py — random-hyperplane
     signatures prune the pair space before the exact check)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
     ).alias("a")
