@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "reading_gap_detect",
     "rolling_avg_value",
     "session_counts",
+    "outage_episodes",
+    "asof_latest_view_value",
+    "top3_orders_per_segment",
     "props_json_extract",
     "aligned_type_buckets",
     "exact_dedup_docs",

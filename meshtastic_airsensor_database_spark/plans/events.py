@@ -250,6 +250,99 @@ FROM events
 """
 
 
+# --- session-window outage episodes (SURVEY §2.9 windowed_ingest) -------------
+
+EPISODE_GAP_SECONDS = 1800
+
+
+def outage_episode_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window episodes: a gap >= 30 min ends an online episode
+    (the session-window dual of offline_detection, streaming/monitor.py).
+    Start = first reading, end = last reading + gap."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{EPISODE_GAP_SECONDS} seconds").alias("sw")
+        )
+        .agg(F.count("*").alias("n_readings"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("episode_start"),
+            F.col("sw.end").alias("episode_end"),
+            "n_readings",
+        )
+    )
+
+
+OUTAGE_EPISODE_BOUNDS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL {EPISODE_GAP_SECONDS} SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS episode_start,
+       MAX(ts) + INTERVAL {EPISODE_GAP_SECONDS} SECOND AS episode_end,
+       COUNT(*) AS n_readings
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --- as-of join (SURVEY §2.3 timeseries_align, as-of variant) -----------------
+
+def asof_latest_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent view's value for the same user at
+    or before the click — the union + last(ignorenulls) as-of join
+    (SURVEY §2.3: no shuffle beyond the one per-key sort; never a range
+    cross product). Ties at one timestamp order views first, then
+    event_id, so semantics are deterministic."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id",
+        F.col("value").alias("view_value"), F.lit(0).alias("is_click"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("view_value"), F.lit(1).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn("asof_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select("user_id", "event_id", "ts", r("asof_view_value", 2).alias("asof_view_value"))
+    )
+
+
+ASOF_LATEST_VIEW_VALUE_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, value AS view_value, 0 AS is_click
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL, 1 FROM events WHERE event_type = 'click'
+), f AS (
+  SELECT user_id, ts, event_id, is_click,
+         LAST_VALUE(view_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_click, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value
+  FROM u
+)
+SELECT user_id, event_id, ts,
+       CAST(ROUND(CAST(asof_view_value AS DECIMAL(38,9)), 2) AS DOUBLE) AS asof_view_value
+FROM f WHERE is_click = 1
+"""
+
+
 # --- multi-source time-bucket alignment (SURVEY §2.3 timeseries_align) -------
 
 def aligned_type_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,4 +401,8 @@ QUERIES: list[Query] = [
           ("f_to_c", "round_cols"), "unit conversion + rounding"),
     Query("aligned_type_buckets", aligned_type_buckets, ALIGNED_TYPE_BUCKETS_SQL,
           ("timeseries_align", "multi_file_union"), "multi-source time-bucket alignment"),
+    Query("outage_episodes", outage_episode_bounds, OUTAGE_EPISODE_BOUNDS_SQL,
+          ("windowed_ingest", "offline_detection"), "session-window outage episodes"),
+    Query("asof_latest_view_value", asof_latest_view_value, ASOF_LATEST_VIEW_VALUE_SQL,
+          ("timeseries_align",), "union+last(ignorenulls) as-of join"),
 ]

@@ -345,6 +345,34 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """
 
 
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank window per group: top-3 orders by price within each market
+    segment (dense ranking family; complements row_number/lag/range
+    windows elsewhere). Broadcast dim join, then ONE window sort
+    partitioned by segment."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rank_in_segment", F.rank().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice")
+    )
+
+
+TOP3_ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice
+FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_segment
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rank_in_segment <= 3
+"""
+
+
 def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -397,6 +425,8 @@ QUERIES: list[Query] = [
           ("stream_route_multiplex",), "pivot with explicit values"),
     Query("topk_expensive_orders", topk_expensive_orders, TOPK_EXPENSIVE_ORDERS_SQL,
           ("time_sort",), "global top-k (TakeOrderedAndProject)"),
+    Query("top3_orders_per_segment", top3_orders_per_segment, TOP3_ORDERS_PER_SEGMENT_SQL,
+          ("latest_reading_per_node", "time_sort"), "rank window top-3 per group"),
     Query("distinct_mktsegments", distinct_mktsegments, DISTINCT_MKTSEGMENTS_SQL,
           ("per_node_stats",), "DISTINCT"),
     Query("line_numbering", line_numbering, LINE_NUMBERING_SQL,

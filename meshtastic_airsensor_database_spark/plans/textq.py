@@ -175,6 +175,18 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+# --- rolling-hash fingerprints (rows-only) -------------------------------------
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document (xxhash64
+    token basis — Spark-only, no SQL twin). Complements the md5 exact
+    fingerprint with shift-robust shape hashing."""
+    from ..functions.text import doc_fingerprint_rolling
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", doc_fingerprint_rolling(F.col("text")).alias("rolling_fp"))
+
+
 # --- n-gram Jaccard near-dup pairs (SURVEY §2.11 near_dedup) -------------------
 
 JACCARD_THRESHOLD = 0.8
@@ -240,4 +252,6 @@ QUERIES: list[Query] = [
           ("text_analysis", "exact_dedup"), "md5 content fingerprints"),
     Query("jaccard_neardup_pairs", jaccard_neardup_pairs, JACCARD_NEARDUP_PAIRS_SQL,
           ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact)"),
+    Query("rolling_fingerprints", rolling_fingerprints, None,
+          ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
 ]

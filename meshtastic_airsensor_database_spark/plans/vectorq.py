@@ -172,6 +172,21 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs, "doc_id", "text")
 
 
+# --- hyperplane-LSH buckets (rows-only) ---------------------------------------
+
+def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign-LSH bucket occupancy — the ANN pruning
+    structure's health check (xxhash64-derived planes have no SQL twin)."""
+    from ..operators.similarity import hyperplane_lsh_buckets
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    return (
+        hyperplane_lsh_buckets(emb)
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 # --- IVF-style ANN top-k (rows-only; recall vs brute force in tests) ----------
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,4 +211,6 @@ QUERIES: list[Query] = [
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,
           ("similarity_search_topk",), "IVF-partitioned ANN top-k (rows-only)"),
+    Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes, None,
+          ("similarity_search_topk", "near_dedup"), "sign-LSH bucket occupancy (rows-only)"),
 ]
