@@ -94,3 +94,25 @@ def test_http_alert_sink_is_import_gated():
         pass
     with pytest.raises(NotImplementedError):
         http_alert_sink([], "https://ntfy.sh/test")
+
+
+def test_packet_datasource_reads_typed_envelopes(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): landing dir -> typed rows,
+    malformed JSON dropped (AIRWISEv0.py:155-157 semantics)."""
+    from meshtastic_airsensor_database_spark.sources.landing import write_packet_fixture
+    from meshtastic_airsensor_database_spark.sources.packet_datasource import register
+
+    from .fixtures import as_json_lines
+
+    register(spark)
+    landing = str(tmp_path / "dsrc_landing")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+
+    df = spark.read.format("meshtastic_packets").load(landing)
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 6  # 7 lines - 1 malformed JSON
+    assert rows[1001]["node"] == 3127201152
+    assert rows[1001]["payload"]["temperature"] == 21.5
+    assert rows[1002]["payload"]["battery_level"] == 101.0
+    assert rows[1003]["payload"]["text"].startswith("21.9,")
+    assert rows[1004]["type"] == "nodeinfo"
