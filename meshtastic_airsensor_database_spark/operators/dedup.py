@@ -141,24 +141,39 @@ def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) from banded LSH.
 
-    The ONLY shuffle is the self-join on (band_idx, band_hash); buckets
-    above MAX_BUCKET rows are dropped as degenerate boilerplate (the
-    standard web-dedup guard), which also de-skews the join.
+    Bucket-grouping formulation: ONE shuffle on (band_idx, band_hash)
+    collects each bucket's id list, then pairs are generated inside the
+    bucket with array expressions. A band self-join would evaluate the
+    whole signature pipeline twice (both join inputs) and shuffle the
+    bands twice (window count + join); here the upstream runs once.
+    Buckets above MAX_BUCKET ids are dropped as degenerate boilerplate
+    (the standard web-dedup guard) — that cap also bounds both the agg
+    buffer and the per-bucket pair blow-up, so no bucket skews the
+    stage. Final ``distinct`` dedups pairs that collide in >1 band.
     """
     bands = minhash_bands(df, id_col, content_col)
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
-    ).filter(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
-    a = sized.alias("a")
-    b = sized.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        # MAX_BUCKET+1 ids suffice to detect oversize (filtered next);
+        # slicing keeps oversize rows narrow. (collect_list still
+        # buffers the full bucket — at extreme skew, pre-filter with a
+        # count pass before banding.)
+        .agg(F.slice(F.collect_list("_id"), 1, MAX_BUCKET + 1).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+    )
+    ids = F.array_sort("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
