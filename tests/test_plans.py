@@ -1,0 +1,98 @@
+"""Physical-plan quality audit (SURVEY.md §4 — the scale contract).
+
+Correctness tests prove the queries return the right rows; these prove
+the PLANS are the ones we would want on a 1000-executor cluster reading
+100 TB: filters reach the parquet scan, unused columns are pruned,
+small dimensions broadcast (never shuffled), aggregates combine
+map-side, and nothing degenerates into a cartesian product. Plan shape
+is scale-invariant, so asserting it at sf0.001 pins the same plan the
+cluster would run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from meshtastic_airsensor_database_spark.plans import REGISTRY
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+# Queries whose pair-enumeration is intentionally all-pairs (the exact
+# oracle-checkable formulations; their scale path is the LSH variants).
+ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs"}
+
+# Single-row / tiny build sides legitimately use a nested-loop
+# broadcast (e.g. one query vector crossed with every embedding).
+BNLJ_OK = {"embedding_topk_cosine", "ann_ivf_topk", "asof_latest_view_value",
+           "embedding_neardup_pairs", "jaccard_neardup_pairs"}
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    for name in REGISTRY:
+        plan = plan_of(spark, name, sf_dir)
+        if name not in ALL_PAIRS_OK:
+            assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["fact_dim_join", "region_supplier_revenue", "top_orders_by_revenue",
+     "customers_with_urgent_orders", "customers_without_urgent_orders",
+     "top3_orders_per_segment"],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    """Every dimension join must be a broadcast hash join — a shuffled
+    join on a small dim would add a full fact-table exchange at scale."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pricing_summary_scan_is_pruned_and_pushed(spark, sf_dir):
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    scan = plan[plan.index("(1) Scan parquet"):]
+    scan = scan[: scan.index("\n\n")]
+    # date filter reaches the parquet reader (row-group skipping)
+    assert re.search(r"PushedFilters: \[.*l_shipdate", scan), scan
+    # projection pruned into the scan: no un-referenced wide columns
+    assert "l_comment" not in scan, scan
+    assert "l_orderkey" not in scan, scan
+
+
+def test_aggregates_have_mapside_partials(spark, sf_dir):
+    """groupBy aggregates must run partial (map-side combine) before the
+    exchange — the shuffle then carries one row per (partition, key),
+    not one per input row."""
+    for name in ("pricing_summary", "hourly_avg_by_node", "token_stats_by_lang"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "partial_" in plan, name
+
+
+def test_minhash_candidates_plan_has_no_join(spark, sf_dir):
+    """The LSH candidate generator is bucket-grouping: signatures are
+    computed ONCE and pairs come from array expressions inside each
+    bucket — a band self-join would evaluate the signature pipeline
+    twice and double-shuffle the bands."""
+    plan = plan_of(spark, "minhash_neardup_candidates", sf_dir)
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, plan
+
+
+def test_filters_reach_parquet_scans(spark, sf_dir):
+    """Queries that filter on scan columns must show a non-empty
+    PushedFilters on at least one parquet scan."""
+    for name in ("top_orders_by_revenue", "outage_episodes",
+                 "aligned_type_buckets", "asof_latest_view_value"):
+        plan = plan_of(spark, name, sf_dir)
+        assert re.search(r"PushedFilters: \[[^\]]", plan), name
