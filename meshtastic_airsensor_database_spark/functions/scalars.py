@@ -88,6 +88,18 @@ def round_cols(df: DataFrame, cols: Iterable[str], scale: int = 3) -> DataFrame:
     return out
 
 
+def string_agg_topics(col: Column | str, sep: str = ", ") -> Column:
+    """Aggregate a column of strings into one separator-joined string
+    (SURVEY §2.8 string_agg_topics; the reference joins its subscribed
+    topic list for the startup alert, AIRWISEv0.py:369).
+
+    ``concat_ws`` skips nulls, matching ``", ".join`` over present
+    values. Order-sensitive callers should sort upstream (collect_list
+    order is partition order).
+    """
+    return F.concat_ws(sep, F.collect_list(col))
+
+
 def markdown_alert_format(
     longname: Column, node: Column, threshold_minutes: Column | int
 ) -> Column:

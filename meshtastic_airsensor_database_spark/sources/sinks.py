@@ -48,6 +48,25 @@ def csv_sink(df: DataFrame, path: str, header: bool = True, single_file: bool = 
     out.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def console_sink(df: DataFrame, n: int = 20, truncate: bool = True):
+    """Human-readable progress output (SURVEY §2.1 console_sink; the
+    reference prints every packet/row, AIRWISEv0.py:187-189,286-294).
+
+    Streaming frames start a console-format query (returned, caller
+    stops it); batch frames print via ``show``. Observability only —
+    never part of query semantics.
+    """
+    if df.isStreaming:
+        return (
+            df.writeStream.format("console")
+            .option("numRows", str(n))
+            .option("truncate", str(truncate).lower())
+            .start()
+        )
+    df.show(n, truncate)
+    return None
+
+
 def document_sink(df: DataFrame, path: str) -> None:
     """One JSON document per row (QuerryGenerator.py:14-15 semantics).
 

@@ -116,3 +116,30 @@ def test_packet_datasource_reads_typed_envelopes(spark, tmp_path):
     assert rows[1002]["payload"]["battery_level"] == 101.0
     assert rows[1003]["payload"]["text"].startswith("21.9,")
     assert rows[1004]["type"] == "nodeinfo"
+
+
+def test_console_sink_batch_prints(spark, capfd):
+    from meshtastic_airsensor_database_spark.sources.sinks import console_sink
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    assert console_sink(df) is None
+    out, _ = capfd.readouterr()
+    assert "id" in out and "a" in out
+
+
+def test_string_agg_topics(spark):
+    """", ".join parity: nulls skipped (AIRWISEv0.py:369 semantics)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.scalars import string_agg_topics
+
+    df = spark.createDataFrame(
+        [("msh/US/2/json/LongFast/!ba654d80",), ("msh/US/2/json/LongFast/!06ba0ac4",), (None,)],
+        "topic string",
+    ).coalesce(1)
+    joined = df.agg(string_agg_topics(F.col("topic")).alias("topics")).collect()[0]["topics"]
+    assert joined.count(", ") == 1
+    assert set(joined.split(", ")) == {
+        "msh/US/2/json/LongFast/!ba654d80",
+        "msh/US/2/json/LongFast/!06ba0ac4",
+    }
