@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "fact_dim_join",
     "customers_with_urgent_orders",
     "rollup_lineitem",
+    "grouping_sets_revenue",
+    "value_percentiles_by_type",
     "topk_expensive_orders",
     "hourly_avg_by_node",
     "latest_reading_per_node",

@@ -378,6 +378,50 @@ FROM u GROUP BY 1, 2
 """
 
 
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (median + p90 —
+    both engines use the quantile_cont definition; the decimal round
+    absorbs interpolation ulp)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r(F.median("value"), 2).alias("p50_value"),
+        r(F.percentile("value", 0.9), 2).alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
+VALUE_PERCENTILES_BY_TYPE_SQL = """
+SELECT event_type,
+       CAST(ROUND(CAST(median(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS p50_value,
+       CAST(ROUND(CAST(quantile_cont(value, 0.9) AS DECIMAL(38,9)), 2) AS DOUBLE) AS p90_value,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def conditional_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation per user: count_if + null-skipping
+    conditional average (the CASE WHEN/FILTER family)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        r(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 2)
+            .alias("avg_click_value"),
+        F.count("*").alias("n"),
+    )
+
+
+CONDITIONAL_EVENT_COUNTS_SQL = """
+SELECT user_id,
+       CAST(count_if(value > 50) AS BIGINT) AS n_high,
+       CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(ROUND(CAST(AVG(CASE WHEN event_type = 'click' THEN value END) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_click_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
           ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
@@ -405,4 +449,10 @@ QUERIES: list[Query] = [
           ("windowed_ingest", "offline_detection"), "session-window outage episodes"),
     Query("asof_latest_view_value", asof_latest_view_value, ASOF_LATEST_VIEW_VALUE_SQL,
           ("timeseries_align",), "union+last(ignorenulls) as-of join"),
+    Query("value_percentiles_by_type", value_percentiles_by_type,
+          VALUE_PERCENTILES_BY_TYPE_SQL, ("per_node_stats",),
+          "exact interpolated median/p90 per group"),
+    Query("conditional_event_counts", conditional_event_counts,
+          CONDITIONAL_EVENT_COUNTS_SQL, ("per_node_stats", "packet_type_filter"),
+          "count_if + conditional average per user"),
 ]

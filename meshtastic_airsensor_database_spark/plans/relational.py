@@ -398,6 +398,90 @@ FROM documents
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per (flag, status),
+    per flag, and grand total in one pass — Catalyst expands to a
+    single Expand + hash aggregate (one shuffle, partial combine)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+GROUPING_SETS_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,9)), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def priority_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by keyed on the UNIQUE o_orderkey (deterministic —
+    arg-extremes on a tied key like o_totalprice would be
+    engine-dependent): first/last order's price per priority."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        r(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+PRIORITY_ORDER_EXTREMES_SQL = """
+SELECT o_orderpriority,
+       arg_max(o_totalprice, o_orderkey) AS last_order_price,
+       arg_min(o_totalprice, o_orderkey) AS first_order_price,
+       CAST(ROUND(CAST(MAX(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS max_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc('month') time-bucketed trend (SURVEY §2.8 date
+    functions as a declared query)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        r(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+MONTHLY_ORDER_TREND_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: parts priced above the global average
+    (Catalyst plans the subquery as a one-row broadcast)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part_sq)
+    """)
+
+
+PARTS_ABOVE_AVG_PRICE_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -431,4 +515,12 @@ QUERIES: list[Query] = [
           ("per_node_stats",), "DISTINCT"),
     Query("line_numbering", line_numbering, LINE_NUMBERING_SQL,
           ("line_numbering", "text_line_source"), "stable 0-based line numbers"),
+    Query("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL,
+          ("per_node_stats",), "explicit GROUPING SETS in one pass"),
+    Query("priority_order_extremes", priority_order_extremes, PRIORITY_ORDER_EXTREMES_SQL,
+          ("per_node_stats", "latest_reading_per_node"), "max_by/min_by arg-extremes"),
+    Query("monthly_order_trend", monthly_order_trend, MONTHLY_ORDER_TREND_SQL,
+          ("per_node_stats", "epoch_to_timestamp"), "date_trunc monthly trend"),
+    Query("parts_above_avg_price", parts_above_avg_price, PARTS_ABOVE_AVG_PRICE_SQL,
+          ("node_equality_filter",), "scalar-subquery predicate"),
 ]
