@@ -110,3 +110,102 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.select("media_id", "content").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def resize_stub(content: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE RESIZE — stands in for PIL ``Image.resize``.
+
+    Produces exactly ``width*height`` output bytes by striding/repeating
+    the input, so tests can assert the size contract a real thumbnailer
+    would satisfy. Raises on None (malformed-row path).
+    """
+    if content is None:
+        raise NotImplementedError("no real image library in this container")
+    n = width * height
+    if not content:
+        return bytes(n)
+    reps = (n // len(content)) + 1
+    return (content * reps)[:n]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """media table -> media table with every blob resized (thumbnail
+    pipeline shape). Output schema == input schema (MEDIA_SCHEMA), so
+    resize composes with extract_features / dedup-by-sha256 unchanged;
+    metadata (n_bytes, sha256) is recomputed JVM-side on the new bytes.
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                try:
+                    out = resize_stub(
+                        bytes(content) if content is not None else None, width, height
+                    )
+                except NotImplementedError:
+                    continue  # malformed_row_skip semantics
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content": out,
+                        "meta": {
+                            "modality": meta["modality"],
+                            "mime_type": meta["mime_type"],
+                            "n_bytes": len(out),
+                            "sha256": hashlib.sha256(out).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return media.mapInPandas(op, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+FRAME_BYTES = 256  # fake fixed frame size; a real demuxer yields codec frames
+
+
+def frame_sample(media: DataFrame, every_n: int = 2, max_frames: int = 16) -> DataFrame:
+    """One video row -> many frame rows (1:N flat-map — the UDTF shape,
+    via mapInPandas yielding multiple output rows per input).
+
+    The fake 'demuxer' treats the blob as fixed-size frames and keeps
+    every ``every_n``-th, capped at ``max_frames`` (the cap bounds
+    output amplification per row — at scale an uncapped 1:N over hour
+    long videos is how frame tables explode a stage).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue  # malformed_row_skip semantics
+                blob = bytes(content)
+                n_frames = max(1, len(blob) // FRAME_BYTES)
+                kept = 0
+                for i in range(0, n_frames, every_n):
+                    if kept >= max_frames:
+                        break
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": i,
+                            "frame": blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES],
+                        }
+                    )
+                    kept += 1
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(op, FRAME_SCHEMA)
