@@ -266,3 +266,117 @@ def test_offline_monitor_stream_end_to_end(spark, tmp_path):
         wait_for("ONLINE", 1)  # heartbeat resumes -> ONLINE transition
     finally:
         query.stop()
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("google") is None,
+    reason="transformWithStateInPandas needs protobuf (not in this container)",
+)
+def test_offline_monitor_tws_end_to_end(spark, tmp_path):
+    """Same scenario as the applyInPandasWithState test, through the
+    Spark 4 transformWithStateInPandas processor (explicit timers +
+    ValueState on the RocksDB state store)."""
+    import json
+    import time
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_nodeinfo,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import packet_stream_source
+    from meshtastic_airsensor_database_spark.streaming.monitor import (
+        offline_monitor_stream_tws,
+    )
+
+    landing = str(tmp_path / "tws_landing")
+
+    def nodeinfo(node, ts, name):
+        return json.dumps(
+            {
+                "from": node,
+                "id": ts,
+                "type": "nodeinfo",
+                "timestamp": ts,
+                "payload": {"id": f"!{node:x}", "longname": name},
+            }
+        )
+
+    write_packet_fixture(landing, [nodeinfo(7, 1000, "Farm7")], "b0.jsonl")
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw = packet_stream_source(spark, landing)
+    heartbeats = extract_nodeinfo(json_envelope_parse(raw)).select(
+        "node", "longname", F.col("updated_ts").alias("ts")
+    )
+    events = offline_monitor_stream_tws(heartbeats, threshold_minutes=0.1 / 60)
+
+    query = (
+        events.writeStream.format("memory")
+        .queryName("tws_events")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+
+    def wait_for(event, node, deadline_s=90.0):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            got = {
+                (r["node"], r["event"])
+                for r in spark.sql("SELECT node, event FROM tws_events").collect()
+            }
+            if (node, event) in got:
+                return
+            assert query.exception() is None, query.exception()
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for ({node}, {event})")
+
+    try:
+        wait_for("OFFLINE", 7)
+        write_packet_fixture(landing, [nodeinfo(7, 3000, "Farm7")], "b1.jsonl")
+        wait_for("ONLINE", 7)
+    finally:
+        query.stop()
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+def test_offline_monitor_tws_plan_builds(spark, tmp_path):
+    """The TWS operator's plan construction (schema, grouping, output
+    mode) is exercisable without protobuf; only execution needs it."""
+    import json
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_nodeinfo,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import packet_stream_source
+    from meshtastic_airsensor_database_spark.streaming.monitor import (
+        MONITOR_OUTPUT_SCHEMA,
+        offline_monitor_stream_tws,
+    )
+
+    landing = str(tmp_path / "tws_plan_landing")
+    write_packet_fixture(
+        landing,
+        [json.dumps({"from": 1, "id": 1, "type": "nodeinfo", "timestamp": 1,
+                     "payload": {"id": "!1", "longname": "Farm1"}})],
+        "b0.jsonl",
+    )
+    raw = packet_stream_source(spark, landing)
+    heartbeats = extract_nodeinfo(json_envelope_parse(raw)).select(
+        "node", "longname", F.col("updated_ts").alias("ts")
+    )
+    events = offline_monitor_stream_tws(heartbeats)
+    assert events.isStreaming
+    assert events.schema == MONITOR_OUTPUT_SCHEMA
