@@ -38,6 +38,31 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
 
 
+# GPT-2-style pretokenizer regex, restricted to constructs RE2 also
+# supports (no lookahead) so the DuckDB oracle can mirror it exactly:
+# contractions | space?+letters | space?+digits | space?+other | spaces.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pretokenization -> array<string> (SURVEY §2.11
+    text_analysis: 'whitespace + a BPE-ish regex' token counting).
+
+    ``regexp_extract_all`` with the GPT-2 pretokenizer pattern — the
+    split a byte-pair encoder would merge within; counting these is the
+    standard cheap proxy for LLM token counts. Pure built-in, codegen'd.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count, whitespace runs excluded."""
+    return F.size(
+        F.filter(bpe_tokens(col), lambda t: F.trim(t) != "")
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (distinct).
 

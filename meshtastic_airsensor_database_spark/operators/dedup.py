@@ -138,28 +138,30 @@ def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) from banded LSH.
+def pairs_within_buckets(
+    df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) of ids sharing a bucket.
 
-    Bucket-grouping formulation: ONE shuffle on (band_idx, band_hash)
-    collects each bucket's id list, then pairs are generated inside the
-    bucket with array expressions. A band self-join would evaluate the
-    whole signature pipeline twice (both join inputs) and shuffle the
-    bands twice (window count + join); here the upstream runs once.
-    Buckets above MAX_BUCKET ids are dropped as degenerate boilerplate
-    (the standard web-dedup guard) — that cap also bounds both the agg
-    buffer and the per-bucket pair blow-up, so no bucket skews the
-    stage. Final ``distinct`` dedups pairs that collide in >1 band.
+    Bucket-grouping formulation shared by every LSH family (minhash
+    bands, simhash bands, hyperplane sign buckets): ONE shuffle on the
+    bucket key collects each bucket's id list, then pairs are generated
+    inside the bucket with array expressions. A bucket self-join would
+    evaluate the whole upstream pipeline twice (both join inputs) and
+    shuffle it twice (count + join); here the upstream runs once.
+    Buckets above ``max_bucket`` ids are dropped as degenerate
+    boilerplate (the standard web-dedup guard) — that cap also bounds
+    the per-bucket pair blow-up, so no bucket skews the stage. Final
+    ``distinct`` dedups pairs that collide in >1 bucket.
     """
-    bands = minhash_bands(df, id_col, content_col)
     buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        # MAX_BUCKET+1 ids suffice to detect oversize (filtered next);
+        df.groupBy(*bucket_cols)
+        # max_bucket+1 ids suffice to detect oversize (filtered next);
         # slicing keeps oversize rows narrow. (collect_list still
         # buffers the full bucket — at extreme skew, pre-filter with a
-        # count pass before banding.)
-        .agg(F.slice(F.collect_list("_id"), 1, MAX_BUCKET + 1).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        # count pass before bucketing.)
+        .agg(F.slice(F.collect_list(id_col), 1, max_bucket + 1).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     ids = F.array_sort("ids")
     pairs = F.flatten(
@@ -176,6 +178,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> Data
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) from banded LSH
+    (see ``pairs_within_buckets`` for the no-self-join plan shape)."""
+    bands = minhash_bands(df, id_col, content_col)
+    return pairs_within_buckets(bands, ["band_idx", "band_hash"], "_id")
 
 
 def minhash_lsh_neardup_pairs(

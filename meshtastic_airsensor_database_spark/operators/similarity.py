@@ -147,3 +147,58 @@ def hyperplane_lsh_buckets(
     for b in bits[1:]:
         bucket = bucket.bitwiseOR(b)
     return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))
+
+
+def hyperplane_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = N_HYPERPLANES,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-pruned then exactly verified
+    — the scale path that replaces the all-pairs cosine join.
+
+    Sign-LSH bands: the ``n_planes``-bit bucket splits into ``n_bands``
+    sub-buckets; high-cosine vectors agree on most sign bits, so they
+    collide in at least one band w.h.p. Candidates are generated with
+    the shared bucket-grouping shape (operators/dedup.py::
+    pairs_within_buckets — one shuffle, no self-join of the sign
+    pipeline), then exact cosine confirms >= threshold: no false
+    positives, recall governed by (n_planes, n_bands).
+    """
+    from .dedup import pairs_within_buckets
+
+    band_bits = n_planes // n_bands
+    mask = (1 << band_bits) - 1
+    buckets = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col)
+    bands = buckets.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("lsh_bucket"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    cands = pairs_within_buckets(bands, ["band_idx", "band_hash"], id_col)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -79,6 +79,41 @@ GROUP BY lang
 """
 
 
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (GPT-2 pretokenizer regex) token counts per lang — the
+    LLM-token-budget proxy next to whitespace token_stats_by_lang."""
+    from ..functions.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_bpe", bpe_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            r(F.avg("n_bpe"), 2).alias("avg_bpe_tokens"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_pattern_sql() -> str:
+    from ..functions.text import BPE_PRETOKEN_RE
+
+    return BPE_PRETOKEN_RE.replace("'", "''")
+
+
+BPE_TOKEN_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(ROUND(CAST(AVG(n_bpe) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_bpe_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
+FROM (SELECT lang,
+             len(list_filter(regexp_extract_all(lower(text), '{_bpe_pattern_sql()}'),
+                             t -> trim(t) <> '')) AS n_bpe
+      FROM documents)
+GROUP BY lang
+"""
+
+
 # --- quality scoring (SURVEY §2.11 text_analysis) -----------------------------
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,4 +289,6 @@ QUERIES: list[Query] = [
           ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact)"),
     Query("rolling_fingerprints", rolling_fingerprints, None,
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
+    Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,
+          ("text_analysis",), "BPE-ish regex token counting per lang"),
 ]

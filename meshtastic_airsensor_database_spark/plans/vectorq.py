@@ -172,6 +172,26 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs, "doc_id", "text")
 
 
+# --- sign-LSH pruned near-dup pairs (rows-only; recall vs exact in tests) -----
+
+def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of ``embedding_neardup_pairs``: sign-LSH bands prune
+    the pair space, exact cosine verifies — no false positives.
+
+    Band parameters are tuned to the synthetic corpus (max pairwise
+    cosine ~0.51, so the threshold is 0.4): 24 planes / 8 bands of 3
+    bits gives ~90% analytic recall at cos 0.4. Production near-dup
+    thresholds (>=0.9) make pruning far sharper at the operator's
+    defaults (16 planes / 4 bands).
+    """
+    from ..operators.similarity import hyperplane_neardup_pairs
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    return hyperplane_neardup_pairs(
+        emb, threshold=COSINE_PAIR_THRESHOLD, n_planes=24, n_bands=8
+    )
+
+
 # --- hyperplane-LSH buckets (rows-only) ---------------------------------------
 
 def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +231,9 @@ QUERIES: list[Query] = [
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,
           ("similarity_search_topk",), "IVF-partitioned ANN top-k (rows-only)"),
+    Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs, None,
+          ("near_dedup", "similarity_search_topk"),
+          "sign-LSH pruned + exactly verified cosine near-dups (rows-only)"),
     Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes, None,
           ("similarity_search_topk", "near_dedup"), "sign-LSH bucket occupancy (rows-only)"),
 ]

@@ -58,3 +58,37 @@ def test_hyperplane_buckets_deterministic(spark, sf_dir):
     b2 = {r.vec_id: r.lsh_bucket for r in hyperplane_lsh_buckets(emb).collect()}
     assert b1 == b2
     assert len(set(b1.values())) > 1  # not degenerate
+
+
+def test_hyperplane_neardup_pairs_recall_vs_exact(spark, sf_dir):
+    """Sign-LSH pruned + verified pairs vs the exact all-pairs query:
+    no false positives (verification is exact), recall >= 0.7 at the
+    corpus threshold with the tuned (24 planes, 8 bands)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import fan_out
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        hyperplane_neardup_pairs,
+    )
+    from meshtastic_airsensor_database_spark.functions.vectors import cosine_similarity
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_similarity("ea", "eb"), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_neardup_pairs(
+            emb, threshold=0.4, n_planes=24, n_bands=8
+        ).collect()
+    }
+    assert got <= exact  # exact verification -> no false positives
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.7

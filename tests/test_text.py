@@ -51,3 +51,16 @@ def test_rolling_fingerprint_order_sensitive(spark):
     a = _one(spark, "alpha beta", doc_fingerprint_rolling(F.col("t")))
     b = _one(spark, "beta alpha", doc_fingerprint_rolling(F.col("t")))
     assert a != b  # order matters, unlike a set hash
+
+
+def test_bpe_tokens_pretokenizer_shapes(spark):
+    from meshtastic_airsensor_database_spark.functions.text import (
+        bpe_token_count,
+        bpe_tokens,
+    )
+
+    toks = _one(spark, "Don't panic, 42 towels!", bpe_tokens(F.col("t")))
+    assert toks == ["don", "'t", " panic", ",", " 42", " towels", "!"]
+    # whitespace runs excluded from the count
+    assert _one(spark, "Don't panic, 42 towels!", bpe_token_count(F.col("t"))) == 7
+    assert _one(spark, "", bpe_token_count(F.col("t"))) == 0
