@@ -380,3 +380,76 @@ def test_offline_monitor_tws_plan_builds(spark, tmp_path):
     events = offline_monitor_stream_tws(heartbeats)
     assert events.isStreaming
     assert events.schema == MONITOR_OUTPUT_SCHEMA
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """SURVEY §2.9 windowed_ingest + late_data_handling: event-time
+    tumbling windows over the packet stream with a watermark. A record
+    later than the watermark bound is DROPPED from its (closed) window;
+    an in-bound late record still lands in its window."""
+    import json
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_v0_env_facts,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import packet_stream_source
+
+    landing = str(tmp_path / "wm_landing")
+
+    def env(node, ts, temp):
+        return json.dumps(
+            {
+                "from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+                "payload": {"temperature": temp, "relative_humidity": 40.0,
+                            "barometric_pressure": 1000.0, "gas_resistance": 1.0,
+                            "iaq": 10},
+            }
+        )
+
+    base = 1_700_000_000 - (1_700_000_000 % 600)  # align to a 10-min boundary
+    # batch 0: two readings in window W0 [base, base+600), one in W1 —
+    # advances the watermark to (base+1200) - 10 min = base+600
+    write_packet_fixture(
+        landing,
+        [env(1, base + 10, 20.0), env(1, base + 20, 30.0), env(1, base + 1200, 50.0)],
+        "b0.jsonl",
+    )
+
+    raw = packet_stream_source(spark, landing)
+    facts = extract_v0_env_facts(json_envelope_parse(raw))
+    agg = (
+        facts.withWatermark("event_ts", "10 minutes")
+        .groupBy(F.window("event_ts", "10 minutes").alias("w"), "node")
+        .agg(F.avg("temperature").alias("avg_temp"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "node", "avg_temp", "n")
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("wm_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # batch 1: one record inside W0, which is now older than the
+        # watermark (base+600) -> dropped; one current record in W2
+        write_packet_fixture(
+            landing, [env(1, base + 30, 999.0), env(1, base + 1900, 60.0)], "b1.jsonl"
+        )
+        query.processAllAvailable()
+        # batch 2: advance watermark far enough to close + emit all windows
+        write_packet_fixture(landing, [env(1, base + 9000, 1.0)], "b2.jsonl")
+        query.processAllAvailable()
+
+        rows = {
+            int(r["w_start"].timestamp()): (r["avg_temp"], r["n"])
+            for r in spark.sql("SELECT * FROM wm_agg").collect()
+        }
+        # W0 closed with ONLY the two on-time readings (late 999.0 dropped)
+        assert rows[base] == (25.0, 2)
+        assert rows[base + 1200] == (50.0, 1)
+        assert rows[base + 1800] == (60.0, 1)
+    finally:
+        query.stop()
