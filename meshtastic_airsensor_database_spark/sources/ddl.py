@@ -10,7 +10,7 @@ AIRWISEv1.py:232-235).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..schemas import (
@@ -57,3 +57,27 @@ def ddl_bootstrap(
         spark.sql(stmt)
         executed.append(stmt)
     return executed
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key (SURVEY §4 'bucketing for co-located joins').
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT any Exchange: the bucket layout IS the shuffle, paid once at
+    write time and amortized over every subsequent join/aggregation on
+    that key — at 100 TB this converts the recurring fact-fact shuffle
+    into a one-time layout decision. Verified shuffle-free in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -131,8 +131,10 @@ def run_ingest_stream(
         parsed = json_envelope_parse(raw)
         stream = (
             parsed.withColumn("event_ts", F.timestamp_seconds(F.col("packet.timestamp")))
+            # dedup subset must be top-level columns; surface the nested id
+            .withColumn("_pkt_id", F.col("packet.id"))
             .withWatermark("event_ts", DEDUP_WATERMARK)
-            .dropDuplicatesWithinWatermark(["packet.id"])
+            .dropDuplicatesWithinWatermark(["_pkt_id"])
             .select("value")
         )
 

@@ -96,3 +96,53 @@ def test_filters_reach_parquet_scans(spark, sf_dir):
                  "aligned_type_buckets", "asof_latest_view_value"):
         plan = plan_of(spark, name, sf_dir)
         assert re.search(r"PushedFilters: \[[^\]]", plan), name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with ZERO Exchange —
+    the write-time bucket layout replaces the per-query shuffle."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.sources.ddl import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(orders, "ord_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        joined = spark.table("li_bkt").join(
+            spark.table("ord_bkt"),
+            spark.table("li_bkt").l_orderkey == spark.table("ord_bkt").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert joined.count() == load(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_partitioned_sink_reads_are_partition_pruned(spark, sf_dir, tmp_path):
+    """parquet_table_sink partitions by event date; a date-filtered read
+    must show the filter in PartitionFilters (directory pruning — the
+    scan never lists the other dates' files)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.sources.sinks import parquet_table_sink
+
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "ev_part")
+    parquet_table_sink(ev, path, partition_by=("event_date",), mode="overwrite")
+
+    some_date = ev.select("event_date").first()[0]
+    read = spark.read.parquet(path).filter(F.col("event_date") == F.lit(some_date))
+    plan = read._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date", plan), plan
+    assert read.count() == ev.filter(F.col("event_date") == F.lit(some_date)).count()

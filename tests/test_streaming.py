@@ -453,3 +453,32 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         assert rows[base + 1800] == (60.0, 1)
     finally:
         query.stop()
+
+
+def test_streaming_ingest_dedups_packet_ids_within_watermark(spark, tmp_path):
+    """exact_dedup on the stream (SURVEY §2.11/§2.9): the same packet id
+    re-delivered in a later micro-batch (MQTT at-least-once / mesh
+    re-broadcast) is dropped by dropDuplicatesWithinWatermark; a fresh
+    id passes."""
+    landing = str(tmp_path / "dd_landing")
+    out = str(tmp_path / "dd_out")
+    pkt = dict(ALL_GOOD[0], id=9001)
+    write_packet_fixture(landing, [json.dumps(pkt)], "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    query = run_ingest_stream(spark, paths, dedup_within_watermark=True)
+    try:
+        query.processAllAvailable()
+        # batch 1: exact duplicate (same id) + one genuinely new packet
+        write_packet_fixture(
+            landing,
+            [json.dumps(pkt),
+             json.dumps(dict(ALL_GOOD[0], id=9002, timestamp=pkt["timestamp"] + 60))],
+            "b1.jsonl",
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    env = spark.read.parquet(paths.table("airwise_data"))
+    assert env.count() == 2  # duplicate 9001 dropped, 9002 kept
