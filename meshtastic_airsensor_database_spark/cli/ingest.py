@@ -1,0 +1,58 @@
+"""The AIRWISE ingest daemon, engine-style (reference:
+AIRWISEv0v1comb.py __main__ — MQTT subscribe -> parse/route -> Postgres).
+
+    python -m meshtastic_airsensor_database_spark.cli.ingest \
+        --landing-dir DIR --out-dir DIR [--trigger-seconds N] \
+        [--dedup] [--once]
+
+The MQTT boundary stays out-of-process (sources/mqtt_bridge.py tails
+the broker into --landing-dir); this command runs the Structured
+Streaming query that parses, routes, enriches, and appends the three
+fact tables + node dim. ``--once`` processes everything available and
+exits (testing / catch-up); otherwise runs until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..session import get_spark
+from ..streaming.ingest import IngestPaths, run_ingest_stream
+from ..streaming.monitor import register_lifecycle_alerts
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="ingest")
+    p.add_argument("--landing-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--trigger-seconds", type=int, default=None)
+    p.add_argument("--dedup", action="store_true",
+                   help="cross-batch packet-id dedup within the watermark")
+    p.add_argument("--once", action="store_true",
+                   help="process available input, then stop")
+    args = p.parse_args(argv)
+
+    spark = spark or get_spark("ingest")
+    listener = register_lifecycle_alerts(
+        spark, lambda kind, desc: print(f"[lifecycle] {kind}: {desc}")
+    )
+    paths = IngestPaths(landing_dir=args.landing_dir, out_dir=args.out_dir)
+    query = run_ingest_stream(
+        spark, paths,
+        trigger_seconds=args.trigger_seconds,
+        dedup_within_watermark=args.dedup,
+    )
+    try:
+        if args.once:
+            query.processAllAvailable()
+            query.stop()
+        else:
+            query.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

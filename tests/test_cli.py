@@ -1,0 +1,98 @@
+"""CLI entry-point tests — the reference user's runnable programs
+(cleandata / graphdata / ingest / querygen), driven in-process."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from .fixtures import as_json_lines
+
+PA_CSV = """UTCDateTime,current_temp_f,current_humidity,pressure,pm1_0_atm,pm2_5_atm,pm10_0_atm,extra
+2024-01-15T10:00:00Z,68.0,40,1013.2511,1.2345,2.5,3.0,junk
+2024-01-15T10:05:00Z,70.5,41,1013.1,1.3,2.6,3.1,junk
+bad-timestamp,60.0,39,1012.0,1.0,2.0,3.0,junk
+"""
+
+AW_CSV = """node,pst_time,temperature,humidity,pressure,pm1_0,pm2_5,pm10
+1,2024-01-15 02:00:00 Pacific Standard Time,20.0,45,1012.0,1.0,2.0,3.0
+1,2024-01-15 02:05:00 Pacific Standard Time,21.0,46,1012.1,1.1,2.1,3.1
+2,2024-01-15 02:00:00 Pacific Standard Time,19.0,44,1011.9,0.9,1.9,2.9
+"""
+
+
+def _read_csv_dir(spark, path):
+    return spark.read.option("header", "true").csv(path)
+
+
+def test_cleandata_cli(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.cli.cleandata import main
+
+    src = tmp_path / "pa.csv"
+    src.write_text(PA_CSV)
+    out = str(tmp_path / "clean_out")
+    assert main(["-o", out, str(src)], spark=spark) == 0
+
+    rows = _read_csv_dir(spark, out).collect()
+    assert len(rows) == 2  # bad-timestamp row dropped
+    assert rows[0]["PacificTime"] == "2024-01-15 02:00:00"  # UTC-8 render
+    assert rows[0]["pressure"] == "1013.251"  # round(3)
+    cols = _read_csv_dir(spark, out).columns
+    assert cols == ["PacificTime", "current_temp_f", "current_humidity",
+                    "pressure", "pm1_0_atm", "pm2_5_atm", "pm10_0_atm"]
+
+
+def test_graphdata_cli(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.cli.graphdata import METRICS, main
+
+    # graphdata consumes cleandata's output shape (PacificTime rendered)
+    pa = tmp_path / "pa_clean.csv"
+    pa.write_text(
+        "PacificTime,current_temp_f,current_humidity,pressure,pm1_0_atm,pm2_5_atm,pm10_0_atm\n"
+        "2024-01-15 02:00:00,68.0,40,1013.2,1.2,2.5,3.0\n"
+        "2024-01-15 02:06:00,70.5,41,1013.1,1.3,2.6,3.1\n"
+    )
+    aw = tmp_path / "aw.csv"
+    aw.write_text(AW_CSV)
+    out = str(tmp_path / "graph_out")
+    assert main([str(pa), str(aw), "-o", out], spark=spark) == 0
+
+    assert sorted(os.listdir(out)) == sorted(METRICS)
+    temp = _read_csv_dir(spark, os.path.join(out, "temperature")).collect()
+    by = {(r["source"], r["bucket_ts"]): r for r in temp}
+    sources = {r["source"] for r in temp}
+    assert sources == {"purpleair", "airwise_1", "airwise_2"}
+    # F->C on the purpleair side: 68F -> 20C in the 02:00 bucket
+    t0 = by[("purpleair", "2024-01-15T02:00:00.000Z")]
+    assert abs(float(t0["avg_value"]) - 20.0) < 1e-6
+
+
+def test_ingest_cli_once(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.cli.ingest import main
+    from meshtastic_airsensor_database_spark.sources.landing import write_packet_fixture
+
+    landing = str(tmp_path / "cli_landing")
+    out = str(tmp_path / "cli_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    assert main(["--landing-dir", landing, "--out-dir", out, "--once"], spark=spark) == 0
+    assert spark.read.parquet(os.path.join(out, "airwise_data")).count() >= 1
+    assert spark.read.parquet(os.path.join(out, "battery_data")).count() >= 1
+
+
+def test_querygen_cli(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.cli.querygen import main
+
+    src = tmp_path / "lines.txt"
+    src.write_text("alpha \nbeta\n gamma\n")
+    out = str(tmp_path / "qg_out")
+    assert main([str(src), "-o", out], spark=spark) == 0
+
+    docs = []
+    for f in glob.glob(os.path.join(out, "part-*")):
+        with open(f, encoding="utf-8") as fh:
+            docs += [json.loads(line) for line in fh if line.strip()]
+    docs.sort(key=lambda d: d["Line Number"])
+    assert [d["Line"] for d in docs] == ["alpha", "beta", "gamma"]  # stripped
+    assert [d["Line Number"] for d in docs] == [0, 1, 2]
+    assert docs[0]["Name"] == "test_file_hello_world"
