@@ -165,6 +165,18 @@ def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs, "doc_id", "text")
 
 
+def minhash_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scale-path near-dedup: LSH candidates verified by
+    exact shingle Jaccard >= 0.8 — the deliverable that replaces
+    ``jaccard_neardup_pairs``'s O(n^2) join at corpus scale. Verified
+    against the exact query in tests/test_dedup.py (recall) and
+    structurally no-false-positive by construction."""
+    from ..operators.dedup import minhash_lsh_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_neardup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
 # --- SimHash buckets (rows-only) ----------------------------------------------
 
 def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +239,8 @@ QUERIES: list[Query] = [
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("minhash_neardup_candidates", minhash_neardup_candidates, None,
           ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
+    Query("minhash_verified_neardups", minhash_verified_neardups, None,
+          ("near_dedup",), "LSH candidates + exact Jaccard verify (rows-only)"),
     Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,
