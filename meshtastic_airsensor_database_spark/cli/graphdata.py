@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import f_to_c, timestamp_parse_coerce, try_double, tz_suffix_strip
 from ..operators.align import node_equality_filter, timeseries_align
-from ..operators.clean import multi_file_union
+from ..operators.clean import csv_sink, multi_file_union
 from ..session import get_spark
 
 # metric -> (purpleair column expr name, airwise column) — graphdata.py:99-192
@@ -56,7 +56,8 @@ def load_airwise(spark, path: str):
     ).na.drop(subset=["ts"])
     for c in ("temperature", "humidity", "pressure", "pm1_0", "pm2_5", "pm10"):
         aw = aw.withColumn(c, try_double(c))
-    return aw.withColumn("node", F.col("node").cast("long"))
+    # unparseable node ids -> null -> dropped (they can't join any series)
+    return aw.withColumn("node", F.col("node").cast("long")).na.drop(subset=["node"])
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -88,7 +89,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "bucket_ts", "source"
         )
         out = os.path.join(args.out_dir, metric)
-        aligned.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+        csv_sink(aligned, out, single_file=True)
         print(f"Wrote {out}")
     return 0
 

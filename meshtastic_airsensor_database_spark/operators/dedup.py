@@ -176,6 +176,9 @@ def pairs_within_buckets(
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
+        # positional pairing over the sorted list guarantees id_a <= id_b;
+        # strict filter drops self-pairs arising from duplicated input ids
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 

@@ -142,6 +142,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             for media_id, content, meta in zip(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
+                if meta is None:
+                    continue  # malformed_row_skip semantics (no metadata)
                 try:
                     out = resize_stub(
                         bytes(content) if content is not None else None, width, height

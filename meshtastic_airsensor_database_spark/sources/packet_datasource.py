@@ -45,19 +45,19 @@ def _flat_schema() -> StructType:
 
 
 def _coerce(value, dtype):
-    """Best-effort scalar coercion matching from_json PERMISSIVE nulls."""
-    if value is None:
-        return None
+    """Scalar coercion matching from_json PERMISSIVE nulls: a value of
+    the wrong JSON type becomes null (never truncated/reinterpreted) —
+    so this source and the from_json path agree on every input line.
+    """
+    if value is None or isinstance(value, bool):
+        return None  # JSON booleans don't parse into numeric/string fields
     t = dtype.simpleString()
-    try:
-        if t in ("bigint", "int"):
-            return int(value)
-        if t == "double":
-            return float(value)
-        if t == "string":
-            return str(value)
-    except (TypeError, ValueError):
-        return None
+    if t in ("bigint", "int"):
+        return value if isinstance(value, int) else None
+    if t == "double":
+        return float(value) if isinstance(value, (int, float)) else None
+    if t == "string":
+        return value if isinstance(value, str) else None
     return value
 
 
@@ -68,6 +68,12 @@ class _FilePartition(InputPartition):
 
 class PacketDataSourceReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        expected = [f.name for f in _flat_schema().fields]
+        if [f.name for f in schema.fields] != expected:
+            raise ValueError(
+                "meshtastic_packets does not support user-specified schemas; "
+                f"the source schema is fixed to {expected}"
+            )
         self.schema = schema
         self.path = options.get("path")
         if not self.path:
@@ -76,10 +82,13 @@ class PacketDataSourceReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         if os.path.isfile(self.path):
             return [_FilePartition(self.path)]
+        if not os.path.isdir(self.path):
+            raise FileNotFoundError(f"meshtastic_packets path not found: {self.path}")
         files = sorted(
-            os.path.join(self.path, n)
+            p
             for n in os.listdir(self.path)
             if not n.startswith(("_", "."))
+            and os.path.isfile(p := os.path.join(self.path, n))
         )
         return [_FilePartition(p) for p in files] or [_FilePartition("")]
 

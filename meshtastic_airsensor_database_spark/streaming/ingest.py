@@ -128,15 +128,24 @@ def run_ingest_stream(
 
     stream: DataFrame = raw
     if dedup_within_watermark:
-        parsed = json_envelope_parse(raw)
-        stream = (
-            parsed.withColumn("event_ts", F.timestamp_seconds(F.col("packet.timestamp")))
-            # dedup subset must be top-level columns; surface the nested id
-            .withColumn("_pkt_id", F.col("packet.id"))
+        parsed = json_envelope_parse(raw).withColumn(
+            "event_ts", F.timestamp_seconds(F.col("packet.timestamp"))
+        # dedup subset must be top-level columns; surface the nested id
+        ).withColumn("_pkt_id", F.col("packet.id"))
+        # Only rows that CLAIM an id (and carry an event time for the
+        # watermark) enter the dedup operator: null keys compare equal
+        # in dropDuplicatesWithinWatermark, so routing id-less/malformed
+        # rows through it would collapse them all into one row. No id
+        # claim means no duplicate claim (same invariant as the batch
+        # path, process_packet_batch).
+        dedupable = F.col("_pkt_id").isNotNull() & F.col("event_ts").isNotNull()
+        with_id = (
+            parsed.filter(dedupable)
             .withWatermark("event_ts", DEDUP_WATERMARK)
             .dropDuplicatesWithinWatermark(["_pkt_id"])
             .select("value")
         )
+        stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))
 
     writer = stream.writeStream.foreachBatch(
         lambda batch, _epoch: process_packet_batch(batch, paths)

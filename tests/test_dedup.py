@@ -71,3 +71,18 @@ def test_streaming_style_exact_packet_dedup(spark):
     """Packet-id dedup (MQTT at-least-once): dropDuplicates on id."""
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["id", "payload"])
     assert df.dropDuplicates(["id"]).count() == 2
+
+
+def test_lsh_candidates_no_self_pairs_on_duplicated_ids(spark):
+    """Duplicated input ids (the exact condition dedup handles) must not
+    produce (x, x) self-pairs from the bucket pair generator."""
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(5, text), (5, text), (6, text)], ["doc_id", "text"]
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "doc_id", "text").collect()}
+    assert pairs == {(5, 6)}

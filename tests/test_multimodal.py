@@ -73,3 +73,18 @@ def test_frame_sample_is_one_to_many_and_capped(spark):
     assert [f.frame_idx for f in sorted(by_id[1], key=lambda f: f.frame_idx)] == [0, 2, 4]
     assert all(len(f.frame) == FRAME_BYTES for f in by_id[1])
     assert [f.frame_idx for f in by_id[2]] == [0]  # single short frame
+
+
+def test_resize_media_skips_null_meta_rows(spark):
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    rows = [
+        (1, b"payload", {"modality": "image", "mime_type": "x", "n_bytes": 7, "sha256": "s"}),
+        (2, b"payload", None),  # content present, metadata missing -> skipped
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id for r in resize_media(media, 4, 4).collect()}
+    assert out == {1}

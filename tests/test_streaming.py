@@ -268,8 +268,15 @@ def test_offline_monitor_stream_end_to_end(spark, tmp_path):
         query.stop()
 
 
+def _protobuf_available() -> bool:
+    try:
+        return __import__("importlib").util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 @pytest.mark.skipif(
-    __import__("importlib").util.find_spec("google") is None,
+    not _protobuf_available(),
     reason="transformWithStateInPandas needs protobuf (not in this container)",
 )
 def test_offline_monitor_tws_end_to_end(spark, tmp_path):
@@ -482,3 +489,23 @@ def test_streaming_ingest_dedups_packet_ids_within_watermark(spark, tmp_path):
 
     env = spark.read.parquet(paths.table("airwise_data"))
     assert env.count() == 2  # duplicate 9001 dropped, 9002 kept
+
+
+def test_streaming_dedup_preserves_idless_rows(spark, tmp_path):
+    """Rows without a packet id must NOT be collapsed by --dedup: null
+    keys compare equal in dropDuplicatesWithinWatermark, so id-less
+    packets bypass the dedup operator (no id claim = no dup claim)."""
+    landing = str(tmp_path / "nd_landing")
+    out = str(tmp_path / "nd_out")
+    no_id_a = {k: v for k, v in ALL_GOOD[0].items() if k != "id"}
+    no_id_b = dict(no_id_a, timestamp=no_id_a["timestamp"] + 30)
+    write_packet_fixture(
+        landing, [json.dumps(no_id_a), json.dumps(no_id_b)], "b0.jsonl"
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    query = run_ingest_stream(spark, paths, dedup_within_watermark=True)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 2

@@ -33,20 +33,42 @@ from meshtastic_airsensor_database_spark.operators.similarity import ivf_topk
 from meshtastic_airsensor_database_spark.session import get_spark
 
 
+TOKENS_PER_DOC = 50
+VOCAB = 50_000
+
+
 def replicate_docs(docs, factor: int):
-    """factor copies per doc; each copy gets a unique id and a replica
-    suffix so only intra-replica near-dups exist (keeps the true pair
-    count linear in corpus size, like a real crawl)."""
+    """A corpus factor× the base row count: each copy's text is 50
+    tokens drawn from a 50k vocabulary by hashing (copy_id, position) —
+    token frequencies are corpus-realistic but 3-gram shingles are
+    effectively unique per doc — plus an exact duplicate of every 100th
+    copy. Near-dup pairs are exactly the planted 1%: the LSH workload
+    (buckets, candidates, verifies) scales LINEARLY with factor, so a
+    super-linear wall-time IS an engine regression.
+
+    Two rejected designs (both measured): suffix-perturbed copies of
+    the base text leave all ``factor`` copies mutual near-dups
+    (C(factor,2) pairs per doc — quadratic); unique-prefix + shared
+    base text parks same-doc copies at Jaccard ~0.5, LSH's twilight
+    zone, where candidate count is still quasi-quadratic in factor."""
     reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
-    return (
-        docs.select("doc_id", "text", reps)
-        .select(
-            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
-            F.concat(
-                F.col("text"), F.lit(" replica "), F.col("rep").cast("string")
-            ).alias("text"),
-        )
+    new_id = F.col("doc_id") * factor + F.col("rep")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+            lambda i: F.concat(
+                F.lit("t"), F.pmod(F.xxhash64(new_id, i), F.lit(VOCAB)).cast("string")
+            ),
+        ),
     )
+    copies = docs.select("doc_id", reps).select(
+        new_id.alias("doc_id"), text.alias("text")
+    )
+    planted = copies.filter(F.col("doc_id") % 100 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
+    )
+    return copies.unionByName(planted)
 
 
 def replicate_embeddings(emb, factor: int):
