@@ -7,12 +7,13 @@ that re-parses each packet up to four times and opens a new DB
 connection per message (AIRWISEv0v1comb.py:380-395, :243); here each
 micro-batch is parsed once, cached, filtered four ways, and bulk-written.
 
-Exactly-once posture: the file source checkpoint tracks consumed files;
-parquet appends within foreachBatch are idempotent per epoch only if
-re-runs overwrite — we accept at-least-once on the fact tables and
-deduplicate on packet ``id`` (`exact_dedup`, mesh re-broadcast produces
-dupes anyway — SURVEY §2.11), which also makes replayed batches a no-op
-for downstream aggregation correctness.
+Exactly-once posture: the file source checkpoint tracks consumed files,
+and ``EpochLedger`` markers make replayed epochs a sink-side no-op
+(restart after a crash re-delivers the last epoch; the ledger skips
+it). The residual window — crash between sink write and marker create
+— stays at-least-once; packet-``id`` dedup (`exact_dedup`, mesh
+re-broadcast produces dupes anyway — SURVEY §2.11) absorbs it for
+downstream aggregation correctness.
 """
 
 from __future__ import annotations
@@ -47,8 +48,56 @@ class IngestPaths:
     def checkpoint_dir(self) -> str:
         return os.path.join(self.out_dir, "_checkpoint")
 
+    @property
+    def ledger_dir(self) -> str:
+        return os.path.join(self.out_dir, "_epoch_ledger")
+
     def table(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
+
+
+class EpochLedger:
+    """Committed-epoch markers making foreachBatch sinks idempotent
+    under micro-batch replay (SURVEY §7.2 hard part (c)).
+
+    After a crash between sink write and checkpoint commit, Structured
+    Streaming re-delivers the same epoch id; consulting the ledger
+    turns the re-delivery into a no-op instead of a duplicate append.
+    One zero-byte marker per epoch — atomic create on POSIX and
+    object-store PUT alike. The remaining window (crash between sink
+    write and marker create) stays at-least-once; packet-id dedup
+    absorbs it for the fact tables.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self, epoch_id: int) -> str:
+        return os.path.join(self.path, f"epoch-{epoch_id:020d}.done")
+
+    def committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._marker(epoch_id))
+
+    def commit(self, epoch_id: int) -> None:
+        try:
+            with open(self._marker(epoch_id), "x"):
+                pass
+        except FileExistsError:
+            pass
+
+
+def idempotent_batch_processor(paths: IngestPaths):
+    """The foreachBatch callable: skip epochs the ledger already has,
+    commit the epoch after a successful write."""
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        ledger = EpochLedger(paths.ledger_dir)
+        if ledger.committed(epoch_id):
+            return  # replayed epoch: sinks already hold this data
+        process_packet_batch(batch, paths)
+        ledger.commit(epoch_id)
+
+    return on_batch
 
 
 def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
@@ -148,7 +197,7 @@ def run_ingest_stream(
         stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))
 
     writer = stream.writeStream.foreachBatch(
-        lambda batch, _epoch: process_packet_batch(batch, paths)
+        idempotent_batch_processor(paths)
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -509,3 +509,51 @@ def test_streaming_dedup_preserves_idless_rows(spark, tmp_path):
     finally:
         query.stop()
     assert spark.read.parquet(paths.table("airwise_data")).count() == 2
+
+
+def test_epoch_ledger_makes_replay_a_noop(spark, tmp_path):
+    """Re-delivering the same epoch (post-crash foreachBatch replay)
+    must not append the facts twice (SURVEY §7.2 hard part (c))."""
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        idempotent_batch_processor,
+    )
+
+    landing = str(tmp_path / "el_landing")
+    out = str(tmp_path / "el_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    batch = packet_batch_source(spark, landing)
+
+    on_batch = idempotent_batch_processor(paths)
+    on_batch(batch, 0)
+    on_batch(batch, 0)  # replay of the same epoch -> skipped
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 1
+    on_batch(batch, 1)  # a NEW epoch appends again
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 2
+
+
+def test_ingest_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop + restart with the same checkpoint: already-consumed landing
+    files are not reprocessed; only new files land as facts."""
+    landing = str(tmp_path / "rs_landing")
+    out = str(tmp_path / "rs_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    q1 = run_ingest_stream(spark, paths)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 1
+
+    write_packet_fixture(
+        landing, [json.dumps(dict(ALL_GOOD[0], id=7777, timestamp=1760748999))], "b1.jsonl"
+    )
+    q2 = run_ingest_stream(spark, paths)  # same checkpoint dir
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    env = spark.read.parquet(paths.table("airwise_data"))
+    assert env.count() == 2  # b0 not replayed, b1 ingested
