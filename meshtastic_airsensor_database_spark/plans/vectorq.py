@@ -158,6 +158,29 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sketch family: approx percentiles + frequent items (rows-only) -----------
+
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per event type — the
+    mergeable-quantile path for 100 TB where the exact sort-based
+    ``percentile`` would shuffle every value. Accuracy vs the exact
+    query is asserted in tests (rows-only: sketch output is
+    implementation-defined, no SQL twin)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+def frequent_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a high-cardinality column via freqItems
+    (Karp-Shenker-Papadimitriou single-pass sketch) — rows-only."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("user_id").freqItems(["user_id"], support=0.05)
+
+
 # --- MinHash-LSH near-dup candidates (rows-only; verified vs exact in tests) --
 
 def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +260,11 @@ QUERIES: list[Query] = [
           ("multimodal_columns",), "binary column + typed metadata"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
+    Query("approx_value_percentiles", approx_value_percentiles, None,
+          ("approx_distinct_nodes", "per_node_stats"),
+          "GK-sketch approx percentiles (rows-only)"),
+    Query("frequent_event_props", frequent_event_props, None,
+          ("approx_distinct_nodes",), "freqItems heavy hitters (rows-only)"),
     Query("minhash_neardup_candidates", minhash_neardup_candidates, None,
           ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
     Query("minhash_verified_neardups", minhash_verified_neardups, None,

@@ -28,3 +28,45 @@ def test_registry_metadata():
     for q in REGISTRY.values():
         assert q.survey_ids, f"{q.name} missing SURVEY §2 mapping"
         assert q.description
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """GK sketch within tolerance of the exact interpolated percentile."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx)
+        for r in REGISTRY["approx_value_percentiles"].builder(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in ev.groupBy("event_type")
+        .agg(F.median("value").alias("p50"), F.percentile("value", 0.9).alias("p90"))
+        .collect()
+    }
+    for et, (a50, a90) in approx.items():
+        assert abs(a50 - exact[et][0]) <= max(2.0, 0.1 * abs(exact[et][0]))
+        assert abs(a90 - exact[et][1]) <= max(2.0, 0.1 * abs(exact[et][1]))
+
+
+def test_frequent_event_props_contains_true_heavy_hitter(spark, sf_dir):
+    """freqItems must surface any user above the support threshold."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    heavy = {
+        r.user_id
+        for r in ev.groupBy("user_id").count()
+        .filter(F.col("count") > 0.05 * total).collect()
+    }
+    got = set(
+        REGISTRY["frequent_event_props"].builder(spark, sf_dir)
+        .collect()[0]["user_id_freqItems"]
+    )
+    assert heavy <= got  # no false negatives above support (sketch guarantee)
