@@ -86,3 +86,43 @@ def test_lsh_candidates_no_self_pairs_on_duplicated_ids(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df, "doc_id", "text").collect()}
     assert pairs == {(5, 6)}
+
+
+def test_pairs_within_buckets_property(spark):
+    """Property: for any bucketed id multiset, the generator emits
+    exactly the distinct unordered cross-bucket-cohabitant pairs with
+    id_a < id_b — no self-pairs, no duplicates, nothing across buckets."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        pairs_within_buckets,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (bucket, id)
+            min_size=0, max_size=30,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(b, i) for b, i in rows], "bucket int, _id long"
+        ) if rows else spark.createDataFrame([], "bucket int, _id long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in pairs_within_buckets(df, ["bucket"], "_id").collect()
+        }
+        expected = set()
+        buckets = {}
+        for b, i in rows:
+            buckets.setdefault(b, set()).add(i)
+        for ids in buckets.values():
+            for x, y in combinations(sorted(ids), 2):
+                expected.add((x, y))
+        assert got == expected
+
+    check()
