@@ -178,7 +178,7 @@ def frequent_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over a high-cardinality column via freqItems
     (Karp-Shenker-Papadimitriou single-pass sketch) — rows-only."""
     ev = load(spark, sf_dir, "events")
-    return ev.select("user_id").freqItems(["user_id"], support=0.05)
+    return ev.freqItems(["user_id"], support=0.05)
 
 
 # --- MinHash-LSH near-dup candidates (rows-only; verified vs exact in tests) --

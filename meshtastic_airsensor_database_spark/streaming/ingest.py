@@ -50,7 +50,11 @@ class IngestPaths:
 
     @property
     def ledger_dir(self) -> str:
-        return os.path.join(self.out_dir, "_epoch_ledger")
+        # INSIDE the checkpoint dir on purpose: resetting the checkpoint
+        # (the standard recovery step, which restarts batch ids at 0)
+        # removes the ledger with it — stale markers can never mask new
+        # epochs of a fresh run.
+        return os.path.join(self.checkpoint_dir, "_epoch_ledger")
 
     def table(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
@@ -63,35 +67,53 @@ class EpochLedger:
     After a crash between sink write and checkpoint commit, Structured
     Streaming re-delivers the same epoch id; consulting the ledger
     turns the re-delivery into a no-op instead of a duplicate append.
-    One zero-byte marker per epoch — atomic create on POSIX and
-    object-store PUT alike. The remaining window (crash between sink
-    write and marker create) stays at-least-once; packet-id dedup
-    absorbs it for the fact tables.
+    Markers go through Hadoop's FileSystem API (same resolution as the
+    checkpoint itself), so hdfs:// / s3a:// / file:// deployments all
+    work; foreachBatch runs on the driver, so the single-writer marker
+    create needs no cross-node atomicity. Only the latest epoch can be
+    re-delivered, so ``commit`` prunes markers older than the previous
+    epoch — the ledger directory stays O(1) size on long-running
+    streams. The remaining window (crash between sink write and marker
+    create) stays at-least-once; packet-id dedup absorbs it for the
+    fact tables.
     """
 
-    def __init__(self, path: str):
-        self.path = path
-        os.makedirs(path, exist_ok=True)
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path(path)
+        self._fs = self._jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._fs.mkdirs(self._jpath)
+        self._hpath = jvm.org.apache.hadoop.fs.Path
 
-    def _marker(self, epoch_id: int) -> str:
-        return os.path.join(self.path, f"epoch-{epoch_id:020d}.done")
+    def _marker(self, epoch_id: int):
+        return self._hpath(self._jpath, f"epoch-{epoch_id:020d}.done")
 
     def committed(self, epoch_id: int) -> bool:
-        return os.path.exists(self._marker(epoch_id))
+        return bool(self._fs.exists(self._marker(epoch_id)))
 
     def commit(self, epoch_id: int) -> None:
-        try:
-            with open(self._marker(epoch_id), "x"):
-                pass
-        except FileExistsError:
-            pass
+        self._fs.createNewFile(self._marker(epoch_id))
+        # prune dead markers (anything older than the previous epoch)
+        for status in self._fs.listStatus(self._jpath):
+            name = status.getPath().getName()
+            if name.startswith("epoch-") and name.endswith(".done"):
+                try:
+                    old = int(name[len("epoch-"):-len(".done")])
+                except ValueError:
+                    continue
+                if old < epoch_id - 1:
+                    self._fs.delete(status.getPath(), False)
 
 
 def idempotent_batch_processor(paths: IngestPaths):
     """The foreachBatch callable: skip epochs the ledger already has,
     commit the epoch after a successful write."""
+    ledger: EpochLedger | None = None
+
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
-        ledger = EpochLedger(paths.ledger_dir)
+        nonlocal ledger
+        if ledger is None:  # one construction per query, not per batch
+            ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
         if ledger.committed(epoch_id):
             return  # replayed epoch: sinks already hold this data
         process_packet_batch(batch, paths)

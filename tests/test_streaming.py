@@ -557,3 +557,39 @@ def test_ingest_restart_resumes_from_checkpoint(spark, tmp_path):
         q2.stop()
     env = spark.read.parquet(paths.table("airwise_data"))
     assert env.count() == 2  # b0 not replayed, b1 ingested
+
+
+def test_epoch_ledger_reset_with_checkpoint_and_pruning(spark, tmp_path):
+    """Ledger lives inside the checkpoint dir: a checkpoint reset (batch
+    ids restart at 0) must also reset the ledger; commit() keeps the
+    marker directory O(1)."""
+    import os
+    import shutil
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        EpochLedger,
+        idempotent_batch_processor,
+    )
+
+    landing = str(tmp_path / "cr_landing")
+    out = str(tmp_path / "cr_out")
+    write_packet_fixture(landing, [json.dumps(ALL_GOOD[0])], "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    batch = packet_batch_source(spark, landing)
+
+    on_batch = idempotent_batch_processor(paths)
+    for epoch in range(4):
+        on_batch(batch, epoch)
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 4
+    # pruning: only the latest two markers survive
+    markers = [n for n in os.listdir(paths.ledger_dir) if n.startswith("epoch-")]
+    assert sorted(markers) == ["epoch-00000000000000000002.done",
+                               "epoch-00000000000000000003.done"]
+
+    # checkpoint reset -> ledger gone with it -> epoch 0 processes again
+    shutil.rmtree(paths.checkpoint_dir)
+    on_batch2 = idempotent_batch_processor(paths)
+    on_batch2(batch, 0)
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 5
+    ledger = EpochLedger(spark, paths.ledger_dir)
+    assert ledger.committed(0) and not ledger.committed(3)
