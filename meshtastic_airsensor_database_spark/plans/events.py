@@ -422,6 +422,65 @@ FROM events GROUP BY user_id
 """
 
 
+def lead_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats over the gap to the NEXT event (lead window —
+    the forward dual of reading_gap_detect's lag)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (
+        F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+    ).alias("gap_s")
+    gaps = ev.select("user_id", gap).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        r(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.count("*").alias("n_gaps"),
+    )
+
+
+LEAD_GAP_STATS_SQL = """
+SELECT user_id,
+       CAST(ROUND(CAST(AVG(gap_s) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_gap_s,
+       MAX(gap_s) AS max_gap_s,
+       COUNT(*) AS n_gaps
+FROM (SELECT user_id,
+             CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+      FROM events)
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def props_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from the raw props string (SURVEY §2.8
+    noted regex-beyond-literal-replace as absent-but-inherited; this
+    declares it): pull the numeric k with a capture group, aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+PROPS_REGEX_EXTRACT_SQL = r"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
           ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
@@ -455,4 +514,8 @@ QUERIES: list[Query] = [
     Query("conditional_event_counts", conditional_event_counts,
           CONDITIONAL_EVENT_COUNTS_SQL, ("per_node_stats", "packet_type_filter"),
           "count_if + conditional average per user"),
+    Query("lead_gap_stats", lead_gap_stats, LEAD_GAP_STATS_SQL,
+          ("reading_gap_detect",), "lead-window forward gap stats"),
+    Query("props_regex_extract", props_regex_extract, PROPS_REGEX_EXTRACT_SQL,
+          ("json_envelope_parse", "numeric_coercion"), "regex capture-group extraction"),
 ]

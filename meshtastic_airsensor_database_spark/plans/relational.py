@@ -482,6 +482,39 @@ WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
 """
 
 
+def priority_multiset_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops,
+    completing §2.7's intersect/except pair), aggregated to counts so
+    the result is compact: how many priority occurrences the 'O' and
+    'F' order populations share, and how many are 'O'-only."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    both = o.intersectAll(f).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_shared")
+    )
+    only_o = o.exceptAll(f).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_only_open")
+    )
+    return both.join(only_o, "o_orderpriority", "full").na.fill(0)
+
+
+PRIORITY_MULTISET_INTERSECT_SQL = """
+WITH o AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+     f AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+     both_ms AS (SELECT o_orderpriority, COUNT(*) AS n_shared
+                 FROM (SELECT * FROM o INTERSECT ALL SELECT * FROM f)
+                 GROUP BY 1),
+     only_o AS (SELECT o_orderpriority, COUNT(*) AS n_only_open
+                FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM f)
+                GROUP BY 1)
+SELECT COALESCE(b.o_orderpriority, x.o_orderpriority) AS o_orderpriority,
+       COALESCE(n_shared, 0) AS n_shared,
+       COALESCE(n_only_open, 0) AS n_only_open
+FROM both_ms b FULL JOIN only_o x USING (o_orderpriority)
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -523,4 +556,7 @@ QUERIES: list[Query] = [
           ("per_node_stats", "epoch_to_timestamp"), "date_trunc monthly trend"),
     Query("parts_above_avg_price", parts_above_avg_price, PARTS_ABOVE_AVG_PRICE_SQL,
           ("node_equality_filter",), "scalar-subquery predicate"),
+    Query("priority_multiset_intersect", priority_multiset_intersect,
+          PRIORITY_MULTISET_INTERSECT_SQL, ("multi_file_union",),
+          "INTERSECT ALL / EXCEPT ALL multiset ops"),
 ]
