@@ -79,6 +79,21 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(joined))
 
 
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles -> array<string> (distinct, lowercased).
+
+    The word-boundary-free complement of ``word_shingles``: robust to
+    tokenization noise (hyphenation, spacing, CJK text without spaces).
+    Strings shorter than ``n`` chars yield themselves as one shingle.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: F.substring(c, i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(F.array(c))
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Quality-scoring features: length, punctuation ratio, stopword ratio.
 

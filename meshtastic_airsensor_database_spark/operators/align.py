@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 OFFLINE_THRESHOLD_MINUTES = 100  # AIRWISEv0.py:20
 
@@ -139,7 +140,45 @@ def sessionize(
     ).drop("_new_session")
 
 
-def node_equality_filter(df: DataFrame, key: str, value) -> DataFrame:
+def per_key_linear_trend(
+    df: DataFrame, key: str, ts_col: str, value_col: str, per_seconds: float = 3600.0
+) -> DataFrame:
+    """Per-key least-squares trend of value over time via
+    ``applyInPandas`` — the grouped-map Arrow path (one pandas frame
+    per key), for per-series model fits no built-in aggregate covers.
+
+    Returns (key, slope_per_hour, n). Oracle-checkable against SQL
+    ``regr_slope(value, epoch(ts)) * 3600`` — the DuckDB twin in
+    plans/events.py proves the Python/Arrow path agrees with the SQL
+    definition. Keys with <2 points or zero time-variance yield null.
+    Scale shape: one shuffle on the key; each group is one pandas
+    batch, so state is bounded by the largest single series (window
+    the input first for unbounded series).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("slope_per_hour", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[ts_col].astype("int64") / 1e9  # epoch seconds
+        y = pdf[value_col].astype("float64")
+        n = len(pdf)
+        slope = None
+        if n >= 2 and x.nunique() > 1:
+            xm, ym = x.mean(), y.mean()
+            dx = x - xm
+            slope = float((dx * (y - ym)).sum() / (dx * dx).sum() * per_seconds)
+        return pd.DataFrame(
+            {"key": [int(pdf[key].iloc[0])], "slope_per_hour": [slope], "n": [n]}
+        )
+
+    return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
     """Per-node slice (graphdata.py:90-91); partition-prunable at scale."""
     return df.filter(F.col(key) == F.lit(value))
 

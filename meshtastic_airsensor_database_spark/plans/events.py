@@ -452,6 +452,30 @@ GROUP BY user_id
 """
 
 
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend via the applyInPandas grouped-map operator
+    — oracle-checked against SQL regr_slope, proving the Arrow path
+    computes the same least-squares definition."""
+    from ..operators.align import per_key_linear_trend
+
+    ev = load(spark, sf_dir, "events")
+    trend = per_key_linear_trend(ev, "user_id", "ts", "value")
+    return trend.select(
+        F.col("key").alias("user_id"),
+        r("slope_per_hour", 4).alias("slope_per_hour"),
+        "n",
+    )
+
+
+USER_VALUE_TREND_SQL = """
+SELECT user_id,
+       CAST(ROUND(CAST(regr_slope(value, epoch(ts)) * 3600 AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS slope_per_hour,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def props_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex field extraction from the raw props string (SURVEY §2.8
     noted regex-beyond-literal-replace as absent-but-inherited; this
@@ -518,4 +542,7 @@ QUERIES: list[Query] = [
           ("reading_gap_detect",), "lead-window forward gap stats"),
     Query("props_regex_extract", props_regex_extract, PROPS_REGEX_EXTRACT_SQL,
           ("json_envelope_parse", "numeric_coercion"), "regex capture-group extraction"),
+    Query("user_value_trend", user_value_trend, USER_VALUE_TREND_SQL,
+          ("per_node_stats", "text_analysis"),
+          "applyInPandas per-key least-squares trend vs regr_slope oracle"),
 ]

@@ -274,6 +274,59 @@ SELECT doc_a, doc_b, jaccard FROM (
 """
 
 
+CHAR_SHINGLE_N = 5
+CHAR_JACCARD_THRESHOLD = 0.8
+
+
+def char_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs — the word-boundary-free
+    complement of jaccard_neardup_pairs (robust to hyphenation/spacing
+    noise and unsegmented scripts). Exact all-pairs formulation at
+    oracle scale; the LSH banding in operators/dedup.py applies
+    unchanged to char shingles for the 100 TB path."""
+    from ..functions.text import char_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = fan_out(docs).select(
+        "doc_id", char_shingles(F.col("text"), CHAR_SHINGLE_N).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= CHAR_JACCARD_THRESHOLD)
+    )
+
+
+CHAR_JACCARD_NEARDUP_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(lower(text)) >= {CHAR_SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     range(1, len(lower(text)) - {CHAR_SHINGLE_N - 2}),
+                     i -> substr(lower(text), i, {CHAR_SHINGLE_N})))
+              ELSE [lower(text)]
+         END AS sh
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= {CHAR_JACCARD_THRESHOLD}
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -291,4 +344,7 @@ QUERIES: list[Query] = [
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,
           ("text_analysis",), "BPE-ish regex token counting per lang"),
+    Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs,
+          CHAR_JACCARD_NEARDUP_PAIRS_SQL, ("near_dedup",),
+          "char-5-gram Jaccard near-dup pairs (exact)"),
 ]

@@ -10,7 +10,8 @@ from meshtastic_airsensor_database_spark.plans import REGISTRY
 
 # exact O(n^2) pair queries are slow under local[4] test sessions;
 # they are covered by tools/check_correctness.py instead.
-SLOW = {"jaccard_neardup_pairs", "embedding_neardup_pairs"}
+SLOW = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
+        "char_jaccard_neardup_pairs"}
 
 
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SLOW])
