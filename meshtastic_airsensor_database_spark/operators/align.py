@@ -179,6 +179,35 @@ def per_key_linear_trend(
         )
 
     return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
+
+
+def salted_collect_list(
+    df: DataFrame, key: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase collect_list with key salting (SURVEY §4 'skewed keys
+    -> salting'): phase 1 groups on (key, salt) so a hot key's values
+    spread over ``n_salts`` tasks; phase 2 flattens the per-salt lists.
+
+    Use for holistic aggregations (list/set building) where ONE key
+    owns a large share of rows — partial aggregation can't spread
+    those (the hot key's state still lands on one reducer), and AQE
+    skew handling splits JOIN partitions, not aggregation state.
+    Algebraic aggs (sum/avg/min/max/count) never need this: Spark's
+    map-side partial aggregation already spreads them. List order is
+    nondeterministic, as with plain collect_list.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(F.col(key), salt, F.col(value_col))
+        .groupBy(key, "_salt")
+        .agg(F.collect_list(value_col).alias("_vals"))
+    )
+    return partial.groupBy(key).agg(
+        F.flatten(F.collect_list("_vals")).alias(f"{value_col}_list")
+    )
+
+
+def node_equality_filter(df: DataFrame, key: str, value) -> DataFrame:
     """Per-node slice (graphdata.py:90-91); partition-prunable at scale."""
     return df.filter(F.col(key) == F.lit(value))
 

@@ -78,3 +78,25 @@ def test_timeseries_align_buckets(spark):
     assert by_src["b"].avg_value == 100.0
     assert by_src["a"].bucket_ts == T0  # same shared bucket axis
     assert by_src["b"].bucket_ts == T0
+
+
+def test_salted_collect_list_matches_plain(spark):
+    """Salted two-phase list building returns the same multiset per key
+    as plain collect_list (order aside), spread over n_salts tasks."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.align import salted_collect_list
+
+    rows = [(1, f"v{i % 7}") for i in range(200)] + [(2, "x")] + [(3, None)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    salted = {
+        r.k: Counter(r.v_list)
+        for r in salted_collect_list(df, "k", "v", n_salts=8).collect()
+    }
+    plain = {
+        r.k: Counter(r.vl)
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vl")).collect()
+    }
+    assert salted == plain

@@ -593,3 +593,58 @@ def test_epoch_ledger_reset_with_checkpoint_and_pruning(spark, tmp_path):
     assert spark.read.parquet(paths.table("airwise_data")).count() == 5
     ledger = EpochLedger(spark, paths.ledger_dir)
     assert ledger.committed(0) and not ledger.committed(3)
+
+
+def test_outage_episodes_streaming_session_windows(spark, tmp_path):
+    """session_window works in streaming mode (SURVEY §2.9
+    windowed_ingest): episodes close and emit once the watermark passes
+    the session gap."""
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_v0_env_facts,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import packet_stream_source
+    from meshtastic_airsensor_database_spark.streaming.monitor import outage_episodes
+
+    landing = str(tmp_path / "sw_landing")
+
+    def env(node, ts):
+        return json.dumps(
+            {
+                "from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+                "payload": {"temperature": 20.0, "relative_humidity": 40.0,
+                            "barometric_pressure": 1000.0, "gas_resistance": 1.0,
+                            "iaq": 10},
+            }
+        )
+
+    base = 1_700_000_000
+    # episode 1: two readings 10 min apart; then a 200-min silence
+    write_packet_fixture(
+        landing, [env(1, base), env(1, base + 600)], "b0.jsonl"
+    )
+
+    raw = packet_stream_source(spark, landing)
+    facts = extract_v0_env_facts(json_envelope_parse(raw)).withWatermark(
+        "event_ts", "10 minutes"
+    )
+    eps = outage_episodes(facts, gap_minutes=100)
+    query = (
+        eps.writeStream.format("memory")
+        .queryName("sw_eps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # a reading 200 min later starts episode 2 AND advances the
+        # watermark past episode 1's gap -> episode 1 closes and emits
+        write_packet_fixture(landing, [env(1, base + 12000)], "b1.jsonl")
+        query.processAllAvailable()
+        rows = spark.sql(
+            "SELECT node, n_readings FROM sw_eps ORDER BY episode_start"
+        ).collect()
+        assert [(r.node, r.n_readings) for r in rows] == [(1, 2)]
+    finally:
+        query.stop()
