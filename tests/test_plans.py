@@ -27,12 +27,14 @@ def plan_of(spark, name: str, sf_dir: str) -> str:
 
 # Queries whose pair-enumeration is intentionally all-pairs (the exact
 # oracle-checkable formulations; their scale path is the LSH variants).
-ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs"}
+ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
+                "char_jaccard_neardup_pairs"}
 
 # Single-row / tiny build sides legitimately use a nested-loop
 # broadcast (e.g. one query vector crossed with every embedding).
 BNLJ_OK = {"embedding_topk_cosine", "ann_ivf_topk", "asof_latest_view_value",
-           "embedding_neardup_pairs", "jaccard_neardup_pairs"}
+           "embedding_neardup_pairs", "jaccard_neardup_pairs",
+           "char_jaccard_neardup_pairs"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
