@@ -116,7 +116,7 @@ def idempotent_batch_processor(paths: IngestPaths):
             ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
         if ledger.committed(epoch_id):
             return  # replayed epoch: sinks already hold this data
-        process_packet_batch(batch, paths)
+        process_packet_batch(batch, paths, with_counts=False)
         ledger.commit(epoch_id)
 
     return on_batch
@@ -131,12 +131,16 @@ def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
         return seed_node_dim(spark)
 
 
-def process_packet_batch(batch: DataFrame, paths: IngestPaths) -> dict[str, int]:
+def process_packet_batch(
+    batch: DataFrame, paths: IngestPaths, with_counts: bool = True
+) -> dict[str, int]:
     """Route one (micro-)batch of raw packet lines to the fact tables.
 
     Pure batch logic — the identical function serves foreachBatch, tests,
     and bulk replay (SURVEY §7.0 batch-core/streaming-shell stance).
-    Returns per-table appended row counts for observability.
+    Returns per-table appended row counts for observability;
+    ``with_counts=False`` skips the count jobs (one extra action per
+    table) — the streaming hot path, which discards them, uses that.
     """
     spark = batch.sparkSession
     parsed = json_envelope_parse(batch)
@@ -159,7 +163,8 @@ def process_packet_batch(batch: DataFrame, paths: IngestPaths) -> dict[str, int]
         counts: dict[str, int] = {}
         if not updates.isEmpty():
             dim = dim_upsert_latest_wins(dim, updates).cache()
-            counts["nodeinfo"] = updates.count()
+            if with_counts:
+                counts["nodeinfo"] = updates.count()
             # overwrite the snapshot: tiny dimension, full rewrite per batch
             dim.write.mode("overwrite").parquet(paths.table("node_dim") + "_next")
             spark.read.parquet(paths.table("node_dim") + "_next").write.mode(
@@ -175,7 +180,8 @@ def process_packet_batch(batch: DataFrame, paths: IngestPaths) -> dict[str, int]
             # partition by event date: prunable, low-cardinality (SURVEY §4.2)
             facts = facts.withColumn("event_date", F.to_date("event_ts"))
             parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
-            counts[table] = facts.count()
+            if with_counts:
+                counts[table] = facts.count()
         return counts
     finally:
         parsed.unpersist()

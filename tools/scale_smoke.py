@@ -95,6 +95,67 @@ def timed(spark, label, df, out: dict):
     out[label] = {"sec": round(time.time() - t0, 2), "rows": n}
 
 
+def ingest_throughput(spark, tmp_root: str, n_packets: int) -> dict:
+    """Synthesize a landing batch of n_packets JSON packets (all four
+    shapes) and push it through the full foreachBatch route (parse ->
+    4-way split -> dim enrich -> 3 partitioned parquet sinks + dim
+    upsert); returns wall seconds and packets/sec. This is the
+    streaming engine's per-micro-batch cost at depth, not a file-source
+    micro-benchmark."""
+    import json as _json
+    import shutil
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_batch_source,
+        write_packet_fixture,
+    )
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        IngestPaths,
+        process_packet_batch,
+    )
+
+    landing = os.path.join(tmp_root, "landing")
+    out = os.path.join(tmp_root, "out")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    base_ts = 1_700_000_000
+    lines = []
+    for i in range(n_packets):
+        node = 3_127_201_152 + (i % 500)
+        ts = base_ts + i
+        kind = i % 4
+        if kind == 0:  # v0 env telemetry
+            pkt = {"from": node, "id": i, "type": "telemetry", "timestamp": ts,
+                   "payload": {"temperature": 20.0 + i % 10, "relative_humidity": 40.0,
+                               "barometric_pressure": 1000.0, "gas_resistance": 50000.0,
+                               "iaq": 25}}
+        elif kind == 1:  # battery telemetry
+            pkt = {"from": node, "id": i, "type": "telemetry", "timestamp": ts,
+                   "payload": {"battery_level": 90.0, "voltage": 3.9}}
+        elif kind == 2:  # v1 text CSV payload
+            pkt = {"from": node, "id": i, "type": "text", "timestamp": ts,
+                   "payload": {"text": "21.9,45.2,1013.1,48000,1.2,2.5,3.1,3.95,120.5"}}
+        else:  # nodeinfo
+            pkt = {"from": node, "id": i, "type": "nodeinfo", "timestamp": ts,
+                   "payload": {"id": f"!{node:x}", "longname": f"Farm{i % 500}"}}
+        lines.append(_json.dumps(pkt))
+    # several files so the scan parallelizes like a real landing dir
+    per_file = max(1, n_packets // 32)
+    for f in range(0, n_packets, per_file):
+        write_packet_fixture(landing, lines[f : f + per_file], f"b{f:08d}.jsonl")
+
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    spark._jvm.System.gc()
+    t0 = time.time()
+    counts = process_packet_batch(packet_batch_source(spark, landing), paths)
+    # counts kept ON here: the tool reports routed rows as evidence
+    wall = time.time() - t0
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return {"sec": round(wall, 2), "packets": n_packets,
+            "packets_per_sec": round(n_packets / wall),
+            "rows_routed": counts}
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +171,9 @@ def main() -> None:
     timed(spark, "simhash_buckets", simhash_buckets(docs, "doc_id", "text"), out)
     timed(spark, "ivf_topk",
           ivf_topk(emb, query_vec_id=0, k=10, n_centroids=32, n_probe=4), out)
+    out["ingest"] = ingest_throughput(
+        spark, "/tmp/spark_graft_scale_smoke", n_packets=factor * 5000
+    )
     print(json.dumps(out))
 
 
