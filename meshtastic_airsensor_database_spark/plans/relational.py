@@ -515,6 +515,36 @@ FROM both_ms b FULL JOIN only_o x USING (o_orderpriority)
 """
 
 
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles within each priority (ranking-window family
+    beyond rank/row_number), aggregated to per-quartile stats."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            r(F.min("o_totalprice"), 2).alias("min_price"),
+            r(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORDER_VALUE_QUARTILES_SQL = """
+SELECT o_orderpriority, quartile, COUNT(*) AS n,
+       CAST(ROUND(CAST(MIN(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS min_price,
+       CAST(ROUND(CAST(MAX(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE) AS max_price
+FROM (SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+GROUP BY o_orderpriority, quartile
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -559,4 +589,7 @@ QUERIES: list[Query] = [
     Query("priority_multiset_intersect", priority_multiset_intersect,
           PRIORITY_MULTISET_INTERSECT_SQL, ("multi_file_union",),
           "INTERSECT ALL / EXCEPT ALL multiset ops"),
+    Query("order_value_quartiles", order_value_quartiles,
+          ORDER_VALUE_QUARTILES_SQL, ("latest_reading_per_node", "time_sort"),
+          "NTILE quartile ranking window"),
 ]
