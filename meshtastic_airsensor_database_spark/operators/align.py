@@ -150,10 +150,12 @@ def per_key_linear_trend(
     Returns (key, slope_per_hour, n). Oracle-checkable against SQL
     ``regr_slope(value, epoch(ts)) * 3600`` — the DuckDB twin in
     plans/events.py proves the Python/Arrow path agrees with the SQL
-    definition. Keys with <2 points or zero time-variance yield null.
-    Scale shape: one shuffle on the key; each group is one pandas
-    batch, so state is bounded by the largest single series (window
-    the input first for unbounded series).
+    definition. Rows with a null timestamp or value are dropped before
+    grouping (regr_slope's NULL-pair semantics — also keeps NaT out of
+    the epoch conversion); keys with <2 surviving points or zero
+    time-variance yield null. Scale shape: one shuffle on the key;
+    each group is one pandas batch, so state is bounded by the largest
+    single series (window the input first for unbounded series).
     """
     import pandas as pd
 
@@ -178,7 +180,12 @@ def per_key_linear_trend(
             {"key": [int(pdf[key].iloc[0])], "slope_per_hour": [slope], "n": [n]}
         )
 
-    return df.select(key, ts_col, value_col).groupBy(key).applyInPandas(fit, out_schema)
+    return (
+        df.select(key, ts_col, value_col)
+        .na.drop(subset=[ts_col, value_col])
+        .groupBy(key)
+        .applyInPandas(fit, out_schema)
+    )
 
 
 def salted_collect_list(
@@ -194,9 +201,11 @@ def salted_collect_list(
     skew handling splits JOIN partitions, not aggregation state.
     Algebraic aggs (sum/avg/min/max/count) never need this: Spark's
     map-side partial aggregation already spreads them. List order is
-    nondeterministic, as with plain collect_list.
+    nondeterministic, as with plain collect_list. The salt is per-ROW
+    (not a hash of the value — a hot key dominated by one repeated
+    value would collapse back onto one salt).
     """
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("_salt")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
     partial = (
         df.select(F.col(key), salt, F.col(value_col))
         .groupBy(key, "_salt")

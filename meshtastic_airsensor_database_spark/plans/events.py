@@ -543,6 +543,6 @@ QUERIES: list[Query] = [
     Query("props_regex_extract", props_regex_extract, PROPS_REGEX_EXTRACT_SQL,
           ("json_envelope_parse", "numeric_coercion"), "regex capture-group extraction"),
     Query("user_value_trend", user_value_trend, USER_VALUE_TREND_SQL,
-          ("per_node_stats", "text_analysis"),
+          ("per_node_stats",),
           "applyInPandas per-key least-squares trend vs regr_slope oracle"),
 ]

@@ -100,3 +100,28 @@ def test_salted_collect_list_matches_plain(spark):
         for r in df.groupBy("k").agg(F.collect_list("v").alias("vl")).collect()
     }
     assert salted == plain
+
+
+def test_per_key_linear_trend_null_handling(spark):
+    """Null ts or value rows are dropped (regr_slope NULL-pair
+    semantics) instead of crashing the pandas epoch conversion; a key
+    left with one point yields a null slope."""
+    import datetime as dt
+
+    from meshtastic_airsensor_database_spark.operators.align import (
+        per_key_linear_trend,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(hours=1), 3.0),
+        (1, None, 99.0),           # null ts -> dropped (would be NaT)
+        (1, t0 + dt.timedelta(hours=2), None),  # null value -> dropped
+        (2, t0, 5.0),              # single surviving point -> null slope
+        (2, None, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r.key: r for r in per_key_linear_trend(df, "k", "ts", "v").collect()}
+    assert out[1].n == 2 and abs(out[1].slope_per_hour - 2.0) < 1e-9
+    assert out[2].n == 1 and out[2].slope_per_hour is None
