@@ -238,19 +238,35 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
     sh = fan_out(docs).select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    return _jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs Jaccard over (doc_id, sh) with a SOUND size
+    prune in the join condition: J(A,B) >= t implies
+    min(|A|,|B|)/max(|A|,|B|) >= t (|A∩B| <= min, |A∪B| >= max), so
+    dropping size-mismatched pairs before the expensive array
+    intersection loses nothing. The oracle SQL stays prune-free — any
+    result divergence would fail the hash compare."""
+    sized = sh.select("doc_id", "sh", F.size("sh").alias("sz"))
+    a = sized.alias("a")
+    b = sized.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union
+    size_ok = (
+        F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+        / F.greatest(F.col("a.sz"), F.col("b.sz"))
+        >= threshold
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & size_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             r(jac, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -290,20 +306,7 @@ def char_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = fan_out(docs).select(
         "doc_id", char_shingles(F.col("text"), CHAR_SHINGLE_N).alias("sh")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            r(jac, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= CHAR_JACCARD_THRESHOLD)
-    )
+    return _jaccard_pairs(sh, CHAR_JACCARD_THRESHOLD)
 
 
 CHAR_JACCARD_NEARDUP_PAIRS_SQL = f"""
