@@ -213,6 +213,51 @@ def minhash_lsh_neardup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ml_minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Spark ML library path for near-dedup: word-3-gram shingles ->
+    binary HashingTF vectors -> ``MinHashLSH.approxSimilarityJoin``.
+
+    The library alternative to this module's hand-built banded LSH —
+    same candidate-pruning idea, implemented by Spark ML's OR-amplified
+    hash tables; the returned ``jaccard`` is exact on the hashed
+    shingle sets (2^18-dim feature space, collision-negligible), so
+    both formulations converge on the same pairs (asserted in
+    tests/test_dedup.py). Keep the hand-built path as default: it
+    avoids the ML Vector conversion and exposes band parameters
+    directly.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(content_col), 3).alias("_sh"),
+    )
+    tf = HashingTF(
+        inputCol="_sh", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=42,
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(
+        tf, tf, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 64

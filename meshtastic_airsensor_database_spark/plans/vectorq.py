@@ -188,6 +188,15 @@ def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs, "doc_id", "text")
 
 
+def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML MinHashLSH approxSimilarityJoin variant (rows-only;
+    converges with the hand-built LSH + exact verify in tests)."""
+    from ..operators.dedup import ml_minhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ml_minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
 def minhash_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end scale-path near-dedup: LSH candidates verified by
     exact shingle Jaccard >= 0.8 — the deliverable that replaces
@@ -269,6 +278,8 @@ QUERIES: list[Query] = [
           ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
     Query("minhash_verified_neardups", minhash_verified_neardups, None,
           ("near_dedup",), "LSH candidates + exact Jaccard verify (rows-only)"),
+    Query("ml_minhash_neardups", ml_minhash_neardups, None,
+          ("near_dedup",), "Spark ML MinHashLSH approxSimilarityJoin (rows-only)"),
     Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,

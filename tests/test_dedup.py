@@ -126,3 +126,26 @@ def test_pairs_within_buckets_property(spark):
         assert got == expected
 
     check()
+
+
+def test_ml_minhash_converges_with_handbuilt_lsh(spark, sf_dir):
+    """The Spark ML MinHashLSH path and the hand-built banded-LSH +
+    exact-verify path find the same near-dup pairs (ML's distance is
+    exact Jaccard on the hashed shingle sets; only candidate pruning
+    is approximate on both sides)."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        minhash_lsh_neardup_pairs,
+        ml_minhash_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    hand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_neardup_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    ml = {
+        (r.id_a, r.id_b)
+        for r in ml_minhash_neardup_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert hand and hand == ml
