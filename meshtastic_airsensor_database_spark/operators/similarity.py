@@ -202,3 +202,61 @@ def hyperplane_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with TRAINED centroids (Spark ML KMeans) — the
+    production upgrade of ``ivf_topk``'s first-N-vectors stand-in.
+
+    Train k-means on the corpus (one ML job, amortized across queries
+    at scale), broadcast the centers, probe the ``n_probe`` clusters
+    nearest the query, exact cosine re-rank inside. Same probe/re-rank
+    plumbing as ``ivf_topk``; only centroid quality differs (trained
+    centers partition the space evenly, so per-probe recall is higher
+    for the same n_probe).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = fan_out(emb).select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=42, featuresCol="_features", predictionCol="cluster"
+    ).fit(feats)
+    assigned = model.transform(feats).select(id_col, vec_col, "cluster")
+
+    spark = emb.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"centroid_id int, centroid_vec array<double>",
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    probe = (
+        centers.crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine_similarity(F.col("centroid_vec"), F.col("_qv")))
+        .orderBy(F.col("_cos").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster", "inner")
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -236,6 +236,19 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- KMeans-centroid IVF ANN (rows-only) --------------------------------------
+
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with Spark-ML-trained centroids (rows-only; full-probe
+    == brute-force asserted in tests)."""
+    from ..operators.similarity import kmeans_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_ivf_topk(
+        emb, query_vec_id=QUERY_VEC_ID, k=TOP_K, n_centroids=8, n_probe=3
+    )
+
+
 # --- hyperplane-LSH buckets (rows-only) ---------------------------------------
 
 def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +297,8 @@ QUERIES: list[Query] = [
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,
           ("similarity_search_topk",), "IVF-partitioned ANN top-k (rows-only)"),
+    Query("ann_kmeans_ivf_topk", ann_kmeans_ivf_topk, None,
+          ("similarity_search_topk",), "KMeans-trained-centroid IVF top-k (rows-only)"),
     Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs, None,
           ("near_dedup", "similarity_search_topk"),
           "sign-LSH pruned + exactly verified cosine near-dups (rows-only)"),
