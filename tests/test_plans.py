@@ -32,7 +32,8 @@ ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
 
 # Single-row / tiny build sides legitimately use a nested-loop
 # broadcast (e.g. one query vector crossed with every embedding).
-BNLJ_OK = {"embedding_topk_cosine", "ann_ivf_topk", "asof_latest_view_value",
+BNLJ_OK = {"embedding_topk_cosine", "ann_ivf_topk", "ann_kmeans_ivf_topk",
+           "asof_latest_view_value",
            "embedding_neardup_pairs", "jaccard_neardup_pairs",
            "char_jaccard_neardup_pairs"}
 
