@@ -139,3 +139,43 @@ def http_alert_sink(rows: Iterable[Row], topic_url: str, timeout_s: int = 10) ->
         )
         sent += 1
     return sent
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a parquet table into fewer, larger files (small-file
+    compaction — streaming appends produce one file per micro-batch per
+    partition; object stores and the NameNode both degrade under
+    millions of tiny files).
+
+    Reads the table, coalesces to ``target_partitions`` (default: the
+    session's shuffle partition count), rewrites alongside, then swaps.
+    Offline maintenance — callers must pause writers for the swap
+    window (a table format with atomic commits, e.g. Delta, removes
+    that caveat). Returns the row count rewritten.
+    """
+    df = spark.read.parquet(path)
+    n = (
+        target_partitions
+        if target_partitions is not None
+        else int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    writer = df.coalesce(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    tmp = path.rstrip("/") + "_compact_tmp"
+    writer.parquet(tmp)
+    rewritten = spark.read.parquet(tmp)
+    count = rewritten.count()
+    out = rewritten.write.mode("overwrite")
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.parquet(path)
+    # tmp cleanup via Hadoop FS (works on any scheme)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    return count

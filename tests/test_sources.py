@@ -143,3 +143,21 @@ def test_string_agg_topics(spark):
         "msh/US/2/json/LongFast/!ba654d80",
         "msh/US/2/json/LongFast/!06ba0ac4",
     }
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    for i in range(5):  # five appends -> many small files
+        df.filter(F.col("id") % 5 == i).repartition(8).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/part-*"))
+    assert compact_table(spark, path, target_partitions=2) == 1000
+    after = len(glob.glob(path + "/part-*"))
+    assert after <= 2 < before
+    assert spark.read.parquet(path).count() == 1000
