@@ -238,15 +238,20 @@ def ml_minhash_neardup_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(content_col), 3).alias("_sh"),
     )
+    # cache: approxSimilarityJoin's self-join would otherwise evaluate
+    # the shingle+hash pipeline twice (once per join side)
     tf = HashingTF(
         inputCol="_sh", outputCol="features", numFeatures=1 << 18, binary=True
-    ).transform(sh)
+    ).transform(sh).cache()  # left cached for the lazy result; LRU-evicted
     model = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=42,
     ).fit(tf)
+    # approxSimilarityJoin filters STRICTLY dist < d; widen by an
+    # epsilon so boundary pairs (jaccard == threshold) survive to
+    # our own >= filter — matching the hand-built path's semantics
     pairs = model.approxSimilarityJoin(
-        tf, tf, 1.0 - threshold, distCol="jaccard_dist"
+        tf, tf, 1.0 - threshold + 1e-6, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
@@ -255,6 +260,7 @@ def ml_minhash_neardup_pairs(
             F.col("datasetB._id").alias("id_b"),
             F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -77,6 +77,64 @@ def assign_ivf_clusters(
     )
 
 
+def _euclidean_dist2(a, b):
+    """Squared L2 distance between two array columns (built-ins)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    diff = F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                      lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _probe_and_rerank(
+    assigned: DataFrame,
+    centers: DataFrame,
+    q: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_vec_id: int,
+    probe_metric: str = "cosine",
+) -> DataFrame:
+    """Shared IVF probe + exact re-rank: rank clusters by the query's
+    proximity to their centers, keep ``n_probe``, exact cosine re-rank
+    within the probed clusters.
+
+    ``probe_metric`` MUST match the geometry that ASSIGNED vectors to
+    clusters — 'cosine' when centroids are unit-norm (dataset vectors),
+    'euclidean' for k-means centroids (means of unit vectors are NOT
+    unit-norm, so cosine-to-center and the Euclidean assignment would
+    rank clusters differently and the probe could miss the assigned
+    cluster of a true neighbor).
+    """
+    if probe_metric == "cosine":
+        score = cosine_similarity(F.col("centroid_vec"), F.col("_qv"))
+        order = [F.col("_score").desc(), F.col("centroid_id")]
+    else:
+        score = _euclidean_dist2("centroid_vec", "_qv")
+        order = [F.col("_score").asc(), F.col("centroid_id")]
+    probe = (
+        centers.crossJoin(F.broadcast(q))
+        .withColumn("_score", score)
+        .orderBy(*order)
+        .limit(n_probe)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster", "inner")  # partition pruning dual
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -93,24 +151,10 @@ def ivf_topk(
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("_cos", cosine_similarity(F.col("centroid_vec"), F.col("_qv")))
-        .orderBy(F.col("_cos").desc(), F.col("centroid_id"))
-        .limit(n_probe)
-        .select(F.col("centroid_id").alias("cluster"))
-    )
-    return (
-        assigned.join(F.broadcast(probe), "cluster", "inner")  # partition pruning dual
-        .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            F.col("cluster"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    # centroids here ARE dataset vectors (unit-norm) and assignment is
+    # by cosine, so the probe uses cosine too
+    return _probe_and_rerank(
+        assigned, cents, q, k, n_probe, id_col, vec_col, query_vec_id, "cosine"
     )
 
 
@@ -218,10 +262,12 @@ def kmeans_ivf_topk(
 
     Train k-means on the corpus (one ML job, amortized across queries
     at scale), broadcast the centers, probe the ``n_probe`` clusters
-    nearest the query, exact cosine re-rank inside. Same probe/re-rank
-    plumbing as ``ivf_topk``; only centroid quality differs (trained
-    centers partition the space evenly, so per-probe recall is higher
-    for the same n_probe).
+    nearest the query, exact cosine re-rank inside — via the shared
+    ``_probe_and_rerank`` plumbing. The probe ranks clusters by
+    EUCLIDEAN distance to the trained centers, matching the metric
+    KMeans assigned vectors with (centroids are means of unit vectors
+    — not unit-norm — so a cosine probe would rank clusters
+    differently from the assignment and lose recall).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -235,28 +281,11 @@ def kmeans_ivf_topk(
     ).fit(feats)
     assigned = model.transform(feats).select(id_col, vec_col, "cluster")
 
-    spark = emb.sparkSession
-    centers = spark.createDataFrame(
+    centers = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"centroid_id int, centroid_vec array<double>",
+        "centroid_id int, centroid_vec array<double>",
     )
     q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
-    probe = (
-        centers.crossJoin(F.broadcast(q))
-        .withColumn("_cos", cosine_similarity(F.col("centroid_vec"), F.col("_qv")))
-        .orderBy(F.col("_cos").desc(), F.col("centroid_id"))
-        .limit(n_probe)
-        .select(F.col("centroid_id").alias("cluster"))
-    )
-    return (
-        assigned.join(F.broadcast(probe), "cluster", "inner")
-        .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            F.col("cluster"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    return _probe_and_rerank(
+        assigned, centers, q, k, n_probe, id_col, vec_col, query_vec_id, "euclidean"
     )

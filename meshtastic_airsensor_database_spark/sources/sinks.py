@@ -152,11 +152,13 @@ def compact_table(
     partition; object stores and the NameNode both degrade under
     millions of tiny files).
 
-    Reads the table, coalesces to ``target_partitions`` (default: the
-    session's shuffle partition count), rewrites alongside, then swaps.
-    Offline maintenance — callers must pause writers for the swap
-    window (a table format with atomic commits, e.g. Delta, removes
-    that caveat). Returns the row count rewritten.
+    Reads the table, writes the coalesced copy to a sibling tmp dir
+    (ONE data write — the coalesce decides the final file count), then
+    swaps directories with filesystem renames. A failure before the
+    swap leaves the original untouched; the unsafe window is two
+    metadata renames, not a data rewrite. Offline maintenance — pause
+    writers for the swap (an atomic-commit table format, e.g. Delta,
+    removes that caveat). Returns the row count rewritten.
     """
     df = spark.read.parquet(path)
     n = (
@@ -169,13 +171,17 @@ def compact_table(
         writer = writer.partitionBy(*partition_by)
     tmp = path.rstrip("/") + "_compact_tmp"
     writer.parquet(tmp)
-    rewritten = spark.read.parquet(tmp)
-    count = rewritten.count()
-    out = rewritten.write.mode("overwrite")
-    if partition_by:
-        out = out.partitionBy(*partition_by)
-    out.parquet(path)
-    # tmp cleanup via Hadoop FS (works on any scheme)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    count = spark.read.parquet(tmp).count()
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    jpath, jtmp = hpath(path), hpath(tmp)
+    jold = hpath(path.rstrip("/") + "_compact_old")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back; original table restored
+        raise IOError(f"compact_table: could not promote {tmp}")
+    fs.delete(jold, True)
     return count
