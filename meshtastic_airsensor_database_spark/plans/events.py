@@ -471,7 +471,9 @@ USER_VALUE_TREND_SQL = """
 SELECT user_id,
        CAST(ROUND(CAST(regr_slope(value, epoch(ts)) * 3600 AS DECIMAL(38,9)), 4) AS DOUBLE)
          AS slope_per_hour,
-       COUNT(*) AS n
+       -- regr_count = non-null (value, ts) pairs, matching the pandas
+       -- path's post-na.drop n (COUNT(*) diverges on nullable inputs)
+       CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n
 FROM events GROUP BY user_id
 """
 

@@ -144,13 +144,23 @@ def process_packet_batch(
     """
     spark = batch.sparkSession
     parsed = json_envelope_parse(batch)
-    # Mesh re-broadcast + MQTT at-least-once => dedup by packet id inside
-    # the batch (cross-batch dedup is the watermark variant below).
-    # dropDuplicates needs a top-level column; null ids stay undeduped
+    # Mesh re-broadcast + MQTT at-least-once => dedup inside the batch
+    # (cross-batch dedup is the watermark variant below). Key is the
+    # COMPOSITE [packet.from, packet.id]: Meshtastic packet ids are
+    # 32-bit per-sender counters, so distinct nodes legitimately reuse
+    # the same id — keying on id alone silently drops the second node's
+    # packet. Re-broadcast dupes share both sender and id.
+    # dropDuplicates needs top-level columns; null ids stay undeduped
     # (no id claim means no duplicate claim).
-    parsed = parsed.withColumn("_pkt_id", F.col("packet.id"))
-    with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(["_pkt_id"])
-    parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop("_pkt_id")
+    parsed = parsed.withColumn("_pkt_id", F.col("packet.id")).withColumn(
+        "_pkt_from", F.col("packet.from")
+    )
+    with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(
+        ["_pkt_from", "_pkt_id"]
+    )
+    parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop(
+        "_pkt_id", "_pkt_from"
+    )
     parsed = parsed.cache()  # one parse feeds four routes
     try:
         routed = route_packets(parsed)
@@ -162,7 +172,12 @@ def process_packet_batch(
         updates = routed["nodeinfo"]
         counts: dict[str, int] = {}
         if not updates.isEmpty():
-            dim = dim_upsert_latest_wins(dim, updates).cache()
+            # localCheckpoint (eager) pins the tiny upserted dim to
+            # executor storage and TRUNCATES lineage before we overwrite
+            # the parquet snapshot it was read from: with a plain
+            # cache(), an evicted partition would recompute against the
+            # already-deleted old files and fail the batch mid-append.
+            dim = dim_upsert_latest_wins(dim, updates).localCheckpoint()
             if with_counts:
                 counts["nodeinfo"] = updates.count()
             # overwrite the snapshot: tiny dimension, full rewrite per batch
@@ -207,8 +222,11 @@ def run_ingest_stream(
     if dedup_within_watermark:
         parsed = json_envelope_parse(raw).withColumn(
             "event_ts", F.timestamp_seconds(F.col("packet.timestamp"))
-        # dedup subset must be top-level columns; surface the nested id
-        ).withColumn("_pkt_id", F.col("packet.id"))
+        # dedup subset must be top-level columns; surface the nested
+        # composite key (per-sender ids: see process_packet_batch)
+        ).withColumn("_pkt_id", F.col("packet.id")).withColumn(
+            "_pkt_from", F.col("packet.from")
+        )
         # Only rows that CLAIM an id (and carry an event time for the
         # watermark) enter the dedup operator: null keys compare equal
         # in dropDuplicatesWithinWatermark, so routing id-less/malformed
@@ -219,7 +237,7 @@ def run_ingest_stream(
         with_id = (
             parsed.filter(dedupable)
             .withWatermark("event_ts", DEDUP_WATERMARK)
-            .dropDuplicatesWithinWatermark(["_pkt_id"])
+            .dropDuplicatesWithinWatermark(["_pkt_from", "_pkt_id"])
             .select("value")
         )
         stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))

@@ -92,6 +92,29 @@ def heartbeat_transition(
     return (last_seen_s, alert_sent, node_name), events
 
 
+def rearm_delay_after_timeout(
+    new_state: tuple[float | None, bool, str | None],
+    events: list[tuple[str, str]],
+    now_s: float,
+    threshold_s: float,
+) -> float | None:
+    """Seconds until the next offline re-check after a timer fired, or
+    None if no re-arm is needed.
+
+    A fired timer whose threshold check declined to alert (node's
+    event-time last_seen ahead of the processing clock — device clock
+    skew) emits nothing; without re-arming, that key is never re-checked
+    and the OFFLINE alert is silently lost until the next heartbeat.
+    Re-arm for the remaining time, floored at 1 s. Once the alert HAS
+    been sent (or the key has no last_seen), the next heartbeat re-arms
+    instead — that is the exactly-one-alert-per-outage contract.
+    """
+    last_seen_s, alert_sent, _ = new_state
+    if events or alert_sent or last_seen_s is None:
+        return None
+    return max(threshold_s - (now_s - last_seen_s), 1.0)
+
+
 def offline_monitor_stream(
     heartbeats: DataFrame,
     threshold_minutes: int = OFFLINE_THRESHOLD_MINUTES,
@@ -117,6 +140,9 @@ def offline_monitor_stream(
             new_state, events = heartbeat_transition(
                 prev, None, None, now_s, threshold_s, timed_out=True
             )
+            remaining_s = rearm_delay_after_timeout(new_state, events, now_s, threshold_s)
+            if remaining_s is not None:
+                state.setTimeoutDuration(int(remaining_s * 1000))
         else:
             batch_last = None
             batch_name = None
@@ -246,12 +272,17 @@ def offline_monitor_stream_tws(
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             node = int(key[0])
+            now_ms = timerValues.getCurrentProcessingTimeInMs()
             new_state, events = heartbeat_transition(
-                self._prev(), None, None,
-                timerValues.getCurrentProcessingTimeInMs() / 1000.0,
+                self._prev(), None, None, now_ms / 1000.0,
                 threshold_s, timed_out=True,
             )
             self._state.update(new_state)
+            remaining_s = rearm_delay_after_timeout(
+                new_state, events, now_ms / 1000.0, threshold_s
+            )
+            if remaining_s is not None:
+                self._handle.registerTimer(now_ms + int(remaining_s * 1000))
             yield from _emit(node, new_state, events)
 
         def close(self) -> None:

@@ -30,6 +30,7 @@ from meshtastic_airsensor_database_spark.streaming.monitor import (
     heartbeat_transition,
     offline_message,
     outage_episodes,
+    rearm_delay_after_timeout,
 )
 
 from .fixtures import ALL_GOOD, NODEINFO_PACKET, as_json_lines
@@ -69,6 +70,25 @@ def test_process_packet_batch_dedups_packet_id(spark, tmp_path):
 
     counts = process_packet_batch(packet_batch_source(spark, landing), paths)
     assert counts["airwise_data"] == 1
+
+
+def test_dedup_key_is_composite_from_and_id(spark, tmp_path):
+    """Meshtastic packet ids are per-sender: two nodes can emit the same
+    id and BOTH packets must survive dedup (only true re-broadcasts —
+    same sender AND same id — collapse)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    a = dict(ALL_GOOD[0])
+    b = dict(ALL_GOOD[0], **{"from": a["from"] + 1})  # same id, other sender
+    write_packet_fixture(
+        landing,
+        [json.dumps(a), json.dumps(b), json.dumps(a)],  # a re-broadcast once
+        "batch-0.jsonl",
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    counts = process_packet_batch(packet_batch_source(spark, landing), paths)
+    assert counts["airwise_data"] == 2
 
 
 def test_nodeinfo_upserts_dimension_for_same_batch_facts(spark, tmp_path):
@@ -151,6 +171,32 @@ def test_timeout_before_threshold_does_not_alert():
     state, events = heartbeat_transition(state, None, None, 60.0, THRESHOLD_S, True)
     assert events == []
     assert state[1] is False
+
+
+def test_declined_timeout_rearms_for_remaining_time():
+    """A fired timer whose threshold check declines (clock skew: node's
+    last_seen ahead of the processing clock) must re-arm or the OFFLINE
+    alert is lost forever (ADVICE r1)."""
+    state = (5000.0, False, "Farm1")  # last_seen "in the future" vs now=60
+    state, events = heartbeat_transition(state, None, None, 60.0, THRESHOLD_S, True)
+    assert events == []
+    delay = rearm_delay_after_timeout(state, events, 60.0, THRESHOLD_S)
+    assert delay == pytest.approx(THRESHOLD_S - (60.0 - 5000.0))
+    # after the alert actually fires, no re-arm (heartbeat re-arms instead)
+    state, events = heartbeat_transition(
+        state, None, None, 5000.0 + THRESHOLD_S + 1, THRESHOLD_S, True
+    )
+    assert [e for e, _ in events] == ["OFFLINE"]
+    assert rearm_delay_after_timeout(state, events, 5000.0 + THRESHOLD_S + 1, THRESHOLD_S) is None
+    # silent scan on an already-alerted key: nothing to schedule
+    state2, events2 = heartbeat_transition(
+        state, None, None, 5000.0 + 2 * THRESHOLD_S, THRESHOLD_S, True
+    )
+    assert rearm_delay_after_timeout(state2, events2, 5000.0 + 2 * THRESHOLD_S, THRESHOLD_S) is None
+    # fresh key with no last_seen: nothing to check against
+    assert rearm_delay_after_timeout((None, False, None), [], 0.0, THRESHOLD_S) is None
+    # overdue-but-declined edge: floor at 1s, never zero or negative
+    assert rearm_delay_after_timeout((0.0, False, "n"), [], THRESHOLD_S + 50, THRESHOLD_S) == 1.0
 
 
 def test_heartbeat_never_regresses_last_seen():
