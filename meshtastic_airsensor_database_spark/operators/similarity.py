@@ -19,7 +19,7 @@ Python is driver-side centroid handling (tiny, broadcast back).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
@@ -61,7 +61,14 @@ def assign_ivf_clusters(
     ``n_centroids`` vectors by id act as centroids (documented fake —
     the assignment/probe PLUMBING is the operator under test; a real
     deployment drops in trained centroids). Centroids are broadcast;
-    assignment is one narrow pass + a per-id argmax window.
+    the per-id argmax is a ``groupBy(id).agg(max_by(...))`` — partial
+    aggregation collapses the n x n_centroids scored fan-out MAP-SIDE,
+    so the shuffle carries one row per vector. (A row_number window
+    here would shuffle all n x C rows before the rank-1 filter — a
+    C-fold shuffle inflation at scale.) Tie-break: highest cosine,
+    then lowest centroid_id (the negated id inside the max_by ordering
+    struct). ``first(vec)`` is deterministic here — the vector is
+    constant within its id group.
     """
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
@@ -69,11 +76,18 @@ def assign_ivf_clusters(
     scored = fan_out(emb).crossJoin(F.broadcast(cents)).withColumn(
         "_cos", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("centroid_id"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cluster"))
+        scored.groupBy(id_col)
+        .agg(
+            F.first(F.col(vec_col)).alias(vec_col),
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(
+                    F.col("_cos").alias("s"), (-F.col("centroid_id")).alias("t")
+                ),
+            ).alias("cluster"),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
     )
 
 

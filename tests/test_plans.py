@@ -92,6 +92,16 @@ def test_minhash_candidates_plan_has_no_join(spark, sf_dir):
         assert op not in plan, plan
 
 
+def test_ivf_assignment_aggregates_mapside_no_window(spark, sf_dir):
+    """IVF cluster assignment must collapse the n x C scored fan-out
+    with a partial max_by aggregate BEFORE the exchange (shuffle = one
+    row per vector). A row_number window here would shuffle all n x C
+    rows — a C-fold inflation at 100 TB with C~1024 centroids."""
+    plan = plan_of(spark, "ann_ivf_topk", sf_dir)
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+
+
 def test_filters_reach_parquet_scans(spark, sf_dir):
     """Queries that filter on scan columns must show a non-empty
     PushedFilters on at least one parquet scan."""
