@@ -208,8 +208,11 @@ def minhash_lsh_neardup_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
+    # decimal-routed rounding: same convention as plans/base.py::r so
+    # the oracle-attached registered query hash-matches its SQL twin
     return joined.select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        "id_a", "id_b",
+        F.round(jac.cast("decimal(38,9)"), 4).cast("double").alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -227,9 +227,31 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_THRESHOLD = 0.8
 SHINGLE_N = 3
 
+# Oracle-run budget guard: the driver executes every declared query AND
+# its DuckDB twin side-by-side at sf0.01 under a global time budget;
+# the unsampled O(n^2) all-pairs Jaccard over the 500-doc corpus costs
+# ~30-40 s PER ENGINE and starved the round-1 run partway through. The
+# REGISTERED queries therefore take a deterministic, oracle-MIRRORED
+# sample — ``doc_id < N`` applied identically in the Spark builder and
+# the SQL twin (any asymmetry would fail the hash compare) — which
+# still covers several planted near-dup pairs. Tests keep using the
+# unsampled formulations (``max_id=None``) as LSH ground truth; the
+# actual 100 TB path is the LSH family, never these.
+NEARDUP_SAMPLE_MAX_ID = 250
+CHAR_NEARDUP_SAMPLE_MAX_ID = 200
 
-def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-3-gram Jaccard >= 0.8 (the 25 planted near-dups).
+
+def _doc_sampled_sql(sql: str, max_id: int) -> str:
+    """Mirror the builder's ``doc_id < max_id`` sample into a SQL twin
+    (the single FROM documents lives in the shingle CTE)."""
+    assert sql.count("FROM documents") == 1
+    return sql.replace("FROM documents", f"FROM documents WHERE doc_id < {max_id}")
+
+
+def jaccard_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_id: int | None = None
+) -> DataFrame:
+    """All-pairs word-3-gram Jaccard >= 0.8 (the planted near-dups).
 
     This is the EXACT oracle-checkable formulation (O(n^2) self-join —
     fine at oracle scale). The 100 TB path is operators/dedup.py's
@@ -237,8 +259,15 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; its candidate set is verified against this exact query in
     tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
+    if max_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_id)
     sh = fan_out(docs).select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
     return _jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+def jaccard_neardup_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered (driver-facing) variant: oracle-mirrored sample."""
+    return jaccard_neardup_pairs(spark, sf_dir, max_id=NEARDUP_SAMPLE_MAX_ID)
 
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -294,7 +323,9 @@ CHAR_SHINGLE_N = 5
 CHAR_JACCARD_THRESHOLD = 0.8
 
 
-def char_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def char_jaccard_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_id: int | None = None
+) -> DataFrame:
     """Character-5-gram Jaccard near-dup pairs — the word-boundary-free
     complement of jaccard_neardup_pairs (robust to hyphenation/spacing
     noise and unsegmented scripts). Exact all-pairs formulation at
@@ -303,10 +334,18 @@ def char_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import char_shingles
 
     docs = load(spark, sf_dir, "documents")
+    if max_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_id)
     sh = fan_out(docs).select(
         "doc_id", char_shingles(F.col("text"), CHAR_SHINGLE_N).alias("sh")
     )
     return _jaccard_pairs(sh, CHAR_JACCARD_THRESHOLD)
+
+
+def char_jaccard_neardup_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered variant: oracle-mirrored sample (char shingles cost
+    ~6x the word variant per pair, hence the tighter cap)."""
+    return char_jaccard_neardup_pairs(spark, sf_dir, max_id=CHAR_NEARDUP_SAMPLE_MAX_ID)
 
 
 CHAR_JACCARD_NEARDUP_PAIRS_SQL = f"""
@@ -341,13 +380,15 @@ QUERIES: list[Query] = [
           ("text_analysis",), "marker-word language ID confusion matrix"),
     Query("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
           ("text_analysis", "exact_dedup"), "md5 content fingerprints"),
-    Query("jaccard_neardup_pairs", jaccard_neardup_pairs, JACCARD_NEARDUP_PAIRS_SQL,
-          ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact)"),
+    Query("jaccard_neardup_pairs", jaccard_neardup_pairs_sampled,
+          _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID),
+          ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact, sampled)"),
     Query("rolling_fingerprints", rolling_fingerprints, None,
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,
           ("text_analysis",), "BPE-ish regex token counting per lang"),
-    Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs,
-          CHAR_JACCARD_NEARDUP_PAIRS_SQL, ("near_dedup",),
-          "char-5-gram Jaccard near-dup pairs (exact)"),
+    Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
+          _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
+          ("near_dedup",),
+          "char-5-gram Jaccard near-dup pairs (exact, sampled)"),
 ]

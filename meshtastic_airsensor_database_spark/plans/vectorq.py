@@ -87,12 +87,21 @@ LIMIT {TOP_K}
 
 COSINE_PAIR_THRESHOLD = 0.4
 
+# Oracle-mirrored sample bound for the registered all-pairs query —
+# same budget rationale as plans/textq.py::NEARDUP_SAMPLE_MAX_ID.
+EMB_NEARDUP_SAMPLE_MAX_ID = 250
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_id: int | None = None
+) -> DataFrame:
     """All-pairs cosine >= threshold (exact formulation; the scale path
     is LSH bucketing in operators/similarity.py — random-hyperplane
     signatures prune the pair space before the exact check)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    if max_id is not None:
+        emb = emb.filter(F.col("vec_id") < max_id)
+    emb = fan_out(emb)
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
     ).alias("a")
@@ -107,6 +116,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered variant: oracle-mirrored ``vec_id < N`` sample."""
+    return embedding_neardup_pairs(spark, sf_dir, max_id=EMB_NEARDUP_SAMPLE_MAX_ID)
+
+
 EMBEDDING_NEARDUP_PAIRS_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
 SELECT id_a, id_b, cosine FROM (
@@ -117,6 +131,10 @@ SELECT id_a, id_b, cosine FROM (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
 """
+
+EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL = EMBEDDING_NEARDUP_PAIRS_SQL.replace(
+    "FROM embeddings)", f"FROM embeddings WHERE vec_id < {EMB_NEARDUP_SAMPLE_MAX_ID})"
+)
 
 
 # --- multimodal binary metadata (SURVEY §2.11 multimodal_columns) -------------
@@ -200,13 +218,39 @@ def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end scale-path near-dedup: LSH candidates verified by
     exact shingle Jaccard >= 0.8 — the deliverable that replaces
-    ``jaccard_neardup_pairs``'s O(n^2) join at corpus scale. Verified
-    against the exact query in tests/test_dedup.py (recall) and
-    structurally no-false-positive by construction."""
-    from ..operators.dedup import minhash_lsh_neardup_pairs
+    ``jaccard_neardup_pairs``'s O(n^2) join at corpus scale.
 
-    docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_neardup_pairs(docs, "doc_id", "text", threshold=0.8)
+    ORACLE-BACKED: on the oracle-mirrored sample this must equal the
+    exact all-pairs result (same SQL twin as jaccard_neardup_pairs) —
+    no false positives by construction (exact verify), and full recall
+    asserted in tests/test_dedup.py. The LSH prune -> exact verify
+    path itself carries the green correctness row, not just its O(n^2)
+    stand-in."""
+    from ..operators.dedup import minhash_lsh_neardup_pairs
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    pairs = minhash_lsh_neardup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+# The verified-LSH query shares the exact all-pairs twin on the same
+# oracle-mirrored sample (built lazily to avoid import-order games).
+def _minhash_verified_sql() -> str:
+    from .textq import (
+        JACCARD_NEARDUP_PAIRS_SQL,
+        NEARDUP_SAMPLE_MAX_ID,
+        _doc_sampled_sql,
+    )
+
+    return _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
+
+
+_MINHASH_VERIFIED_SQL = _minhash_verified_sql()
 
 
 # --- SimHash buckets (rows-only) ----------------------------------------------
@@ -276,8 +320,10 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
     Query("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_COSINE_SQL,
           ("similarity_search_topk",), "brute-force cosine top-k"),
-    Query("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_PAIRS_SQL,
-          ("near_dedup", "similarity_search_topk"), "all-pairs cosine near-dups"),
+    Query("embedding_neardup_pairs", embedding_neardup_pairs_sampled,
+          EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL,
+          ("near_dedup", "similarity_search_topk"),
+          "all-pairs cosine near-dups (exact, sampled)"),
     Query("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL,
           ("multimodal_columns",), "binary column + typed metadata"),
     Query("approx_distinct_users", approx_distinct_users, None,
@@ -289,8 +335,10 @@ QUERIES: list[Query] = [
           ("approx_distinct_nodes",), "freqItems heavy hitters (rows-only)"),
     Query("minhash_neardup_candidates", minhash_neardup_candidates, None,
           ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
-    Query("minhash_verified_neardups", minhash_verified_neardups, None,
-          ("near_dedup",), "LSH candidates + exact Jaccard verify (rows-only)"),
+    Query("minhash_verified_neardups", minhash_verified_neardups,
+          _MINHASH_VERIFIED_SQL,
+          ("near_dedup",),
+          "LSH candidates + exact Jaccard verify (oracle: exact all-pairs on sample)"),
     Query("ml_minhash_neardups", ml_minhash_neardups, None,
           ("near_dedup",), "Spark ML MinHashLSH approxSimilarityJoin (rows-only)"),
     Query("simhash_dedup_buckets", simhash_dedup_buckets, None,

@@ -50,6 +50,31 @@ def test_minhash_verified_pairs_no_false_positives(spark, sf_dir):
     assert got <= truth  # exact verify step kills every false positive
 
 
+def test_minhash_verified_equals_exact_on_oracle_sample(spark, sf_dir):
+    """The registered minhash_verified_neardups carries the exact
+    all-pairs SQL twin on the oracle-mirrored sample — so LSH-prune +
+    exact-verify must EQUAL the exact result there (values included),
+    not merely approximate it."""
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        NEARDUP_SAMPLE_MAX_ID,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        minhash_verified_neardups,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_neardup_pairs(
+            spark, sf_dir, max_id=NEARDUP_SAMPLE_MAX_ID
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_verified_neardups(spark, sf_dir).collect()
+    }
+    assert exact and got == exact
+
+
 def test_simhash_identical_docs_same_hash(spark):
     df = spark.createDataFrame(
         [(1, "spark hash join window"), (2, "spark hash join window"),
