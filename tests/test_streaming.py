@@ -91,6 +91,38 @@ def test_dedup_key_is_composite_from_and_id(spark, tmp_path):
     assert counts["airwise_data"] == 2
 
 
+def test_golden_replay_queries_semantics(spark):
+    """The committed golden fixture, replayed through the real batch
+    core, shows the load-bearing semantics in driver-visible queries:
+    same-batch rename enrichment (latest nodeinfo wins), null
+    enrichment for unknown nodes, and composite-key dedup survival."""
+    from meshtastic_airsensor_database_spark.plans.streamq import (
+        replay_env_enriched,
+        replay_route_counts,
+    )
+
+    env = replay_env_enriched(spark, "unused").collect()
+    by_node = {}
+    for r in env:
+        by_node.setdefault(r.node, []).append(r)
+    # latest-wins rename applied before fact enrichment (batch ordering)
+    assert {r.longname for r in by_node[1129728980]} == {"Farm6-B"}
+    # nodeinfo-introduced node enriched; unknown node stays null
+    assert {r.longname for r in by_node[77777]} == {"Roamer"}
+    assert {r.longname for r in by_node[99999]} == {None}
+    # same packet id from two senders: both rows kept; re-broadcast deduped
+    assert len(by_node[3127201152]) == 2  # ids 2001 + 2002, dupe dropped
+    assert len(by_node[2102560288]) == 2  # ids 2001 + 2016
+
+    counts = {r.fact_table: (r.n_rows, r.n_nodes)
+              for r in replay_route_counts(spark, "unused").collect()}
+    assert counts == {
+        "airwise_data": (8, 6),
+        "battery_data": (3, 3),
+        "airwise_datav1": (3, 3),
+    }
+
+
 def test_nodeinfo_upserts_dimension_for_same_batch_facts(spark, tmp_path):
     landing = str(tmp_path / "landing")
     out = str(tmp_path / "out")
