@@ -2,11 +2,13 @@
 
 Images/audio/video ride along as opaque ``binary`` columns plus a typed
 metadata struct. The Spark-side plumbing — schema, partition-friendly
-batch iteration, Arrow-batched UDF signatures — is real and tested; the
-actual byte decoding is STUBBED (this container has no image/audio
-libraries) behind ``decode_stub``: a deterministic fake that derives
-"features" from the bytes, clearly marked, swappable for a PIL/ffmpeg
-call in production.
+batch iteration, Arrow-batched UDF signatures — is real and tested.
+Byte decoding is real for the formats pure Python can handle without
+PIL/librosa/ffmpeg (binary PPM images and PCM WAV audio —
+``functions/codecs.py``: header parse, pixel/sample arrays,
+nearest-neighbor resize, re-encode); unrecognized formats fall back to
+``decode_stub``, a clearly-marked deterministic fake swappable for a
+real decoder in production.
 
 Scale shape: ``mapInPandas`` streams Arrow batches through the Python
 worker — memory is bounded by
@@ -23,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.codecs import CodecError
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -68,7 +72,8 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, modality: str) 
 
 
 def decode_stub(content: bytes) -> dict:
-    """DETERMINISTIC FAKE DECODER — stands in for PIL/librosa/ffmpeg.
+    """DETERMINISTIC FAKE DECODER — stands in for PIL/librosa/ffmpeg on
+    formats ``decode_media`` does not recognize.
 
     Production swaps this single function for a real decoder; the
     surrounding Spark plumbing (schema, Arrow batching, partitioning)
@@ -81,6 +86,37 @@ def decode_stub(content: bytes) -> dict:
         hist[byte >> 5] += 1
     mean = (sum(content[:4096]) / min(len(content), 4096)) if content else 0.0
     return {"feat_mean": mean, "feat_histogram": hist}
+
+
+def decode_media(content: bytes) -> dict:
+    """REAL decode for PPM images / PCM WAV audio; stub otherwise.
+
+    Features have one definition across modalities: ``feat_mean`` is the
+    mean decoded intensity (pixel value 0-255, or |sample| scaled to
+    0-255 for audio) and ``feat_histogram`` is its 8-bin distribution —
+    so downstream quality gates work unchanged whichever decoder ran.
+    Malformed media raise (the operator drops the row and continues).
+    """
+    import numpy as np
+
+    from ..functions.codecs import CodecError, decode_ppm, decode_wav, sniff_format
+
+    if content is None:
+        raise NotImplementedError("content required")
+    fmt = sniff_format(content)
+    if fmt == "ppm":
+        values = decode_ppm(content).ravel()
+    elif fmt == "wav":
+        samples, _rate = decode_wav(content)
+        # |amplitude| scaled int16 -> 0..255 intensity
+        values = (np.abs(samples.astype(np.int32)).ravel() // 129).clip(0, 255)
+    else:
+        return decode_stub(content)
+    hist = np.bincount(values >> 5, minlength=8)[:8]
+    return {
+        "feat_mean": float(values.mean()) if len(values) else 0.0,
+        "feat_histogram": [int(x) for x in hist],
+    }
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -96,8 +132,8 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    feats = decode_stub(bytes(content) if content is not None else None)
-                except NotImplementedError:
+                    feats = decode_media(bytes(content) if content is not None else None)
+                except (NotImplementedError, CodecError):
                     continue  # malformed_row_skip semantics
                 rows.append(
                     {
@@ -113,7 +149,8 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def resize_stub(content: bytes, width: int, height: int) -> bytes:
-    """DETERMINISTIC FAKE RESIZE — stands in for PIL ``Image.resize``.
+    """DETERMINISTIC FAKE RESIZE — stands in for PIL ``Image.resize`` on
+    formats ``resize_media`` cannot really decode.
 
     Produces exactly ``width*height`` output bytes by striding/repeating
     the input, so tests can assert the size contract a real thumbnailer
@@ -126,6 +163,17 @@ def resize_stub(content: bytes, width: int, height: int) -> bytes:
         return bytes(n)
     reps = (n // len(content)) + 1
     return (content * reps)[:n]
+
+
+def resize_bytes(content: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PPM images (decode -> nearest-neighbor resample
+    -> re-encode as P6); stub for everything else. Raises CodecError on
+    malformed PPM (drop-and-continue at the operator)."""
+    from ..functions.codecs import decode_ppm, encode_ppm, resize_nearest, sniff_format
+
+    if content is not None and sniff_format(content) == "ppm":
+        return encode_ppm(resize_nearest(decode_ppm(content), width, height))
+    return resize_stub(content, width, height)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -145,10 +193,10 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 if meta is None:
                     continue  # malformed_row_skip semantics (no metadata)
                 try:
-                    out = resize_stub(
+                    out = resize_bytes(
                         bytes(content) if content is not None else None, width, height
                     )
-                except NotImplementedError:
+                except (NotImplementedError, CodecError):
                     continue  # malformed_row_skip semantics
                 rows.append(
                     {

@@ -1,11 +1,79 @@
-"""Multimodal binary-column plumbing tests (decode stubbed)."""
+"""Multimodal binary-column tests: Spark plumbing plus the REAL
+pure-Python PPM/WAV codecs (functions/codecs.py); unrecognized formats
+still go through the documented deterministic stub."""
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
+from meshtastic_airsensor_database_spark.functions.codecs import (
+    CodecError,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    resize_nearest,
+    sniff_format,
+)
 from meshtastic_airsensor_database_spark.operators.multimodal import (
     extract_features,
     to_media_table,
 )
+
+
+def _ppm(w=6, h=4):
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = _ppm()
+    data = encode_ppm(px)
+    assert sniff_format(data) == "ppm"
+    assert np.array_equal(decode_ppm(data), px)
+    # headers may carry comments and loose whitespace
+    commented = b"P6 # a comment\n6\t4 # another\n255\n" + data.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(commented), px)
+
+
+def test_ppm_malformed_raises():
+    with pytest.raises(CodecError):
+        decode_ppm(b"P6\n6 4\n255\n\x00\x01")  # truncated pixels
+    with pytest.raises(CodecError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic
+    with pytest.raises(CodecError):
+        decode_ppm(b"P6\n6 4\n70000\n" + bytes(6 * 4 * 3))  # 16-bit maxval
+
+
+def test_resize_nearest_identity_and_downsample():
+    px = _ppm(8, 8)
+    assert np.array_equal(resize_nearest(px, 8, 8), px)
+    small = resize_nearest(px, 4, 2)
+    assert small.shape == (2, 4, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])  # corner preserved
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    t = np.arange(800)
+    mono = (np.sin(t / 10.0) * 20000).astype(np.int16)
+    data = encode_wav(mono, 8000)
+    assert sniff_format(data) == "wav"
+    samples, rate = decode_wav(data)
+    assert rate == 8000 and samples.shape == (800, 1)
+    assert np.array_equal(samples[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, 44100))
+    assert s2.shape == (800, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_malformed_raises():
+    with pytest.raises(CodecError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd")  # no fmt
+    with pytest.raises(CodecError):
+        decode_wav(b"not audio at all")
 
 
 def _media(spark):
@@ -52,6 +120,47 @@ def test_resize_media_size_contract_and_composability(spark):
     assert [f.name for f in resize_media(_media(spark), 8, 4).schema.fields] == [
         "media_id", "content", "meta",
     ]
+
+
+def test_real_codec_features_through_spark(spark):
+    """PPM and WAV blobs flow through mapInPandas with REAL decoding:
+    feat_mean is the decoded intensity mean (not a byte-soup stat), and
+    malformed media of a recognized format are dropped, not crashed."""
+    solid = np.full((4, 4, 3), 100, dtype=np.uint8)  # constant image
+    tone = np.full(500, 1290, dtype=np.int16)  # constant |amplitude| -> 1290//129=10
+    rows = [
+        (1, bytearray(encode_ppm(solid))),
+        (2, bytearray(encode_wav(tone, 8000))),
+        (3, bytearray(b"P6\n9 9\n255\ntruncated")),  # malformed ppm
+        (4, bytearray(b"opaque other-format bytes")),  # stub fallback
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {r.media_id: r for r in extract_features(df).collect()}
+    assert set(feats) == {1, 2, 4}  # malformed PPM dropped
+    assert feats[1].feat_mean == pytest.approx(100.0)
+    assert feats[1].feat_histogram[100 >> 5] == 4 * 4 * 3
+    assert feats[2].feat_mean == pytest.approx(10.0)
+    assert feats[2].feat_histogram[0] == 500
+    assert sum(feats[4].feat_histogram) == len(b"opaque other-format bytes")
+
+
+def test_resize_media_really_resizes_ppm(spark):
+    """A PPM blob comes back as a valid smaller PPM (decode -> nearest
+    -> re-encode), while unrecognized bytes keep the stub contract."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import resize_media
+
+    px = _ppm(8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px))), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    media = to_media_table(df, "doc_id", "payload", "image")
+    out = {r.media_id: r for r in resize_media(media, 4, 2).collect()}
+    resized = decode_ppm(bytes(out[1].content))
+    assert resized.shape == (2, 4, 3)
+    assert np.array_equal(resized, resize_nearest(px, 4, 2))
+    assert out[1].meta.n_bytes == len(bytes(out[1].content))
+    assert len(out[2].content) == 8  # stub: width*height bytes
 
 
 def test_frame_sample_is_one_to_many_and_capped(spark):
