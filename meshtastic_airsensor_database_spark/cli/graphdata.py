@@ -25,6 +25,11 @@ from ..operators.clean import csv_sink, multi_file_union
 from ..session import get_spark
 
 # metric -> (purpleair column expr name, airwise column) — graphdata.py:99-192
+# Auto-enumeration cap (ADVICE r1: no unbounded .collect() in the CLI
+# surface). The reference fleet is 6 nodes; 64 comparison series is
+# already past chart legibility.
+MAX_AUTO_NODES = 64
+
 METRICS = {
     "temperature": ("current_temp_c", "temperature"),
     "humidity": ("current_humidity", "humidity"),
@@ -66,18 +71,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("airwise_csv")
     p.add_argument("-o", "--out-dir", default="graphdata_out")
     p.add_argument("--nodes", default=None,
-                   help="comma-separated AIRWISE node ids (default: all nodes)")
+                   help="comma-separated AIRWISE node ids (default: all nodes, "
+                        f"up to {MAX_AUTO_NODES})")
     p.add_argument("--bucket", default="5 minutes")
     args = p.parse_args(argv)
 
     spark = spark or get_spark("graphdata")
     pa = load_purpleair(spark, args.purpleair_csv)
     aw = load_airwise(spark, args.airwise_csv)
-    nodes = (
-        [int(n) for n in args.nodes.split(",")]
-        if args.nodes
-        else [r[0] for r in aw.select("node").distinct().collect()]
-    )
+    if args.nodes:
+        nodes = [int(n) for n in args.nodes.split(",")]
+    else:
+        # Bounded driver-side enumeration: one comparison series per
+        # node means the chart set (and this collect) must stay small
+        # anyway. limit(N+1) caps the transfer regardless of node
+        # cardinality; beyond the cap we refuse rather than silently
+        # chart a truncated fleet.
+        sample = aw.select("node").distinct().limit(MAX_AUTO_NODES + 1).collect()
+        if len(sample) > MAX_AUTO_NODES:
+            p.error(
+                f"more than {MAX_AUTO_NODES} distinct nodes; pass an explicit "
+                "--nodes list to chart a subset"
+            )
+        nodes = sorted(r[0] for r in sample)
 
     for metric, (pa_col, aw_col) in METRICS.items():
         sources = {"purpleair": pa.select("ts", F.col(pa_col).alias("v"))}

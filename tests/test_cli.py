@@ -68,6 +68,31 @@ def test_graphdata_cli(spark, tmp_path):
     assert abs(float(t0["avg_value"]) - 20.0) < 1e-6
 
 
+def test_graphdata_node_autoenumeration_is_capped(spark, tmp_path, monkeypatch):
+    """Above MAX_AUTO_NODES distinct nodes, graphdata refuses the
+    unbounded auto-enumeration and demands an explicit --nodes list
+    (never an unbounded .collect() on the driver)."""
+    import pytest
+
+    from meshtastic_airsensor_database_spark.cli import graphdata
+
+    pa = tmp_path / "pa_clean.csv"
+    pa.write_text(
+        "PacificTime,current_temp_f,current_humidity,pressure,pm1_0_atm,pm2_5_atm,pm10_0_atm\n"
+        "2024-01-15 02:00:00,68.0,40,1013.2,1.2,2.5,3.0\n"
+    )
+    aw = tmp_path / "aw.csv"
+    aw.write_text(AW_CSV)  # two distinct nodes
+    out = str(tmp_path / "graph_out_capped")
+    monkeypatch.setattr(graphdata, "MAX_AUTO_NODES", 1)
+    with pytest.raises(SystemExit):
+        graphdata.main([str(pa), str(aw), "-o", out], spark=spark)
+    # explicit --nodes stays allowed beyond the cap
+    assert graphdata.main(
+        [str(pa), str(aw), "-o", out, "--nodes", "1,2"], spark=spark
+    ) == 0
+
+
 def test_ingest_cli_once(spark, tmp_path):
     from meshtastic_airsensor_database_spark.cli.ingest import main
     from meshtastic_airsensor_database_spark.sources.landing import write_packet_fixture
