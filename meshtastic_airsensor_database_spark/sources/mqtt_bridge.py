@@ -67,12 +67,88 @@ class LandingWriter:
         return path
 
 
+class BridgeSession:
+    """Connection lifecycle for the bridge, client-agnostic and
+    therefore testable without paho or a live broker.
+
+    Reference semantics modeled (behavior, not code):
+    - successful connect (re)subscribes every topic — AIRWISEv0.py:266-274
+      (paho drops subscriptions across reconnects unless clean_session
+      is false; the reference resubscribes in on_connect);
+    - clean disconnect (rc == 0) is final — AIRWISEv0.py:307-309;
+    - unexpected disconnect alerts once (the reference ntfy POST,
+      AIRWISEv0.py:310-313) and then re-establishes the connection —
+      the reference delegates retry to paho's loop_forever; here the
+      retry loop is explicit, with exponential backoff capped at
+      ``reconnect_max_s`` so a dead broker cannot hot-loop the bridge.
+
+    ``client`` needs three methods: ``subscribe(topic)``,
+    ``reconnect()`` (raising on failure), ``disconnect()``.
+    """
+
+    def __init__(
+        self,
+        client,
+        writer: LandingWriter,
+        topics: Sequence[str] = DEFAULT_TOPICS,
+        on_alert=None,
+        reconnect_initial_s: float = 1.0,
+        reconnect_max_s: float = 60.0,
+        max_reconnect_attempts: int | None = None,
+        sleep=time.sleep,
+    ):
+        self.client = client
+        self.writer = writer
+        self.topics = tuple(topics)
+        self.on_alert = on_alert or (lambda title, body: None)
+        self.reconnect_initial_s = reconnect_initial_s
+        self.reconnect_max_s = reconnect_max_s
+        self.max_reconnect_attempts = max_reconnect_attempts
+        self._sleep = sleep
+        self.n_reconnects = 0
+
+    def on_connect(self, rc: int) -> None:
+        if rc == 0:
+            for topic in self.topics:
+                self.client.subscribe(topic)
+        else:
+            self.on_alert("bridge connect failed", f"reason code {rc}")
+
+    def on_message(self, payload: bytes) -> None:
+        self.writer.add(payload.decode("utf-8", errors="replace"))
+
+    def on_disconnect(self, rc: int) -> None:
+        if rc == 0:
+            self.writer.flush()  # clean shutdown: publish the tail
+            return
+        self.on_alert("bridge disconnected", f"unexpected disconnect rc={rc}")
+        delay = self.reconnect_initial_s
+        attempts = 0
+        while True:
+            try:
+                self.client.reconnect()
+            except Exception:
+                attempts += 1
+                if (
+                    self.max_reconnect_attempts is not None
+                    and attempts >= self.max_reconnect_attempts
+                ):
+                    self.writer.flush()  # giving up: land what we have
+                    raise
+                self._sleep(delay)
+                delay = min(delay * 2, self.reconnect_max_s)
+            else:
+                self.n_reconnects += 1
+                return  # paho fires on_connect after reconnect -> resubscribe
+
+
 def run_bridge(
     landing_dir: str,
     broker: str = DEFAULT_BROKER,
     port: int = DEFAULT_PORT,
     topics: Sequence[str] = DEFAULT_TOPICS,
     keepalive_s: int = DEFAULT_KEEPALIVE_S,
+    on_alert=None,
 ) -> None:  # pragma: no cover - requires a live broker + paho
     """Subscribe and land every message; blocks forever (loop_forever parity)."""
     try:
@@ -81,15 +157,16 @@ def run_bridge(
         raise NotImplementedError("run_bridge requires the 'paho-mqtt' package") from exc
 
     writer = LandingWriter(landing_dir)
-
-    def on_message(client, userdata, message):
-        writer.add(message.payload.decode("utf-8", errors="replace"))
-
     client = mqtt.Client()
-    client.on_message = on_message
+    session = BridgeSession(client, writer, topics, on_alert=on_alert)
+    client.on_connect = lambda c, u, flags, rc, properties=None: session.on_connect(
+        getattr(rc, "value", rc)
+    )
+    client.on_message = lambda c, u, message: session.on_message(message.payload)
+    client.on_disconnect = lambda c, u, rc, properties=None, reason_code=None: (
+        session.on_disconnect(getattr(rc, "value", rc))
+    )
     client.connect(broker, port, keepalive_s)
-    for topic in topics:
-        client.subscribe(topic)
     try:
         client.loop_forever()
     finally:

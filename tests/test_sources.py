@@ -16,6 +16,89 @@ from meshtastic_airsensor_database_spark.sources.sinks import (
 )
 
 
+class _FakeClient:
+    """paho stand-in: scripted reconnect failures, recorded calls."""
+
+    def __init__(self, fail_reconnects: int = 0):
+        self.subscribed: list[str] = []
+        self.fail_reconnects = fail_reconnects
+        self.reconnect_calls = 0
+
+    def subscribe(self, topic):
+        self.subscribed.append(topic)
+
+    def reconnect(self):
+        self.reconnect_calls += 1
+        if self.reconnect_calls <= self.fail_reconnects:
+            raise ConnectionError("broker unreachable")
+
+
+def _session(tmp_path, fail_reconnects=0, **kw):
+    from meshtastic_airsensor_database_spark.sources.mqtt_bridge import (
+        BridgeSession,
+        LandingWriter,
+    )
+
+    client = _FakeClient(fail_reconnects)
+    alerts: list[tuple[str, str]] = []
+    sleeps: list[float] = []
+    writer = LandingWriter(str(tmp_path / "landing"), flush_every=1000,
+                           flush_seconds=1e9)
+    session = BridgeSession(
+        client, writer, topics=("t/a", "t/b"),
+        on_alert=lambda title, body: alerts.append((title, body)),
+        reconnect_initial_s=1.0, reconnect_max_s=8.0,
+        sleep=sleeps.append, **kw,
+    )
+    return session, client, alerts, sleeps
+
+
+def test_bridge_connect_resubscribes_all_topics(tmp_path):
+    session, client, alerts, _ = _session(tmp_path)
+    session.on_connect(rc=0)
+    assert client.subscribed == ["t/a", "t/b"]
+    assert alerts == []
+    # a refused connection alerts instead of subscribing
+    session.on_connect(rc=5)
+    assert client.subscribed == ["t/a", "t/b"]
+    assert len(alerts) == 1
+
+
+def test_bridge_unexpected_disconnect_reconnects_with_backoff(tmp_path):
+    """AIRWISEv0.py:306-313 semantics: unexpected disconnect alerts
+    once, then the connection is re-established — here with explicit
+    exponential backoff capped at reconnect_max_s."""
+    session, client, alerts, sleeps = _session(tmp_path, fail_reconnects=5)
+    session.on_disconnect(rc=1)
+    assert client.reconnect_calls == 6  # 5 failures + 1 success
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 8.0]  # doubling, capped
+    assert len(alerts) == 1  # one alert per outage, not per attempt
+    assert session.n_reconnects == 1
+
+
+def test_bridge_clean_disconnect_flushes_and_stops(tmp_path):
+    session, client, alerts, sleeps = _session(tmp_path)
+    session.on_message(b'{"from": 1}')
+    session.on_disconnect(rc=0)
+    assert client.reconnect_calls == 0 and alerts == [] and sleeps == []
+    landing = tmp_path / "landing"
+    files = list(landing.glob("*.jsonl"))
+    assert len(files) == 1  # buffered tail published on clean shutdown
+    assert files[0].read_text().strip() == '{"from": 1}'
+
+
+def test_bridge_gives_up_after_max_attempts_but_lands_buffer(tmp_path):
+    session, client, alerts, sleeps = _session(
+        tmp_path, fail_reconnects=99, max_reconnect_attempts=3
+    )
+    session.on_message(b'{"from": 2}')
+    with pytest.raises(ConnectionError):
+        session.on_disconnect(rc=1)
+    assert client.reconnect_calls == 3
+    files = list((tmp_path / "landing").glob("*.jsonl"))
+    assert len(files) == 1  # nothing lost when the bridge dies
+
+
 def test_csv_batch_source_multi_file_union(spark, tmp_path):
     # multi-file read subsumes pd.concat (cleandata.py:11-19)
     (tmp_path / "a.csv").write_text("x,y\n1,one\n2,two\n")
