@@ -92,7 +92,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(2)), 3
+            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
         )
 
     total = round(sum(timings.values()), 3)

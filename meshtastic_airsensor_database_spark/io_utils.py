@@ -22,9 +22,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped DataFrame reuse: the testdata parquet is immutable, so
+# handing every builder the SAME DataFrame object per (session, sf_dir,
+# table) lets Spark reuse the resolved relation and its file index
+# instead of re-listing + re-inferring schema on every query — a fixed
+# per-query driver cost that dominates sub-second benchmarks. (Lazy
+# plans only: nothing is cached/persisted executor-side.)
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects. Read nanos as LongType (set the legacy conf

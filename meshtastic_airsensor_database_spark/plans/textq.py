@@ -369,6 +369,103 @@ WHERE jaccard >= {CHAR_JACCARD_THRESHOLD}
 """
 
 
+# --- deterministic train/val/test split (SURVEY §2.11 text_analysis) ----------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder is test
+
+
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split — the
+    reproducible alternative to random sampling for training-data
+    curation: the same document lands in the same split on any engine,
+    any run, any cluster size (no seed coordination, no shuffling).
+
+    Bucket = first 8 hex chars of md5(text) as an int mod 100 —
+    content-addressed, so exact duplicates land in the SAME split
+    (never train/test leakage from dupes). Embarrassingly parallel:
+    one narrow pass, no shuffle at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+DOC_SPLIT_ASSIGNMENT_SQL = f"""
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100
+              AS BIGINT) AS bucket
+  FROM documents
+)
+"""
+
+
+# --- per-language vocabulary: document-frequency top-k ------------------------
+
+TERM_TOPK = 5
+
+
+def term_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TERM_TOPK`` non-stopword terms per language by DOCUMENT
+    frequency (each doc counts a term once) — the vocabulary-building /
+    corpus-drift primitive of an LLM data pipeline.
+
+    Scale shape: explode(array_distinct(tokens)) -> two-level hash agg
+    with map-side partials; the window ranks only the (lang, term)
+    aggregate (vocabulary-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    term = (
+        docs.select("lang", F.explode(F.array_distinct(tokens)).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("doc_freq").desc(), F.col("term")
+    )
+    return (
+        term.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TERM_TOPK)
+        .select("lang", "term", "doc_freq", "rank")
+    )
+
+
+TERM_DF_TOPK_SQL = f"""
+WITH terms AS (
+  SELECT lang, term, COUNT(*) AS doc_freq FROM (
+    SELECT lang, unnest(list_distinct(
+             string_split_regex(trim(lower(text)), '\\s+'))) AS term
+    FROM documents
+  ) WHERE term <> '' AND term NOT IN ({_STOPLIST_SQL})
+  GROUP BY lang, term
+)
+SELECT lang, term, doc_freq, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT lang, term, doc_freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_freq DESC, term) AS rank
+  FROM terms
+) WHERE rank <= {TERM_TOPK}
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -387,6 +484,12 @@ QUERIES: list[Query] = [
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,
           ("text_analysis",), "BPE-ish regex token counting per lang"),
+    Query("doc_split_assignment", doc_split_assignment, DOC_SPLIT_ASSIGNMENT_SQL,
+          ("text_analysis", "exact_dedup"),
+          "deterministic content-hash train/val/test split"),
+    Query("term_df_topk", term_df_topk, TERM_DF_TOPK_SQL,
+          ("text_analysis",),
+          "per-language document-frequency top-k vocabulary"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),

@@ -53,6 +53,54 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert a != b  # order matters, unlike a set hash
 
 
+def test_doc_split_is_deterministic_and_leakage_free(spark, sf_dir):
+    """Content-hash split: stable across runs, exact duplicates land in
+    the same split (no train/test leakage through dupes), and the
+    bucket thresholds produce roughly 80/10/10."""
+    from collections import Counter
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import doc_split_assignment
+
+    rows = doc_split_assignment(spark, sf_dir).collect()
+    again = doc_split_assignment(spark, sf_dir).collect()
+    assert {(r.doc_id, r.split) for r in rows} == {(r.doc_id, r.split) for r in again}
+
+    split_by_doc = {r.doc_id: r.split for r in rows}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d.text, set()).add(split_by_doc[d.doc_id])
+    assert all(len(splits) == 1 for splits in by_text.values())  # dupes co-split
+
+    counts = Counter(r.split for r in rows)
+    n = len(rows)
+    assert 0.68 <= counts["train"] / n <= 0.92
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_term_df_topk_counts_each_doc_once(spark):
+    """Document frequency, not term frequency: a term repeated many
+    times in one doc counts once; ranks are dense per language."""
+    from meshtastic_airsensor_database_spark.plans.textq import TERM_TOPK, term_df_topk
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "en", "zebra zebra zebra quark"), (2, "en", "zebra quark"),
+         (3, "fr", "licorne")],
+        ["doc_id", "lang", "text"],
+    )
+    import tempfile, os
+    # route through a parquet dir so the query's load() path is exercised
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = term_df_topk(spark, d).collect()
+    en = {r.term: (r.doc_freq, r.rank) for r in out if r.lang == "en"}
+    assert en["zebra"] == (2, 2)  # 2 docs, not 5 occurrences
+    assert en["quark"] == (2, 1)  # doc_freq tie broken by term order
+    assert all(r.rank <= TERM_TOPK for r in out)
+
+
 def test_bpe_tokens_pretokenizer_shapes(spark):
     from meshtastic_airsensor_database_spark.functions.text import (
         bpe_token_count,
