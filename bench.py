@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "simhash_dedup_buckets",
     "embedding_topk_cosine",
     "ann_ivf_topk",
+    "contaminated_eval_docs",
 ]
 
 

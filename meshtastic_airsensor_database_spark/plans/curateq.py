@@ -1,0 +1,205 @@
+"""Training-data curation queries over ``documents``: decontamination,
+repetition signals, sequence packing (SURVEY.md §2.11 text_analysis /
+near_dedup extension surface; operators in operators/curation.py).
+
+Oracle conventions follow plans/base.py: identical tokenization
+(``split(trim(lower(text)), '\\s+')``), decimal-routed rounding,
+BIGINT casts on integer aggregates, identical column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import fan_out, load
+from ..operators.curation import (
+    CONTAM_NGRAM_N,
+    FFD_BIN_CAPACITY,
+    PACK_SHARDS,
+    SEQ_LEN,
+    chunk_pack_assignment,
+    ffd_pack_bins,
+    ngram_decontaminate,
+    repetition_signals,
+)
+from .base import Query
+from .textq import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+# Shared SQL fragments ---------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+
+_SPLIT_CTE = f"""
+split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100
+                AS BIGINT) AS bucket
+    FROM documents
+  )
+)
+"""
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB mirror of functions/text.py::word_shingles (distinct
+    n-grams; short docs yield the whole text as one shingle)."""
+    return (
+        f"CASE WHEN len({_TOKS}) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len({_TOKS}) - {n - 2}), "
+        f"i -> array_to_string({_TOKS}[i:i+{n - 1}], ' '))) "
+        f"ELSE [array_to_string({_TOKS}, ' ')] END"
+    )
+
+
+def _with_split(docs: DataFrame) -> DataFrame:
+    """Spark side of the deterministic content-hash split (same
+    derivation as textq.py::doc_split_assignment)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long") % 100
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test"),
+    )
+
+
+# --- decontamination ----------------------------------------------------------
+
+
+def contaminated_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Val/test documents sharing >= 1 verbatim word-8-gram with any
+    train document, under the deterministic content-hash split — the
+    train/test leakage report every LLM data pipeline needs before a
+    corpus ships."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return ngram_decontaminate(_with_split(docs))
+
+
+CONTAMINATED_EVAL_DOCS_SQL = f"""
+WITH {_SPLIT_CTE},
+sh AS (
+  SELECT doc_id, split, {_shingle_sql(CONTAM_NGRAM_N)} AS sh
+  FROM split_docs
+),
+grams AS (SELECT doc_id, split, unnest(sh) AS gram FROM sh),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+shared AS (
+  SELECT g.doc_id, g.split, COUNT(*) AS n_shared_ngrams
+  FROM grams g JOIN train_grams t USING (gram)
+  WHERE g.split <> 'train'
+  GROUP BY g.doc_id, g.split
+)
+SELECT s.doc_id, s.split,
+       CAST(s.n_shared_ngrams AS BIGINT) AS n_shared_ngrams,
+       CAST(len(sh.sh) AS BIGINT) AS n_ngrams,
+       CAST(ROUND(CAST(s.n_shared_ngrams::DOUBLE / len(sh.sh)
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS contamination_rate
+FROM shared s JOIN sh USING (doc_id)
+"""
+
+
+# --- repetition signals -------------------------------------------------------
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style repetition/distribution signals:
+    duplicate-bigram fraction, top-token fraction, type-token ratio."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return repetition_signals(docs)
+
+
+_R4 = "CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 4) AS DOUBLE)"
+
+DOC_REPETITION_SIGNALS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+),
+gs AS (
+  SELECT doc_id, len(grams) AS total_bg, len(list_distinct(grams)) AS distinct_bg
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> array_to_string(toks[i:i+1], ' '))
+                ELSE []::VARCHAR[] END AS grams
+    FROM base
+  )
+),
+tc AS (
+  SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_tokens,
+         COUNT(*) AS n_distinct
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT gs.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {_R4.format(x="CASE WHEN total_bg > 0 THEN (total_bg - distinct_bg)::DOUBLE / total_bg ELSE 0.0 END")} AS dup_bigram_frac,
+       {_R4.format(x="max_cnt::DOUBLE / n_tokens")} AS top_token_frac,
+       {_R4.format(x="n_distinct::DOUBLE / n_tokens")} AS type_token_ratio
+FROM gs JOIN tc USING (doc_id)
+"""
+
+
+# --- sequence packing ---------------------------------------------------------
+
+
+def chunk_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: each document's (first_seq, last_seq)
+    span in the sharded fixed-length token stream."""
+    docs = load(spark, sf_dir, "documents")
+    return chunk_pack_assignment(docs)
+
+
+CHUNK_PACK_SPANS_SQL = f"""
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(cum_before / {SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(FLOOR((cum_before + n_tokens - 1) / {SEQ_LEN}) AS BIGINT) AS last_seq
+FROM (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM (
+    SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+           CAST({_N_TOKENS} AS BIGINT) AS n_tokens
+    FROM documents
+  ) WHERE n_tokens > 0
+)
+"""
+
+
+def ffd_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy FFD bin packing per shard (rows-only: the packing loop is
+    inherently sequential — invariants are pytest-asserted: every doc
+    exactly once, bin token sums <= capacity, determinism)."""
+    docs = load(spark, sf_dir, "documents")
+    return ffd_pack_bins(docs, capacity=FFD_BIN_CAPACITY)
+
+
+QUERIES: list[Query] = [
+    Query("contaminated_eval_docs", contaminated_eval_docs,
+          CONTAMINATED_EVAL_DOCS_SQL,
+          ("text_analysis", "near_dedup"),
+          "train/eval word-8-gram contamination report"),
+    Query("doc_repetition_signals", doc_repetition_signals,
+          DOC_REPETITION_SIGNALS_SQL,
+          ("text_analysis",),
+          "Gopher-style repetition & token-distribution signals"),
+    Query("chunk_pack_spans", chunk_pack_spans, CHUNK_PACK_SPANS_SQL,
+          ("text_analysis",),
+          "concat-and-chunk sequence packing spans (sharded)"),
+    Query("ffd_bin_packing", ffd_bin_packing, None,
+          ("text_analysis",),
+          "greedy FFD token bin packing per shard (rows-only)"),
+]

@@ -1,0 +1,166 @@
+"""Training-data curation operators: decontamination, repetition
+signals, sequence packing (operators/curation.py, plans/curateq.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from meshtastic_airsensor_database_spark.operators.curation import (
+    chunk_pack_assignment,
+    ffd_pack_bins,
+    ngram_decontaminate,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+
+# --- decontamination ----------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    shared = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            (0, f"{shared} tail words here", "train"),
+            (1, f"prefix {shared} other stuff", "test"),  # contaminated
+            (2, "totally different words with no overlap at all ok", "val"),
+        ],
+    )
+    out = ngram_decontaminate(docs).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.doc_id == 1 and row.split == "test"
+    assert row.n_shared_ngrams >= 1
+    assert 0 < row.contamination_rate <= 1.0
+
+
+def test_decontaminate_train_never_flagged(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d e f g h i j", "train"),
+            (1, "a b c d e f g h i j", "train"),  # dup inside train: fine
+        ],
+    )
+    assert ngram_decontaminate(docs).count() == 0
+
+
+def test_decontaminate_clean_eval_absent(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta", "train"),
+            (1, "iota kappa lambda mu nu xi omicron pi", "test"),
+        ],
+    )
+    assert ngram_decontaminate(docs).count() == 0
+
+
+# --- repetition signals -------------------------------------------------------
+
+
+def test_repetition_signals_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "x x x x"), (1, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    deg = rows[0]
+    # 3 bigrams, 1 distinct -> 2/3 duplicated
+    assert math.isclose(deg.dup_bigram_frac, round(2 / 3, 4))
+    assert deg.top_token_frac == 1.0
+    assert deg.type_token_ratio == 0.25
+    clean = rows[1]
+    assert clean.dup_bigram_frac == 0.0
+    assert clean.top_token_frac == 0.25
+    assert clean.type_token_ratio == 1.0
+
+
+def test_repetition_signals_single_token_doc(spark):
+    docs = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    row = repetition_signals(docs).collect()[0]
+    assert row.n_tokens == 1
+    assert row.dup_bigram_frac == 0.0  # no bigrams -> defined as 0
+    assert row.top_token_frac == 1.0
+
+
+# --- chunk packing ------------------------------------------------------------
+
+
+def test_chunk_pack_spans_contiguous_per_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(16)],
+        "doc_id long, text string",
+    )
+    out = chunk_pack_assignment(docs, seq_len=16, n_shards=2)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    for shard in (0, 1):
+        cum = 0
+        for r in (x for x in rows if x.shard == shard):
+            assert r.first_seq == cum // 16
+            assert r.last_seq == (cum + r.n_tokens - 1) // 16
+            assert r.first_seq <= r.last_seq
+            cum += r.n_tokens
+
+
+def test_chunk_pack_empty_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "   ")], "doc_id long, text string"
+    )
+    out = chunk_pack_assignment(docs)
+    assert [r.doc_id for r in out.collect()] == [0]
+
+
+# --- FFD bin packing ----------------------------------------------------------
+
+
+def test_ffd_invariants(spark, sf_dir):
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    docs = load(spark, sf_dir, "documents")
+    cap = 128
+    out = ffd_pack_bins(docs, capacity=cap).collect()
+    n_docs = docs.filter(F.trim("text") != "").count()
+    # every non-empty doc assigned exactly once
+    assert len(out) == n_docs
+    assert len({r.doc_id for r in out}) == n_docs
+    # bin capacity respected except dedicated oversized-doc bins
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r.shard, r.bin_id)].append(r.n_tokens)
+    total = 0
+    for toks in bins.values():
+        total += sum(toks)
+        assert sum(toks) <= cap or len(toks) == 1
+    # packing quality: no worse than one bin per doc, at least the
+    # volume lower bound overall
+    n_bins = len(bins)
+    assert n_bins <= n_docs
+    assert n_bins >= math.ceil(total / cap)
+
+
+def test_ffd_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + (i * 7) % 40))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, ffd_pack_bins(docs, capacity=64).collect()))
+    b = sorted(map(tuple, ffd_pack_bins(docs, capacity=64).collect()))
+    assert a == b
+
+
+def test_ffd_oversized_doc_gets_own_bin(spark):
+    docs = spark.createDataFrame(
+        [(0, " ".join(["w"] * 100)), (8, " ".join(["v"] * 10))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ffd_pack_bins(docs, capacity=32).collect()}
+    # both docs are shard 0; the oversized one must sit alone
+    assert out[0].bin_id != out[8].bin_id

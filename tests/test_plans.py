@@ -159,3 +159,28 @@ def test_partitioned_sink_reads_are_partition_pruned(spark, sf_dir, tmp_path):
     )
     assert re.search(r"PartitionFilters: \[[^\]]*event_date", plan), plan
     assert read.count() == ev.filter(F.col("event_date") == F.lit(some_date)).count()
+
+
+def test_curation_aggregates_mapside_partials(spark, sf_dir):
+    """Decontamination + repetition run two-level hash aggregates; both
+    levels must combine map-side before their exchange."""
+    for name in ("contaminated_eval_docs", "doc_repetition_signals"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "partial_" in plan, name
+
+
+def test_chunk_pack_window_is_sharded(spark, sf_dir):
+    """The packing cumsum window must partition by shard — a global
+    (empty-partition) window would serialize the corpus through ONE
+    task. SinglePartition in this plan means the sharding regressed."""
+    plan = plan_of(spark, "chunk_pack_spans", sf_dir)
+    assert "Window" in plan, plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ffd_packer_is_grouped_arrow_batch(spark, sf_dir):
+    """FFD packing must run as grouped-map pandas (one Arrow batch per
+    shard), never a collect-to-driver loop."""
+    plan = plan_of(spark, "ffd_bin_packing", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan, plan
