@@ -267,6 +267,136 @@ def ml_minhash_neardup_pairs(
     )
 
 
+# --- connected components (pair list -> dedup clusters) -----------------------
+
+CC_MAX_ITERATIONS = 25
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a symmetric edge list (u, v).
+
+    For every node u, m = min(neighbors ∪ {u}); emit (v, m) for each
+    strictly-larger neighbor v. Plan shape: one hash aggregate (map-side
+    partial MIN) + one broadcast-eligible equi-join back on u.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+    )
+    return (
+        edges.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge large->small, then for
+    every node u point u and all its smaller neighbors at the local
+    minimum. Same aggregate+join shape as ``_large_star``."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    to_min = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return to_min.union(self_edge).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = CC_MAX_ITERATIONS,
+) -> DataFrame:
+    """(node, component) labels from an undirected pair list, where
+    ``component`` is the minimum node id reachable from ``node`` —
+    the missing end of the near-dedup pipeline (candidate pairs ->
+    transitive duplicate CLUSTERS -> one survivor per cluster).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log log n) rounds on realistic graphs vs O(diameter) for naive
+    label propagation. Each round is two hash aggregates with map-side
+    partial MINs and two equi-joins — no windows, no driver-side data.
+    The per-round ``localCheckpoint`` truncates the iterative lineage
+    (without it the plan doubles every round); convergence is detected
+    by an order-insensitive (count, xor-of-row-hashes) edge-set
+    checksum, two scalars per round on the driver.
+
+    Rows whose ids never appear in ``pairs`` are absent from the output
+    (callers left-join and coalesce to the node's own id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.take(1):
+        return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*"),
+            # BIGINT bit-xor aggregate of row hashes: order-insensitive,
+            # collision-safe enough for a convergence test
+            F.expr("coalesce(bit_xor(xxhash64(u, v)), 0)"),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev = None
+    half = edges
+    for _ in range(max_iterations):
+        # each star round REPLACES the edge set (connectivity is
+        # preserved by both operators — Kiveris et al. Lemma 1/2);
+        # large-star wants both directions, small-star orients itself
+        grown = _large_star(edges).distinct()
+        half = _small_star(grown).localCheckpoint(eager=True)
+        cur = checksum(half)
+        if cur == prev:
+            break
+        prev = cur
+        edges = half.union(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+
+    # post-convergence the edge set is a star forest: (node -> root).
+    roots = half.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return half.select(F.col("u").alias("node"), F.col("v").alias("component")).union(roots)
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup decision: LSH prune -> exact-Jaccard verify ->
+    transitive clustering -> (id, component, keep).
+
+    ``keep`` marks the min-id survivor per duplicate cluster; docs with
+    no verified near-dup form singleton clusters and are kept. This is
+    the operator a 100-TB curation pipeline actually runs: every stage
+    is shuffle-bounded (band buckets / candidate pairs / star rounds)
+    and the final join is ids-only.
+    """
+    pairs = minhash_lsh_neardup_pairs(df, id_col, content_col, threshold)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component_id"),
+        )
+        .withColumn("keep", F.col("component_id") == F.col("doc_id"))
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 SIMHASH_BITS = 64

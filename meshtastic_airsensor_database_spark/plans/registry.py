@@ -21,6 +21,7 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq):
 # drops them, never the cheap green rows behind them (the r01 run died
 # midway through this module's namespace for exactly that reason).
 _RUN_LAST = [
+    "neardup_components",
     "minhash_verified_neardups",
     "ml_minhash_neardups",
     "embedding_neardup_pairs",

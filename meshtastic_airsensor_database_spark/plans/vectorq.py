@@ -253,6 +253,58 @@ def _minhash_verified_sql() -> str:
 _MINHASH_VERIFIED_SQL = _minhash_verified_sql()
 
 
+def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: verified LSH pairs -> connected
+    components (alternating large-star/small-star) -> per-doc
+    ``(component_id, keep)`` dedup decision, min-id survivor per
+    cluster. The end of the dedup pipeline a curation run executes.
+
+    Oracle: DuckDB recursive CTE computing the same min-reachable-id
+    closure over the exact all-pairs >=0.8-Jaccard edge list on the
+    oracle-mirrored ``doc_id < N`` sample.
+    """
+    from ..operators.dedup import neardup_clusters
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    return neardup_clusters(docs, "doc_id", "text", threshold=0.8)
+
+
+def _neardup_components_sql() -> str:
+    from .textq import (
+        JACCARD_NEARDUP_PAIRS_SQL,
+        NEARDUP_SAMPLE_MAX_ID,
+        _doc_sampled_sql,
+    )
+
+    inner = _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
+    return f"""
+WITH RECURSIVE pairs AS (
+  {inner}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+), comp AS (
+  SELECT u AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS component_id,
+       COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < {NEARDUP_SAMPLE_MAX_ID}) d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+_NEARDUP_COMPONENTS_SQL = _neardup_components_sql()
+
+
 # --- SimHash buckets (rows-only) ----------------------------------------------
 
 def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +393,10 @@ QUERIES: list[Query] = [
           "LSH candidates + exact Jaccard verify (oracle: exact all-pairs on sample)"),
     Query("ml_minhash_neardups", ml_minhash_neardups, None,
           ("near_dedup",), "Spark ML MinHashLSH approxSimilarityJoin (rows-only)"),
+    Query("neardup_components", neardup_components_q, _NEARDUP_COMPONENTS_SQL,
+          ("near_dedup",),
+          "transitive dedup clusters via alternating-star connected components "
+          "(oracle: recursive-CTE closure over exact pairs)"),
     Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,

@@ -174,3 +174,83 @@ def test_ml_minhash_converges_with_handbuilt_lsh(spark, sf_dir):
         for r in ml_minhash_neardup_pairs(docs, "doc_id", "text", 0.8).collect()
     }
     assert hand and hand == ml
+
+
+# --- connected components -----------------------------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Union-find ground truth: node -> min reachable id."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes) if any(x in e for e in edges)}
+
+
+def _cc_spark(spark, edges):
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_connected_components_shapes(spark):
+    """Chain (worst case for label propagation), clique, star, disjoint
+    pairs, duplicate/reversed edges -- vs union-find ground truth."""
+    chain = [(i, i + 1) for i in range(12)]
+    clique = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    star = [(30, v) for v in range(31, 36)]
+    dupes = [(40, 41), (41, 40), (40, 41), (50, 51)]
+    edges = chain + clique + star + dupes
+    got = _cc_spark(spark, edges)
+    want = _uf_components(60, edges)
+    assert got == want
+
+
+def test_connected_components_merge_order(spark):
+    """Components that only merge through a high-id bridge node."""
+    edges = [(1, 100), (100, 2), (3, 101), (101, 4), (2, 3)]
+    got = _cc_spark(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 100: 1, 101: 1}
+
+
+def test_connected_components_empty(spark):
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+
+
+def test_neardup_clusters_decision(spark):
+    """keep = min-id per transitive near-dup cluster; non-dup docs keep."""
+    from meshtastic_airsensor_database_spark.operators.dedup import neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    rows = [
+        (0, base),
+        (1, base + "tail one"),            # near-dup of 0
+        (2, base + "tail one two"),        # near-dup of 1 (chain -> same cluster)
+        (3, "completely different text about spark catalyst planning " * 6),
+        (4, "completely different text about spark catalyst planning " * 6),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.component_id, r.keep) for r in
+           neardup_clusters(df, "doc_id", "text", threshold=0.7).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    assert out[3] == (3, True)
+    assert out[4] == (3, False)
