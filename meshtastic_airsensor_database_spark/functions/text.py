@@ -146,3 +146,41 @@ def doc_fingerprint_rolling(col: Column | str, base: int = 31, mod: int = 2**31 
         F.lit(0).cast("long"),
         lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
     )
+
+
+# --- PII detection / redaction ------------------------------------------------
+# Patterns deliberately use only RE2-safe syntax (char classes, bounded
+# repeats, \b) so the same pattern string runs identically under Spark's
+# java.util.regex and DuckDB's RE2 — required for oracle parity.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+# redaction applies in this order; IP before phone so a dotted quad is
+# never half-eaten by the phone pattern
+PII_RULES = (
+    (PII_EMAIL_RE, "[EMAIL]"),
+    (PII_IPV4_RE, "[IP]"),
+    (PII_PHONE_RE, "[PHONE]"),
+)
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email/IPv4/phone occurrence with a typed mask
+    token, in the fixed ``PII_RULES`` order.
+
+    Pure ``regexp_replace`` chain — JVM-side, streams through
+    whole-stage codegen; no Python row path. SQL twin must pass the
+    'g' flag (DuckDB replaces only the first match by default).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, mask in PII_RULES:
+        c = F.regexp_replace(c, F.lit(pattern), F.lit(mask))
+    return c

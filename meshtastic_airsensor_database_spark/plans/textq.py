@@ -466,6 +466,81 @@ SELECT lang, term, doc_freq, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# --- PII scan / redaction -----------------------------------------------------
+#
+# The synthetic corpus carries no natural PII, so the query injects a
+# deterministic doc_id-derived email / IPv4 / phone into every third
+# document IDENTICALLY in the Spark builder and the SQL twin — the
+# regex extraction and masking are then genuinely exercised (and
+# parity-checked) on text that contains matches, absences, and
+# pattern-adjacent decimals from the original body.
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + md5 fingerprint of the fully redacted
+    body. One narrow JVM-side pass (regexp_extract_all / chained
+    regexp_replace in whole-stage codegen): embarrassingly parallel at
+    any scale, no shuffle."""
+    from ..functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count,
+        redact_pii,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.org from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", injected.alias("t"))
+    return t.select(
+        "doc_id",
+        pii_count("t", PII_EMAIL_RE).cast("long").alias("n_emails"),
+        pii_count("t", PII_IPV4_RE).cast("long").alias("n_ips"),
+        pii_count("t", PII_PHONE_RE).cast("long").alias("n_phones"),
+        F.md5(redact_pii("t")).alias("redacted_fp"),
+    )
+
+
+def _pii_scan_sql() -> str:
+    from ..functions.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-0199'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_IPV4_RE}', '[IP]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+FROM t
+"""
+
+
+PII_SCAN_SQL = _pii_scan_sql()
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -490,6 +565,9 @@ QUERIES: list[Query] = [
     Query("term_df_topk", term_df_topk, TERM_DF_TOPK_SQL,
           ("text_analysis",),
           "per-language document-frequency top-k vocabulary"),
+    Query("pii_scan", pii_scan, PII_SCAN_SQL,
+          ("text_analysis",),
+          "PII (email/IPv4/phone) detection counts + redacted fingerprint"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),

@@ -112,3 +112,37 @@ def test_bpe_tokens_pretokenizer_shapes(spark):
     # whitespace runs excluded from the count
     assert _one(spark, "Don't panic, 42 towels!", bpe_token_count(F.col("t"))) == 7
     assert _one(spark, "", bpe_token_count(F.col("t"))) == 0
+
+
+def test_pii_redaction_and_counts(spark):
+    from meshtastic_airsensor_database_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and d@e.io, ip 192.168.0.1 call 800-555-1234"),
+        (1, "no pii here, just version 1.2 and value 3.14"),
+        (2, "dotted quad 10.0.0.7 is an ip, 10.0.0 is not"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            pii_count("t", PII_EMAIL_RE).alias("ne"),
+            pii_count("t", PII_IPV4_RE).alias("ni"),
+            pii_count("t", PII_PHONE_RE).alias("np"),
+            redact_pii("t").alias("red"),
+        ).collect()
+    }
+    assert (out[0].ne, out[0].ni, out[0].np) == (2, 1, 1)
+    assert out[0].red == "mail [EMAIL] and [EMAIL], ip [IP] call [PHONE]"
+    assert (out[1].ne, out[1].ni, out[1].np) == (0, 0, 0)
+    assert out[1].red == rows[1][1]
+    assert (out[2].ne, out[2].ni, out[2].np) == (0, 1, 0)
+    assert out[3].red == ""
