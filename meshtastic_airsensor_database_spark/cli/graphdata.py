@@ -7,8 +7,11 @@
 The reference renders six matplotlib overlays (PurpleAir vs two AIRWISE
 nodes per metric). The engine computes the comparison as a real query
 — per-metric time-bucket alignment of the tagged sources — and writes
-one CSV per metric (bucket_ts, source, avg/min/max/n); charting stays
-client-side on the small result, exactly as SURVEY §3.3 prescribes.
+one CSV per metric (bucket_ts, source, avg/min/max/n); `--svg` also
+renders each figure as a dependency-free SVG chart (chartsvg.py) with
+the reference's fixed 0-15 y-axis on the PM metrics (graphdata.py PM
+subplots). Charting stays driver-side on the small aggregated result,
+exactly as SURVEY §3.3 prescribes.
 """
 
 from __future__ import annotations
@@ -74,6 +77,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="comma-separated AIRWISE node ids (default: all nodes, "
                         f"up to {MAX_AUTO_NODES})")
     p.add_argument("--bucket", default="5 minutes")
+    p.add_argument("--svg", action="store_true",
+                   help="also render each metric as a standalone SVG chart")
     args = p.parse_args(argv)
 
     spark = spark or get_spark("graphdata")
@@ -107,6 +112,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         out = os.path.join(args.out_dir, metric)
         csv_sink(aligned, out, single_file=True)
         print(f"Wrote {out}")
+        if args.svg:
+            from datetime import datetime
+
+            from .chartsvg import (
+                PM_Y_LIMITS,
+                aligned_rows_to_series,
+                render_line_chart_svg,
+            )
+
+            # the aligned frame is chart-sized by construction
+            # (buckets x sources); PM metrics pin the reference ylim
+            svg = render_line_chart_svg(
+                aligned_rows_to_series(aligned.collect()),
+                title=metric,
+                y_limits=PM_Y_LIMITS if metric.startswith("pm") else None,
+                x_labeler=lambda x: datetime.fromtimestamp(x).strftime("%m-%d %H:%M"),
+            )
+            svg_path = os.path.join(args.out_dir, f"{metric}.svg")
+            with open(svg_path, "w") as f:
+                f.write(svg)
+            print(f"Wrote {svg_path}")
     return 0
 
 

@@ -68,6 +68,56 @@ def test_graphdata_cli(spark, tmp_path):
     assert abs(float(t0["avg_value"]) - 20.0) < 1e-6
 
 
+def test_graphdata_svg_rendering(spark, tmp_path):
+    """--svg renders one well-formed SVG per metric; PM charts pin the
+    reference's 0-15 y-axis (graphdata.py PM subplots), others autoscale."""
+    import xml.etree.ElementTree as ET
+
+    from meshtastic_airsensor_database_spark.cli.graphdata import METRICS, main
+
+    pa = tmp_path / "pa_clean.csv"
+    pa.write_text(
+        "PacificTime,current_temp_f,current_humidity,pressure,pm1_0_atm,pm2_5_atm,pm10_0_atm\n"
+        "2024-01-15 02:00:00,68.0,40,1013.2,1.2,2.5,3.0\n"
+        "2024-01-15 02:06:00,70.5,41,1013.1,1.3,2.6,3.1\n"
+    )
+    aw = tmp_path / "aw.csv"
+    aw.write_text(AW_CSV)
+    out = str(tmp_path / "graph_out")
+    assert main([str(pa), str(aw), "-o", out, "--svg"], spark=spark) == 0
+
+    ns = {"svg": "http://www.w3.org/2000/svg"}
+    for metric in METRICS:
+        root = ET.parse(os.path.join(out, f"{metric}.svg")).getroot()
+        lines = root.findall(".//svg:polyline", ns)
+        # one clipped polyline per source (purpleair + 2 airwise nodes)
+        assert len(lines) == 3
+        assert all(p.get("clip-path") == "url(#plot)" for p in lines)
+        labels = {t.text for t in root.findall(".//svg:text", ns)}
+        assert {"purpleair", "airwise_1", "airwise_2"} <= labels
+        if metric.startswith("pm"):
+            assert {"0", "15"} <= labels  # pinned reference ylim ticks
+        else:
+            assert "15" not in labels or metric == "temperature"
+
+
+def test_chartsvg_deterministic_and_clipped():
+    from meshtastic_airsensor_database_spark.cli.chartsvg import (
+        render_line_chart_svg,
+    )
+
+    series = {"a": [(0.0, 1.0), (60.0, 20.0)], "b": [(0.0, 5.0)]}
+    one = render_line_chart_svg(series, title="t", y_limits=(0.0, 15.0))
+    two = render_line_chart_svg(series, title="t", y_limits=(0.0, 15.0))
+    assert one == two  # byte-deterministic
+    # the y=20 point is kept but clipped by the plot clipPath
+    assert 'clip-path="url(#plot)"' in one
+    # empty-series chart still renders a valid document
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(render_line_chart_svg({}, title="empty"))
+
+
 def test_graphdata_node_autoenumeration_is_capped(spark, tmp_path, monkeypatch):
     """Above MAX_AUTO_NODES distinct nodes, graphdata refuses the
     unbounded auto-enumeration and demands an explicit --nodes list

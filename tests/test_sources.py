@@ -12,6 +12,7 @@ from meshtastic_airsensor_database_spark.sources.ddl import ddl_bootstrap
 from meshtastic_airsensor_database_spark.sources.sinks import (
     csv_sink,
     document_sink,
+    mongo_document_sink,
     parquet_table_sink,
 )
 
@@ -144,6 +145,67 @@ def test_document_sink_one_doc_per_row(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 2
     assert set(back.columns) == {"Name", "Line", "line_number"}
+
+
+class _FakeMongo:
+    """pymongo stand-in: each insert_many lands one JSONL file in a
+    spool dir (executor-side mutations must go through the filesystem
+    to be observable from the test — the client is pickled to the
+    worker, so in-memory lists never come back)."""
+
+    def __init__(self, spool_dir: str):
+        self.spool = spool_dir
+        self.closed = False
+
+    def __getitem__(self, database):
+        return {"packets": self, "docs": self}  # db["coll"] -> self
+
+    def insert_many(self, docs, ordered=True):
+        import json
+        import os
+        import uuid
+
+        assert ordered is False, "sink must request unordered bulk inserts"
+        with open(os.path.join(self.spool, f"{uuid.uuid4().hex}.jsonl"), "w") as f:
+            for d in docs:
+                f.write(json.dumps(d, sort_keys=True) + "\n")
+
+    def close(self):
+        self.closed = True
+
+
+def test_mongo_document_sink_batched_unordered(spark, tmp_path):
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    spool_path = str(spool)
+
+    df = spark.createDataFrame(
+        [(i, f"line {i}") for i in range(25)], "line_number int, Line string"
+    ).repartition(2)
+    mongo_document_sink(
+        df, lambda: _FakeMongo(spool_path), "mesh", "docs", batch_size=10
+    )
+
+    import json
+
+    batches = [p.read_text().splitlines() for p in spool.iterdir()]
+    # batch_size respected per insert_many call
+    assert batches and all(1 <= len(b) <= 10 for b in batches)
+    got = {json.loads(line)["line_number"] for b in batches for line in b}
+    assert got == set(range(25))
+
+
+def test_pymongo_factory_gated():
+    from meshtastic_airsensor_database_spark.sources.sinks import (
+        pymongo_client_factory,
+    )
+
+    factory = pymongo_client_factory("mongodb://localhost:27017")
+    try:
+        import pymongo  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            factory()
 
 
 def test_parquet_table_sink_partitions(spark, tmp_path):
