@@ -45,10 +45,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as LongType (set the legacy conf
-        # here so ANY caller's session works, not just ours) and convert
-        # to micros (floor — same truncation DuckDB applies on read).
+        # Some testdata generations write ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects. Read nanos as LongType (set
+        # the legacy conf here so ANY caller's session works, not just
+        # ours) and convert to micros (floor — same truncation DuckDB
+        # applies on read).
         from pyspark.sql.types import LongType
 
         try:
@@ -58,8 +59,27 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP_LTZ, wall-clock
+    interpreted as UTC (epoch-preserving, independent of the caller
+    session's timezone — unlike a plain ``cast("timestamp")``).
+
+    Testdata parquet generations vary in whether timestamps carry
+    isAdjustedToUTC; Spark 4 infers NTZ for the naive variant, which
+    breaks epoch arithmetic (``cast(ts as long)`` is illegal on NTZ)
+    and tz conversions downstream. DuckDB reads both variants as naive
+    wall clocks, so pinning NTZ -> UTC keeps oracle value parity.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
