@@ -6,11 +6,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import curateq, events, relational, streamq, textq, vectorq
+from . import curateq, events, relational, streamq, textq, tsq, vectorq
 from .base import Query
 
 REGISTRY: dict[str, Query] = {}
-for _mod in (relational, events, textq, vectorq, streamq, curateq):
+for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
     for _q in _mod.QUERIES:
         if _q.name in REGISTRY:
             raise ValueError(f"duplicate query name {_q.name!r}")

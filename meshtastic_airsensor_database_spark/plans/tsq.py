@@ -1,0 +1,282 @@
+"""Advanced time-series queries over ``events``: dense gap-filled
+grids, interval (range) joins, ordered funnels, robust outlier
+detection (SURVEY.md §2.12 extension surface).
+
+These are the time-series capabilities a telemetry engine needs beyond
+the reference's sort-and-plot analytics (graphdata.py): the missing-
+bucket handling its charts show as gaps, the "which readings fall in
+this maintenance window" join, the per-node event-order questions, and
+a quality gate for sensor glitches. Oracle conventions per
+plans/base.py (decimal-routed rounding, BIGINT casts, epoch longs for
+bucket axes, identical aliases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_utils import load
+from ..operators.intervals import bucketed_range_join
+from ..operators.timegrid import gapfill
+from .base import Query, r
+
+# --- dense gap-filled grid (time_gapfill) -------------------------------------
+
+GAPFILL_BUCKET_S = 14400  # 4-hour buckets: 150 users x ~180 buckets at sf0.01
+
+
+def gapfill_value_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense 4-hour grid of avg(value) with forward fill and
+    linear interpolation — the ``time_bucket_gapfill`` primitive.
+
+    Scale: one agg shuffle + per-key bounded explode + two per-key
+    windows (operators/timegrid.py). The grid axis is epoch seconds
+    (BIGINT) — the tz-free representation both engines agree on.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = gapfill(ev, "user_id", "ts", "value", GAPFILL_BUCKET_S)
+    return g.select(
+        "user_id",
+        "bucket_epoch",
+        r("v_raw", 2).alias("v_raw"),
+        r("v_ff", 2).alias("v_ff"),
+        r("v_interp", 2).alias("v_interp"),
+    )
+
+
+_R2 = "CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 2) AS DOUBLE)"
+_R3 = "CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 3) AS DOUBLE)"
+
+_INTERP_EXPR = (
+    "CASE WHEN v_raw IS NOT NULL THEN v_raw "
+    "WHEN prev_v IS NOT NULL AND next_v IS NOT NULL "
+    "THEN prev_v + (next_v - prev_v) * (bucket - prev_b) / (next_b - prev_b) "
+    "ELSE COALESCE(prev_v, next_v) END"
+)
+
+GAPFILL_VALUE_GRID_SQL = f"""
+WITH agg AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / {GAPFILL_BUCKET_S}) AS BIGINT) AS bucket,
+         AVG(value) AS v_raw
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+dense AS (
+  SELECT g.user_id, g.bucket, a.v_raw
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+),
+f AS (
+  SELECT user_id, bucket, v_raw,
+    last_value(v_raw IGNORE NULLS) OVER wback AS prev_v,
+    last_value(CASE WHEN v_raw IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wback AS prev_b,
+    first_value(v_raw IGNORE NULLS) OVER wfwd AS next_v,
+    first_value(CASE WHEN v_raw IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wfwd AS next_b
+  FROM dense
+  WINDOW
+    wback AS (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(bucket * {GAPFILL_BUCKET_S} AS BIGINT) AS bucket_epoch,
+       {_R2.format(x="v_raw")} AS v_raw,
+       {_R2.format(x="prev_v")} AS v_ff,
+       {_R2.format(x=_INTERP_EXPR)} AS v_interp
+FROM f
+"""
+
+
+# --- interval (range) join (range_interval_join) ------------------------------
+
+INTERVAL_SPAN_S = 21600  # 6-hour windows anchored on sampled click events
+
+
+def interval_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-interval stats of events falling inside deterministic 6-hour
+    windows (anchored on every 20th-id click event, same user) — the
+    point-in-interval join every maintenance-window / incident-scoping
+    analysis needs.
+
+    Scale: operators/intervals.py reduces the theta join to a hash
+    equi-join on (user_id, time-bucket) with bounded interval fan-out —
+    no BroadcastNestedLoop/cartesian at any input size.
+    """
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        ev.filter((F.col("event_type") == "click") & (F.col("event_id") % 20 == 0))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_SPAN_S} SECONDS")).alias(
+                "end_ts"
+            ),
+        )
+    )
+    pts = ev.select("event_id", "ts", "user_id", "value")
+    joined = bucketed_range_join(
+        pts, iv, "ts", "start_ts", "end_ts",
+        on=["user_id"], bucket_seconds=INTERVAL_SPAN_S,
+    )
+    return joined.groupBy("interval_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        r(F.avg("value"), 2).alias("avg_value"),
+        F.max("ts").alias("last_event_ts"),
+    )
+
+
+INTERVAL_EVENT_STATS_SQL = f"""
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id, ts AS start_ts,
+         ts + INTERVAL {INTERVAL_SPAN_S} SECOND AS end_ts
+  FROM events WHERE event_type = 'click' AND event_id % 20 = 0
+)
+SELECT iv.interval_id, iv.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_R2.format(x="AVG(e.value)")} AS avg_value,
+       MAX(e.ts) AS last_event_ts
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+GROUP BY 1, 2
+"""
+
+
+# --- ordered funnel (funnel_pattern) ------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered per-user funnel: first 'view', then the first
+    'click' after it, then the first 'purchase' after that — the
+    MATCH_RECOGNIZE-style sequence question expressed as three chained
+    keyed aggregations (each shuffle co-partitioned on user_id, so
+    after the first exchange the joins are local at any scale).
+    """
+    ev = load(spark, sf_dir, "events")
+    s1, s2, s3 = FUNNEL_STEPS
+    a = (
+        ev.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_1"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == s2)
+        .join(a, "user_id")
+        .where(F.col("ts") > F.col("ts_1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_2"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == s3)
+        .join(b, "user_id")
+        .where(F.col("ts") > F.col("ts_2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_3"))
+    )
+    return (
+        a.join(b, "user_id", "left")
+        .join(c, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_1",
+            "ts_2",
+            "ts_3",
+            F.when(F.col("ts_3").isNotNull(), 3)
+            .when(F.col("ts_2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+FUNNEL_CONVERSION_SQL = f"""
+WITH a AS (
+  SELECT user_id, MIN(ts) AS ts_1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_2
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > a.ts_1 GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_3
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > b.ts_2 GROUP BY 1
+)
+SELECT a.user_id, a.ts_1, b.ts_2, c.ts_3,
+       CAST(CASE WHEN c.ts_3 IS NOT NULL THEN 3
+                 WHEN b.ts_2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS funnel_depth
+FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+"""
+
+
+# --- robust outliers (robust_outlier_detect) ----------------------------------
+
+MAD_Z_THRESHOLD = 3.5
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): MAD -> sigma-equivalent scale
+
+
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust z-score outliers: |0.6745 (v - median) / MAD| >
+    3.5 (Iglewicz-Hoaglin modified z-score) — the sensor-glitch gate
+    that, unlike mean/stddev, is not dragged by the outliers themselves.
+
+    Scale: two keyed exact-median aggregations + two co-partitioned
+    joins on user_id (one exchange total under AQE reuse); at 100 TB
+    swap ``median`` for ``approx_percentile`` and keep the shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("_med"))
+    with_med = ev.join(med, "user_id")
+    mad = with_med.groupBy("user_id").agg(
+        F.median(F.abs(F.col("value") - F.col("_med"))).alias("_mad")
+    )
+    z = MAD_CONSISTENCY * (F.col("value") - F.col("_med")) / F.col("_mad")
+    return (
+        with_med.join(mad, "user_id")
+        .where((F.col("_mad") > 0) & (F.abs(z) > MAD_Z_THRESHOLD))
+        .select(
+            "event_id",
+            "user_id",
+            r("value", 2).alias("value"),
+            r(z, 3).alias("robust_z"),
+        )
+    )
+
+
+VALUE_OUTLIERS_MAD_SQL = f"""
+WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+mad AS (
+  SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (user_id) GROUP BY 1
+)
+SELECT e.event_id, e.user_id,
+       {_R2.format(x="e.value")} AS value,
+       {_R3.format(x=f"{MAD_CONSISTENCY} * (e.value - m.med) / d.mad")} AS robust_z
+FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+WHERE d.mad > 0
+  AND abs({MAD_CONSISTENCY} * (e.value - m.med) / d.mad) > {MAD_Z_THRESHOLD}
+"""
+
+
+QUERIES: list[Query] = [
+    Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
+          ("time_gapfill", "timeseries_align"),
+          "dense per-key bucket grid with forward fill + linear interpolation"),
+    Query("interval_event_stats", interval_event_stats, INTERVAL_EVENT_STATS_SQL,
+          ("range_interval_join",),
+          "bucketed point-in-interval range join + per-interval stats"),
+    Query("funnel_conversion", funnel_conversion, FUNNEL_CONVERSION_SQL,
+          ("funnel_pattern",),
+          "strictly-ordered view->click->purchase funnel per user"),
+    Query("value_outliers_mad", value_outliers_mad, VALUE_OUTLIERS_MAD_SQL,
+          ("robust_outlier_detect",),
+          "median/MAD modified z-score outlier detection per user"),
+]
