@@ -43,36 +43,56 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Confs every load pins (best-effort: a locked-down session keeps its
+# values and the NTZ expression fallback below still yields correct
+# results, just without scan pushdown on timestamp predicates):
+# - nanosAsLong: some testdata generations write TIMESTAMP(NANOS),
+#   which the parquet reader otherwise rejects.
+# - inferTimestampNTZ.enabled=false: naive (isAdjustedToUTC=0) parquet
+#   timestamps are inferred as plain TIMESTAMP (LTZ, epoch = stored
+#   micros read as UTC) instead of TIMESTAMP_NTZ. Keeping the column a
+#   bare scan column is what preserves min/max row-group pushdown for
+#   range predicates — an expression wrap (to_utc_timestamp/cast) lands
+#   in DataFilters but NOT PushedFilters, turning every time-range
+#   query into a full scan at 100 TB.
+# - session.timeZone=UTC: makes the LTZ interpretation (and all
+#   date_trunc/window/date_format derivations) match the DuckDB
+#   oracle's naive-UTC reading regardless of the caller's session tz.
+_LOAD_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    for k, v in _LOAD_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down; NTZ fallback below keeps correctness
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Some testdata generations write ts as TIMESTAMP(NANOS), which
-        # Spark's parquet reader rejects. Read nanos as LongType (set
-        # the legacy conf here so ANY caller's session works, not just
-        # ours) and convert to micros (floor — same truncation DuckDB
-        # applies on read).
+        # nanosAsLong read path: convert stored nanos to micros (floor —
+        # same truncation DuckDB applies on read).
         from pyspark.sql.types import LongType
 
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # conf locked down; fall through and hope it's preset
-        df = spark.read.parquet(table_path(sf_dir, name))
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _ntz_to_ltz(df)
-    return _ntz_to_ltz(spark.read.parquet(table_path(sf_dir, name)))
+    return _ntz_to_ltz(df)
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:
-    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP_LTZ, wall-clock
-    interpreted as UTC (epoch-preserving, independent of the caller
-    session's timezone — unlike a plain ``cast("timestamp")``).
+    """Fallback normalization of TIMESTAMP_NTZ columns to LTZ for
+    sessions where ``spark.sql.parquet.inferTimestampNTZ.enabled``
+    could not be set (then this is a no-op because the scan already
+    yields LTZ).
 
-    Testdata parquet generations vary in whether timestamps carry
-    isAdjustedToUTC; Spark 4 infers NTZ for the naive variant, which
-    breaks epoch arithmetic (``cast(ts as long)`` is illegal on NTZ)
-    and tz conversions downstream. DuckDB reads both variants as naive
-    wall clocks, so pinning NTZ -> UTC keeps oracle value parity.
+    Note ``to_utc_timestamp(col, "UTC")`` first casts NTZ->LTZ via the
+    SESSION timezone, so it pins the wall clock to UTC only because
+    ``_read_table`` pins ``spark.sql.session.timeZone=UTC`` above; it
+    is not session-independent on its own. Prefer the conf path: this
+    expression wrap defeats parquet min/max pushdown on the column.
     """
     from pyspark.sql.types import TimestampNTZType
 
@@ -98,6 +118,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     into a full-width one for the cost of shuffling a few MB.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Use the scan's file count as the width proxy instead of
+    # df.rdd.getNumPartitions(): the latter materializes an RDD
+    # conversion of the analyzed plan on the driver per call. File
+    # count understates width when files exceed maxPartitionBytes
+    # (splittable parquet), so it can only over-trigger the
+    # repartition — harmless for the small inputs this guard targets,
+    # and a no-op branch at 100 TB where inputs carry thousands of
+    # files.
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)

@@ -49,6 +49,11 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long
         # (io_utils.load converts to a proper TimestampType column)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (isAdjustedToUTC=0) infer as plain
+        # TIMESTAMP (LTZ @ UTC session tz) instead of TIMESTAMP_NTZ, so
+        # time-range predicates stay plain scan columns and reach
+        # PushedFilters (row-group/page pruning at scale).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

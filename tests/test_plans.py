@@ -102,6 +102,25 @@ def test_ivf_assignment_aggregates_mapside_no_window(spark, sf_dir):
     assert "partial_max_by" in plan, plan
 
 
+def test_events_ts_range_predicate_is_pushed(spark, sf_dir):
+    """A time-range filter on the events load must reach PushedFilters
+    (parquet row-group/page min-max pruning). If the load path wraps the
+    timestamp in an expression (cast/to_utc_timestamp NTZ
+    normalization), the predicate stays in DataFilters only and every
+    time-range query becomes a full scan at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-06-01").cast("timestamp")
+    )
+    plan = ev._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", plan), plan
+
+
 def test_filters_reach_parquet_scans(spark, sf_dir):
     """Queries that filter on scan columns must show a non-empty
     PushedFilters on at least one parquet scan."""
