@@ -21,6 +21,7 @@ wallclock stamp, is excluded by construction).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -232,6 +233,200 @@ FROM v1
 )
 
 
+# --- late/duplicate-packet watermark replay -----------------------------------
+#
+# The cross-batch dedup path (streaming/ingest.py::run_ingest_stream with
+# dropDuplicatesWithinWatermark) was previously pytest-only. This replay
+# drives the REAL streaming query over four fixture files forced into
+# four micro-batches (maxFilesPerTrigger=1, mtime-ordered), so the
+# watermark advances between batches and every acceptance outcome of the
+# operator's contract occurs, each observable in the output rows:
+#   - in-batch and cross-batch duplicates of a LIVE (from, id) key are
+#     dropped (batch b carries an exact re-broadcast of a batch-a row),
+#   - a MODERATELY late packet (event time below the current watermark
+#     but event time + delay still above it) is accepted (batch b) —
+#     mirroring the reference's silent acceptance of stale packets
+#     (AIRWISEv0.py:258) — while a TOO-late packet (event time + delay
+#     at or below the watermark, i.e. one whose dedup window has fully
+#     closed) would be dropped on input,
+#   - a key reused with a FRESH timestamp after its state entry expired
+#     (the watermark passed original event time + delay) is RE-accepted
+#     (batch d re-delivers a batch-a key: Meshtastic ids are 32-bit
+#     per-sender counters, so reboot/wrap reuse is real) — under
+#     unbounded global dedup that row would be dropped, so this outcome
+#     is what makes the watermark-bounded state OBSERVABLE in the
+#     output; it is the documented at-least-once residual the 10-minute
+#     DEDUP_WATERMARK trades for bounded state at 100 TB.
+# The DuckDB twin re-implements that state machine in SQL: W_k = the
+# watermark in effect during batch k = max(event ts of batches < k) -
+# 600 s; a batch-N row is accepted iff (a) its event time + 600 > W_N
+# (dedup window still open), (b) no LIVE prior entry holds its key — an
+# entry accepted in batch M with event time ts is live for batch N > M
+# iff ts + 600 > W_{N-1} (state cleanup runs at each batch END with the
+# then-current watermark) — and (c) it is the first of its key within
+# its own batch. A hash match therefore pins dedup keying, watermark
+# advancement, AND eviction timing, not just final dedup.
+
+_LATE_DIR = FIXTURE_DIR / "late_replay"
+_LATE_FILES = (
+    _LATE_DIR / "a.jsonl",
+    _LATE_DIR / "b.jsonl",
+    _LATE_DIR / "c.jsonl",
+    _LATE_DIR / "d.jsonl",
+)
+_LATE_REPLAY_CACHE: dict[str, str] = {}
+
+
+def _late_replayed_out_dir(spark: SparkSession) -> str:
+    from ..streaming.ingest import IngestPaths, run_ingest_stream
+
+    key = spark.sparkContext.applicationId
+    out = _LATE_REPLAY_CACHE.get(key)
+    if out is not None and os.path.isdir(os.path.join(out, "airwise_data")):
+        return out
+    landing = tempfile.mkdtemp(prefix="late_landing_")
+    out = tempfile.mkdtemp(prefix="late_replay_")
+    for i, src in enumerate(_LATE_FILES):
+        dst = os.path.join(landing, src.name)
+        shutil.copyfile(src, dst)
+        # FileStreamSource picks oldest-mtime first: pin mtimes so file a
+        # IS batch 0 and file b IS batch 1, deterministically.
+        os.utime(dst, (1_000 + i * 1_000, 1_000 + i * 1_000))
+    # The fixture is a few KB driven through 4 stateful micro-batches;
+    # at the session's cluster-sized shuffle width each batch would pay
+    # 32 state-store tasks per stage for single-digit rows. Pin a tiny
+    # width for the replay (state partition count is fixed at query
+    # start, so this is replay-local) and restore the caller's conf.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = run_ingest_stream(
+            spark,
+            IngestPaths(landing_dir=landing, out_dir=out),
+            max_files_per_trigger=1,
+            dedup_within_watermark=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _LATE_REPLAY_CACHE[key] = out
+    return out
+
+
+def replay_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 env facts surviving the two-batch watermark/dedup replay.
+    ``sf_dir`` is unused: input is the committed late_replay fixture."""
+    out = _late_replayed_out_dir(spark)
+    return spark.read.parquet(os.path.join(out, "airwise_data")).select(
+        "node", "topic_id", "longname", "temperature", "humidity",
+        "pressure", "gas", "iaq", "timestamp_node",
+    )
+
+
+_LATE_RAW_CTES = ",\n".join(
+    f"""{chr(97 + i)}_raw AS (
+  SELECT * FROM read_json('{p}', format='newline_delimited',
+    ignore_errors=true,
+    columns={{'from': 'BIGINT', 'id': 'BIGINT', 'type': 'VARCHAR',
+              'timestamp': 'BIGINT', 'payload': '{_PAYLOAD_STRUCT}'}})
+  WHERE type IS NOT NULL
+)"""
+    for i, p in enumerate(_LATE_FILES)
+)
+
+REPLAY_LATE_DEDUP_SQL = f"""
+WITH {_LATE_RAW_CTES},
+-- watermarks in effect during batches 1..3 (max prior event ts - delay)
+w1 AS (SELECT max("timestamp") - 600 AS w FROM a_raw),
+w2 AS (
+  SELECT max(ts) - 600 AS w FROM (
+    SELECT "timestamp" AS ts FROM a_raw UNION ALL
+    SELECT "timestamp" FROM b_raw
+  )
+),
+w3 AS (
+  SELECT max(ts) - 600 AS w FROM (
+    SELECT "timestamp" AS ts FROM a_raw UNION ALL
+    SELECT "timestamp" FROM b_raw UNION ALL
+    SELECT "timestamp" FROM c_raw
+  )
+),
+-- batch 0: watermark -inf, empty state: in-batch dedup only
+a_acc AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY "from", id) AS _rn FROM a_raw
+  ) WHERE _rn = 1
+),
+-- batch 1: too-late filter vs W_1; state cleanup before this batch ran
+-- with W_0 = -inf, so every a-key is live.
+b_acc AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY "from", id) AS _rn
+    FROM b_raw b, w1
+    WHERE b."timestamp" + 600 > w1.w
+      AND NOT EXISTS (
+        SELECT 1 FROM a_acc p WHERE p."from" = b."from" AND p.id = b.id
+      )
+  ) WHERE _rn = 1
+),
+-- batch 2: too-late vs W_2; prior entries live iff they survived the
+-- end-of-batch-1 cleanup (W_1)
+c_acc AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY "from", id) AS _rn
+    FROM c_raw c, w2
+    WHERE c."timestamp" + 600 > w2.w
+      AND NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT "from", id, "timestamp" FROM a_acc
+          UNION ALL SELECT "from", id, "timestamp" FROM b_acc
+        ) p, w1
+        WHERE p."from" = c."from" AND p.id = c.id
+          AND p."timestamp" + 600 > w1.w
+      )
+  ) WHERE _rn = 1
+),
+-- batch 3: too-late vs W_3; prior entries live iff they survived the
+-- end-of-batch-2 cleanup (W_2)
+d_acc AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY "from", id) AS _rn
+    FROM d_raw d, w3
+    WHERE d."timestamp" + 600 > w3.w
+      AND NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT "from", id, "timestamp" FROM a_acc
+          UNION ALL SELECT "from", id, "timestamp" FROM b_acc
+          UNION ALL SELECT "from", id, "timestamp" FROM c_acc
+        ) p, w2
+        WHERE p."from" = d."from" AND p.id = d.id
+          AND p."timestamp" + 600 > w2.w
+      )
+  ) WHERE _rn = 1
+),
+accepted AS (
+  SELECT "from", id, type, "timestamp", payload FROM a_acc
+  UNION ALL SELECT "from", id, type, "timestamp", payload FROM b_acc
+  UNION ALL SELECT "from", id, type, "timestamp", payload FROM c_acc
+  UNION ALL SELECT "from", id, type, "timestamp", payload FROM d_acc
+),
+dim AS (SELECT * FROM (VALUES {_SEED_VALUES}) s(node, topic_id, longname))
+SELECT d."from" AS node, dim.topic_id, dim.longname,
+       payload.temperature AS temperature,
+       payload.relative_humidity AS humidity,
+       payload.barometric_pressure AS pressure,
+       payload.gas_resistance AS gas,
+       payload.iaq AS iaq,
+       d."timestamp" AS timestamp_node
+FROM accepted d LEFT JOIN dim ON d."from" = dim.node
+WHERE d.type = 'telemetry' AND payload.battery_level IS NULL
+"""
+
+
 QUERIES: list[Query] = [
     Query("replay_route_counts", replay_route_counts, REPLAY_ROUTE_COUNTS_SQL,
           ("stream_route_multiplex", "packet_type_filter", "exact_dedup"),
@@ -248,4 +443,7 @@ QUERIES: list[Query] = [
           ("csv_text_payload_parse", "field_extraction", "node_dim_enrich",
            "malformed_row_skip"),
           "golden-replay v1 csv-payload facts"),
+    Query("replay_late_dedup", replay_late_dedup, REPLAY_LATE_DEDUP_SQL,
+          ("late_data_handling", "exact_dedup", "stream_route_multiplex"),
+          "two-batch watermark replay: late drop + cross-batch (from,id) dedup"),
 ]
