@@ -44,10 +44,29 @@ def bucketed_range_join(
     ``span / bucket_seconds`` per interval.
     """
     on = on or []
+    # Outer semantics survive only because the range predicate is part
+    # of the JOIN CONDITION (a post-join .where() would drop
+    # null-extended rows, silently degrading to inner). Interval-side
+    # outer joins are still unsupported: the explode would emit one
+    # null-extended row per covered bucket for an unmatched interval.
+    allowed = {"inner", "left", "left_outer"}
+    if how not in allowed:
+        raise ValueError(
+            f"bucketed_range_join supports how in {sorted(allowed)}, got {how!r}: "
+            "interval-side outer joins would duplicate unmatched intervals "
+            "once per exploded bucket"
+        )
     # Interval side: one row per covered bucket. cast-to-long floors
     # sub-second timestamps; monotonicity of floor guarantees a point
     # inside [start, end] has its bucket inside [bucket(start),
     # bucket(end)] — no boundary misses.
+    #
+    # Both sides are explicitly aliased and the condition is built from
+    # qualified refs: when points and intervals derive from the same
+    # DataFrame (self-join, e.g. events joined to event-derived
+    # intervals), unqualified pt[c] == iv[c] carries identical
+    # expression IDs — the fragile ambiguity Spark resolves only
+    # heuristically via dataset ids.
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
@@ -56,13 +75,20 @@ def bucketed_range_join(
                 time_bucket(F.col(end_col), bucket_seconds),
             )
         ),
+    ).alias("_iv")
+    pt = points.withColumn(
+        "_bucket", time_bucket(F.col(point_ts), bucket_seconds)
+    ).alias("_pt")
+    cond = (
+        [F.col("_pt._bucket") == F.col("_iv._bucket")]
+        + [F.col(f"_pt.{c}") == F.col(f"_iv.{c}") for c in on]
+        + [
+            F.col(f"_pt.{point_ts}") >= F.col(f"_iv.{start_col}"),
+            F.col(f"_pt.{point_ts}") <= F.col(f"_iv.{end_col}"),
+        ]
     )
-    pt = points.withColumn("_bucket", time_bucket(F.col(point_ts), bucket_seconds))
-    cond = [pt["_bucket"] == iv["_bucket"]] + [pt[c] == iv[c] for c in on]
-    joined = pt.join(iv, cond, how).where(
-        (pt[point_ts] >= iv[start_col]) & (pt[point_ts] <= iv[end_col])
-    )
-    keep = [pt[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c not in set(on)
+    joined = pt.join(iv, cond, how)
+    keep = [F.col(f"_pt.{c}") for c in points.columns] + [
+        F.col(f"_iv.{c}") for c in intervals.columns if c not in set(on)
     ]
     return joined.select(*keep)

@@ -180,6 +180,30 @@ def test_partitioned_sink_reads_are_partition_pruned(spark, sf_dir, tmp_path):
     assert read.count() == ev.filter(F.col("event_date") == F.lit(some_date)).count()
 
 
+def test_bucketed_range_join_stays_equi_join_without_broadcast(spark, sf_dir):
+    """interval_event_stats promises 'no BroadcastNestedLoopJoin at any
+    size': with broadcast disabled (the 100-TB case — neither side fits)
+    the bucket-explode reduction must still plan as an EQUI join
+    (SortMergeJoin/ShuffledHashJoin on the bucket+key), never a nested
+    loop or cartesian over the raw range predicate."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "interval_event_stats", sf_dir)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_tsq_aggregates_mapside_partials(spark, sf_dir):
+    """Funnel and MAD-outlier queries aggregate per user/type; both must
+    combine map-side before their exchange."""
+    for name in ("funnel_conversion", "value_outliers_mad"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "partial_" in plan, name
+
+
 def test_curation_aggregates_mapside_partials(spark, sf_dir):
     """Decontamination + repetition run two-level hash aggregates; both
     levels must combine map-side before their exchange."""
