@@ -326,13 +326,35 @@ def connected_components(
 
     Rows whose ids never appear in ``pairs`` are absent from the output
     (callers left-join and coalesce to the node's own id).
+
+    Round counts: O(log log n) expected on realistic (power-law)
+    duplicate graphs — single-digit rounds even at 10^11 nodes; the
+    adversarial worst case (a single long path) is O(log n). The
+    ``max_iterations`` guard (default 25, i.e. comfortable for any
+    n that fits storage) exists to turn a logic regression into a
+    loud error instead of an unbounded job.
+
+    Lineage truncation per round is required (the plan doubles every
+    round otherwise). By default it uses ``localCheckpoint`` — blocks
+    are pinned to executors, so an executor loss mid-computation fails
+    the job. For long cluster runs, call
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`` first:
+    when a checkpoint dir is set, this operator switches to RELIABLE
+    ``checkpoint()`` (persisted to that filesystem, survives executor
+    loss) at the cost of a write per round.
     """
-    edges = (
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _truncate(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if not edges.take(1):
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -353,7 +375,7 @@ def connected_components(
         # preserved by both operators — Kiveris et al. Lemma 1/2);
         # large-star wants both directions, small-star orients itself
         grown = _large_star(edges).distinct()
-        half = _small_star(grown).localCheckpoint(eager=True)
+        half = _truncate(_small_star(grown))
         cur = checksum(half)
         if cur == prev:
             break

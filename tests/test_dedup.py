@@ -225,6 +225,40 @@ def test_connected_components_merge_order(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 100: 1, 101: 1}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """The max_iterations guard must fail loudly, not run unbounded."""
+    import pytest
+
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no convergence in 0"):
+        connected_components(df, max_iterations=0)
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir set, rounds truncate lineage via reliable
+    checkpoint() (survives executor loss on a cluster) and results are
+    unchanged."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        edges = [(i, i + 1) for i in range(8)] + [(20, 21)]
+        got = _cc_spark(spark, edges)
+        want = _uf_components(30, edges)
+        assert got == want
+        import os
+
+        assert os.listdir(tmp_path / "cc_ckpt")  # checkpoints actually written
+    finally:
+        # reset to None (py4j name-mangles the Scala setter)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
 def test_connected_components_empty(spark):
     from meshtastic_airsensor_database_spark.operators.dedup import (
         connected_components,
