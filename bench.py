@@ -90,11 +90,17 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
+    # Three full SWEEPS over the query list (not 3 back-to-back runs per
+    # query): machine-load bursts last seconds, so consecutive runs of
+    # one query share the same burst — sweeping decorrelates the noise
+    # each min() sees at identical total cost.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
-        )
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            t = run_query(spark, name, sf_dir)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -60,34 +60,49 @@ def assign_ivf_clusters(
     Deterministic stand-in for k-means training: the first
     ``n_centroids`` vectors by id act as centroids (documented fake —
     the assignment/probe PLUMBING is the operator under test; a real
-    deployment drops in trained centroids). Centroids are broadcast;
-    the per-id argmax is a ``groupBy(id).agg(max_by(...))`` — partial
-    aggregation collapses the n x n_centroids scored fan-out MAP-SIDE,
-    so the shuffle carries one row per vector. (A row_number window
-    here would shuffle all n x C rows before the rank-1 filter — a
-    C-fold shuffle inflation at scale.) Tie-break: highest cosine,
-    then lowest centroid_id (the negated id inside the max_by ordering
-    struct). ``first(vec)`` is deterministic here — the vector is
-    constant within its id group.
+    deployment drops in trained centroids). All centroids are packed
+    into ONE broadcast row as an array<struct> and the per-vector
+    argmax runs as a narrow ``transform`` + ``array_max`` projection:
+    NO row fan-out, NO aggregation, NO shuffle — strictly better than
+    both a window argmax (shuffles n x C rows) and a map-side
+    ``max_by`` (still exchanges one row per vector): the assignment
+    stage touches each vector exactly once where it already lives.
+    C ~ thousands of centroids stays comfortably inside a broadcast.
+    Tie-break: highest cosine, then lowest centroid_id (negated id as
+    the second struct comparison field; ids are unique, so the order
+    is strict and the result deterministic).
     """
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-    )
-    scored = fan_out(emb).crossJoin(F.broadcast(cents)).withColumn(
-        "_cos", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
-    )
-    return (
-        scored.groupBy(id_col)
+    cent_row = (
+        emb.filter(F.col(id_col) < n_centroids)
         .agg(
-            F.first(F.col(vec_col)).alias(vec_col),
-            F.max_by(
-                F.col("centroid_id"),
-                F.struct(
-                    F.col("_cos").alias("s"), (-F.col("centroid_id")).alias("t")
-                ),
-            ).alias("cluster"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("cid"),
+                        F.col(vec_col).alias("cv"),
+                    )
+                )
+            ).alias("_cents")
         )
-        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cosine_similarity(F.col(vec_col), c["cv"]).alias("s"),
+            (-c["cid"]).alias("t"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    # fan_out: the argmax is narrow, so its parallelism equals the scan
+    # width — thousands of splits at scale (no-op), one small file
+    # locally (spread once, then compute).
+    return (
+        fan_out(emb).crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_max(scored)["cid"].alias("cluster"),
+        )
     )
 
 

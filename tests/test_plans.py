@@ -92,14 +92,19 @@ def test_minhash_candidates_plan_has_no_join(spark, sf_dir):
         assert op not in plan, plan
 
 
-def test_ivf_assignment_aggregates_mapside_no_window(spark, sf_dir):
-    """IVF cluster assignment must collapse the n x C scored fan-out
-    with a partial max_by aggregate BEFORE the exchange (shuffle = one
-    row per vector). A row_number window here would shuffle all n x C
-    rows — a C-fold inflation at 100 TB with C~1024 centroids."""
+def test_ivf_assignment_is_narrow_no_vector_shuffle(spark, sf_dir):
+    """IVF cluster assignment runs as a narrow transform+array_max over
+    a broadcast centroid array: the vector relation is never exchanged.
+    A row_number window would shuffle n x C rows and even a map-side
+    max_by exchanges one row per vector — at 100 TB the assignment must
+    touch each vector where it already lives. The only permitted
+    exchanges are broadcasts and the single-row centroid pack
+    (SinglePartition)."""
     plan = plan_of(spark, "ann_ivf_topk", sf_dir)
     assert "Window" not in plan, plan
-    assert "partial_max_by" in plan, plan
+    assert "partial_max_by" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_events_ts_range_predicate_is_pushed(spark, sf_dir):
