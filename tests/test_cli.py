@@ -171,3 +171,58 @@ def test_querygen_cli(spark, tmp_path):
     assert [d["Line"] for d in docs] == ["alpha", "beta", "gamma"]  # stripped
     assert [d["Line Number"] for d in docs] == [0, 1, 2]
     assert docs[0]["Name"] == "test_file_hello_world"
+
+
+def test_bridge_cli_env_config(monkeypatch):
+    """Flags fall back to the reference env-file keys
+    (connectionSpecs.env parity); run_bridge is injected so no broker
+    or paho is needed."""
+    from meshtastic_airsensor_database_spark.cli import bridge as bridge_cli
+
+    seen = {}
+
+    def fake_bridge(**kwargs):
+        seen.update(kwargs)
+
+    monkeypatch.setenv("landing_dir", "/data/landing")
+    monkeypatch.setenv("mqtt_broker_address", "broker.example")
+    monkeypatch.setenv("mqtt_port", "8883")
+    monkeypatch.setenv("mqtt_topics", "a/#, b/#")
+    assert bridge_cli.main([], bridge=fake_bridge) == 0
+    assert seen["landing_dir"] == "/data/landing"
+    assert seen["broker"] == "broker.example"
+    assert seen["port"] == 8883
+    assert seen["topics"] == ["a/#", "b/#"]
+    # explicit flags beat env
+    assert bridge_cli.main(["--broker", "other", "--topic", "x/#"],
+                           bridge=fake_bridge) == 0
+    assert seen["broker"] == "other"
+    assert seen["topics"] == ["x/#"]
+
+
+def test_bridge_alert_fallback_logs(capsys):
+    from meshtastic_airsensor_database_spark.cli.bridge import make_ntfy_alert
+
+    make_ntfy_alert(None)("t", "b")
+    assert "[alert] t: b" in capsys.readouterr().err
+
+
+def test_monitor_cli_once(spark, tmp_path, monkeypatch, capsys):
+    """monitor --once over a landing dir with one heartbeat: stream
+    starts, checkpoint is written, no alert posted (node still live)."""
+    import json as _json
+
+    from meshtastic_airsensor_database_spark.cli.monitor import main
+    from meshtastic_airsensor_database_spark.sources.landing import write_packet_fixture
+
+    landing = str(tmp_path / "mon_landing")
+    ckpt = str(tmp_path / "mon_ckpt")
+    pkt = _json.dumps({
+        "from": 1, "id": 1, "type": "nodeinfo", "timestamp": 1000,
+        "payload": {"id": "!1", "longname": "Farm1"},
+    })
+    write_packet_fixture(landing, [pkt], "b0.jsonl")
+    monkeypatch.setenv("offline_threshold_minutes", "100")
+    assert main(["--landing-dir", landing, "--checkpoint-dir", ckpt, "--once"],
+                spark=spark) == 0
+    assert os.path.isdir(ckpt)
