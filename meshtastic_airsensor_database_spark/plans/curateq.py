@@ -187,7 +187,63 @@ def ffd_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ffd_pack_bins(docs, capacity=FFD_BIN_CAPACITY)
 
 
+# --- per-language quota sampling ----------------------------------------------
+
+# Language rebalancing for a training mix: keep 100% of the rarest
+# languages and hash-downsample the dominant ones. The keep decision is
+# a salted CONTENT hash (md5, same convention as doc_split_assignment):
+# deterministic on any engine / cluster size / run — no RNG, no seed
+# coordination, no shuffle (one narrow pass; at 100 TB the filter
+# happens where the rows live) — and exact duplicates always share a
+# fate, so downsampling never changes corpus composition nondeterministically.
+# The salt decorrelates these buckets from the train/val/test split
+# buckets (the same doc must not be "kept iff it's in train").
+QUOTA_PCT = {"en": 35, "zh": 60, "es": 60}  # others keep 100%
+QUOTA_DEFAULT_PCT = 100
+QUOTA_SALT = "lang-quota-v1:"
+
+
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(QUOTA_SALT), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    quota = F.lit(QUOTA_DEFAULT_PCT)
+    for lang, pct in QUOTA_PCT.items():
+        quota = F.when(F.col("lang") == lang, pct).otherwise(quota)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("sample_bucket"),
+        (bucket < quota).alias("kept"),
+    )
+
+
+_QUOTA_CASE = " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in QUOTA_PCT.items()
+)
+
+LANG_QUOTA_SAMPLE_SQL = f"""
+SELECT doc_id, lang, sample_bucket,
+       sample_bucket < (CASE lang {_QUOTA_CASE} ELSE {QUOTA_DEFAULT_PCT} END) AS kept
+FROM (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(concat('{QUOTA_SALT}', text)), 1, 8))
+              AS UBIGINT) % 100 AS BIGINT) AS sample_bucket
+  FROM documents
+)
+"""
+
+
 QUERIES: list[Query] = [
+    Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
+          ("text_analysis", "exact_dedup"),
+          "deterministic per-language hash-quota downsampling"),
     Query("contaminated_eval_docs", contaminated_eval_docs,
           CONTAMINATED_EVAL_DOCS_SQL,
           ("text_analysis", "near_dedup"),

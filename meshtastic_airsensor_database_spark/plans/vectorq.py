@@ -83,6 +83,100 @@ LIMIT {TOP_K}
 """
 
 
+# --- batch multi-query top-k (similarity_search_topk, retrieval shape) --------
+
+# Retrieval pipelines rank against BATCHES of query vectors, not one.
+# All queries are packed into a single broadcast array row (same shape
+# as the IVF centroid pack); scoring explodes to n x Q rows, and the
+# top-k per query is computed in TWO aggregate stages: per-(query,
+# input-partition) partial top-k (each task's buffer holds at most its
+# own partition's rows — the mapPartitions top-k shape, no global
+# window), then a final merge over Q x n_shards x k rows. A
+# Window.partitionBy(query) row_number here would shuffle the full
+# n x Q scored set; this shuffles only the k-row partials.
+QUERY_BATCH_IDS = (0, 1, 2, 3)
+BATCH_K = 5
+
+
+def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qpack = (
+        emb.filter(F.col("vec_id").isin(*QUERY_BATCH_IDS))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("qid"),
+                        F.col("embedding").alias("qv"),
+                    )
+                )
+            ).alias("_qs")
+        )
+    )
+    scored = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(qpack))
+        .select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    "_qs",
+                    lambda q: F.struct(
+                        q["qid"].alias("qid"),
+                        r(cosine_similarity(F.col("embedding"), q["qv"]), 4).alias(
+                            "cosine"
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.qid").alias("query_id"), "vec_id", F.col("s.cosine").alias("cosine")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    # ascending struct sort == (cosine desc, vec_id asc)
+    entry = F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id").alias("vid"))
+    partial = scored.groupBy(
+        F.spark_partition_id().alias("_shard"), "query_id"
+    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, BATCH_K).alias("top"))
+    merged = (
+        partial.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, BATCH_K).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("t.vid").alias("vec_id"),
+        (-F.col("t.nc")).alias("cosine"),
+    )
+
+
+EMBEDDING_BATCH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {QUERY_BATCH_IDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(ROUND(CAST(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rnk, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {BATCH_K}
+"""
+
+
 # --- embedding near-dup pairs (SURVEY §2.11 near_dedup, cosine variant) -------
 
 COSINE_PAIR_THRESHOLD = 0.4
@@ -372,6 +466,9 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
     Query("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_COSINE_SQL,
           ("similarity_search_topk",), "brute-force cosine top-k"),
+    Query("embedding_batch_topk", embedding_batch_topk, EMBEDDING_BATCH_TOPK_SQL,
+          ("similarity_search_topk",),
+          "multi-query cosine top-k via two-stage partial top-k merge"),
     Query("embedding_neardup_pairs", embedding_neardup_pairs_sampled,
           EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL,
           ("near_dedup", "similarity_search_topk"),

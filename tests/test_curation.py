@@ -164,3 +164,35 @@ def test_ffd_oversized_doc_gets_own_bin(spark):
     out = {r.doc_id: r for r in ffd_pack_bins(docs, capacity=32).collect()}
     # both docs are shard 0; the oversized one must sit alone
     assert out[0].bin_id != out[8].bin_id
+
+
+def test_lang_quota_sample_dupes_share_fate_and_rates(spark, sf_dir):
+    """Content-hash quota: exact duplicate texts always share a keep
+    decision, and per-language keep rates track the declared quotas."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.curateq import (
+        QUOTA_DEFAULT_PCT,
+        QUOTA_PCT,
+        lang_quota_sample,
+    )
+
+    decisions = lang_quota_sample(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = decisions.join(docs, "doc_id")
+    # duplicates share fate: one distinct keep decision per distinct text
+    per_text = joined.groupBy("text").agg(
+        F.countDistinct("kept").alias("n_decisions")
+    )
+    assert per_text.filter(F.col("n_decisions") > 1).count() == 0
+
+    rates = {
+        row["lang"]: row["rate"]
+        for row in decisions.groupBy("lang")
+        .agg(F.avg(F.col("kept").cast("double")).alias("rate"))
+        .collect()
+    }
+    for lang, rate in rates.items():
+        want = QUOTA_PCT.get(lang, QUOTA_DEFAULT_PCT) / 100.0
+        assert abs(rate - want) < 0.25, (lang, rate, want)

@@ -110,3 +110,40 @@ def test_kmeans_ivf_full_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     ]
     assert full == exact
+
+
+def test_batch_topk_matches_single_query_bruteforce(spark, sf_dir):
+    """Two-stage partial top-k merge == per-query brute force, and the
+    plan contains no Window (the full scored set is never shuffled)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        BATCH_K,
+        QUERY_BATCH_IDS,
+        embedding_batch_topk,
+    )
+
+    got = embedding_batch_topk(spark, sf_dir)
+    assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
+    by_query = {
+        qid: [(r["vec_id"], r["cosine"]) for r in rows]
+        for qid, rows in (
+            (qid, sorted(
+                [r for r in got.collect() if r["query_id"] == qid],
+                key=lambda r: r["rnk"],
+            ))
+            for qid in QUERY_BATCH_IDS
+        )
+    }
+    emb = load(spark, sf_dir, "embeddings")
+    for qid in QUERY_BATCH_IDS:
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(emb, qid, k=BATCH_K).collect()
+        ]
+        # brute_force excludes only the query vec; batch also excludes it
+        assert by_query[qid] == want, qid
