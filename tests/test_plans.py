@@ -31,8 +31,10 @@ ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
                 "char_jaccard_neardup_pairs"}
 
 # Single-row / tiny build sides legitimately use a nested-loop
-# broadcast (e.g. one query vector crossed with every embedding).
-BNLJ_OK = {"embedding_topk_cosine", "ann_ivf_topk", "ann_kmeans_ivf_topk",
+# broadcast (e.g. one query vector — or one packed row of query
+# vectors — crossed with every embedding).
+BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
+           "ann_ivf_topk", "ann_kmeans_ivf_topk",
            "asof_latest_view_value",
            "embedding_neardup_pairs", "jaccard_neardup_pairs",
            "char_jaccard_neardup_pairs"}
