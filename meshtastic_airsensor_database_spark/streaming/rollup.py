@@ -1,0 +1,153 @@
+"""Incremental hourly rollup — continuous-aggregate maintenance.
+
+The reference recomputes its per-node plots from the full fact table on
+every request (graphdata.py's per-figure ``SELECT *`` + pandas resample;
+AIRWISEv0.py keeps no aggregate state at all). At 100 TB a dashboard
+query can never re-scan raw facts; the engine instead maintains a
+MATERIALIZED hourly rollup the way a TimescaleDB continuous aggregate /
+Druid rollup segment does, updated incrementally from each ingest
+micro-batch.
+
+Scale contract (the reason this shape survives 1000 executors):
+
+- The rollup table stores PARTIAL aggregates (sum, count, min, max) —
+  never averages — so increments merge associatively and the maintainer
+  can always ``old ⊕ new`` without re-reading raw facts. The finalize
+  step (avg = sum/count) happens only at query time.
+- One micro-batch touches ONLY the date partitions its events land in:
+  the merge reads the existing rollup filtered to the affected dates
+  (partition-pruned directory scan — the rest of the table's files are
+  never listed), and the write uses dynamic partition overwrite, so a
+  day of history is rewritten only when a late event actually arrives
+  for it. Steady state rewrites one small partition per batch
+  regardless of table age.
+- The rewritten rows are bounded by (hours/day x keys), i.e. the rollup
+  grain, not by raw-fact volume: a batch merge shuffles thousands of
+  partial rows, never billions of events.
+- On an object store a production deployment would swap the
+  parquet-overwrite for a transactional table format (Delta/Iceberg
+  MERGE) to get atomic partition swaps; the maintenance algebra —
+  partial aggs, affected-partition pruning, associative merge — is
+  identical, and ``parquet_table_sink``-style dynamic overwrite is the
+  dependency-free stand-in this container allows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_PARTITION_COL = "rollup_date"
+
+# Partial-aggregate schema of the rollup table. Kept in one place so the
+# maintainer and the finalizer can't drift.
+_PARTIAL_COLS = ("sum_value", "cnt", "min_value", "max_value")
+
+
+def _partials(df: DataFrame, keys: list[str], ts_col: str, value_col: str) -> DataFrame:
+    """Aggregate raw facts to hourly partial aggregates (map-side
+    combined hash agg; the shuffle carries one row per key x hour)."""
+    return (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"), *keys)
+        .agg(
+            F.sum(value_col).alias("sum_value"),
+            F.count(value_col).alias("cnt"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn(ROLLUP_PARTITION_COL, F.to_date("hour_ts"))
+    )
+
+
+def _merge(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """Associatively merge partial-aggregate rows sharing a key x hour:
+    sums add, counts add, mins/maxes fold."""
+    return parts.groupBy("hour_ts", *keys).agg(
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("cnt").alias("cnt"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ).withColumn(ROLLUP_PARTITION_COL, F.to_date("hour_ts"))
+
+
+def maintain_rollup(
+    batch: DataFrame,
+    rollup_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> list:
+    """Fold one micro-batch of raw facts into the materialized hourly
+    rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
+    streaming ingest calls it per epoch) and equally usable for batch
+    backfill slices.
+
+    Returns the list of affected partition dates (for tests/metrics).
+    """
+    spark = batch.sparkSession
+    new_parts = _partials(batch, keys, ts_col, value_col)
+
+    # The affected-date set is bounded by the batch's event-time spread
+    # (normally 1-2 dates per micro-batch) — a driver-side collect of a
+    # few scalars, not data movement.
+    affected = [row[0] for row in new_parts.select(ROLLUP_PARTITION_COL).distinct().collect()]
+    if not affected:
+        return []
+
+    exists = _rollup_exists(spark, rollup_path)
+    if exists:
+        existing = spark.read.parquet(rollup_path).filter(
+            F.col(ROLLUP_PARTITION_COL).isin(affected)
+        )
+        merged = _merge(existing.unionByName(new_parts), keys)
+    else:
+        merged = _merge(new_parts, keys)
+
+    # Materialize the merged partials before overwriting: the plan reads
+    # the same parquet path it is about to replace, which Spark rightly
+    # refuses to run lazily. The merged set is rollup-grain small
+    # (hours x keys for the affected dates), so pinning it is cheap.
+    merged = merged.localCheckpoint(eager=True)
+
+    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(ROLLUP_PARTITION_COL)
+            .parquet(rollup_path)
+        )
+    finally:
+        if overwrite_mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
+    return affected
+
+
+def _rollup_exists(spark: SparkSession, rollup_path: str) -> bool:
+    if "://" not in rollup_path:
+        return os.path.isdir(rollup_path) and any(
+            name.startswith(ROLLUP_PARTITION_COL + "=") for name in os.listdir(rollup_path)
+        )
+    # Remote filesystems: probe through Hadoop so the same code runs on
+    # an object store.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    return path.getFileSystem(conf).exists(path)
+
+
+def read_rollup(spark: SparkSession, rollup_path: str, keys: list[str]) -> DataFrame:
+    """Finalize the materialized partials into the user-facing hourly
+    aggregate view (avg derived at read time — the stored state stays
+    mergeable)."""
+    parts = spark.read.parquet(rollup_path)
+    return parts.select(
+        "hour_ts",
+        *keys,
+        (F.col("sum_value") / F.col("cnt")).alias("avg_value"),
+        F.col("min_value"),
+        F.col("max_value"),
+        F.col("cnt").alias("n"),
+    )
