@@ -59,6 +59,27 @@ BENCH_QUERIES = [
 ]
 
 
+def calibration(spark) -> float:
+    """Machine-speed probe: a fixed CPU-bound JVM workload (hash-reduce
+    over a generated range, no I/O, no Python) whose wall time depends
+    only on how fast this host currently is. Reported next to the query
+    timings so cross-round totals can be normalized: the same engine
+    code benched on a 1.4x-slower host shows a 1.4x calibration, and
+    query-time movement beyond that ratio is a real plan change.
+    Min-of-3 like the queries."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        spark._jvm.System.gc()
+        df = spark.range(0, 4_000_000_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        t0 = time.time()
+        # bit_xor, not sum: ANSI mode overflows on a long sum of hashes
+        df.select(F.bit_xor(F.xxhash64("id"))).write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     # GC fence: collect garbage from the previous query outside the
     # timed region so one query's allocation debt doesn't land as a
@@ -111,6 +132,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration(spark),
             }
         )
     )
