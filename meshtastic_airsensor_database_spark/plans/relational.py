@@ -545,6 +545,46 @@ GROUP BY o_orderpriority, quartile
 """
 
 
+# --- salted skew join (scale toolkit: key salting) ---------------------------
+
+SKEW_SALT_N = 8
+
+
+def salted_brand_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x part through ``operators/skew.py::salted_join`` (fact
+    side salted, build side replicated 8x, equi-join on key+salt), then
+    per-brand totals. The oracle is the PLAIN join — a hash match
+    proves salting is semantics-invariant, which is the whole point:
+    it may be dropped in wherever one hot key serializes a stage.
+    ``test_plans.py`` separately pins the salted exchange shape with
+    broadcast disabled."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_quantity"
+    )
+    pt = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(
+        li, pt, on=["partkey"], salt_n=SKEW_SALT_N,
+        salt_on=["l_orderkey", "partkey"],
+    )
+    return joined.groupBy("p_brand").agg(
+        r(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SALTED_BRAND_QUANTITIES_SQL = """
+SELECT p_brand,
+       CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -592,4 +632,7 @@ QUERIES: list[Query] = [
     Query("order_value_quartiles", order_value_quartiles,
           ORDER_VALUE_QUARTILES_SQL, ("latest_reading_per_node", "time_sort"),
           "NTILE quartile ranking window"),
+    Query("salted_brand_quantities", salted_brand_quantities,
+          SALTED_BRAND_QUANTITIES_SQL, ("node_dim_enrich",),
+          "skew-salted equi-join == plain join (semantics-invariant salting)"),
 ]
