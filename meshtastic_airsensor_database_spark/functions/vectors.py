@@ -31,3 +31,35 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cos(a,b) = a·b / (|a||b|); zero-norm input -> null (not NaN)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def quantize_int8(col: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: ``q[i] = round_half_up(
+    v[i] / scale)`` with ``scale = max|v| / 127`` — the
+    memory-bandwidth lever for 100-TB similarity scans (4x smaller
+    vectors than float32, 8x than float64; SIMD int8 dot products on
+    real hardware).
+
+    Returns ``array<int>`` with every element in [-127, 127]; the
+    all-zero vector quantizes to all zeros. Cosine needs NO
+    dequantization: the per-vector scale multiplies every element, so
+    it cancels in ``cos(a,b) = a.b / (|a||b|)`` — compute cosine
+    directly on the int arrays. Rounding is floor(x + 0.5) (half toward
+    +inf), chosen because both Spark and DuckDB evaluate it identically
+    on doubles (plain round() is HALF_UP on decimal strings in Spark
+    but banker's/C-rounding elsewhere).
+    """
+    v = _as_double_array(col)
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    zeros = F.transform(v, lambda x: F.lit(0))
+    return F.when(maxabs > 0, q).otherwise(zeros)
+
+
+def int8_scale(col: Column | str) -> Column:
+    """The dequantization scale paired with ``quantize_int8`` (needed
+    only for magnitude-sensitive consumers — dot products, L2 — not
+    for cosine)."""
+    v = _as_double_array(col)
+    return F.array_max(F.transform(v, F.abs)) / F.lit(127.0)

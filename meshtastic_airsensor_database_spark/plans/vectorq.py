@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import cosine_similarity, l2_norm, quantize_int8
 from ..io_utils import fan_out, load
 from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import ivf_topk, brute_force_topk
@@ -174,6 +174,61 @@ SELECT query_id, rnk, vec_id, cosine FROM (
                             ORDER BY cosine DESC, vec_id) AS rnk
   FROM scored
 ) WHERE rnk <= {BATCH_K}
+"""
+
+
+# --- int8-quantized cosine top-k (similarity_search_topk, compressed) ---------
+
+
+def quantized_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0 by cosine over int8-QUANTIZED
+    vectors (functions/vectors.py::quantize_int8) — the compressed scan
+    path for 100-TB similarity: 4x less I/O and memory bandwidth than
+    float32, and cosine needs no dequantization because the per-vector
+    scale cancels. The oracle re-implements the same quantizer in
+    DuckDB list lambdas, so the hash match pins the quantization math
+    itself (scale, half-up rounding, zero-vector guard), not just the
+    ranking."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize_int8(F.col("embedding")).alias("q")
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("q").alias("qq"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            r(cosine_similarity(F.col("q"), F.col("qq")), 4).alias("cosine_q"),
+        )
+        .orderBy(F.col("cosine_q").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUANTIZED_TOPK_COSINE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0 AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, label,
+         CASE WHEN s > 0
+              THEN list_transform(embedding::DOUBLE[],
+                                  x -> CAST(floor(x / s + 0.5) AS INTEGER))
+              ELSE list_transform(embedding::DOUBLE[], x -> 0) END AS q
+  FROM base
+),
+qv AS (SELECT q AS qq FROM qz WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       CAST(ROUND(CAST(list_dot_product(q::DOUBLE[], qq::DOUBLE[])
+             / (sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))
+                * sqrt(list_dot_product(qq::DOUBLE[], qq::DOUBLE[]))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine_q
+FROM qz, qv
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine_q DESC, vec_id
+LIMIT {TOP_K}
 """
 
 
@@ -469,6 +524,9 @@ QUERIES: list[Query] = [
     Query("embedding_batch_topk", embedding_batch_topk, EMBEDDING_BATCH_TOPK_SQL,
           ("similarity_search_topk",),
           "multi-query cosine top-k via two-stage partial top-k merge"),
+    Query("quantized_topk_cosine", quantized_topk_cosine, QUANTIZED_TOPK_COSINE_SQL,
+          ("similarity_search_topk",),
+          "int8-quantized cosine top-k (oracle re-implements the quantizer)"),
     Query("embedding_neardup_pairs", embedding_neardup_pairs_sampled,
           EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL,
           ("near_dedup", "similarity_search_topk"),

@@ -34,6 +34,7 @@ ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
 # broadcast (e.g. one query vector — or one packed row of query
 # vectors — crossed with every embedding).
 BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
+           "quantized_topk_cosine",
            "ann_ivf_topk", "ann_kmeans_ivf_topk",
            "asof_latest_view_value",
            "embedding_neardup_pairs", "jaccard_neardup_pairs",

@@ -147,3 +147,58 @@ def test_batch_topk_matches_single_query_bruteforce(spark, sf_dir):
         ]
         # brute_force excludes only the query vec; batch also excludes it
         assert by_query[qid] == want, qid
+
+
+def test_quantize_int8_bounds_and_error(spark, sf_dir):
+    """Quantized elements stay in [-127, 127]; dequantized values land
+    within half a scale step of the original; zero vectors quantize to
+    zeros without dividing by zero."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.vectors import (
+        int8_scale,
+        quantize_int8,
+    )
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        quantize_int8("embedding").alias("q"),
+        int8_scale("embedding").alias("s"),
+    )
+    stats = qdf.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qmax"),
+        F.array_max(
+            F.zip_with("v", "q", lambda v, q: F.abs(v - q * F.col("s")))
+        ).alias("err"),
+        "s",
+    ).agg(
+        F.max("qmax").alias("qmax"), F.max(F.col("err") / F.col("s")).alias("relerr")
+    ).first()
+    assert stats["qmax"] <= 127
+    assert stats["relerr"] <= 0.5 + 1e-9
+
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = zero.select(quantize_int8("embedding").alias("q")).first()
+    assert row["q"] == [0, 0, 0]
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 cosine ranking must retain nearly all of the exact top-10
+    (64-dim int8 error is small; recall@10 >= 0.8 is a loose floor)."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        quantized_topk_cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()}
+    quant = {r.vec_id for r in quantized_topk_cosine(spark, sf_dir).collect()}
+    assert len(quant & exact) >= 8
