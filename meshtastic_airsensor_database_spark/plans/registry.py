@@ -31,6 +31,12 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
 _DRIVER_WINDOW = [
+    # -- round-3 additions (never driver-checked) --
+    "incremental_rollup_hourly",
+    "salted_brand_quantities",
+    "quantized_topk_cosine",
+    "embedding_batch_topk",
+    "lang_quota_sample",
     # -- families without a prior driver-recorded row --
     "replay_route_counts",
     "replay_env_enriched",
@@ -58,8 +64,6 @@ _DRIVER_WINDOW = [
     "region_supplier_revenue",
     "fact_dim_join",
     "customers_with_urgent_orders",
-    "customers_without_urgent_orders",
-    "nation_keys_intersect",
     "union_order_slices",
     "grouping_sets_revenue",
     "pivot_priority_by_status",
@@ -73,17 +77,20 @@ _DRIVER_WINDOW = [
     "asof_latest_view_value",
     "aligned_type_buckets",
     "props_json_extract",
-    "epoch_roundtrip",
     "pacific_daily_counts",
     "tz_suffix_roundtrip",
-    "f_to_c_values",
     "exact_dedup_docs",
-    "doc_fingerprints",
     "token_stats_by_lang",
     "quality_scores",
     "lang_id_confusion",
     "pii_scan",
 ]
+# Demoted long-green representatives (still registered + locally
+# checked, just past the 50-row driver window) to make room for the
+# round-3 additions: customers_without_urgent_orders (anti twin of the
+# in-window semi), nation_keys_intersect (set-op twin of union),
+# doc_fingerprints (exact-dedup twin), f_to_c_values + epoch_roundtrip
+# (scalar family keeps pacific_daily_counts + tz_suffix_roundtrip).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
