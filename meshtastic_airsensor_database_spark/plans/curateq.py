@@ -240,6 +240,201 @@ FROM (
 """
 
 
+# --- end-to-end curation funnel -----------------------------------------------
+
+# Gate thresholds sized against the testdata signal distributions so
+# every stage does real work (drops some docs, keeps most); at
+# production scale these are the knobs a data team tunes per corpus.
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_TOP_TOKEN_MAX = 0.14
+FUNNEL_DUP_BIGRAM_MAX = 0.2
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus pipeline as ONE composed lineage —
+    per-stage surviving-document counts for:
+
+    0. raw corpus
+    1. per-language quota downsampling (salted content hash)
+    2. quality gates (min tokens, top-token fraction, duplicate-bigram
+       fraction — Gopher-style)
+    3. exact-dedup survivors (min-id per md5 fingerprint)
+    4. train split only (deterministic content-hash split)
+    5. decontamination (drop train docs sharing a word-8-gram with any
+       val/test document of the original corpus)
+
+    Every stage reuses the independently-oracle-checked operator
+    (lang_quota_sample, doc_repetition_signals, exact_dedup,
+    doc_split_assignment, ngram_decontaminate mirror); the funnel's
+    oracle re-implements the full chain as one CTE cascade, so the hash
+    match proves the COMPOSITION (gate order, survivor propagation),
+    not just the parts. Scale: one lineage, no collects — counts
+    aggregate map-side; the only wide ops are the dedup fingerprint agg
+    and the decontamination gram join, both on hashed keys.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+
+    # 1. language quota (same derivation as lang_quota_sample)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(QUOTA_SALT), F.col("text"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    quota = F.lit(QUOTA_DEFAULT_PCT)
+    for lang, pct in QUOTA_PCT.items():
+        quota = F.when(F.col("lang") == lang, pct).otherwise(quota)
+    s1 = docs.filter(bucket < quota)
+
+    # 2. quality gates over the survivors
+    sig = repetition_signals(s1)
+    s2 = (
+        s1.join(sig, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+            & (F.col("top_token_frac") <= FUNNEL_TOP_TOKEN_MAX)
+            & (F.col("dup_bigram_frac") <= FUNNEL_DUP_BIGRAM_MAX)
+        )
+        .select(*docs.columns)
+    )
+
+    # 3. exact-dedup survivors (min doc_id per content fingerprint)
+    from ..operators.dedup import exact_dedup
+
+    s3 = s2.join(
+        exact_dedup(s2, "doc_id", "text").select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+    )
+
+    # 4. train split
+    s4 = _with_split(s3).filter(F.col("split") == "train").drop("split")
+
+    # 5. decontaminate against the ORIGINAL corpus's val/test docs
+    from ..functions.text import word_shingles
+
+    eval_grams = (
+        _with_split(docs)
+        .filter(F.col("split") != "train")
+        .select(F.explode(word_shingles(F.col("text"), CONTAM_NGRAM_N)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_key"))
+        .distinct()
+    )
+    train_grams = s4.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), CONTAM_NGRAM_N)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gram_key"))
+    contaminated = train_grams.join(eval_grams, "gram_key").select("doc_id").distinct()
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    stages = [
+        cnt(docs, 0, "all"),
+        cnt(s1, 1, "lang_quota"),
+        cnt(s2, 2, "quality"),
+        cnt(s3, 3, "exact_dedup"),
+        cnt(s4, 4, "train_split"),
+        cnt(s5, 5, "decontaminated"),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+_QUALITY_SIG_CTES = f"""
+base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM q1 WHERE trim(text) <> ''
+),
+gs AS (
+  SELECT doc_id, len(grams) AS total_bg, len(list_distinct(grams)) AS distinct_bg
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> array_to_string(toks[i:i+1], ' '))
+                ELSE []::VARCHAR[] END AS grams
+    FROM base
+  )
+),
+tc AS (
+  SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_tokens
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+sig AS (
+  SELECT gs.doc_id, n_tokens,
+         {_R4.format(x="CASE WHEN total_bg > 0 THEN (total_bg - distinct_bg)::DOUBLE / total_bg ELSE 0.0 END")} AS dup_bigram_frac,
+         {_R4.format(x="max_cnt::DOUBLE / n_tokens")} AS top_token_frac
+  FROM gs JOIN tc USING (doc_id)
+)
+"""
+
+CURATION_FUNNEL_SQL = f"""
+WITH q1 AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           CAST(CAST(concat('0x', substr(md5(concat('{QUOTA_SALT}', text)), 1, 8))
+                AS UBIGINT) % 100 AS BIGINT) AS bucket
+    FROM documents
+  ) WHERE bucket < (CASE lang {_QUOTA_CASE} ELSE {QUOTA_DEFAULT_PCT} END)
+),
+{_QUALITY_SIG_CTES},
+q2 AS (
+  SELECT q1.* FROM q1 JOIN sig USING (doc_id)
+  WHERE n_tokens >= {FUNNEL_MIN_TOKENS}
+    AND top_token_frac <= {FUNNEL_TOP_TOKEN_MAX}
+    AND dup_bigram_frac <= {FUNNEL_DUP_BIGRAM_MAX}
+),
+q3 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q2
+  ) WHERE rn = 1
+),
+splitb AS (
+  SELECT doc_id, text,
+         CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100
+              AS BIGINT) AS sb
+  FROM q3
+),
+q4 AS (SELECT doc_id, text FROM splitb WHERE sb < {SPLIT_TRAIN_PCT}),
+ev AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100
+                AS BIGINT) AS sb
+    FROM documents
+  ) WHERE sb >= {SPLIT_TRAIN_PCT}
+),
+evg AS (
+  SELECT DISTINCT unnest({_shingle_sql(CONTAM_NGRAM_N)}) AS gram FROM ev
+),
+q4g AS (
+  SELECT doc_id, unnest({_shingle_sql(CONTAM_NGRAM_N)}) AS gram FROM q4
+),
+contam AS (SELECT DISTINCT doc_id FROM q4g JOIN evg USING (gram)),
+q5 AS (SELECT * FROM q4 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'all' AS stage,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 1, 'lang_quota', (SELECT COUNT(*) FROM q1)
+UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM q2)
+UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM q3)
+UNION ALL SELECT 4, 'train_split', (SELECT COUNT(*) FROM q4)
+UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM q5)
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -258,4 +453,8 @@ QUERIES: list[Query] = [
     Query("ffd_bin_packing", ffd_bin_packing, None,
           ("text_analysis",),
           "greedy FFD token bin packing per shard (rows-only)"),
+    Query("curation_funnel", curation_funnel, CURATION_FUNNEL_SQL,
+          ("text_analysis", "exact_dedup", "near_dedup"),
+          "end-to-end corpus pipeline: quota -> quality -> dedup -> "
+          "split -> decontaminate, per-stage survivor counts"),
 ]

@@ -32,6 +32,7 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # are what got demoted.
 _DRIVER_WINDOW = [
     # -- round-3 additions (never driver-checked) --
+    "curation_funnel",
     "incremental_rollup_hourly",
     "salted_brand_quantities",
     "quantized_topk_cosine",
@@ -56,7 +57,6 @@ _DRIVER_WINDOW = [
     "neardup_components",
     "embedding_neardup_pairs",
     "jaccard_neardup_pairs",
-    "char_jaccard_neardup_pairs",
     "replay_late_dedup",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
@@ -90,7 +90,9 @@ _DRIVER_WINDOW = [
 # round-3 additions: customers_without_urgent_orders (anti twin of the
 # in-window semi), nation_keys_intersect (set-op twin of union),
 # doc_fingerprints (exact-dedup twin), f_to_c_values + epoch_roundtrip
-# (scalar family keeps pacific_daily_counts + tz_suffix_roundtrip).
+# (scalar family keeps pacific_daily_counts + tz_suffix_roundtrip),
+# char_jaccard_neardup_pairs (char-shingle twin of the in-window
+# word-shingle jaccard_neardup_pairs).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -196,3 +196,19 @@ def test_lang_quota_sample_dupes_share_fate_and_rates(spark, sf_dir):
     for lang, rate in rates.items():
         want = QUOTA_PCT.get(lang, QUOTA_DEFAULT_PCT) / 100.0
         assert abs(rate - want) < 0.25, (lang, rate, want)
+
+
+def test_curation_funnel_is_monotone_and_ordered(spark, sf_dir):
+    """Each funnel stage can only shrink the survivor set, and stages
+    arrive in pipeline order."""
+    from meshtastic_airsensor_database_spark.plans.curateq import curation_funnel
+
+    rows = sorted(curation_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == [
+        "all", "lang_quota", "quality", "exact_dedup", "train_split",
+        "decontaminated",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[0] > counts[-1] > 0
