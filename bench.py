@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "embedding_topk_cosine",
     "ann_ivf_topk",
     "contaminated_eval_docs",
+    "quantized_topk_cosine",
+    "salted_brand_quantities",
 ]
 
 

@@ -54,6 +54,18 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
 
 def to_media_table(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
     """Wrap any source column as the canonical media table: opaque bytes
@@ -146,6 +158,56 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.select("media_id", "content").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Audio-specific features over WAV rows of the media table: RMS
+    level, zero-crossing rate (a crude pitch/noisiness proxy), peak
+    amplitude, duration. Non-WAV and malformed rows are dropped
+    (modality filter + drop-and-continue), mirroring how an audio
+    curation pass scores a mixed media corpus. Same Arrow-batched
+    ``mapInPandas`` shape as ``extract_features``; multi-channel audio
+    is analyzed on the channel-mean mono mixdown.
+    """
+    import numpy as np
+
+    from ..functions.codecs import decode_wav, sniff_format
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                data = bytes(content)
+                try:
+                    if sniff_format(data) != "wav":
+                        continue
+                    samples, rate = decode_wav(data)
+                except (CodecError, NotImplementedError):
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                if n == 0 or rate <= 0:
+                    continue
+                signs = np.signbit(mono)
+                crossings = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": int(rate),
+                        "n_samples": n,
+                        "duration_s": n / rate,
+                        "rms": float(np.sqrt(np.mean(mono**2))),
+                        "zero_crossing_rate": crossings / max(n - 1, 1),
+                        "peak": int(np.max(np.abs(samples))),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, AUDIO_FEATURE_SCHEMA)
 
 
 def resize_stub(content: bytes, width: int, height: int) -> bytes:

@@ -197,3 +197,52 @@ def test_resize_media_skips_null_meta_rows(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id for r in resize_media(media, 4, 4).collect()}
     assert out == {1}
+
+
+def test_audio_features_sine_wave_physics(spark):
+    """A pure 440 Hz sine at amplitude A must show RMS ~ A/sqrt(2),
+    ZCR ~ 2f/rate, peak ~ A; non-WAV and malformed rows drop."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate, freq, amp, secs = 8000, 440.0, 12000, 1.0
+    t = np.arange(int(rate * secs)) / rate
+    tone = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(tone, rate))),
+        (2, b"not audio at all"),          # skipped: not WAV
+        (3, bytearray(b"RIFFxxxxWAVE")),   # skipped: malformed WAV
+        (4, None),                          # skipped: null payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", "audio")
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+
+    assert set(got) == {1}
+    r1 = got[1]
+    assert r1["sample_rate"] == rate
+    assert r1["n_samples"] == len(tone)
+    assert abs(r1["duration_s"] - secs) < 1e-9
+    assert abs(r1["rms"] - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(r1["zero_crossing_rate"] - 2 * freq / rate) / (2 * freq / rate) < 0.02
+    assert abs(r1["peak"] - amp) <= amp * 0.001 + 1
+
+
+def test_audio_features_stereo_mixdown(spark):
+    """Stereo analysis runs on the channel-mean mixdown: L = -R cancels
+    to silence (rms ~ 0) while the peak still reports the raw extreme."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    t = np.arange(4000) / 8000.0
+    left = (10000 * np.sin(2 * np.pi * 100 * t)).astype(np.int16)
+    stereo = np.stack([left, (-left).astype(np.int16)], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(stereo, 8000)))], "media_id long, payload binary"
+    )
+    media = to_media_table(df, "media_id", "payload", "audio")
+    r1 = extract_audio_features(media).first()
+    assert r1["rms"] < 1.0
+    assert r1["peak"] >= 9999
