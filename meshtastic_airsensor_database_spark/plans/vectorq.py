@@ -454,6 +454,69 @@ LEFT JOIN comp c ON c.doc_id = d.doc_id
 _NEARDUP_COMPONENTS_SQL = _neardup_components_sql()
 
 
+# --- PageRank over the near-dup graph -----------------------------------------
+
+
+def neardup_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the exact >=0.8-Jaccard near-dup
+    graph (oracle-mirrored sample) — centrality-based canonical-doc
+    scoring: within a dup cluster the highest-rank member is the most
+    representative survivor choice (operators/graph.py). Deterministic
+    by construction (fixed iterations, no convergence probe), so the
+    DuckDB twin reproduces it by unrolling the same three steps."""
+    from ..operators.graph import pagerank_fixed
+    from .textq import NEARDUP_SAMPLE_MAX_ID, jaccard_neardup_pairs
+
+    edges = jaccard_neardup_pairs(
+        spark, sf_dir, max_id=NEARDUP_SAMPLE_MAX_ID
+    ).select("doc_a", "doc_b")
+    pr = pagerank_fixed(edges, src="doc_a", dst="doc_b", n_iter=3)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        r("pagerank", 6).alias("pagerank"),
+    )
+
+
+def _neardup_pagerank_sql() -> str:
+    from .textq import (
+        JACCARD_NEARDUP_PAIRS_SQL,
+        NEARDUP_SAMPLE_MAX_ID,
+        _doc_sampled_sql,
+    )
+
+    inner = _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
+    it = """
+{out} AS (
+  SELECT e.d AS node,
+         (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT c FROM nn)
+           + 0.85 * SUM(p.pr / g.deg) AS pr
+  FROM edges e JOIN {prev} p ON p.node = e.s JOIN deg g ON g.s = e.s
+  GROUP BY e.d
+)"""
+    return f"""
+WITH pairs AS (
+  {inner}
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), deg AS (
+  SELECT s, COUNT(*) AS deg FROM edges GROUP BY 1
+), nn AS (SELECT COUNT(*) AS c FROM deg),
+pr0 AS (SELECT s AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS pr FROM deg),
+{it.format(out="it1", prev="pr0")},
+{it.format(out="it2", prev="it1")},
+{it.format(out="it3", prev="it2")}
+SELECT i.node AS doc_id, CAST(g.deg AS BIGINT) AS deg,
+       CAST(ROUND(CAST(i.pr AS DECIMAL(38,9)), 6) AS DOUBLE) AS pagerank
+FROM it3 i JOIN deg g ON g.s = i.node
+"""
+
+
+_NEARDUP_PAGERANK_SQL = _neardup_pagerank_sql()
+
+
 # --- SimHash buckets (rows-only) ----------------------------------------------
 
 def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +611,9 @@ QUERIES: list[Query] = [
           "LSH candidates + exact Jaccard verify (oracle: exact all-pairs on sample)"),
     Query("ml_minhash_neardups", ml_minhash_neardups, None,
           ("near_dedup",), "Spark ML MinHashLSH approxSimilarityJoin (rows-only)"),
+    Query("neardup_pagerank", neardup_pagerank_q, _NEARDUP_PAGERANK_SQL,
+          ("near_dedup",),
+          "fixed-3-iteration PageRank centrality over the near-dup graph"),
     Query("neardup_components", neardup_components_q, _NEARDUP_COMPONENTS_SQL,
           ("near_dedup",),
           "transitive dedup clusters via alternating-star connected components "
