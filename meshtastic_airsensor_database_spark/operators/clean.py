@@ -28,6 +28,53 @@ def multi_file_union(spark: SparkSession, paths: list[str], **csv_opts) -> DataF
     return spark.read.csv(paths, header=True, **csv_opts)
 
 
+def align_to_schema(df: DataFrame, target, strict: bool = False) -> DataFrame:
+    """Project ``df`` onto ``target`` (a StructType): missing columns
+    become typed nulls, present columns are cast to the target type,
+    extra columns are dropped (or rejected with ``strict=True``).
+
+    The schema-drift guard for long-lived tables: at 100 TB a fact
+    table accumulates files written by many pipeline versions, and
+    every consumer needs ONE declared schema rather than whatever the
+    newest writer emitted. Pure projection — no shuffle, pushed-down
+    column pruning still applies to the source scan.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    extra = [n for n in have if n not in {f.name for f in target.fields}]
+    if strict and extra:
+        raise ValueError(f"columns not in target schema: {extra}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            src = F.col(f.name)
+            cols.append(
+                src.alias(f.name)
+                if have[f.name].dataType == f.dataType
+                else src.cast(f.dataType).alias(f.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def union_evolving(dfs: list[DataFrame], target=None) -> DataFrame:
+    """Union frames whose schemas drifted across pipeline versions:
+    every input is aligned to ``target`` (default: the FIRST frame's
+    schema, the declared contract) and unioned by name. The lazy
+    counterpart of ``spark.read.parquet(...,
+    mergeSchema)``-with-a-contract: later versions' extra columns drop,
+    earlier versions' missing columns read as nulls, narrowed/widened
+    types cast to the contract.
+    """
+    if not dfs:
+        raise ValueError("union_evolving needs at least one frame")
+    target = target or dfs[0].schema
+    out = align_to_schema(dfs[0], target)
+    for d in dfs[1:]:
+        out = out.unionByName(align_to_schema(d, target))
+    return out
+
+
 def purpleair_clean(raw: DataFrame, utc_col: str = "UTCDateTime") -> DataFrame:
     """Full cleandata.py pipeline on an already-loaded DataFrame.
 

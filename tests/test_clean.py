@@ -45,3 +45,44 @@ def test_multi_file_union(spark, tmp_path):
     df = multi_file_union(spark, [str(tmp_path / "f0.csv"), str(tmp_path / "f1.csv")])
     assert df.count() == 2
     assert set(df.columns) == {"x", "y"}
+
+
+def test_align_to_schema_nulls_casts_and_drops(spark):
+    from pyspark.sql import types as T
+
+    from meshtastic_airsensor_database_spark.operators.clean import align_to_schema
+
+    target = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.DoubleType()),
+        T.StructField("c", T.StringType()),
+    ])
+    v2 = spark.createDataFrame([(1, 2.5, True)], "a int, b double, x boolean")
+    got = align_to_schema(v2, target)
+    assert got.schema == target
+    row = got.first()
+    assert (row["a"], row["b"], row["c"]) == (1, 2.5, None)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in target"):
+        align_to_schema(v2, target, strict=True)
+
+
+def test_union_evolving_mixed_parquet_versions(spark, tmp_path):
+    """Files written by three pipeline versions (missing column, extra
+    column, narrower int type) union cleanly under the v1 contract."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.clean import union_evolving
+
+    v1 = spark.createDataFrame([(1, 10.0, "en")], "id long, score double, lang string")
+    v0 = spark.createDataFrame([(2, 20.0)], "id int, score double")          # no lang yet
+    v2 = spark.createDataFrame([(3, 30.0, "de", 7)],
+                               "id long, score double, lang string, extra int")
+    for name, df in (("v1", v1), ("v0", v0), ("v2", v2)):
+        df.write.parquet(str(tmp_path / name))
+    frames = [spark.read.parquet(str(tmp_path / n)) for n in ("v1", "v0", "v2")]
+    got = union_evolving(frames, target=v1.schema)
+    assert got.schema == v1.schema
+    rows = {r["id"]: (r["score"], r["lang"]) for r in got.collect()}
+    assert rows == {1: (10.0, "en"), 2: (20.0, None), 3: (30.0, "de")}

@@ -164,6 +164,40 @@ def ingest_throughput(spark, tmp_root: str, n_packets: int) -> dict:
             "rows_routed": routed}
 
 
+def rollup_maintenance(spark, sf_dir: str, factor: int, tmp_root: str) -> dict:
+    """Replicate events factor x (shifted by one hour per replica so the
+    hour-key space grows with volume), then fold them into the
+    materialized rollup as 4 out-of-order micro-batches. Reports wall
+    seconds per batch — steady-state maintenance cost must track batch
+    size, not accumulated table size."""
+    import shutil
+
+    from meshtastic_airsensor_database_spark.streaming.rollup import maintain_rollup
+
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    path = os.path.join(tmp_root, "hourly")
+    ev = load(spark, sf_dir, "events")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    big = ev.select("event_id", "ts", "user_id", "event_type", "value", reps).select(
+        (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+        (F.col("ts") + F.make_interval(hours=F.col("rep"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    secs = []
+    for i in range(4):
+        spark._jvm.System.gc()
+        t0 = time.time()
+        maintain_rollup(
+            big.filter(F.pmod("event_id", F.lit(4)) == i),
+            path,
+            keys=["user_id", "event_type"],
+        )
+        secs.append(round(time.time() - t0, 2))
+    return {"batch_sec": secs, "n_events": big.count()}
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,6 +213,9 @@ def main() -> None:
     timed(spark, "simhash_buckets", simhash_buckets(docs, "doc_id", "text"), out)
     timed(spark, "ivf_topk",
           ivf_topk(emb, query_vec_id=0, k=10, n_centroids=32, n_probe=4), out)
+    out["rollup_maintenance"] = rollup_maintenance(
+        spark, sf_dir, factor, "/tmp/spark_graft_scale_rollup"
+    )
     out["ingest"] = ingest_throughput(
         spark, "/tmp/spark_graft_scale_smoke", n_packets=factor * 5000
     )
