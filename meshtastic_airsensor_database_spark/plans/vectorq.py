@@ -458,19 +458,25 @@ _NEARDUP_COMPONENTS_SQL = _neardup_components_sql()
 
 
 def neardup_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-3-iteration PageRank over the exact >=0.8-Jaccard near-dup
-    graph (oracle-mirrored sample) — centrality-based canonical-doc
-    scoring: within a dup cluster the highest-rank member is the most
-    representative survivor choice (operators/graph.py). Deterministic
-    by construction (fixed iterations, no convergence probe), so the
-    DuckDB twin reproduces it by unrolling the same three steps."""
+    """Fixed-3-iteration PageRank over the >=0.8-Jaccard near-dup graph
+    (oracle-mirrored sample) — centrality-based canonical-doc scoring:
+    within a dup cluster the highest-rank member is the most
+    representative survivor choice (operators/graph.py). Edges come
+    from the LSH-verified SCALE path (prune -> exact verify, same as
+    neardup_components); the DuckDB twin derives the same edge set from
+    the exact all-pairs formulation, so the hash match re-proves LSH
+    recall AND the unrolled 3-step power iteration at once."""
+    from ..operators.dedup import minhash_lsh_neardup_pairs
     from ..operators.graph import pagerank_fixed
-    from .textq import NEARDUP_SAMPLE_MAX_ID, jaccard_neardup_pairs
+    from .textq import NEARDUP_SAMPLE_MAX_ID
 
-    edges = jaccard_neardup_pairs(
-        spark, sf_dir, max_id=NEARDUP_SAMPLE_MAX_ID
-    ).select("doc_a", "doc_b")
-    pr = pagerank_fixed(edges, src="doc_a", dst="doc_b", n_iter=3)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    edges = minhash_lsh_neardup_pairs(docs, "doc_id", "text", 0.8).select(
+        "id_a", "id_b"
+    )
+    pr = pagerank_fixed(edges, src="id_a", dst="id_b", n_iter=3)
     return pr.select(
         F.col("node").alias("doc_id"),
         F.col("deg").cast("long").alias("deg"),

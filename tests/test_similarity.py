@@ -202,3 +202,20 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()}
     quant = {r.vec_id for r in quantized_topk_cosine(spark, sf_dir).collect()}
     assert len(quant & exact) >= 8
+
+
+def test_arrow_assignment_matches_builtin_assignment(spark, sf_dir):
+    """The BLAS path must produce the exact same (vector -> cluster)
+    mapping as the pure-built-in argmax formulation."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        assign_ivf_clusters,
+        assign_ivf_clusters_arrow,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = {r["vec_id"]: r["cluster"]
+         for r in assign_ivf_clusters(emb, 8).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in assign_ivf_clusters_arrow(emb, 8).collect()}
+    assert a == b
