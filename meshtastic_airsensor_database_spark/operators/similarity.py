@@ -278,6 +278,58 @@ def hyperplane_lsh_buckets(
     return emb.select(F.col(id_col), bucket.alias("lsh_bucket"))
 
 
+def hyperplane_lsh_buckets_arrow(
+    emb: DataFrame,
+    n_planes: int = N_HYPERPLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Vectorized sign-LSH bucketing — bit-identical to
+    ``hyperplane_lsh_buckets`` (parity-tested) at matmul speed.
+
+    The expression formulation re-derives every plane's ±1 pattern per
+    ROW (xxhash64 per (plane, dim) per row) and folds the projection
+    through interpreted higher-order functions. Here the plane matrix
+    is materialized ONCE with the same xxhash64 expressions (a
+    dim-row helper query — the hash stays JVM-side so the pattern is
+    identical), then each Arrow batch projects via one (B, dim) @
+    (dim, planes) BLAS matmul and packs sign bits with numpy.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    # plane matrix from the SAME hash expressions, computed once
+    dims_df = spark.range(dim).select(F.col("id").cast("int").alias("i"))
+    sign_cols = [
+        F.when(
+            F.xxhash64(F.lit(seed), F.lit(p), F.col("i")).bitwiseAND(F.lit(1)) == 1,
+            1.0,
+        )
+        .otherwise(-1.0)
+        .alias(f"p{p}")
+        for p in range(n_planes)
+    ]
+    rows = dims_df.select("i", *sign_cols).orderBy("i").collect()
+    planes = np.array(
+        [[r[f"p{p}"] for p in range(n_planes)] for r in rows]
+    )  # (dim, n_planes)
+    weights = np.power(2.0, np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(v):
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        proj = m @ planes
+        return pd.Series(((proj > 0).astype(np.int64) * weights).sum(axis=1))
+
+    return emb.select(F.col(id_col), _bucket(F.col(vec_col)).alias("lsh_bucket"))
+
+
 def hyperplane_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -285,6 +337,7 @@ def hyperplane_neardup_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-pruned then exactly verified
     — the scale path that replaces the all-pairs cosine join.
@@ -301,7 +354,8 @@ def hyperplane_neardup_pairs(
 
     band_bits = n_planes // n_bands
     mask = (1 << band_bits) - 1
-    buckets = hyperplane_lsh_buckets(emb, n_planes, id_col, vec_col)
+    bucket_fn = hyperplane_lsh_buckets_arrow if vectorized else hyperplane_lsh_buckets
+    buckets = bucket_fn(emb, n_planes, id_col, vec_col)
     bands = buckets.select(
         id_col,
         F.explode(

@@ -219,3 +219,18 @@ def test_arrow_assignment_matches_builtin_assignment(spark, sf_dir):
     b = {r["vec_id"]: r["cluster"]
          for r in assign_ivf_clusters_arrow(emb, 8).collect()}
     assert a == b
+
+
+def test_arrow_lsh_buckets_bit_identical_to_expressions(spark, sf_dir):
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+        hyperplane_lsh_buckets_arrow,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = {r["vec_id"]: r["lsh_bucket"]
+         for r in hyperplane_lsh_buckets(emb, 24).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"]
+         for r in hyperplane_lsh_buckets_arrow(emb, 24).collect()}
+    assert a == b
