@@ -140,6 +140,48 @@ FROM flagged GROUP BY user_id
 """
 
 
+# --- sliding windows (SURVEY §2.9 windowed_ingest, overlapping variant) -------
+
+SLIDE_WIDTH_S = 7200
+SLIDE_STEP_S = 3600
+
+
+def sliding_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event load over 2-hour windows sliding every hour —
+    the overlapping-window variant next to the tumbling (hourly_avg)
+    and session (session_counts) forms. ``F.window(ts, '2 hours',
+    '1 hour')`` assigns each event to width/step = 2 windows before the
+    hash agg (bounded fan-out, map-side partials); the oracle unrolls
+    the same assignment with an explicit 2-bucket unnest."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", f"{SLIDE_WIDTH_S} seconds", f"{SLIDE_STEP_S} seconds")
+    return (
+        ev.groupBy(F.col("event_type"), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), r(F.avg("value"), 2).alias("avg_value"))
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("win_start_epoch"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+SLIDING_HOURLY_LOAD_SQL = f"""
+SELECT event_type, win_start_epoch, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_value
+FROM (
+  SELECT event_type, value,
+         unnest([
+           (CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_STEP_S}) * {SLIDE_STEP_S},
+           (CAST(floor(epoch(ts)) AS BIGINT) // {SLIDE_STEP_S}) * {SLIDE_STEP_S} - {SLIDE_STEP_S}
+         ]) AS win_start_epoch
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 # --- JSON envelope parsing (SURVEY §2.8 json_envelope_parse) ------------------
 
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,4 +589,7 @@ QUERIES: list[Query] = [
     Query("user_value_trend", user_value_trend, USER_VALUE_TREND_SQL,
           ("per_node_stats",),
           "applyInPandas per-key least-squares trend vs regr_slope oracle"),
+    Query("sliding_hourly_load", sliding_hourly_load, SLIDING_HOURLY_LOAD_SQL,
+          ("windowed_ingest",),
+          "2h-wide / 1h-slide overlapping window aggregate"),
 ]
