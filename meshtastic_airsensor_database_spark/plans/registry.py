@@ -52,7 +52,7 @@ _DRIVER_WINDOW = [
     "value_outliers_mad",
     "multimodal_binary_meta",
     "embedding_topk_cosine",
-    "embedding_norms",
+    "replay_env_hourly_rollup",
     "minhash_verified_neardups",
     "neardup_components",
     "embedding_neardup_pairs",
@@ -92,7 +92,8 @@ _DRIVER_WINDOW = [
 # doc_fingerprints (exact-dedup twin), f_to_c_values + epoch_roundtrip
 # (scalar family keeps pacific_daily_counts + tz_suffix_roundtrip),
 # char_jaccard_neardup_pairs (char-shingle twin of the in-window
-# word-shingle jaccard_neardup_pairs).
+# word-shingle jaccard_neardup_pairs), embedding_norms (trivial norm
+# projection; the vectors family keeps topk/quantized/batch rows).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -233,6 +233,45 @@ FROM v1
 )
 
 
+def replay_env_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-node hourly temperature rollup MAINTAINED BY THE INGEST
+    PATH itself (process_packet_batch folds each micro-batch into the
+    materialized continuous aggregate — streaming/rollup.py). The
+    oracle recomputes the same aggregate from the raw replayed fixture,
+    so a hash match proves the maintained table equals a full recompute
+    after the replay."""
+    from ..streaming.rollup import read_rollup
+
+    roll = read_rollup(
+        spark,
+        os.path.join(_replayed_out_dir(spark), "airwise_hourly"),
+        keys=["node"],
+    )
+    from .base import r
+
+    return roll.select(
+        "node",
+        F.col("hour_ts").cast("long").alias("hour_epoch"),
+        r("avg_value", 2).alias("avg_temp"),
+        r("min_value", 2).alias("min_temp"),
+        r("max_value", 2).alias("max_temp"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+REPLAY_ENV_HOURLY_ROLLUP_SQL = (
+    _REPLAY_CTE
+    + """
+SELECT node, CAST((timestamp_node // 3600) * 3600 AS BIGINT) AS hour_epoch,
+       CAST(ROUND(CAST(AVG(temperature) AS DECIMAL(38,9)), 2) AS DOUBLE) AS avg_temp,
+       CAST(ROUND(CAST(MIN(temperature) AS DECIMAL(38,9)), 2) AS DOUBLE) AS min_temp,
+       CAST(ROUND(CAST(MAX(temperature) AS DECIMAL(38,9)), 2) AS DOUBLE) AS max_temp,
+       CAST(COUNT(temperature) AS BIGINT) AS n
+FROM env GROUP BY 1, 2
+"""
+)
+
+
 # --- late/duplicate-packet watermark replay -----------------------------------
 #
 # The cross-batch dedup path (streaming/ingest.py::run_ingest_stream with
@@ -443,6 +482,11 @@ QUERIES: list[Query] = [
           ("csv_text_payload_parse", "field_extraction", "node_dim_enrich",
            "malformed_row_skip"),
           "golden-replay v1 csv-payload facts"),
+    Query("replay_env_hourly_rollup", replay_env_hourly_rollup,
+          REPLAY_ENV_HOURLY_ROLLUP_SQL,
+          ("stream_route_multiplex", "windowed_ingest", "per_node_stats"),
+          "ingest-maintained continuous aggregate == full recompute "
+          "over the replayed fixture"),
     Query("replay_late_dedup", replay_late_dedup, REPLAY_LATE_DEDUP_SQL,
           ("late_data_handling", "exact_dedup", "stream_route_multiplex"),
           "two-batch watermark replay: late drop + cross-batch (from,id) dedup"),

@@ -197,6 +197,21 @@ def process_packet_batch(
             parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
             if with_counts:
                 counts[table] = facts.count()
+            if slice_name == "v0_env":
+                # Continuous aggregate: fold this batch's env readings
+                # into the materialized per-node hourly rollup
+                # (streaming/rollup.py — partial aggs, affected-date
+                # partition overwrite). Dashboards read THIS, never the
+                # raw fact table.
+                from .rollup import maintain_rollup
+
+                maintain_rollup(
+                    facts.select("node", "event_ts", "temperature"),
+                    paths.table("airwise_hourly"),
+                    keys=["node"],
+                    ts_col="event_ts",
+                    value_col="temperature",
+                )
         return counts
     finally:
         parsed.unpersist()
