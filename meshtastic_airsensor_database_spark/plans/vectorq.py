@@ -98,8 +98,9 @@ QUERY_BATCH_IDS = (0, 1, 2, 3)
 BATCH_K = 5
 
 
-def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+def _batch_scores_expr(emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id, cosine) via the pure-expression path: queries
+    packed into one broadcast row, per-row explode + HOF cosine."""
     qpack = (
         emb.filter(F.col("vec_id").isin(*QUERY_BATCH_IDS))
         .agg(
@@ -113,7 +114,7 @@ def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_qs")
         )
     )
-    scored = (
+    return (
         fan_out(emb)
         .crossJoin(F.broadcast(qpack))
         .select(
@@ -135,6 +136,61 @@ def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("query_id"))
     )
+
+
+def _batch_scores_arrow(emb: DataFrame) -> DataFrame:
+    """Arrow/BLAS twin of ``_batch_scores_expr``: the query matrix ships
+    in the mapInPandas closure (Q x dim — driver-collected, Q is small
+    by definition) and each batch scores as one (B, dim) @ (dim, Q)
+    matmul; the decimal-routed rounding stays a Spark expression so the
+    rounded value is the same one the expression path and the oracle
+    produce. Same n x Q output, no shuffle — at bulk scale this is the
+    10x+ path for the same reason as assign_ivf_clusters_arrow (HOF
+    cosine evaluates interpreted per element)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(*QUERY_BATCH_IDS))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([row["vec_id"] for row in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(row["embedding"], dtype=np.float64) for row in q_rows])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qmat_t = (qmat / qnorm).T
+    n_q = len(qids)
+
+    def op(batches):
+        for pdf in batches:
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            mn = np.linalg.norm(m, axis=1, keepdims=True)
+            mn[mn == 0] = 1.0
+            sims = (m / mn) @ qmat_t  # (B, Q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, len(pdf)),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
+                    "_raw": sims.ravel(),
+                }
+            )
+
+    raw = fan_out(emb).select("vec_id", "embedding").mapInPandas(
+        op, "query_id long, vec_id long, _raw double"
+    )
+    return (
+        raw.filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", r(F.col("_raw"), 4).alias("cosine"))
+    )
+
+
+def embedding_batch_topk(
+    spark: SparkSession, sf_dir: str, vectorized: bool = True
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    scored = (_batch_scores_arrow if vectorized else _batch_scores_expr)(emb)
     # ascending struct sort == (cosine desc, vec_id asc)
     entry = F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id").alias("vid"))
     partial = scored.groupBy(

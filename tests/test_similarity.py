@@ -234,3 +234,16 @@ def test_arrow_lsh_buckets_bit_identical_to_expressions(spark, sf_dir):
     b = {r["vec_id"]: r["lsh_bucket"]
          for r in hyperplane_lsh_buckets_arrow(emb, 24).collect()}
     assert a == b
+
+
+def test_batch_topk_arrow_equals_expression_path(spark, sf_dir):
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        embedding_batch_topk,
+    )
+
+    a = sorted(tuple(r) for r in embedding_batch_topk(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r)
+        for r in embedding_batch_topk(spark, sf_dir, vectorized=False).collect()
+    )
+    assert a == b
