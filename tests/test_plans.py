@@ -235,3 +235,21 @@ def test_ffd_packer_is_grouped_arrow_batch(spark, sf_dir):
     shard), never a collect-to-driver loop."""
     plan = plan_of(spark, "ffd_bin_packing", sf_dir)
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_rollup_read_never_touches_raw_facts(spark, sf_dir):
+    """incremental_rollup_hourly's plan must scan ONLY the materialized
+    rollup — if the raw events path appears, the continuous aggregate
+    regressed into a recompute."""
+    plan = plan_of(spark, "incremental_rollup_hourly", sf_dir)
+    assert "rollup_maint" in plan or "hourly" in plan, plan
+    assert "events.parquet" not in plan, plan
+
+
+def test_curation_funnel_aggregates_mapside(spark, sf_dir):
+    """The funnel's stage counts and dedup fingerprint agg must combine
+    map-side; the decontamination join must not be a nested loop."""
+    plan = plan_of(spark, "curation_funnel", sf_dir)
+    assert "partial_" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
