@@ -88,14 +88,16 @@ _V1_ALL_PRESENT = " AND ".join(f"{name} IS NOT NULL" for name in V1_TEXT_FIELDS)
 # dedup (identical re-broadcast lines, so any window winner is the same
 # row), then the latest-wins dimension (seed + nodeinfo upserts —
 # operators/enrich.py::dim_upsert_latest_wins ordering).
-_REPLAY_CTE = f"""
-WITH raw AS (
+_RAW_CTE = f"""raw AS (
   SELECT * FROM read_json('{FIXTURE_PATH}', format='newline_delimited',
     ignore_errors=true,
     columns={{'from': 'BIGINT', 'id': 'BIGINT', 'type': 'VARCHAR',
               'timestamp': 'BIGINT', 'payload': '{_PAYLOAD_STRUCT}'}})
   WHERE type IS NOT NULL
-),
+)"""
+
+_REPLAY_CTE = f"""
+WITH {_RAW_CTE},
 dedup AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY "from", id) AS _rn FROM raw
@@ -466,6 +468,88 @@ WHERE d.type = 'telemetry' AND payload.battery_level IS NULL
 """
 
 
+# --- stream-stream interval join replay ---------------------------------------
+#
+# streaming/joins.py::run_env_battery_join_stream is a REAL watermarked
+# stream-stream inner join (two file streams over the same landing dir,
+# equi-key node + ±JOIN_BOUND_SECONDS event-time interval). The replay
+# drives the fixture through that streaming query (all files in one
+# micro-batch, so no watermark drop can occur and the inner-join output
+# is the full deterministic match set); the DuckDB twin re-implements
+# parse -> side-split -> interval join from the raw JSONL. Cross-batch
+# join state (env arriving batches before its battery partner) is
+# exercised in test_streaming.py with a two-file split of the same
+# fixture asserting the identical result set.
+
+_JOIN_REPLAY_CACHE: dict[str, str] = {}
+
+
+def _join_replayed_out_dir(spark: SparkSession) -> str:
+    from ..streaming.joins import run_env_battery_join_stream
+
+    key = spark.sparkContext.applicationId
+    out = _JOIN_REPLAY_CACHE.get(key)
+    if out is not None and os.path.isdir(os.path.join(out, "env_battery_joined")):
+        return out
+    landing = tempfile.mkdtemp(prefix="join_landing_")
+    out = tempfile.mkdtemp(prefix="join_replay_")
+    shutil.copyfile(FIXTURE_PATH, os.path.join(landing, FIXTURE_PATH.name))
+    # Tiny fixture through a stateful two-stream join: pin a small
+    # shuffle width for the replay (see _late_replayed_out_dir).
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = run_env_battery_join_stream(spark, landing, out)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _JOIN_REPLAY_CACHE[key] = out
+    return out
+
+
+def replay_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Env↔battery matches produced by the watermarked stream-stream
+    interval join replay. ``sf_dir`` is unused: input is the committed
+    golden fixture."""
+    out = _join_replayed_out_dir(spark)
+    return spark.read.parquet(os.path.join(out, "env_battery_joined")).select(
+        "node", "env_epoch", "bat_epoch", "lag_seconds",
+        "temperature", "humidity", "voltage", "battery_level",
+    )
+
+
+REPLAY_STREAM_JOIN_SQL = (
+    f"WITH {_RAW_CTE}"
+    + """,
+env_side AS (
+  SELECT "from" AS node, "timestamp" AS env_epoch,
+         payload.temperature AS temperature,
+         payload.relative_humidity AS humidity
+  FROM raw
+  WHERE type = 'telemetry' AND payload.battery_level IS NULL
+    AND "timestamp" IS NOT NULL
+),
+bat_side AS (
+  SELECT "from" AS bat_node, "timestamp" AS bat_epoch,
+         payload.voltage AS voltage, payload.battery_level AS battery_level
+  FROM raw
+  WHERE type = 'telemetry' AND payload.battery_level IS NOT NULL
+    AND "timestamp" IS NOT NULL
+)
+SELECT node, env_epoch, bat_epoch,
+       bat_epoch - env_epoch AS lag_seconds,
+       temperature, humidity, voltage, battery_level
+FROM env_side JOIN bat_side
+  ON node = bat_node
+ AND bat_epoch BETWEEN env_epoch - 600 AND env_epoch + 600
+"""
+)
+
+
 QUERIES: list[Query] = [
     Query("replay_route_counts", replay_route_counts, REPLAY_ROUTE_COUNTS_SQL,
           ("stream_route_multiplex", "packet_type_filter", "exact_dedup"),
@@ -490,4 +574,8 @@ QUERIES: list[Query] = [
     Query("replay_late_dedup", replay_late_dedup, REPLAY_LATE_DEDUP_SQL,
           ("late_data_handling", "exact_dedup", "stream_route_multiplex"),
           "two-batch watermark replay: late drop + cross-batch (from,id) dedup"),
+    Query("replay_stream_join", replay_stream_join, REPLAY_STREAM_JOIN_SQL,
+          ("windowed_ingest", "late_data_handling", "timeseries_align"),
+          "watermarked stream-stream interval join: env readings matched "
+          "to same-node battery state within ±600 s"),
 ]

@@ -726,3 +726,68 @@ def test_outage_episodes_streaming_session_windows(spark, tmp_path):
         assert [(r.node, r.n_readings) for r in rows] == [(1, 2)]
     finally:
         query.stop()
+
+
+def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: an env row arriving in
+    batch 0 must match a battery row that only arrives in batch 1 (the
+    join state holds the env side until its window closes), and rows
+    outside the ±bound or on other nodes must not match."""
+    import os
+
+    from meshtastic_airsensor_database_spark.streaming.joins import (
+        run_env_battery_join_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+
+    def env(node, ts, temp):
+        return json.dumps(
+            {
+                "from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+                "payload": {"temperature": temp, "relative_humidity": 40.0,
+                            "barometric_pressure": 1000.0,
+                            "gas_resistance": 1.0, "iaq": 10},
+            }
+        )
+
+    def bat(node, ts, level):
+        return json.dumps(
+            {
+                "from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+                "payload": {"battery_level": level, "voltage": 3.9,
+                            "uptime_seconds": 1},
+            }
+        )
+
+    base = 1_700_000_000
+    # batch 0: two env readings, no battery yet
+    write_packet_fixture(
+        landing, [env(1, base, 20.0), env(2, base + 60, 21.0)], "b0.jsonl"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = run_env_battery_join_stream(
+            spark, landing, out, bound_seconds=600, max_files_per_trigger=1
+        )
+        try:
+            q.processAllAvailable()
+            # batch 1: battery rows — node 1 inside the bound (matches the
+            # buffered env row), node 2 outside the bound, node 3 unmatched
+            write_packet_fixture(
+                landing,
+                [bat(1, base + 300, 88.0), bat(2, base + 60 + 601, 70.0),
+                 bat(3, base + 100, 50.0)],
+                "b1.jsonl",
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.read.parquet(os.path.join(out, "env_battery_joined")).collect()
+        assert [(r.node, r.env_epoch, r.bat_epoch, r.lag_seconds, r.battery_level)
+                for r in rows] == [(1, base, base + 300, 300, 88.0)]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
