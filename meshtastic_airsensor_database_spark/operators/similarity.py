@@ -387,6 +387,60 @@ def hyperplane_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> DataFrame:
+    """Semantic near-dup pairs, cluster-pruned then exactly verified —
+    the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the embedding space, then look for high-cosine pairs only WITHIN
+    each cluster, never across the whole corpus.
+
+    Pipeline: centroid assignment (narrow, zero-shuffle — the scored
+    broadcast-centroid argmax of ``assign_ivf_clusters``) -> candidate
+    pairs inside each cluster (the shared one-shuffle bucket-grouping
+    shape, ``pairs_within_buckets``) -> exact cosine >= threshold. No
+    false positives by construction; recall is bounded by the cluster
+    granularity (a pair straddling two clusters is missed — the
+    documented SemDeDup trade; pytest measures achieved recall against
+    the brute-force all-pairs twin). At scale ``n_centroids`` grows
+    with the corpus so cluster sizes stay bounded (SemDeDup uses
+    ~100k clusters for web-scale corpora); the per-cluster pair
+    generation is quadratic only within a cluster and capped by
+    ``pairs_within_buckets``'s degenerate-bucket guard.
+
+    Returns (id_a, id_b, cluster, cosine), id_a < id_b.
+    """
+    from .dedup import pairs_within_buckets
+
+    assign = assign_ivf_clusters_arrow if vectorized else assign_ivf_clusters
+    assigned = assign(emb, n_centroids, id_col, vec_col)
+    cands = pairs_within_buckets(
+        assigned.select(id_col, "cluster"), ["cluster"], id_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("cluster"),
+    )
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def kmeans_ivf_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -342,6 +342,55 @@ EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL = EMBEDDING_NEARDUP_PAIRS_SQL.replace(
 )
 
 
+# --- SemDeDup: cluster-pruned semantic near-dup pairs -------------------------
+
+SEMANTIC_N_CENTROIDS = 8
+
+
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned semantic dedup (SemDeDup, arXiv:2303.09540):
+    high-cosine pairs searched only WITHIN centroid clusters. The
+    registered variant uses the pure-expression assignment (sequential
+    reduction order == DuckDB ``list_dot_product``), so the FULL
+    pipeline — assignment argmax, in-cluster pair generation, exact
+    verify — is hash-checked against a SQL twin; the Arrow/BLAS
+    assignment is the throughput path, parity-tested in pytest."""
+    from ..operators.similarity import semantic_dedup_pairs
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    return semantic_dedup_pairs(
+        emb, threshold=COSINE_PAIR_THRESHOLD,
+        n_centroids=SEMANTIC_N_CENTROIDS, vectorized=False,
+    )
+
+
+_DDB_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+SEMANTIC_DEDUP_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMANTIC_N_CENTROIDS}),
+asg AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, cents.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DDB_COS.format(a="e.v", b="cents.cv")} DESC, cents.cid
+           ) AS rn
+    FROM e, cents
+  ) WHERE rn = 1
+)
+SELECT id_a, id_b, cluster, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         CAST(ROUND(CAST({_DDB_COS.format(a="a.v", b="b.v")}
+              AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
 # --- multimodal binary metadata (SURVEY §2.11 multimodal_columns) -------------
 
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +705,11 @@ QUERIES: list[Query] = [
           EMBEDDING_NEARDUP_PAIRS_SAMPLED_SQL,
           ("near_dedup", "similarity_search_topk"),
           "all-pairs cosine near-dups (exact, sampled)"),
+    Query("semantic_dedup_pairs", semantic_dedup_pairs_q,
+          SEMANTIC_DEDUP_PAIRS_SQL,
+          ("near_dedup", "similarity_search_topk"),
+          "SemDeDup: cluster-pruned semantic near-dup pairs, "
+          "exact-verified (oracle covers assignment + pairing + verify)"),
     Query("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL,
           ("multimodal_columns",), "binary column + typed metadata"),
     Query("approx_distinct_users", approx_distinct_users, None,

@@ -247,3 +247,56 @@ def test_batch_topk_arrow_equals_expression_path(spark, sf_dir):
         for r in embedding_batch_topk(spark, sf_dir, vectorized=False).collect()
     )
     assert a == b
+
+
+def test_semantic_dedup_pairs_recall_and_parity(spark, sf_dir):
+    """SemDeDup cluster-pruned pairs vs the exact all-pairs set: exact
+    verification means no false positives; recall is bounded by cluster
+    granularity (pairs straddling clusters are missed) — assert the
+    achieved recall floor on the fixed corpus. The Arrow/BLAS
+    assignment variant must produce the identical pair set as the
+    pure-expression one."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.vectors import cosine_similarity
+    from meshtastic_airsensor_database_spark.io_utils import fan_out
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_similarity("ea", "eb"), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, threshold=0.4, vectorized=False).collect()
+    }
+    assert got <= exact  # exact in-cluster verification -> no false positives
+    # On THIS corpus (uniform-ish synthetic embeddings — the hardest
+    # case for cluster pruning) 8 clusters retain ~29% of exact pairs;
+    # recall rises as clusters coarsen (for real corpora SemDeDup
+    # relies on semantic clusterability the synthetic data lacks).
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.25
+        coarse = {
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                emb, threshold=0.4, n_centroids=2, vectorized=False
+            ).collect()
+        }
+        assert coarse <= exact
+        assert len(coarse & exact) >= len(got & exact)  # coarser -> recall up
+
+    got_arrow = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, threshold=0.4, vectorized=True).collect()
+    }
+    assert got_arrow == got
