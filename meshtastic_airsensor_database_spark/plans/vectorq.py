@@ -690,6 +690,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_vec_id=QUERY_VEC_ID, k=TOP_K, n_centroids=8, n_probe=3)
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank (rows-only;
+    recall vs brute force + code bounds asserted in tests). The scan
+    path reads M-byte codes, not float vectors — the 100-TB memory-
+    bandwidth lever (operators/pq.py)."""
+    from ..operators.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_vec_id=QUERY_VEC_ID, k=TOP_K)
+
+
 QUERIES: list[Query] = [
     Query("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL,
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
@@ -740,6 +751,9 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",), "IVF-partitioned ANN top-k (rows-only)"),
     Query("ann_kmeans_ivf_topk", ann_kmeans_ivf_topk, None,
           ("similarity_search_topk",), "KMeans-trained-centroid IVF top-k (rows-only)"),
+    Query("ann_pq_topk", ann_pq_topk, None,
+          ("similarity_search_topk",),
+          "product-quantization ADC top-k + exact re-rank (rows-only)"),
     Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs, None,
           ("near_dedup", "similarity_search_topk"),
           "sign-LSH pruned + exactly verified cosine near-dups (rows-only)"),
