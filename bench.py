@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "contaminated_eval_docs",
     "quantized_topk_cosine",
     "salted_brand_quantities",
+    "semantic_dedup_pairs",
+    "ann_pq_topk",
 ]
 
 

@@ -34,6 +34,51 @@ def annotate_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_doc_udtf(size: int, stride: int):
+    """Python UDTF (Spark 4) emitting overlapping token chunks per
+    document — the table-function API surface for row→many-rows
+    transforms. NOTE: this is the slow path (per-row Python); the
+    production chunker is the pure-built-in formulation in
+    plans/textq.py::rag_chunk_spans (sequence + posexplode + slice),
+    which this UDTF is parity-tested against. Use the UDTF form when
+    the chunking rule needs real Python (custom tokenizers, sentence
+    boundaries) that built-ins can't express."""
+    from pyspark.sql.functions import udtf
+
+    class _ChunkDoc:
+        def eval(self, text):
+            if text is None:
+                return
+            # str.split() == split on \s+ runs after trim — the same
+            # tokenization as the built-in chunker
+            toks = text.split()
+            n = len(toks)
+            for i, start in enumerate(range(0, n, stride)):
+                end = min(start + size, n)
+                yield (i, start, end, end - start, " ".join(toks[start:end]))
+
+    return udtf(
+        _ChunkDoc,
+        returnType=(
+            "chunk_idx: bigint, start_tok: bigint, "
+            "end_tok: bigint, n_chunk_tokens: bigint, chunk_text: string"
+        ),
+    )
+
+
+def chunk_documents_udtf(
+    df: DataFrame, size: int, stride: int, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lateral-join the chunking UDTF against a corpus (the lateral
+    correlation keeps the left row's id next to each emitted chunk;
+    ``.outer()`` marks the argument as a left-side lateral reference)."""
+    chunker = chunk_doc_udtf(size, stride)
+    return df.lateralJoin(chunker(F.col(text_col).outer())).select(
+        id_col, "chunk_idx", "start_tok", "end_tok", "n_chunk_tokens", "chunk_text"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     min_tokens: int = 10,

@@ -32,6 +32,11 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # are what got demoted.
 _DRIVER_WINDOW = [
     # -- round-3 additions (never driver-checked) --
+    "replay_stream_join",
+    "semantic_dedup_pairs",
+    "ewma_value_smooth",
+    "value_histogram",
+    "rag_chunk_spans",
     "curation_funnel",
     "incremental_rollup_hourly",
     "salted_brand_quantities",
@@ -55,13 +60,10 @@ _DRIVER_WINDOW = [
     "replay_env_hourly_rollup",
     "minhash_verified_neardups",
     "neardup_components",
-    "embedding_neardup_pairs",
-    "jaccard_neardup_pairs",
     "replay_late_dedup",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "top_orders_by_revenue",
-    "region_supplier_revenue",
     "fact_dim_join",
     "customers_with_urgent_orders",
     "union_order_slices",
@@ -78,11 +80,9 @@ _DRIVER_WINDOW = [
     "aligned_type_buckets",
     "props_json_extract",
     "pacific_daily_counts",
-    "tz_suffix_roundtrip",
     "exact_dedup_docs",
     "token_stats_by_lang",
     "quality_scores",
-    "lang_id_confusion",
     "pii_scan",
 ]
 # Demoted long-green representatives (still registered + locally
@@ -90,10 +90,17 @@ _DRIVER_WINDOW = [
 # round-3 additions: customers_without_urgent_orders (anti twin of the
 # in-window semi), nation_keys_intersect (set-op twin of union),
 # doc_fingerprints (exact-dedup twin), f_to_c_values + epoch_roundtrip
-# (scalar family keeps pacific_daily_counts + tz_suffix_roundtrip),
-# char_jaccard_neardup_pairs (char-shingle twin of the in-window
-# word-shingle jaccard_neardup_pairs), embedding_norms (trivial norm
-# projection; the vectors family keeps topk/quantized/batch rows).
+# + tz_suffix_roundtrip (scalar family keeps pacific_daily_counts,
+# which exercises tz conversion + projection + null_drop),
+# char_jaccard_neardup_pairs / jaccard_neardup_pairs /
+# embedding_neardup_pairs (all-pairs oracle TOOLS — the in-window scale
+# paths minhash_verified_neardups, neardup_components and
+# semantic_dedup_pairs carry the near-dup evidence), lang_id_confusion
+# (text family keeps token_stats_by_lang, quality_scores, pii_scan),
+# embedding_norms (trivial norm projection; the vectors family keeps
+# topk/quantized/batch/semantic rows), region_supplier_revenue (join
+# family keeps fact_dim_join — the §2.3 dim-enrich shape — plus
+# top_orders_by_revenue for join+agg).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -541,6 +541,69 @@ FROM t
 PII_SCAN_SQL = _pii_scan_sql()
 
 
+# --- RAG chunking: overlapping fixed-size token windows -----------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks per document — the retrieval-corpus
+    chunker every RAG pipeline runs before embedding: fixed
+    ``CHUNK_SIZE``-token windows advancing by ``CHUNK_STRIDE`` (overlap
+    preserves context across boundaries), final partial chunk kept.
+
+    Pure built-ins: tokenize once, ``sequence`` the chunk starts,
+    ``posexplode``, slice the token array — a narrow per-row explode
+    with bounded fan-out (n_tokens/stride rows per doc), no shuffle,
+    no Python. Case is preserved (chunk text feeds an embedder;
+    lowercasing is the embedder's call, unlike the dedup shingles)."""
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    chunked = base.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias(
+            "chunk_idx", "start_tok"
+        ),
+    )
+    end_tok = F.least(F.col("start_tok") + CHUNK_SIZE, F.col("n"))
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        end_tok.cast("long").alias("end_tok"),
+        (end_tok - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start_tok") + 1, end_tok - F.col("start_tok")),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+RAG_CHUNK_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+starts AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start_tok
+  FROM base
+)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(LEAST(start_tok + {CHUNK_SIZE}, n) AS BIGINT) AS end_tok,
+       CAST(LEAST(start_tok + {CHUNK_SIZE}, n) - start_tok AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_tok + 1 : LEAST(start_tok + {CHUNK_SIZE}, n)], ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -568,6 +631,9 @@ QUERIES: list[Query] = [
     Query("pii_scan", pii_scan, PII_SCAN_SQL,
           ("text_analysis",),
           "PII (email/IPv4/phone) detection counts + redacted fingerprint"),
+    Query("rag_chunk_spans", rag_chunk_spans, RAG_CHUNK_SPANS_SQL,
+          ("text_analysis",),
+          "overlapping fixed-size token chunks per document (RAG chunker)"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),

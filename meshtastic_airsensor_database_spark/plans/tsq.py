@@ -332,6 +332,102 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+# --- truncated EWMA smoothing (time-series denoising) -------------------------
+
+EWMA_ALPHA = 0.5
+EWMA_DEPTH = 8  # (1-alpha)^8 = 0.4% residual weight — negligible tail
+
+EWMA_SAMPLE_USERS = 40  # bounded declared output; the operator itself is full-corpus
+
+
+def ewma_value_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value``,
+    truncated at ``EWMA_DEPTH`` lags (pandas ``ewm(adjust=True)``
+    semantics over the available window): weights (1-α)^i normalized
+    over the lags that exist, so the series starts exact at the first
+    row instead of biased toward zero.
+
+    The truncation is what makes this a WINDOW expression instead of a
+    sequential recurrence: each output row reads its own K lags — one
+    per-key window sort, no cross-row dependency chain, embarrassingly
+    parallel across users at any scale (the untruncated recurrence
+    would need a sequential scan per key; at depth 8 and α=0.5 the
+    difference is < 0.4% of one sample's weight).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < EWMA_SAMPLE_USERS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(EWMA_DEPTH):
+        wt = (1.0 - EWMA_ALPHA) ** i
+        lag_i = F.lag("value", i).over(w)
+        num = num + F.coalesce(lag_i * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        r("value", 2).alias("value"),
+        r(num / den, 3).alias("ewma"),
+    )
+
+
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(value, {i}) OVER w * {(1.0 - EWMA_ALPHA) ** i!r}, 0.0)"
+    for i in range(EWMA_DEPTH)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {(1.0 - EWMA_ALPHA) ** i!r} ELSE 0.0 END"
+    for i in range(EWMA_DEPTH)
+)
+
+EWMA_VALUE_SMOOTH_SQL = f"""
+SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       {_R2.format(x="value")} AS value,
+       {_R3.format(x=f"({_EWMA_NUM}) / ({_EWMA_DEN})")} AS ewma
+FROM events
+WHERE user_id < {EWMA_SAMPLE_USERS}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- fixed-width value histogram ----------------------------------------------
+
+HIST_BIN_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type — the
+    one-shuffle binning primitive behind every dashboard distribution
+    panel (fixed bins, not data-dependent ones, so the map-side
+    partial aggregation needs no prior min/max pass)."""
+    ev = load(spark, sf_dir, "events")
+    bin_idx = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
+    return ev.groupBy(
+        "event_type", bin_idx.alias("bin_idx")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        r(F.min("value"), 2).alias("bin_min"),
+        r(F.max("value"), 2).alias("bin_max"),
+    ).withColumn("bin_lo", r(F.col("bin_idx") * HIST_BIN_WIDTH, 2))
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type, bin_idx,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_R2.format(x="MIN(value)")} AS bin_min,
+       {_R2.format(x="MAX(value)")} AS bin_max,
+       {_R2.format(x=f"bin_idx * {HIST_BIN_WIDTH}")} AS bin_lo
+FROM (
+  SELECT event_type, value,
+         CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin_idx
+  FROM events
+) GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -350,4 +446,10 @@ QUERIES: list[Query] = [
           ("continuous_aggregate", "per_node_stats"),
           "materialized hourly rollup maintained from out-of-order "
           "micro-batches == full recompute"),
+    Query("ewma_value_smooth", ewma_value_smooth, EWMA_VALUE_SMOOTH_SQL,
+          ("rolling_avg_pm25", "timeseries_align"),
+          "per-key truncated EWMA smoothing as a pure window expression"),
+    Query("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
+          ("per_node_stats",),
+          "fixed-width value histogram per event type (one-shuffle binning)"),
 ]

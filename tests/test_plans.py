@@ -38,7 +38,13 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "ann_ivf_topk", "ann_kmeans_ivf_topk",
            "asof_latest_view_value",
            "embedding_neardup_pairs", "jaccard_neardup_pairs",
-           "char_jaccard_neardup_pairs"}
+           "char_jaccard_neardup_pairs",
+           # single aggregated row of packed centroids crossed into the
+           # narrow assignment projection (assign_ivf_clusters)
+           "semantic_dedup_pairs",
+           # single query-vector row crossed into the k'-candidate
+           # exact re-rank (operators/pq.py::pq_topk)
+           "ann_pq_topk"}
 
 
 def test_no_cartesian_products(spark, sf_dir):

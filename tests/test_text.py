@@ -146,3 +146,28 @@ def test_pii_redaction_and_counts(spark):
     assert out[1].red == rows[1][1]
     assert (out[2].ne, out[2].ni, out[2].np) == (0, 1, 0)
     assert out[3].red == ""
+
+
+def test_udtf_chunker_matches_builtin_chunker(spark, sf_dir):
+    """The Python-UDTF chunker (the extensibility slow path) must emit
+    the exact row set of the pure-built-in rag_chunk_spans formulation
+    (the production path) — empty docs excluded, partial final chunks
+    kept, overlap preserved."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.textops import (
+        chunk_documents_udtf,
+    )
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        rag_chunk_spans,
+    )
+
+    want = {tuple(r) for r in rag_chunk_spans(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    got = {
+        tuple(r)
+        for r in chunk_documents_udtf(docs, CHUNK_SIZE, CHUNK_STRIDE).collect()
+    }
+    assert got == want
+    assert want  # non-degenerate corpus
