@@ -139,7 +139,11 @@ def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def pairs_within_buckets(
-    df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = MAX_BUCKET
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = MAX_BUCKET,
+    keep_buckets: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) of ids sharing a bucket.
 
@@ -173,9 +177,15 @@ def pairs_within_buckets(
             ),
         )
     )
+    # keep_buckets passes the bucket key through with each pair (only
+    # meaningful for single-assignment bucketings like cluster ids,
+    # where a pair exists in exactly one bucket) — lets callers reuse
+    # the bucket downstream WITHOUT re-evaluating the bucketing
+    # pipeline a second time via a join back.
+    keep = list(bucket_cols) if keep_buckets else []
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        buckets.select(*keep, F.explode(pairs).alias("p"))
+        .select(*keep, "p.id_a", "p.id_b")
         # positional pairing over the sorted list guarantees id_a <= id_b;
         # strict filter drops self-pairs arising from duplicated input ids
         .filter(F.col("id_a") != F.col("id_b"))

