@@ -138,9 +138,11 @@ def process_packet_batch(
 
     Pure batch logic — the identical function serves foreachBatch, tests,
     and bulk replay (SURVEY §7.0 batch-core/streaming-shell stance).
-    Returns per-table appended row counts for observability;
-    ``with_counts=False`` skips the count jobs (one extra action per
-    table) — the streaming hot path, which discards them, uses that.
+    Returns per-table appended row counts for observability. Counts ride
+    the WRITE action via ``Observation`` (``df.observe`` attaches an
+    aggregate to the existing job), so ``with_counts=True`` costs zero
+    extra jobs; ``with_counts=False`` skips even the metric wiring —
+    the streaming hot path, which discards counts, uses that.
     """
     spark = batch.sparkSession
     parsed = json_envelope_parse(batch)
@@ -177,9 +179,19 @@ def process_packet_batch(
             # the parquet snapshot it was read from: with a plain
             # cache(), an evicted partition would recompute against the
             # already-deleted old files and fail the batch mid-append.
-            dim = dim_upsert_latest_wins(dim, updates).localCheckpoint()
+            obs_nodeinfo = None
             if with_counts:
-                counts["nodeinfo"] = updates.count()
+                from pyspark.sql import Observation
+
+                obs_nodeinfo = Observation("ingest_nodeinfo")
+                updates = updates.observe(
+                    obs_nodeinfo, F.count(F.lit(1)).alias("n")
+                )
+            # the eager localCheckpoint action evaluates the upsert plan,
+            # firing the observation — no separate count job
+            dim = dim_upsert_latest_wins(dim, updates).localCheckpoint()
+            if obs_nodeinfo is not None:
+                counts["nodeinfo"] = obs_nodeinfo.get["n"]
             # overwrite the snapshot: tiny dimension, full rewrite per batch
             dim.write.mode("overwrite").parquet(paths.table("node_dim") + "_next")
             spark.read.parquet(paths.table("node_dim") + "_next").write.mode(
@@ -194,9 +206,17 @@ def process_packet_batch(
             facts = node_dim_enrich(routed[slice_name], dim)
             # partition by event date: prunable, low-cardinality (SURVEY §4.2)
             facts = facts.withColumn("event_date", F.to_date("event_ts"))
-            parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
+            obs = None
             if with_counts:
-                counts[table] = facts.count()
+                # observe() rides the write job below — the count is a
+                # metric of the SAME action, not a second computation
+                from pyspark.sql import Observation
+
+                obs = Observation(f"ingest_{table}")
+                facts = facts.observe(obs, F.count(F.lit(1)).alias("n"))
+            parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
+            if obs is not None:
+                counts[table] = obs.get["n"]
             if slice_name == "v0_env":
                 # Continuous aggregate: fold this batch's env readings
                 # into the materialized per-node hourly rollup
