@@ -321,3 +321,109 @@ def frame_sample(media: DataFrame, every_n: int = 2, max_frames: int = 16) -> Da
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_id", "content").mapInPandas(op, FRAME_SCHEMA)
+
+
+# --- perceptual image hashing + multimodal near-dup ---------------------------
+
+AHASH_SIDE = 8  # 8x8 grid -> 64-bit hash
+
+
+def ahash_bytes(content: bytes) -> int:
+    """64-bit average hash (aHash) of a PPM image: decode, grayscale,
+    nearest-resize to 8x8, threshold each cell at the grid mean. Two
+    images within small crops / brightness-preserving edits differ in
+    few bits (hamming distance), making near-dup detection a bit-level
+    problem the SimHash banding machinery already solves. Raises
+    CodecError on non-PPM bytes (malformed_row_skip semantics)."""
+    import numpy as np
+
+    from ..functions.codecs import decode_ppm, resize_nearest
+
+    pixels = decode_ppm(bytes(content))
+    gray = pixels.astype(np.float64).mean(axis=2)  # (H, W)
+    small = resize_nearest(gray[:, :, None].repeat(3, axis=2), AHASH_SIDE, AHASH_SIDE)[
+        :, :, 0
+    ]
+    bits = (small >= small.mean()).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # interpret as signed 64-bit so the value fits Spark's LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_phash(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """(media_id, ahash) over a media table — Arrow-batched; undecodable
+    rows are dropped (malformed_row_skip), keeping the corpus pipeline
+    running past junk bytes."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import CodecError
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    rows.append({"media_id": media_id, "ahash": ahash_bytes(content)})
+                except CodecError:
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "content").mapInPandas(op, schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs via banded aHash: split the 64-bit hash into
+    ``n_bands`` 16-bit bands — pairs within hamming distance
+    ``max_hamming < n_bands`` MUST agree on at least one full band
+    (pigeonhole), so banding finds them with ONE shuffle on (band_idx,
+    band_value) and zero false negatives at distance < n_bands; the
+    exact hamming check then filters candidates (no false positives).
+    The identical plan shape as SimHash text dedup — multimodal dedup
+    reuses the text machinery on perceptual bits. The pair id is the
+    (media_id, ahash) STRUCT, so the exact hamming verify reads both
+    hashes straight off the pair — the phash decode pipeline runs
+    exactly once and nothing joins back to it."""
+    from .dedup import pairs_within_buckets
+
+    hashes = image_phash(media)
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        F.struct("media_id", "ahash").alias("m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("m", "band.band_idx", "band.band_hash")
+    cands = pairs_within_buckets(bands, ["band_idx", "band_hash"], "m")
+    hamming = F.bit_count(
+        F.col("id_a.ahash").bitwiseXOR(F.col("id_b.ahash"))
+    )
+    return cands.select(
+        F.col("id_a.media_id").alias("id_a"),
+        F.col("id_b.media_id").alias("id_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

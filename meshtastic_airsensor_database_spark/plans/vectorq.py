@@ -421,6 +421,48 @@ FROM documents
 """
 
 
+# --- perceptual image near-dup (multimodal_columns x near_dedup) --------------
+
+IMG_BASES = 40  # distinct base images; docs sharing a base are near-dups
+IMG_SIDE = 16
+
+
+def image_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic PPM media table from document ids
+    (no image testdata exists; the codec/pipeline is real, the pixels
+    are seeded): docs with the same ``doc_id % IMG_BASES`` share a base
+    image, each with a tiny per-doc corner edit — planted near-dups."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import encode_ppm
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rng = np.random.RandomState(int(doc_id) % IMG_BASES)
+                px = rng.randint(0, 256, size=(IMG_SIDE, IMG_SIDE, 3)).astype("uint8")
+                px[0, 0] = (int(doc_id) * 37) % 256  # per-doc perturbation
+                rows.append(
+                    {"media_id": int(doc_id), "content": encode_ppm(px)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.mapInPandas(synth, "media_id long, content binary")
+
+
+def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-aHash image near-dup pairs (rows-only: DuckDB cannot
+    decode PPM; invariants + exact hamming verified in
+    test_multimodal.py). Same one-shuffle banding plan as SimHash."""
+    from ..operators.multimodal import image_neardup_pairs
+
+    return image_neardup_pairs(image_neardup_media(spark, sf_dir))
+
+
 # --- approx distinct (SURVEY §2.11 approx_distinct_nodes; rows-only) ----------
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +768,10 @@ QUERIES: list[Query] = [
           "exact-verified (oracle covers assignment + pairing + verify)"),
     Query("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL,
           ("multimodal_columns",), "binary column + typed metadata"),
+    Query("image_neardup_pairs", image_neardup_pairs_q, None,
+          ("multimodal_columns", "near_dedup"),
+          "perceptual-hash (banded aHash) image near-dup pairs over real "
+          "PPM decode (rows-only)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

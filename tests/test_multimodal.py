@@ -246,3 +246,64 @@ def test_audio_features_stereo_mixdown(spark):
     r1 = extract_audio_features(media).first()
     assert r1["rms"] < 1.0
     assert r1["peak"] >= 9999
+
+
+def test_ahash_invariants_and_perturbation():
+    """aHash: deterministic; invariant to uniform brightness scaling
+    (threshold at the mean); a few flipped pixels move few bits; an
+    unrelated image moves many."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import ahash_bytes
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h1 = ahash_bytes(encode_ppm(base))
+    assert h1 == ahash_bytes(encode_ppm(base))
+
+    # brightness halving preserves which cells sit above the mean
+    dimmed = (base // 2).astype(np.uint8)
+    assert bin((h1 ^ ahash_bytes(encode_ppm(dimmed))) & (2**64 - 1)).count("1") <= 4
+
+    # small localized edit: few bits
+    edited = base.copy()
+    edited[:4, :4] = 255
+    d_small = bin((h1 ^ ahash_bytes(encode_ppm(edited))) & (2**64 - 1)).count("1")
+    assert d_small <= 8
+
+    # unrelated image: many bits
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    d_other = bin((h1 ^ ahash_bytes(encode_ppm(other))) & (2**64 - 1)).count("1")
+    assert d_other > d_small
+
+
+def test_image_neardup_pairs_end_to_end(spark):
+    """Banded aHash near-dup: a near-identical image pair is found, the
+    unrelated image is not paired, junk bytes are skipped, and the
+    exact hamming column matches a driver-side recomputation."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        ahash_bytes,
+        image_neardup_pairs,
+        to_media_table,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0:2, 0:2] = 0  # tiny edit
+    far = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(near))),
+        (3, bytearray(encode_ppm(far))),
+        (4, bytearray(b"junk, not an image")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    media = df.select(
+        df.doc_id.cast("long").alias("media_id"),
+        df.payload.cast("binary").alias("content"),
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in image_neardup_pairs(media).collect()}
+    want_h = bin(
+        (ahash_bytes(bytes(rows[0][1])) ^ ahash_bytes(bytes(rows[1][1]))) & (2**64 - 1)
+    ).count("1")
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == want_h
