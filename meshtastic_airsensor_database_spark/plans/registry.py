@@ -37,6 +37,9 @@ _DRIVER_WINDOW = [
     "ewma_value_smooth",
     "value_histogram",
     "rag_chunk_spans",
+    "hybrid_search_rrf",
+    "bpe_merge_candidates",
+    "hard_negatives_topk",
     "curation_funnel",
     "incremental_rollup_hourly",
     "salted_brand_quantities",
@@ -65,15 +68,12 @@ _DRIVER_WINDOW = [
     "pricing_summary",
     "top_orders_by_revenue",
     "fact_dim_join",
-    "customers_with_urgent_orders",
     "union_order_slices",
-    "grouping_sets_revenue",
     "pivot_priority_by_status",
     "top3_orders_per_segment",
     "line_numbering",
     "hourly_avg_by_node",
     "latest_reading_per_node",
-    "reading_gap_detect",
     "rolling_avg_value",
     "outage_episodes",
     "asof_latest_view_value",
@@ -100,7 +100,11 @@ _DRIVER_WINDOW = [
 # embedding_norms (trivial norm projection; the vectors family keeps
 # topk/quantized/batch/semantic rows), region_supplier_revenue (join
 # family keeps fact_dim_join — the §2.3 dim-enrich shape — plus
-# top_orders_by_revenue for join+agg).
+# top_orders_by_revenue for join+agg), customers_with_urgent_orders
+# (semi/anti twins both long-green; joins covered above),
+# grouping_sets_revenue (grouping family keeps pivot + the sf-agnostic
+# pricing/rollup rows), reading_gap_detect (lag family covered by
+# rolling_avg_value + ewma_value_smooth in-window).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -541,6 +541,61 @@ FROM t
 PII_SCAN_SQL = _pii_scan_sql()
 
 
+# --- BPE merge-pair counting (tokenizer training primitive) -------------------
+
+BPE_MERGE_TOPK = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE training: the corpus-wide frequency of every
+    adjacent character pair, weighted by word occurrence — the argmax
+    is the next merge a byte-pair tokenizer would learn (Sennrich et
+    al., ACL'16). Top ``BPE_MERGE_TOPK`` by (count, pair).
+
+    Scale shape: word counts first (hash agg — the corpus collapses to
+    its vocabulary, typically 10^5-10^6 rows regardless of corpus
+    size), THEN the per-word char-pair explode runs over distinct words
+    only — the expensive explode is O(vocab), not O(corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_MERGE_TOPK)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY w HAVING len(w) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, wc
+  FROM words
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
+"""
+
+
 # --- RAG chunking: overlapping fixed-size token windows -----------------------
 
 CHUNK_SIZE = 64
@@ -634,6 +689,10 @@ QUERIES: list[Query] = [
     Query("rag_chunk_spans", rag_chunk_spans, RAG_CHUNK_SPANS_SQL,
           ("text_analysis",),
           "overlapping fixed-size token chunks per document (RAG chunker)"),
+    Query("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL,
+          ("text_analysis",),
+          "BPE tokenizer-training round: adjacent char-pair counts over "
+          "the vocabulary, word-frequency weighted"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),

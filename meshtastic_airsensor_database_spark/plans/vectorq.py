@@ -138,7 +138,7 @@ def _batch_scores_expr(emb: DataFrame) -> DataFrame:
     )
 
 
-def _batch_scores_arrow(emb: DataFrame) -> DataFrame:
+def _batch_scores_arrow(emb: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Arrow/BLAS twin of ``_batch_scores_expr``: the query matrix ships
     in the mapInPandas closure (Q x dim — driver-collected, Q is small
     by definition) and each batch scores as one (B, dim) @ (dim, Q)
@@ -169,37 +169,50 @@ def _batch_scores_arrow(emb: DataFrame) -> DataFrame:
             mn = np.linalg.norm(m, axis=1, keepdims=True)
             mn[mn == 0] = 1.0
             sims = (m / mn) @ qmat_t  # (B, Q)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(qids, len(pdf)),
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
-                    "_raw": sims.ravel(),
-                }
-            )
+            out = {
+                "query_id": np.tile(qids, len(pdf)),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
+                "_raw": sims.ravel(),
+            }
+            for c in passthrough:
+                out[c] = np.repeat(pdf[c].to_numpy(), n_q)
+            yield pd.DataFrame(out)
 
-    raw = fan_out(emb).select("vec_id", "embedding").mapInPandas(
-        op, "query_id long, vec_id long, _raw double"
+    extra_schema = "".join(
+        f", {c} {dict(emb.dtypes)[c]}" for c in passthrough
+    )
+    raw = fan_out(emb).select("vec_id", "embedding", *passthrough).mapInPandas(
+        op, f"query_id long, vec_id long, _raw double{extra_schema}"
     )
     return (
         raw.filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", r(F.col("_raw"), 4).alias("cosine"))
+        .select(
+            "query_id", "vec_id", r(F.col("_raw"), 4).alias("cosine"), *passthrough
+        )
     )
 
 
-def embedding_batch_topk(
-    spark: SparkSession, sf_dir: str, vectorized: bool = True
+def _partial_topk_merge(
+    scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    scored = (_batch_scores_arrow if vectorized else _batch_scores_expr)(emb)
+    """Per-query top-k WITHOUT a Window over the full n x Q scored set:
+    map-side partial top-k per (shard, query), then a k·shards-row
+    merge — the exact two-phase shape of a distributed top-k.
+    ``extra_cols`` ride inside the sort struct (after the tie-break
+    key, so they never affect the ordering)."""
     # ascending struct sort == (cosine desc, vec_id asc)
-    entry = F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id").alias("vid"))
+    entry = F.struct(
+        (-F.col("cosine")).alias("nc"),
+        F.col("vec_id").alias("vid"),
+        *[F.col(c).alias(c) for c in extra_cols],
+    )
     partial = scored.groupBy(
         F.spark_partition_id().alias("_shard"), "query_id"
-    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, BATCH_K).alias("top"))
+    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("top"))
     merged = (
         partial.select("query_id", F.explode("top").alias("t"))
         .groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, BATCH_K).alias("top"))
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
     )
     return merged.select(
         "query_id", F.posexplode("top").alias("pos", "t")
@@ -208,7 +221,16 @@ def embedding_batch_topk(
         (F.col("pos") + 1).alias("rnk"),
         F.col("t.vid").alias("vec_id"),
         (-F.col("t.nc")).alias("cosine"),
+        *[F.col(f"t.{c}").alias(c) for c in extra_cols],
     )
+
+
+def embedding_batch_topk(
+    spark: SparkSession, sf_dir: str, vectorized: bool = True
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    scored = (_batch_scores_arrow if vectorized else _batch_scores_expr)(emb)
+    return _partial_topk_merge(scored, BATCH_K)
 
 
 EMBEDDING_BATCH_TOPK_SQL = f"""
@@ -461,6 +483,174 @@ def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import image_neardup_pairs
 
     return image_neardup_pairs(image_neardup_media(spark, sf_dir))
+
+
+# --- contrastive hard-negative mining -----------------------------------------
+
+NEG_K = 3
+
+
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    ``NEG_K`` most cosine-similar vectors with a DIFFERENT label — the
+    near-misses a contrastive loss learns the most from. Same batched
+    Arrow scoring + two-phase partial top-k as ``embedding_batch_topk``
+    (labels ride the scorer as a passthrough column, so no join against
+    the scored set); the different-label filter runs before the top-k,
+    map-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_labels = {
+        row["vec_id"]: row["label"]
+        for row in emb.filter(F.col("vec_id").isin(*QUERY_BATCH_IDS))
+        .select("vec_id", "label")
+        .collect()
+    }
+    qmap = F.create_map(
+        *[F.lit(x) for kv in q_labels.items() for x in kv]
+    )
+    scored = _batch_scores_arrow(emb, passthrough=("label",))
+    negs = scored.filter(F.col("label") != qmap[F.col("query_id")])
+    return _partial_topk_merge(negs, NEG_K, extra_cols=("label",)).select(
+        "query_id", "rnk", "vec_id", F.col("label").cast("int").alias("label"),
+        "cosine",
+    )
+
+
+HARD_NEGATIVES_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN {QUERY_BATCH_IDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         CAST(ROUND(CAST(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+)
+SELECT query_id, rnk, vec_id, label, cosine FROM (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= {NEG_K}
+"""
+
+
+# --- hybrid retrieval: keyword + vector fusion (RRF) --------------------------
+
+HYBRID_TERMS = ("spark", "hash", "merge")  # the keyword side of the query
+HYBRID_POOL = 50  # per-ranker candidate pool
+HYBRID_K = 10
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-stack workhorse: a keyword ranking
+    (term frequency over the document corpus) and a vector ranking
+    (cosine to the query embedding) fused by reciprocal rank fusion —
+    ``score(d) = Σ_r 1/(RRF_K + rank_r(d))`` (Cormack et al., SIGIR'09).
+
+    Scale shape: each ranker is scan → TakeOrderedAndProject to its
+    ``HYBRID_POOL`` (no global sort); ranks come from a window over the
+    pooled candidates only (tiny); the fusion is a full outer join of
+    two k-row sets. The embedding side reuses the documents' aligned
+    vectors (doc_id == vec_id in the testdata contract)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
+    tf = F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))
+    kw_pool = (
+        docs.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(HYBRID_POOL)
+    )
+    kw = kw_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("kw_rank"),
+    )
+
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qv")
+    )
+    vec_pool = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            r(cosine_similarity(F.col("embedding"), F.col("_qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(HYBRID_POOL)
+    )
+    vec = vec_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .alias("vec_rank"),
+    )
+
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        r(
+            F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(HYBRID_K)
+
+
+_HYBRID_TERMS_SQL = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH kw_pool AS (
+  SELECT doc_id, tf FROM (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> list_contains([{_HYBRID_TERMS_SQL}], t))) AS tf
+    FROM documents
+  ) WHERE tf > 0
+  ORDER BY tf DESC, doc_id LIMIT {HYBRID_POOL}
+),
+kw AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS kw_rank
+  FROM kw_pool
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vec_pool AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROUND(CAST(list_dot_product(embedding::DOUBLE[], qv.v)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.v, qv.v))) AS DECIMAL(38,9)), 6) AS DOUBLE)
+           AS cos
+  FROM embeddings, qv
+  ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM vec_pool
+)
+SELECT doc_id,
+       CAST(kw_rank AS BIGINT) AS kw_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank,
+       CAST(ROUND(CAST(COALESCE(1.0 / ({RRF_K} + kw_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0) AS DECIMAL(38,9)), 6)
+            AS DOUBLE) AS rrf
+FROM kw FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT {HYBRID_K}
+"""
 
 
 # --- approx distinct (SURVEY §2.11 approx_distinct_nodes; rows-only) ----------
@@ -772,6 +962,14 @@ QUERIES: list[Query] = [
           ("multimodal_columns", "near_dedup"),
           "perceptual-hash (banded aHash) image near-dup pairs over real "
           "PPM decode (rows-only)"),
+    Query("hybrid_search_rrf", hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL,
+          ("similarity_search_topk", "text_analysis"),
+          "hybrid retrieval: keyword tf + vector cosine fused by "
+          "reciprocal rank fusion"),
+    Query("hard_negatives_topk", hard_negatives_topk, HARD_NEGATIVES_TOPK_SQL,
+          ("similarity_search_topk",),
+          "contrastive hard negatives: per-query top-k most-similar "
+          "different-label vectors"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

@@ -44,7 +44,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "semantic_dedup_pairs",
            # single query-vector row crossed into the k'-candidate
            # exact re-rank (operators/pq.py::pq_topk)
-           "ann_pq_topk"}
+           "ann_pq_topk",
+           # single query-vector row crossed into the vector-ranking arm
+           # of the RRF fusion
+           "hybrid_search_rrf"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
