@@ -415,15 +415,20 @@ def semantic_dedup_pairs(
 
     Returns (id_a, id_b, cluster, cosine), id_a < id_b.
     """
-    from .dedup import pairs_within_buckets
-
-    assign = assign_ivf_clusters_arrow if vectorized else assign_ivf_clusters
-    assigned = assign(emb, n_centroids, id_col, vec_col)
+    if vectorized:
+        return _semantic_pairs_grouped_blas(
+            emb, threshold, n_centroids, id_col, vec_col
+        )
+    # Pure-expression formulation (the oracle-parity twin): candidate
+    # pairs via the shared bucket-grouping shape, HOF cosine verify.
     # keep_buckets carries each pair's cluster out of the candidate
     # stage, so the assignment pipeline is evaluated ONCE — the vector
     # sides join back to the raw table, not to `assigned` (joining
     # `assigned` twice more would re-run the whole assignment subtree
     # per side: measured 3x wall time at sf0.1).
+    from .dedup import pairs_within_buckets
+
+    assigned = assign_ivf_clusters(emb, n_centroids, id_col, vec_col)
     cands = pairs_within_buckets(
         assigned.select(id_col, "cluster"), ["cluster"], id_col,
         keep_buckets=True,
@@ -441,6 +446,71 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _semantic_pairs_grouped_blas(
+    emb: DataFrame,
+    threshold: float,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The throughput formulation of ``semantic_dedup_pairs`` — the
+    shape SemDeDup actually runs at scale: ONE shuffle groups each
+    cluster's (id, vector) rows, then a per-cluster (C, dim) x (dim, C)
+    BLAS matmul scores all in-cluster pairs at once and emits only the
+    qualifying ones. No pair set is ever materialized or joined — the
+    three prior shuffles of the 5M-row candidate set (explode,
+    distinct, 2 joins) and the interpreted HOF verify (measured 159 s
+    of a 171 s run at 20k vectors) collapse into the group agg.
+
+    Boundary parity with the expression twin: the matmul emits RAW
+    cosines for every pair within half a rounding step of the
+    threshold; the Spark-side ``round(_, 4) >= threshold`` filter then
+    applies the identical decision rule, so the emitted set is exactly
+    the expression path's (pytest-asserted). Clusters above MAX_BUCKET
+    drop as degenerate, same as the bucket-grouping guard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import MAX_BUCKET
+
+    assigned = assign_ivf_clusters_arrow(emb, n_centroids, id_col, vec_col)
+    # raw >= threshold - (5e-5 + eps): anything below cannot round up
+    # to the 4-decimal threshold; the exact rounded filter runs in
+    # Spark afterwards so the decision is bit-identical to the twin
+    cutoff = threshold - 5.0001e-5
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or len(pdf) > MAX_BUCKET:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cluster": [], "_raw": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cluster": "int64",
+                      "_raw": "float64"})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= cutoff
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cluster": np.full(int(keep.sum()), int(pdf["cluster"].iloc[0])),
+                "_raw": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    out = assigned.groupBy("cluster").applyInPandas(
+        per_cluster, "id_a long, id_b long, cluster long, _raw double"
+    )
+    return out.select(
+        "id_a", "id_b", "cluster", F.round(F.col("_raw"), 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def kmeans_ivf_topk(

@@ -73,13 +73,23 @@ def replicate_docs(docs, factor: int):
 
 def replicate_embeddings(emb, factor: int):
     """factor copies per vector, each shifted by a tiny per-replica
-    delta on the first component (distinct points, same distribution)."""
+    delta on the first component (distinct points, same distribution).
+
+    Ids INTERLEAVE (rep * base_count + orig), not block (orig * factor
+    + rep): the centroid stand-in in assign_ivf_clusters takes the
+    first-N ids as centroids, and block re-iding would make all N
+    centroids near-copies of the same few base vectors — degenerate
+    clusters that blow past the MAX_BUCKET guard and void the smoke
+    (measured: 0 candidate pairs because every cluster was dropped).
+    Interleaved, the first-N ids are N distinct base directions at any
+    factor."""
+    base_count = emb.count()
     reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     delta = (F.col("rep").cast("double") / F.lit(1e4)).cast("float")
     return (
         emb.select("vec_id", "embedding", reps)
         .select(
-            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            (F.col("rep") * base_count + F.col("vec_id")).alias("vec_id"),
             F.concat(
                 F.array(F.element_at("embedding", 1) + delta),
                 F.slice("embedding", 2, F.size("embedding") - 1),
@@ -213,6 +223,17 @@ def main() -> None:
     timed(spark, "simhash_buckets", simhash_buckets(docs, "doc_id", "text"), out)
     timed(spark, "ivf_topk",
           ivf_topk(emb, query_vec_id=0, k=10, n_centroids=32, n_probe=4), out)
+    # SemDeDup: centroid count scales WITH the corpus (the documented
+    # knob), holding cluster size — and therefore per-cluster candidate
+    # fan-out — constant as factor grows: total candidate pairs stay
+    # linear in corpus size.
+    from meshtastic_airsensor_database_spark.operators.pq import pq_encode, train_pq_codebooks
+    from meshtastic_airsensor_database_spark.operators.similarity import semantic_dedup_pairs
+
+    timed(spark, "semantic_dedup_pairs",
+          semantic_dedup_pairs(emb, threshold=0.9,
+                               n_centroids=max(8, 4 * factor)), out)
+    timed(spark, "pq_encode", pq_encode(emb, train_pq_codebooks(emb)), out)
     out["rollup_maintenance"] = rollup_maintenance(
         spark, sf_dir, factor, "/tmp/spark_graft_scale_rollup"
     )
