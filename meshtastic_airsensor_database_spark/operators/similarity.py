@@ -375,13 +375,21 @@ def hyperplane_neardup_pairs(
     cands = pairs_within_buckets(bands, ["band_idx", "band_hash"], id_col)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # vectorized also picks the verify math: LSH candidate sets are
+    # large by design, and the HOF cosine evaluates interpreted per
+    # element (see _semantic_pairs_grouped_blas measurements)
+    from ..functions.vectors import cosine_similarity_arrow
+
+    cos = (cosine_similarity_arrow if vectorized else cosine_similarity)(
+        F.col("_va"), F.col("_vb")
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
