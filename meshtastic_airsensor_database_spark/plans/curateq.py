@@ -240,6 +240,77 @@ FROM (
 """
 
 
+# --- temperature-scaled language mixture sampling -----------------------------
+
+MIX_ALPHA = 0.7  # the standard multilingual rebalancing temperature
+MIX_SALT = "temp-mix-v1:"
+MIX_RATE_SCALE = 1_000_000  # fixed-point keep-rate resolution
+
+
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (the multilingual-corpus
+    mixing rule, e.g. mC4/XLM-R: sample language l with probability
+    ∝ p_l^α, α<1 upweights tail languages). Per-language keep rate =
+    (p_l^(α-1)) / max_l(p_l^(α-1)) — the most-downweighted (largest)
+    language anchors at the rate that preserves relative proportions
+    p_l^α; the keep decision is the salted content hash (deterministic,
+    shuffle-free — same contract as lang_quota_sample).
+
+    Two-pass shape: one hash agg computes language counts (a
+    languages-sized frame at any corpus scale), broadcast back onto
+    the corpus for the narrow filter pass. The corpus total cancels in
+    the rate ratio ((n_l/T)^(α-1) / (n_max/T)^(α-1) == (n_l/n_max)^(α-1)),
+    so no separate total pass exists. Keep rates are fixed-point
+    (integer millionths, half-up) so both engines derive bit-identical
+    thresholds."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    w = F.pow(F.col("n_lang").cast("double"), MIX_ALPHA - 1.0)
+    rates = counts.select(
+        "lang",
+        F.floor(
+            (w / F.max(w).over(Window.partitionBy())) * MIX_RATE_SCALE + 0.5
+        ).cast("long").alias("keep_millionths"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(MIX_SALT), F.col("text"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % MIX_RATE_SCALE
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "keep_millionths",
+            (bucket < F.col("keep_millionths")).alias("kept"),
+        )
+    )
+
+
+TEMPERATURE_MIX_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR(POW(n_lang::DOUBLE, {MIX_ALPHA} - 1.0)
+              / MAX(POW(n_lang::DOUBLE, {MIX_ALPHA} - 1.0)) OVER ()
+              * {MIX_RATE_SCALE} + 0.5) AS BIGINT) AS keep_millionths
+  FROM counts
+)
+SELECT doc_id, d.lang, keep_millionths,
+       CAST(CAST(concat('0x', substr(md5(concat('{MIX_SALT}', text)), 1, 12))
+            AS UBIGINT) % {MIX_RATE_SCALE} AS BIGINT) < keep_millionths AS kept
+FROM documents d JOIN rates ON d.lang = rates.lang
+"""
+
+
 # --- end-to-end curation funnel -----------------------------------------------
 
 # Gate thresholds sized against the testdata signal distributions so
@@ -453,6 +524,11 @@ QUERIES: list[Query] = [
     Query("ffd_bin_packing", ffd_bin_packing, None,
           ("text_analysis",),
           "greedy FFD token bin packing per shard (rows-only)"),
+    Query("temperature_mix_sample", temperature_mix_sample,
+          TEMPERATURE_MIX_SAMPLE_SQL,
+          ("text_analysis",),
+          "temperature-scaled (alpha=0.7) multilingual rebalancing via "
+          "salted-hash sampling"),
     Query("curation_funnel", curation_funnel, CURATION_FUNNEL_SQL,
           ("text_analysis", "exact_dedup", "near_dedup"),
           "end-to-end corpus pipeline: quota -> quality -> dedup -> "

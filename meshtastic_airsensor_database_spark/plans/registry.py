@@ -40,6 +40,7 @@ _DRIVER_WINDOW = [
     "hybrid_search_rrf",
     "bpe_merge_candidates",
     "hard_negatives_topk",
+    "temperature_mix_sample",
     "curation_funnel",
     "incremental_rollup_hourly",
     "salted_brand_quantities",
@@ -71,7 +72,6 @@ _DRIVER_WINDOW = [
     "union_order_slices",
     "pivot_priority_by_status",
     "top3_orders_per_segment",
-    "line_numbering",
     "hourly_avg_by_node",
     "latest_reading_per_node",
     "rolling_avg_value",
@@ -104,7 +104,8 @@ _DRIVER_WINDOW = [
 # (semi/anti twins both long-green; joins covered above),
 # grouping_sets_revenue (grouping family keeps pivot + the sf-agnostic
 # pricing/rollup rows), reading_gap_detect (lag family covered by
-# rolling_avg_value + ewma_value_smooth in-window).
+# rolling_avg_value + ewma_value_smooth in-window), line_numbering
+# (trivial zipWithIndex projection, two rounds driver-green).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
