@@ -54,6 +54,16 @@ def get_spark(
         # time-range predicates stay plain scan columns and reach
         # PushedFilters (row-group/page pruning at scale).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # The whole-stage-codegen class cache defaults to 100 entries
+        # (JVM-wide, sized on first use). A session running the full
+        # declared query surface compiles far more generated classes
+        # than that, so every repeated query recompiles its stages
+        # (~100 ms each) instead of hitting the cache — measured as a
+        # uniform ~30-60% inflation across the 31-query bench sweep
+        # versus the same queries run solo. One long-lived driver
+        # serving many queries is exactly the production shape, so a
+        # cache sized to the query surface is the right default.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
