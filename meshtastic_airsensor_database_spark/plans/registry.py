@@ -65,13 +65,14 @@ _DRIVER_WINDOW = [
     "minhash_verified_neardups",
     "neardup_components",
     "replay_late_dedup",
+    # -- late round-3 additions (oracle-backed, never driver-checked) --
+    "sliding_hourly_load",
+    "neardup_pagerank",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "top_orders_by_revenue",
     "fact_dim_join",
     "union_order_slices",
-    "pivot_priority_by_status",
-    "top3_orders_per_segment",
     "hourly_avg_by_node",
     "latest_reading_per_node",
     "rolling_avg_value",
@@ -105,7 +106,11 @@ _DRIVER_WINDOW = [
 # grouping_sets_revenue (grouping family keeps pivot + the sf-agnostic
 # pricing/rollup rows), reading_gap_detect (lag family covered by
 # rolling_avg_value + ewma_value_smooth in-window), line_numbering
-# (trivial zipWithIndex projection, two rounds driver-green).
+# (trivial zipWithIndex projection, two rounds driver-green),
+# pivot_priority_by_status + top3_orders_per_segment (extension-surface
+# relational variants, both driver-green two rounds; demoted for the
+# late-r3 sliding_hourly_load + neardup_pagerank, which had no driver
+# row at all).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
