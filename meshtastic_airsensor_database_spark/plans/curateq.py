@@ -23,7 +23,8 @@ from ..operators.curation import (
     ngram_decontaminate,
     repetition_signals,
 )
-from .base import Query
+from ..operators.lmquality import DUP_SPAN_NGRAM_N, LM_SMOOTH_K
+from .base import Query, r
 from .textq import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
 # Shared SQL fragments ---------------------------------------------------------
@@ -506,6 +507,104 @@ UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM q5)
 """
 
 
+# --- bigram-LM perplexity (CCNet-style quality gate) --------------------------
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (operators/lmquality.py).
+
+    CCNet's LM quality gate re-expressed Spark-first: the LM is trained
+    as a DataFrame aggregation over the same corpus and scoring is one
+    equi-join — nothing model-shaped ever reaches the driver.
+    """
+    from ..operators.lmquality import perplexity_scores
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    s = perplexity_scores(docs)
+    return s.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        r(F.col("avg_nll"), 4).alias("avg_nll"),
+        r(F.col("ppl"), 2).alias("ppl"),
+    )
+
+
+DOC_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+),
+lm AS (
+  SELECT w1, w2, (c2 + {LM_SMOOTH_K}) / (c1 + {LM_SMOOTH_K} * v) AS p
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT bg.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(CAST(AVG(-ln(p)) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_nll,
+       CAST(ROUND(CAST(exp(AVG(-ln(p))) AS DECIMAL(38,9)), 2) AS DOUBLE) AS ppl
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY 1
+"""
+
+
+# --- duplicated-span coverage (exact-substring dedup statistic) ---------------
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-document duplicated-span coverage
+    (operators/lmquality.py, Lee et al. arXiv:2107.06499)."""
+    from ..operators.lmquality import dup_span_coverage
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    s = dup_span_coverage(docs)
+    return s.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_grams",
+        "covered_tokens",
+        r(F.col("dup_fraction"), 4).alias("dup_fraction"),
+    )
+
+
+DUP_SPAN_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pg AS (
+  SELECT doc_id AS id, len(t) AS n_tokens, i - 1 AS pos,
+         array_to_string(t[i:i + {DUP_SPAN_NGRAM_N} - 1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_NGRAM_N} + 2)) AS u(i)
+  WHERE len(t) >= {DUP_SPAN_NGRAM_N}
+),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT id) >= 2),
+hits AS (SELECT pg.* FROM pg JOIN dup USING (gram)),
+cov AS (
+  SELECT id, n_tokens, COUNT(DISTINCT cp) AS covered_tokens
+  FROM hits, UNNEST(range(pos, pos + {DUP_SPAN_NGRAM_N})) AS c(cp)
+  GROUP BY 1, 2
+),
+ndup AS (SELECT id, COUNT(*) AS n_dup_grams FROM hits GROUP BY 1),
+base AS (SELECT DISTINCT id, n_tokens FROM pg)
+SELECT base.id AS doc_id,
+       CAST(base.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(ROUND(CAST(COALESCE(covered_tokens, 0) / base.n_tokens
+                       AS DECIMAL(38,9)), 4) AS DOUBLE) AS dup_fraction
+FROM base
+LEFT JOIN ndup USING (id)
+LEFT JOIN cov USING (id)
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -533,4 +632,11 @@ QUERIES: list[Query] = [
           ("text_analysis", "exact_dedup", "near_dedup"),
           "end-to-end corpus pipeline: quota -> quality -> dedup -> "
           "split -> decontaminate, per-stage survivor counts"),
+    Query("doc_perplexity", doc_perplexity, DOC_PERPLEXITY_SQL,
+          ("text_analysis",),
+          "CCNet-style bigram-LM perplexity quality scoring (LM "
+          "trained and applied as DataFrame aggs/joins)"),
+    Query("dup_span_stats", dup_span_stats, DUP_SPAN_STATS_SQL,
+          ("text_analysis", "near_dedup"),
+          "Lee-et-al exact-substring duplicated-span coverage per doc"),
 ]

@@ -68,6 +68,8 @@ _DRIVER_WINDOW = [
     # -- late round-3 additions (oracle-backed, never driver-checked) --
     "sliding_hourly_load",
     "neardup_pagerank",
+    "doc_perplexity",
+    "dup_span_stats",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "top_orders_by_revenue",
@@ -75,9 +77,7 @@ _DRIVER_WINDOW = [
     "union_order_slices",
     "hourly_avg_by_node",
     "latest_reading_per_node",
-    "rolling_avg_value",
     "outage_episodes",
-    "asof_latest_view_value",
     "aligned_type_buckets",
     "props_json_extract",
     "pacific_daily_counts",
@@ -110,7 +110,11 @@ _DRIVER_WINDOW = [
 # pivot_priority_by_status + top3_orders_per_segment (extension-surface
 # relational variants, both driver-green two rounds; demoted for the
 # late-r3 sliding_hourly_load + neardup_pagerank, which had no driver
-# row at all).
+# row at all), rolling_avg_value + asof_latest_view_value (both
+# driver-green r1+r2; the align/rolling family keeps hourly_avg,
+# latest_reading, outage_episodes, aligned_type_buckets, gapfill, ewma
+# and sliding in-window — it was the most over-represented family, so
+# it funds the slots for doc_perplexity + dup_span_stats).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -47,7 +47,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "ann_pq_topk",
            # single query-vector row crossed into the vector-ranking arm
            # of the RRF fusion
-           "hybrid_search_rrf"}
+           "hybrid_search_rrf",
+           # single vocabulary-size row broadcast into the LM smoothing
+           # denominator (operators/lmquality.py::perplexity_scores)
+           "doc_perplexity"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
