@@ -200,6 +200,99 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, content_col: str) -> Data
     return pairs_within_buckets(bands, ["band_idx", "band_hash"], "_id")
 
 
+def build_minhash_index(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """The persistable LSH index of a corpus: ``(doc_id, band_idx,
+    band_hash)`` rows, one per (document, band).
+
+    A continuously-ingesting pipeline computes this ONCE per corpus
+    snapshot and appends each accepted batch's rows; persist it
+    partitioned/bucketed by ``(band_idx, band_hash)`` (e.g.
+    ``.write.partitionBy("band_idx").bucketBy(..., "band_hash")``) so
+    the per-batch probe join in ``delta_neardup_pairs`` co-locates
+    without shuffling the index side.
+    """
+    return minhash_bands(df, id_col, content_col).select(
+        F.col("_id").alias("doc_id"), "band_idx", "band_hash"
+    )
+
+
+def delta_neardup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    content_col: str,
+    threshold: float = 0.8,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: match an incoming BATCH against an
+    existing CORPUS (and against itself) without re-banding the
+    corpus×corpus space.
+
+    The batch-vs-corpus candidates come from probing the batch's band
+    rows against the corpus LSH index (``build_minhash_index``) with a
+    plain equi-join on ``(band_idx, band_hash)`` — when the index is
+    persisted bucketed on those keys, only the (small) batch side
+    shuffles, and the corpus is never re-read beyond the index.
+    Batch-internal candidates use the same bucket-grouping as the full
+    pipeline. Exact-Jaccard verification re-shingles the batch plus
+    ONLY the corpus documents some candidate touched (semi-join prune
+    BEFORE the shingle projection, so untouched corpus text is never
+    tokenized).
+
+    Returns ``(batch_id, match_id, match_side, jaccard)`` with
+    ``match_side ∈ {'corpus', 'batch'}``; batch-internal pairs are
+    oriented ``batch_id < match_id``. A batch doc with any match is a
+    near-dup of existing data — the caller's accept/reject gate.
+    """
+    nb = minhash_bands(batch, id_col, content_col)
+    idx = (
+        corpus_index
+        if corpus_index is not None
+        else build_minhash_index(corpus, id_col, content_col)
+    )
+    old_cands = (
+        nb.join(
+            idx.select(
+                F.col("doc_id").alias("_old_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select(F.col("_id").alias("batch_id"), F.col("_old_id").alias("match_id"))
+        .distinct()
+    )
+    new_cands = pairs_within_buckets(nb, ["band_idx", "band_hash"], "_id").select(
+        F.col("id_a").alias("batch_id"), F.col("id_b").alias("match_id")
+    )
+
+    def shingled(df: DataFrame) -> DataFrame:
+        return fan_out(df).select(
+            F.col(id_col).alias("_sid"), word_shingles(F.col(content_col), 3).alias("sh")
+        )
+
+    touched = old_cands.select(F.col("match_id").alias(id_col)).distinct()
+    sh_batch = shingled(batch)
+    sh_old = shingled(corpus.join(touched, id_col, "semi"))
+
+    def verify(cands: DataFrame, right: DataFrame, side: str) -> DataFrame:
+        joined = (
+            cands.join(sh_batch.select(F.col("_sid").alias("batch_id"),
+                                       F.col("sh").alias("sh_a")), "batch_id")
+            .join(right.select(F.col("_sid").alias("match_id"),
+                               F.col("sh").alias("sh_b")), "match_id")
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union
+        return joined.select(
+            "batch_id", "match_id", F.lit(side).alias("match_side"),
+            F.round(jac.cast("decimal(38,9)"), 4).cast("double").alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+
+    return verify(old_cands, sh_old, "corpus").unionByName(
+        verify(new_cands, sh_batch, "batch")
+    )
+
+
 def minhash_lsh_neardup_pairs(
     df: DataFrame, id_col: str, content_col: str, threshold: float = 0.8
 ) -> DataFrame:

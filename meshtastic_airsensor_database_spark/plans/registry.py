@@ -70,11 +70,11 @@ _DRIVER_WINDOW = [
     "neardup_pagerank",
     "doc_perplexity",
     "dup_span_stats",
+    "delta_neardup_pairs",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "top_orders_by_revenue",
     "fact_dim_join",
-    "union_order_slices",
     "hourly_avg_by_node",
     "latest_reading_per_node",
     "outage_episodes",
@@ -114,7 +114,9 @@ _DRIVER_WINDOW = [
 # driver-green r1+r2; the align/rolling family keeps hourly_avg,
 # latest_reading, outage_episodes, aligned_type_buckets, gapfill, ewma
 # and sliding in-window — it was the most over-represented family, so
-# it funds the slots for doc_perplexity + dup_span_stats).
+# it funds the slots for doc_perplexity + dup_span_stats),
+# union_order_slices (driver-green r1+r2; demoted for the incremental
+# delta_neardup_pairs, which is new this round).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -794,6 +794,59 @@ LEFT JOIN comp c ON c.doc_id = d.doc_id
 _NEARDUP_COMPONENTS_SQL = _neardup_components_sql()
 
 
+# Deterministic batch membership for the incremental-dedup query: every
+# third doc of the oracle-mirrored sample plays the "incoming batch",
+# the rest the already-indexed corpus.
+DELTA_BATCH_MOD = 3
+
+
+def delta_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: probe an incoming batch against the
+    corpus LSH index plus itself (operators/dedup.py::
+    delta_neardup_pairs) — the shape a continuously-ingesting pipeline
+    runs per batch instead of re-deduping the whole corpus.
+
+    Oracle: exact all-pairs >=0.8-Jaccard over the same sample,
+    restricted to pairs touching the batch, with the same
+    (batch_id, match_id, match_side) orientation.
+    """
+    from ..operators.dedup import delta_neardup_pairs
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    batch = docs.filter(F.col("doc_id") % DELTA_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DELTA_BATCH_MOD != 0)
+    return delta_neardup_pairs(batch, corpus, "doc_id", "text", threshold=0.8)
+
+
+def _delta_neardup_sql() -> str:
+    from .textq import (
+        JACCARD_NEARDUP_PAIRS_SQL,
+        NEARDUP_SAMPLE_MAX_ID,
+        _doc_sampled_sql,
+    )
+
+    inner = _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
+    m = DELTA_BATCH_MOD
+    return f"""
+WITH pairs AS (
+  {inner}
+)
+SELECT CASE WHEN doc_a % {m} = 0 THEN doc_a ELSE doc_b END AS batch_id,
+       CASE WHEN doc_a % {m} = 0 THEN doc_b ELSE doc_a END AS match_id,
+       CASE WHEN doc_a % {m} = 0 AND doc_b % {m} = 0
+            THEN 'batch' ELSE 'corpus' END AS match_side,
+       jaccard
+FROM pairs
+WHERE doc_a % {m} = 0 OR doc_b % {m} = 0
+"""
+
+
+_DELTA_NEARDUP_SQL = _delta_neardup_sql()
+
+
 # --- PageRank over the near-dup graph -----------------------------------------
 
 
@@ -992,6 +1045,10 @@ QUERIES: list[Query] = [
           ("near_dedup",),
           "transitive dedup clusters via alternating-star connected components "
           "(oracle: recursive-CTE closure over exact pairs)"),
+    Query("delta_neardup_pairs", delta_neardup_pairs_q, _DELTA_NEARDUP_SQL,
+          ("near_dedup",),
+          "incremental batch-vs-index near-dedup (probe LSH index + "
+          "batch-internal buckets, exact-verify touched docs only)"),
     Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
           ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
     Query("ann_ivf_topk", ann_ivf_topk, None,

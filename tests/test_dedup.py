@@ -288,3 +288,100 @@ def test_neardup_clusters_decision(spark):
     assert out[2] == (0, False)
     assert out[3] == (3, True)
     assert out[4] == (3, False)
+
+
+# --- incremental (delta) near-dedup ------------------------------------------
+
+
+class TestDeltaNeardup:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 12+-token bodies so 3-gram shingles overlap heavily for the
+    # near-dup pairs and not at all for the unique docs.
+    BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    NEAR = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    OTHER = "one two three four five six seven eight nine ten eleven twelve"
+    OTHER2 = "one two three four five six seven eight nine ten eleven thirteen"
+
+    def test_sides_and_orientation(self, spark):
+        from meshtastic_airsensor_database_spark.operators.dedup import (
+            delta_neardup_pairs,
+        )
+
+        corpus = self._mk(spark, [(1, self.BASE), (2, "unique corpus words " * 3)])
+        batch = self._mk(
+            spark, [(10, self.NEAR), (11, self.OTHER), (12, self.OTHER2)]
+        )
+        got = {
+            (r.batch_id, r.match_id, r.match_side)
+            for r in delta_neardup_pairs(batch, corpus, "doc_id", "text", 0.8).collect()
+        }
+        assert (10, 1, "corpus") in got  # batch doc matching the index
+        assert (11, 12, "batch") in got  # batch-internal pair, id-ordered
+        assert all(b < m for (b, m, s) in got if s == "batch")
+        assert len(got) == 2  # nothing else matches
+
+    def test_matches_full_pipeline_on_union(self, spark, sf_dir):
+        """delta(batch, corpus) must find exactly the full-corpus
+        pipeline's pairs that touch the batch (same bands, same verify
+        threshold), with orientation adjusted."""
+        from meshtastic_airsensor_database_spark.operators.dedup import (
+            delta_neardup_pairs,
+        )
+        from meshtastic_airsensor_database_spark.plans.textq import (
+            NEARDUP_SAMPLE_MAX_ID,
+        )
+
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+        )
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        got = {
+            (r.batch_id, r.match_id)
+            for r in delta_neardup_pairs(batch, corpus, "doc_id", "text", 0.8).collect()
+        }
+        full = minhash_lsh_neardup_pairs(docs, "doc_id", "text", 0.8).collect()
+        want = set()
+        for r in full:
+            a_in, b_in = r.id_a % 3 == 0, r.id_b % 3 == 0
+            if a_in:
+                want.add((r.id_a, r.id_b))
+            elif b_in:
+                want.add((r.id_b, r.id_a))
+        assert got == want
+
+    def test_prebuilt_index_reused(self, spark):
+        from meshtastic_airsensor_database_spark.operators.dedup import (
+            build_minhash_index,
+            delta_neardup_pairs,
+        )
+
+        corpus = self._mk(spark, [(1, self.BASE)])
+        batch = self._mk(spark, [(10, self.NEAR)])
+        idx = build_minhash_index(corpus, "doc_id", "text")
+        got = delta_neardup_pairs(
+            batch, corpus, "doc_id", "text", 0.8, corpus_index=idx
+        ).collect()
+        assert [(r.batch_id, r.match_id, r.match_side) for r in got] == [
+            (10, 1, "corpus")
+        ]
+
+    def test_corpus_shingling_is_semi_join_pruned(self, spark):
+        """Exact verification must only tokenize corpus docs that a
+        candidate touched: the corpus text scan feeding the shingle
+        projection sits under a LeftSemi join in the physical plan."""
+        from meshtastic_airsensor_database_spark.operators.dedup import (
+            delta_neardup_pairs,
+        )
+
+        corpus = self._mk(spark, [(1, self.BASE), (2, self.OTHER)])
+        batch = self._mk(spark, [(10, self.NEAR)])
+        plan = (
+            delta_neardup_pairs(batch, corpus, "doc_id", "text", 0.8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan
