@@ -56,3 +56,58 @@ def dim_upsert_latest_wins(node_dim: DataFrame, updates: DataFrame) -> DataFrame
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dim_history_scd2(
+    updates: DataFrame,
+    key_col: str = "node",
+    attr_cols: tuple[str, ...] = ("topic_id", "longname"),
+    ts_col: str = "updated_ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an update log.
+
+    ``dim_upsert_latest_wins`` keeps only the newest attribute values —
+    exactly the reference's dict overwrite (AIRWISEv0.py:253-254), which
+    FORGETS every rename. This is the full-history generalization: the
+    update log (seed rows may carry a null ``ts_col`` = "since forever")
+    collapses to one row per distinct attribute VERSION with
+    ``[valid_from, valid_to)`` validity and an ``is_current`` flag, so a
+    fact row can be enriched with the name its node had *at event time*
+    (join on ``key AND fact.ts >= valid_from AND (fact.ts < valid_to OR
+    valid_to IS NULL)``).
+
+    Semantics: per key, order updates by ``ts_col`` (nulls first — the
+    seed predates everything; attribute columns break ties
+    deterministically), drop rows whose attributes equal the previous
+    row's (no-op re-announcements — nodeinfo packets rebroadcast
+    unchanged identity constantly), then ``valid_to`` = next change's
+    timestamp. Identical duplicate packets collapse for free: they sort
+    adjacent and fail the change filter, so no (from,id) pre-dedup pass
+    is needed.
+
+    Scale shape: ONE shuffle — the window partition on the key; both
+    windows share the same partitioning + ordering, so Catalyst plans a
+    single Exchange + sort and the change filter / interval derivation
+    run as narrow per-partition expressions. Dimension keys are
+    device/entity ids (millions at most), so no skew concern.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    order = [F.col(ts_col).asc_nulls_first(), *[F.col(c) for c in attr_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # lag at the first row is SQL NULL; NULL.eqNullSafe(attrs) is false,
+    # so the first version per key always survives the change filter.
+    changed = ~F.lag(attrs).over(w).eqNullSafe(attrs)
+    changes = (
+        updates.select(key_col, *attr_cols, ts_col)
+        .withColumn("_chg", changed)
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+    valid_to = F.lead(F.col(ts_col)).over(w)
+    return changes.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -71,9 +71,9 @@ _DRIVER_WINDOW = [
     "doc_perplexity",
     "dup_span_stats",
     "delta_neardup_pairs",
+    "replay_dim_history",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
-    "top_orders_by_revenue",
     "fact_dim_join",
     "hourly_avg_by_node",
     "latest_reading_per_node",
@@ -116,7 +116,10 @@ _DRIVER_WINDOW = [
 # and sliding in-window — it was the most over-represented family, so
 # it funds the slots for doc_perplexity + dup_span_stats),
 # union_order_slices (driver-green r1+r2; demoted for the incremental
-# delta_neardup_pairs, which is new this round).
+# delta_neardup_pairs, which is new this round),
+# top_orders_by_revenue (driver-green r1+r2; its join+agg shape stays
+# covered in-window by fact_dim_join + pricing_summary — demoted for
+# replay_dim_history, the new SCD2 dimension-history query).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -550,6 +550,75 @@ FROM env_side JOIN bat_side
 )
 
 
+def replay_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 validity history of the node dimension from the golden
+    replay's nodeinfo update log (seed fleet + in-stream renames): one
+    row per (node, identity version) with ``[valid_from, valid_to)``
+    epochs — the history the reference's dict overwrite
+    (AIRWISEv0.py:253-254) forgets. ``sf_dir`` is unused: input is the
+    committed golden fixture."""
+    from ..operators.enrich import dim_history_scd2, seed_node_dim
+    from ..operators.parse import extract_nodeinfo, json_envelope_parse
+    from ..sources.landing import packet_batch_source
+
+    parsed = json_envelope_parse(packet_batch_source(spark, str(FIXTURE_PATH)))
+    upd = extract_nodeinfo(parsed).select(
+        "node", "topic_id", "longname",
+        # session tz is UTC-pinned, so this inverts epoch_to_timestamp
+        # exactly (integer epoch seconds round-trip).
+        F.unix_timestamp("updated_ts").alias("updated_epoch"),
+    )
+    seed = seed_node_dim(spark).select(
+        "node", "topic_id", "longname",
+        F.lit(None).cast("long").alias("updated_epoch"),
+    )
+    hist = dim_history_scd2(seed.unionByName(upd), ts_col="updated_epoch")
+    return hist.select(
+        "node", "topic_id", "longname",
+        F.col("valid_from").alias("valid_from_epoch"),
+        F.col("valid_to").alias("valid_to_epoch"),
+        "is_current",
+    )
+
+
+REPLAY_DIM_HISTORY_SQL = (
+    f"WITH {_RAW_CTE}"
+    + f""",
+upd AS (
+  SELECT * FROM (VALUES {_SEED_VALUES}) s(node, topic_id, longname),
+                (SELECT CAST(NULL AS BIGINT) AS updated_epoch)
+  UNION ALL BY NAME
+  SELECT "from" AS node, payload.id AS topic_id,
+         payload.longname AS longname, "timestamp" AS updated_epoch
+  FROM raw WHERE type = 'nodeinfo'
+),
+ordered AS (
+  SELECT *, lag(ROW(topic_id, longname)) OVER (
+      PARTITION BY node
+      ORDER BY updated_epoch ASC NULLS FIRST, topic_id, longname
+    ) AS prev
+  FROM upd
+),
+changes AS (
+  SELECT node, topic_id, longname, updated_epoch FROM ordered
+  WHERE prev IS DISTINCT FROM ROW(topic_id, longname)
+),
+hist AS (
+  SELECT node, topic_id, longname,
+         updated_epoch AS valid_from_epoch,
+         lead(updated_epoch) OVER (
+           PARTITION BY node
+           ORDER BY updated_epoch ASC NULLS FIRST, topic_id, longname
+         ) AS valid_to_epoch
+  FROM changes
+)
+SELECT node, topic_id, longname, valid_from_epoch, valid_to_epoch,
+       (valid_to_epoch IS NULL) AS is_current
+FROM hist
+"""
+)
+
+
 QUERIES: list[Query] = [
     Query("replay_route_counts", replay_route_counts, REPLAY_ROUTE_COUNTS_SQL,
           ("stream_route_multiplex", "packet_type_filter", "exact_dedup"),
@@ -578,4 +647,8 @@ QUERIES: list[Query] = [
           ("windowed_ingest", "late_data_handling", "timeseries_align"),
           "watermarked stream-stream interval join: env readings matched "
           "to same-node battery state within ±600 s"),
+    Query("replay_dim_history", replay_dim_history, REPLAY_DIM_HISTORY_SQL,
+          ("dim_upsert_from_stream", "node_dim_enrich"),
+          "SCD2 node-dimension validity history (seed + nodeinfo renames; "
+          "no-op re-announcements collapsed)"),
 ]

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from meshtastic_airsensor_database_spark.operators.enrich import (
+    dim_history_scd2,
     dim_upsert_latest_wins,
     node_dim_enrich,
     seed_node_dim,
@@ -41,3 +42,57 @@ def test_upsert_latest_wins(spark):
     assert merged[555].longname == "NewNode"
     assert merged[2102560288].longname == "Farm2"  # untouched rows kept
     assert len(merged) == 7
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    """Seed (null ts) -> rename -> duplicate re-announce -> rename:
+    4 log rows + 1 dup collapse to 3 versions with touching
+    [valid_from, valid_to) intervals; only the last is current."""
+    log = spark.createDataFrame(
+        [
+            (1, "!a", "Farm-orig", None),  # seed: since forever
+            (1, "!a", "Farm-v2", 100),
+            (1, "!a", "Farm-v2", 150),  # no-op re-announcement -> dropped
+            (1, "!a", "Farm-v3", 200),
+            (2, "!b", "Stable", None),  # never renamed
+        ],
+        "node long, topic_id string, longname string, updated_epoch long",
+    )
+    hist = dim_history_scd2(log, ts_col="updated_epoch").collect()
+    one = sorted(
+        [r for r in hist if r.node == 1],
+        key=lambda r: (r.valid_from is not None, r.valid_from),
+    )
+    assert [(r.longname, r.valid_from, r.valid_to) for r in one] == [
+        ("Farm-orig", None, 100),
+        ("Farm-v2", 100, 200),
+        ("Farm-v3", 200, None),
+    ]
+    assert [r.is_current for r in one] == [False, False, True]
+    (two,) = [r for r in hist if r.node == 2]
+    assert two.is_current and two.valid_from is None and two.valid_to is None
+
+
+def test_scd2_duplicate_packets_collapse_without_predup(spark):
+    """Byte-identical duplicate updates (LoRa rebroadcast) sort adjacent
+    and fail the change filter — no (from,id) pre-dedup pass needed."""
+    log = spark.createDataFrame(
+        [(7, "!x", "N1", 10), (7, "!x", "N1", 10), (7, "!x", "N2", 20)],
+        "node long, topic_id string, longname string, updated_epoch long",
+    )
+    hist = dim_history_scd2(log, ts_col="updated_epoch").collect()
+    assert len(hist) == 2
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both windows share partitioning+ordering: exactly one Exchange in
+    the physical plan (the 100-TB contract in the docstring)."""
+    log = spark.createDataFrame(
+        [(1, "!a", "x", 1)],
+        "node long, topic_id string, longname string, updated_epoch long",
+    )
+    plan = (
+        dim_history_scd2(log, ts_col="updated_epoch")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
