@@ -111,3 +111,47 @@ def dim_history_scd2(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def node_dim_enrich_asof(
+    facts: DataFrame,
+    history: DataFrame,
+    ts_col: str = "timestamp_node",
+    key_col: str = "node",
+    attr_cols: tuple[str, ...] = ("topic_id", "longname"),
+) -> DataFrame:
+    """Event-time-correct dimension enrichment against an SCD2 history
+    (``dim_history_scd2`` output): each fact gets the attribute values
+    its key had AT the fact's event time, not the latest ones — the
+    lookup ``node_dim_enrich`` cannot answer after a rename.
+
+    LEFT join semantics like ``node_dim_enrich``: unknown keys (and
+    facts with a null event time, which can match no interval) keep
+    their rows with null attributes. A null ``valid_from`` means "since
+    forever" (seed row); a null ``valid_to`` means the open current
+    version. Because SCD2 intervals partition time per key, at most one
+    history row matches — the join never duplicates facts.
+
+    Scale shape: the history is dimension-sized (versions per device,
+    still tiny), so it broadcasts; the equi key keeps this a
+    BroadcastHASHJoin — the range predicate rides along as the join
+    condition's non-equi residual, never a nested loop, and the 100-TB
+    fact side is neither shuffled nor sorted. Sides are aliased and the
+    range predicate lives IN the join condition so outer semantics
+    survive (a post-join filter would silently drop null-extended
+    rows).
+    """
+    f = facts.alias("f")
+    h = F.broadcast(
+        history.select(key_col, *attr_cols, "valid_from", "valid_to")
+    ).alias("h")
+    ts = F.col(f"f.{ts_col}")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col(f"h.{key_col}"))
+        & (F.col("h.valid_from").isNull() | (ts >= F.col("h.valid_from")))
+        & (F.col("h.valid_to").isNull() | (ts < F.col("h.valid_to")))
+    )
+    joined = f.join(h, cond, "left")
+    return joined.select(
+        "f.*", *[F.col(f"h.{c}").alias(f"{c}_at_event") for c in attr_cols]
+    )

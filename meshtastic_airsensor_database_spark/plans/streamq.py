@@ -550,13 +550,10 @@ FROM env_side JOIN bat_side
 )
 
 
-def replay_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full SCD2 validity history of the node dimension from the golden
-    replay's nodeinfo update log (seed fleet + in-stream renames): one
-    row per (node, identity version) with ``[valid_from, valid_to)``
-    epochs — the history the reference's dict overwrite
-    (AIRWISEv0.py:253-254) forgets. ``sf_dir`` is unused: input is the
-    committed golden fixture."""
+def _dim_history_df(spark: SparkSession) -> DataFrame:
+    """SCD2 history of the node dimension from the golden fixture's
+    nodeinfo update log (seed fleet + in-stream renames), built through
+    the engine parse path."""
     from ..operators.enrich import dim_history_scd2, seed_node_dim
     from ..operators.parse import extract_nodeinfo, json_envelope_parse
     from ..sources.landing import packet_batch_source
@@ -572,7 +569,17 @@ def replay_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "topic_id", "longname",
         F.lit(None).cast("long").alias("updated_epoch"),
     )
-    hist = dim_history_scd2(seed.unionByName(upd), ts_col="updated_epoch")
+    return dim_history_scd2(seed.unionByName(upd), ts_col="updated_epoch")
+
+
+def replay_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 validity history of the node dimension from the golden
+    replay's nodeinfo update log (seed fleet + in-stream renames): one
+    row per (node, identity version) with ``[valid_from, valid_to)``
+    epochs — the history the reference's dict overwrite
+    (AIRWISEv0.py:253-254) forgets. ``sf_dir`` is unused: input is the
+    committed golden fixture."""
+    hist = _dim_history_df(spark)
     return hist.select(
         "node", "topic_id", "longname",
         F.col("valid_from").alias("valid_from_epoch"),
@@ -581,10 +588,10 @@ def replay_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REPLAY_DIM_HISTORY_SQL = (
-    f"WITH {_RAW_CTE}"
-    + f""",
-upd AS (
+# SCD2 history CTE chain (DuckDB twin of operators/enrich.py::
+# dim_history_scd2 over seed + nodeinfo updates) — shared by the
+# history and the as-of-enrichment oracles.
+_DIM_HIST_CTES = f"""upd AS (
   SELECT * FROM (VALUES {_SEED_VALUES}) s(node, topic_id, longname),
                 (SELECT CAST(NULL AS BIGINT) AS updated_epoch)
   UNION ALL BY NAME
@@ -611,10 +618,46 @@ hist AS (
            ORDER BY updated_epoch ASC NULLS FIRST, topic_id, longname
          ) AS valid_to_epoch
   FROM changes
-)
+)"""
+
+REPLAY_DIM_HISTORY_SQL = (
+    f"WITH {_RAW_CTE},\n{_DIM_HIST_CTES}"
+    + """
 SELECT node, topic_id, longname, valid_from_epoch, valid_to_epoch,
        (valid_to_epoch IS NULL) AS is_current
 FROM hist
+"""
+)
+
+
+def replay_env_asof_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 environment facts enriched with the longname their node had
+    AT the packet's event time (SCD2 as-of join) — across the
+    fixture's mid-stream rename this differs from the latest-wins
+    enrichment the fact tables carry. ``sf_dir`` is unused: input is
+    the committed golden fixture."""
+    from ..operators.enrich import node_dim_enrich_asof
+
+    facts = _fact(spark, "airwise_data").select(
+        "node", "temperature", "timestamp_node"
+    )
+    hist = _dim_history_df(spark)
+    return node_dim_enrich_asof(facts, hist, ts_col="timestamp_node").select(
+        "node", "timestamp_node", "temperature",
+        F.col("longname_at_event"),
+    )
+
+
+REPLAY_ENV_ASOF_NAMES_SQL = (
+    _REPLAY_CTE
+    + f""",
+{_DIM_HIST_CTES}
+SELECT e.node, e.timestamp_node, e.temperature,
+       h.longname AS longname_at_event
+FROM env e LEFT JOIN hist h
+  ON e.node = h.node
+ AND (h.valid_from_epoch IS NULL OR e.timestamp_node >= h.valid_from_epoch)
+ AND (h.valid_to_epoch IS NULL OR e.timestamp_node < h.valid_to_epoch)
 """
 )
 
@@ -651,4 +694,9 @@ QUERIES: list[Query] = [
           ("dim_upsert_from_stream", "node_dim_enrich"),
           "SCD2 node-dimension validity history (seed + nodeinfo renames; "
           "no-op re-announcements collapsed)"),
+    Query("replay_env_asof_names", replay_env_asof_names,
+          REPLAY_ENV_ASOF_NAMES_SQL,
+          ("node_dim_enrich", "dim_upsert_from_stream", "timeseries_align"),
+          "event-time-correct enrichment: env facts joined to the SCD2 "
+          "history interval covering each packet's timestamp"),
 ]

@@ -8,6 +8,7 @@ from meshtastic_airsensor_database_spark.operators.enrich import (
     dim_history_scd2,
     dim_upsert_latest_wins,
     node_dim_enrich,
+    node_dim_enrich_asof,
     seed_node_dim,
 )
 
@@ -82,6 +83,31 @@ def test_scd2_duplicate_packets_collapse_without_predup(spark):
     )
     hist = dim_history_scd2(log, ts_col="updated_epoch").collect()
     assert len(hist) == 2
+
+
+def test_asof_enrich_event_time_names(spark):
+    """Facts pick the name valid AT event time; pre-seed facts match
+    the null-valid_from seed interval; unknown nodes and null-ts facts
+    survive with null attributes (left semantics)."""
+    log = spark.createDataFrame(
+        [(1, "!a", "Old", None), (1, "!a", "New", 100)],
+        "node long, topic_id string, longname string, updated_epoch long",
+    )
+    hist = dim_history_scd2(log, ts_col="updated_epoch")
+    facts = spark.createDataFrame(
+        [(1, 50, 1.0), (1, 100, 2.0), (1, 500, 3.0), (9, 50, 4.0), (1, None, 5.0)],
+        "node long, timestamp_node long, temperature double",
+    )
+    out = node_dim_enrich_asof(facts, hist)
+    rows = {r.temperature: r for r in out.collect()}
+    assert len(rows) == 5  # interval partition -> no fact duplication
+    assert rows[1.0].longname_at_event == "Old"
+    assert rows[2.0].longname_at_event == "New"  # boundary: [valid_from, ...)
+    assert rows[3.0].longname_at_event == "New"
+    assert rows[4.0].longname_at_event is None  # unknown node kept
+    assert rows[5.0].longname_at_event is None  # null event time kept
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan, plan
 
 
 def test_scd2_single_shuffle_plan(spark):
