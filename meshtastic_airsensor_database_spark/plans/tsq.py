@@ -428,6 +428,60 @@ FROM (
 """
 
 
+# --- seasonal-naive forecast skill --------------------------------------------
+
+SEASON_BUCKET_S = 3600
+SEASON_LAG_BUCKETS = 24  # same hour yesterday
+
+
+def seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user accuracy of the seasonal-naive baseline ("same hour
+    yesterday") over the hourly mean-value series: bucket count,
+    scored-bucket count, MAE and sMAPE. The no-model baseline every
+    forecaster must beat — and a drift alarm when yesterday stops
+    predicting today."""
+    from ..operators.timegrid import seasonal_naive_forecast
+
+    ev = load(spark, sf_dir, "events")
+    fc = seasonal_naive_forecast(
+        ev, "user_id", "ts", "value", SEASON_BUCKET_S, SEASON_LAG_BUCKETS
+    )
+    den = F.abs(F.col("actual")) + F.abs(F.col("forecast"))
+    smape_term = F.when(den != 0, F.col("abs_err") * 2 / den)
+    return fc.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count("forecast").cast("long").alias("n_scored"),
+        r(F.avg("abs_err"), 3).alias("mae"),
+        r(F.avg(smape_term), 4).alias("smape"),
+    )
+
+
+_R4 = "CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 4) AS DOUBLE)"
+
+SEASONAL_NAIVE_SKILL_SQL = f"""
+WITH series AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / {SEASON_BUCKET_S}) AS BIGINT) AS bucket,
+         AVG(value) AS actual
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.user_id, s.actual, p.actual AS forecast,
+         ABS(s.actual - p.actual) AS abs_err
+  FROM series s LEFT JOIN series p
+    ON s.user_id = p.user_id AND p.bucket = s.bucket - {SEASON_LAG_BUCKETS}
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COUNT(forecast) AS BIGINT) AS n_scored,
+       {_R3.format(x="AVG(abs_err)")} AS mae,
+       {_R4.format(x=("AVG(CASE WHEN ABS(actual) + ABS(forecast) <> 0 "
+                      "THEN abs_err * 2 / (ABS(actual) + ABS(forecast)) END)"))}
+         AS smape
+FROM j GROUP BY user_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -452,4 +506,9 @@ QUERIES: list[Query] = [
     Query("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
           ("per_node_stats",),
           "fixed-width value histogram per event type (one-shuffle binning)"),
+    Query("seasonal_naive_skill", seasonal_naive_skill,
+          SEASONAL_NAIVE_SKILL_SQL,
+          ("timeseries_align", "per_node_stats"),
+          "per-key MAE/sMAPE of the same-hour-yesterday forecast baseline "
+          "(epoch-arithmetic season alignment, gap-safe)"),
 ]

@@ -125,3 +125,31 @@ def test_per_key_linear_trend_null_handling(spark):
     out = {r.key: r for r in per_key_linear_trend(df, "k", "ts", "v").collect()}
     assert out[1].n == 2 and abs(out[1].slope_per_hour - 2.0) < 1e-9
     assert out[2].n == 1 and out[2].slope_per_hour is None
+
+
+def test_seasonal_naive_forecast_epoch_alignment(spark):
+    """Forecast = value one season earlier by BUCKET ARITHMETIC: a
+    missing hour leaves a null forecast one season later instead of
+    shifting the alignment (the row-lag bug this operator avoids)."""
+    import datetime as dt
+
+    from meshtastic_airsensor_database_spark.operators.timegrid import (
+        seasonal_naive_forecast,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 30)
+
+    rows = [  # season = 2 hourly buckets; hour 3 missing
+        (1, t(1), 10.0), (1, t(2), 20.0), (1, t(4), 40.0), (1, t(5), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    fc = seasonal_naive_forecast(df, "user_id", "ts", "value", 3600, 2)
+    got = {r.bucket_epoch: (r.forecast, r.abs_err) for r in fc.collect()}
+    base = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert got[base + 1 * 3600] == (None, None)  # no history
+    assert got[base + 4 * 3600] == (20.0, 20.0)  # hour 4 <- hour 2
+    # hour 5 <- hour 3 which is MISSING: null, not hour 2's value
+    assert got[base + 5 * 3600] == (None, None)
