@@ -126,6 +126,27 @@ def lang_id_pred(col: Column | str) -> Column:
     return pred
 
 
+NORM_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation (same class as quality_features)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for normalization-insensitive dedup:
+    lowercase, strip ASCII punctuation, collapse runs of whitespace to
+    one space, trim. Catches the near-universal "same doc, different
+    formatting" duplicate class (trailing spaces, curly vs straight
+    quote stripping, case) that byte-exact dedup misses and MinHash
+    wastes a candidate-verify cycle on.
+
+    Pure regexp_replace chain - JVM-side, no Python path; the DuckDB
+    oracle mirrors the identical regexes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, NORM_PUNCT_RE, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def doc_fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of UTF-8 bytes (exact-dedup key)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -18,6 +18,7 @@ from ..functions.text import (
     STOPWORDS,
     doc_fingerprint_md5,
     lang_id_pred,
+    normalize_text,
     quality_features,
     token_count,
     word_shingles,
@@ -49,6 +50,47 @@ SELECT md5(text) AS fingerprint,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) - 1 AS n_duplicates
 FROM documents GROUP BY md5(text)
+"""
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: group on the md5 of the
+    canonical text form (lowercased, ASCII punctuation stripped,
+    whitespace collapsed) — the cheap middle tier between byte-exact
+    dedup and MinHash, catching formatting-only duplicates in ONE
+    hash-agg shuffle that still carries only 16-byte fingerprints.
+    ``n_byte_variants`` counts distinct raw forms merged per group
+    (> 1 = caught something byte-exact dedup missed)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            doc_fingerprint_md5(normalize_text(F.col("text"))).alias(
+                "norm_fingerprint"
+            ),
+            doc_fingerprint_md5(F.col("text")).alias("raw_fp"),
+            "doc_id",
+        )
+        .groupBy("norm_fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_duplicates"),
+            F.countDistinct("raw_fp").alias("n_byte_variants"),
+        )
+    )
+
+
+NORMALIZED_DEDUP_DOCS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, md5(text) AS raw_fp,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fingerprint
+  FROM documents
+)
+SELECT norm_fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_duplicates,
+       COUNT(DISTINCT raw_fp) AS n_byte_variants
+FROM norm GROUP BY norm_fingerprint
 """
 
 
@@ -662,6 +704,9 @@ FROM starts
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
+    Query("normalized_dedup_docs", normalized_dedup_docs,
+          NORMALIZED_DEDUP_DOCS_SQL, ("exact_dedup", "text_analysis"),
+          "normalization-insensitive exact dedup (canonical-form md5)"),
     Query("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL,
           ("text_analysis",), "whitespace token counting"),
     Query("quality_scores", quality_scores, QUALITY_SCORES_SQL,

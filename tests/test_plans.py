@@ -265,3 +265,43 @@ def test_curation_funnel_aggregates_mapside(spark, sf_dir):
     assert "partial_" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """Runtime row-level filtering is live: when a selectively-filtered
+    dimension is too big to broadcast, the optimizer injects a
+    bloom_filter_agg on the dim side and a might_contain filter on the
+    fact side, so the 100-TB fact shuffle only carries rows that can
+    join. Local thresholds are lowered to mimic cluster-scale sizes —
+    the injection rule itself is what this pins."""
+    from pyspark.sql import functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 50_000).select(
+        (F.col("id") % 5_000).alias("k"), F.col("id").alias("v")
+    ).write.parquet(fact_p)
+    spark.range(0, 5_000).select(
+        F.col("id"), (F.col("id") % 7).alias("attr")
+    ).write.parquet(dim_p)
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("attr") == 3)
+        plan = (
+            fact.join(dim, fact.k == dim.id)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -171,3 +171,19 @@ def test_udtf_chunker_matches_builtin_chunker(spark, sf_dir):
     }
     assert got == want
     assert want  # non-degenerate corpus
+
+
+def test_normalize_text_merges_formatting_variants(spark):
+    from meshtastic_airsensor_database_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("HELLO — world",), ("different",)],
+        ["text"],
+    )
+    out = [r.n for r in df.select(normalize_text("text").alias("n")).collect()]
+    # ASCII-normalizable variants collapse; the em dash (non-ASCII) is
+    # deliberately preserved - this tier is cheap, not aggressive.
+    assert out[0] == out[1] == "hello world"
+    assert out[2] == "hello — world"
+    assert out[3] == "different"
