@@ -237,3 +237,72 @@ def hourly_stats(df: DataFrame, key: str, ts_col: str, value_cols: list[str]) ->
         .withColumn("hour_ts", F.col("w.start"))
         .drop("w")
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry_cols: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Backward as-of join with a staleness bound (pandas
+    ``merge_asof(tolerance=...)`` / kdb ``aj`` semantics): every left
+    row gets the ``carry_cols`` of the latest right row at-or-before
+    its timestamp for the same key — unless that match is older than
+    ``tolerance_seconds``, in which case the columns are null (a stale
+    sensor reading should NOT be carried forward forever; plain
+    ``asof_fill`` does exactly that).
+
+    The right side must be unique per (key, ts) — pre-aggregate ties
+    (e.g. ``max_by``) so semantics are deterministic in any engine.
+
+    Scale shape: union + ONE per-key window sort — the same
+    no-range-cross-product formulation as the untolerated as-of
+    (SURVEY §2.3). Right rows sort before left rows at equal
+    timestamps, so exact-time matches are included. Adds a long-cast
+    epoch comparison per left row; nothing else.
+    """
+    carry = F.struct(
+        F.col(right_ts).cast("long").alias("_matched_epoch"),
+        *[F.col(c) for c in carry_cols],
+    )
+    carry_type = right.select(carry.alias("x")).schema["x"].dataType
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    lrow_type = left.select(lrow.alias("x")).schema["x"].dataType
+    r_side = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        carry.alias("_carry"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+    )
+    l_side = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(carry_type).alias("_carry"),
+        lrow.alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lefts = (
+        r_side.unionByName(l_side)
+        .withColumn("_m", F.last("_carry", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    within = F.col("_m").isNotNull() & (
+        (F.col("_ts").cast("long") - F.col("_m._matched_epoch"))
+        <= tolerance_seconds
+    )
+    matched = F.when(within, F.col("_m"))
+    return lefts.select(
+        "_lrow.*",
+        matched["_matched_epoch"].alias("matched_epoch"),
+        *[matched[c].alias(c) for c in carry_cols],
+    )

@@ -366,6 +366,69 @@ def asof_latest_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 1800
+
+
+def asof_view_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the latest same-user view at-or-before it —
+    null-extended when that view is more than 30 min stale
+    (``asof_join_tolerance``; plain as-of carries stale state forever).
+    The right side is pre-deduped to one row per (user, ts) via max_by
+    so tie semantics are engine-independent. The DuckDB twin uses the
+    native ASOF JOIN operator — an independent implementation of the
+    same semantics, not a re-statement of ours."""
+    from ..operators.align import asof_join_tolerance
+
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join_tolerance(
+        clicks, views, "user_id", "ts", "ts", ["view_value"], ASOF_TOLERANCE_S
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "matched_epoch",
+        (F.col("ts").cast("long") - F.col("matched_epoch")).alias("lag_seconds"),
+        r("view_value", 2).alias("view_value"),
+    )
+
+
+ASOF_VIEW_WITHIN_TOLERANCE_SQL = f"""
+WITH v AS (
+  SELECT user_id, ts, max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT c.user_id, c.event_id,
+         CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+         CAST(floor(epoch(v.ts)) AS BIGINT) AS v_epoch,
+         v.view_value
+  FROM c ASOF LEFT JOIN v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT user_id, event_id, ts_epoch,
+       CASE WHEN ts_epoch - v_epoch <= {ASOF_TOLERANCE_S} THEN v_epoch END
+         AS matched_epoch,
+       CASE WHEN ts_epoch - v_epoch <= {ASOF_TOLERANCE_S}
+            THEN ts_epoch - v_epoch END AS lag_seconds,
+       CASE WHEN ts_epoch - v_epoch <= {ASOF_TOLERANCE_S}
+            THEN CAST(ROUND(CAST(view_value AS DECIMAL(38,9)), 2) AS DOUBLE) END
+         AS view_value
+FROM j
+"""
+
+
 ASOF_LATEST_VIEW_VALUE_SQL = """
 WITH u AS (
   SELECT user_id, ts, event_id, value AS view_value, 0 AS is_click
@@ -576,6 +639,9 @@ QUERIES: list[Query] = [
           ("windowed_ingest", "offline_detection"), "session-window outage episodes"),
     Query("asof_latest_view_value", asof_latest_view_value, ASOF_LATEST_VIEW_VALUE_SQL,
           ("timeseries_align",), "union+last(ignorenulls) as-of join"),
+    Query("asof_view_within_tolerance", asof_view_within_tolerance,
+          ASOF_VIEW_WITHIN_TOLERANCE_SQL, ("timeseries_align",),
+          "tolerance-bounded as-of join vs DuckDB's native ASOF JOIN"),
     Query("value_percentiles_by_type", value_percentiles_by_type,
           VALUE_PERCENTILES_BY_TYPE_SQL, ("per_node_stats",),
           "exact interpolated median/p90 per group"),

@@ -153,3 +153,39 @@ def test_seasonal_naive_forecast_epoch_alignment(spark):
     assert got[base + 4 * 3600] == (20.0, 20.0)  # hour 4 <- hour 2
     # hour 5 <- hour 3 which is MISSING: null, not hour 2's value
     assert got[base + 5 * 3600] == (None, None)
+
+
+def test_asof_join_tolerance_staleness_bound(spark):
+    """Backward inclusive match within tolerance; stale matches null
+    out (all carry cols together); left rows never drop or duplicate."""
+    import datetime as dt
+
+    from meshtastic_airsensor_database_spark.operators.align import (
+        asof_join_tolerance,
+    )
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(20), 200.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, 1, t(5)), (1, 2, t(20)), (1, 3, t(25)), (1, 4, t(55)), (2, 5, t(30))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join_tolerance(
+            left, right, "user_id", "ts", "ts", ["v"], 30
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].v is None  # no earlier right row
+    assert out[2].v == 200.0  # exact-time match included (backward)
+    assert out[3].v == 200.0 and out[3].matched_epoch == int(
+        t(20).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+    assert out[4].v is None and out[4].matched_epoch is None  # 35s stale > 30s
+    assert out[5].v is None  # key with no right rows survives
