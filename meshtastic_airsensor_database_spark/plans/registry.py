@@ -72,16 +72,16 @@ _DRIVER_WINDOW = [
     "dup_span_stats",
     "delta_neardup_pairs",
     "replay_dim_history",
+    "asof_view_within_tolerance",
+    "normalized_dedup_docs",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "fact_dim_join",
     "hourly_avg_by_node",
-    "latest_reading_per_node",
     "outage_episodes",
     "aligned_type_buckets",
     "props_json_extract",
     "pacific_daily_counts",
-    "exact_dedup_docs",
     "token_stats_by_lang",
     "quality_scores",
     "pii_scan",
@@ -119,7 +119,14 @@ _DRIVER_WINDOW = [
 # delta_neardup_pairs, which is new this round),
 # top_orders_by_revenue (driver-green r1+r2; its join+agg shape stays
 # covered in-window by fact_dim_join + pricing_summary — demoted for
-# replay_dim_history, the new SCD2 dimension-history query).
+# replay_dim_history, the new SCD2 dimension-history query),
+# latest_reading_per_node (driver-green r1+r2; the window/align family
+# keeps hourly_avg, outage_episodes, aligned_type_buckets, gapfill,
+# ewma, sliding — demoted for asof_view_within_tolerance, whose oracle
+# is DuckDB's NATIVE ASOF JOIN rather than a re-statement),
+# exact_dedup_docs (driver-green r1+r2; normalized_dedup_docs
+# exercises the same hash-groupBy fingerprint shape PLUS the canonical
+# form, so the exact_dedup family keeps a strictly stronger row).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
