@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "salted_brand_quantities",
     "semantic_dedup_pairs",
     "ann_pq_topk",
+    "normalized_dedup_docs",
+    "seasonal_naive_skill",
+    "asof_view_within_tolerance",
 ]
 
 

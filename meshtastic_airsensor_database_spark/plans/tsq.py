@@ -482,6 +482,83 @@ FROM j GROUP BY user_id
 """
 
 
+# --- CUSUM drift detection ----------------------------------------------------
+
+DRIFT_H = 500.0  # decision interval on the cumulative-deviation scale
+
+
+def value_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM-chart drift detection: cumulative deviation from
+    the user's own mean, tracked against its running extrema. A level
+    shift shows up as ``drawup = C - min(C so far)`` (upward) or
+    ``drawdown = max(C so far) - C`` (downward) exceeding the decision
+    interval — the classic V-mask CUSUM formulation, which unlike the
+    clamped recursive form is PURE WINDOW ALGEBRA: one cumsum + two
+    running extrema over the same (key, time) sort, so the whole
+    detector is a single shuffle at any scale (MAD outliers catch
+    spikes; this catches sustained shifts they miss).
+
+    The detection flag compares the ROUNDED statistic so both engines
+    decide on identical quantities.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id")
+    w_ord = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(F.col("value") - F.avg("value").over(w_all)).over(w_ord)
+    cc = ev.select("user_id", "ts", "event_id", c.alias("c")).select(
+        "user_id",
+        (F.col("c") - F.min("c").over(w_ord)).alias("drawup"),
+        (F.max("c").over(w_ord) - F.col("c")).alias("drawdown"),
+    )
+    agg = cc.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_points"),
+        r(F.max("drawup"), 3).alias("max_drawup"),
+        r(F.max("drawdown"), 3).alias("max_drawdown"),
+    )
+    return agg.withColumn(
+        "shift_detected",
+        (F.col("max_drawup") > DRIFT_H) | (F.col("max_drawdown") > DRIFT_H),
+    )
+
+
+VALUE_DRIFT_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, SUM(value - mu) OVER w AS c
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT user_id,
+         c - MIN(c) OVER w AS drawup,
+         MAX(c) OVER w - c AS drawdown
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+         {_R3.format(x="MAX(drawup)")} AS max_drawup,
+         {_R3.format(x="MAX(drawdown)")} AS max_drawdown
+  FROM d GROUP BY user_id
+)
+SELECT *, (max_drawup > {DRIFT_H} OR max_drawdown > {DRIFT_H})
+         AS shift_detected
+FROM agg
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -511,4 +588,8 @@ QUERIES: list[Query] = [
           ("timeseries_align", "per_node_stats"),
           "per-key MAE/sMAPE of the same-hour-yesterday forecast baseline "
           "(epoch-arithmetic season alignment, gap-safe)"),
+    Query("value_drift_cusum", value_drift_cusum, VALUE_DRIFT_CUSUM_SQL,
+          ("robust_outlier_detect", "rolling_avg_pm25"),
+          "CUSUM-chart sustained-shift detection as pure window algebra "
+          "(cumsum vs running extrema, one shuffle)"),
 ]

@@ -305,3 +305,14 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cusum_drift_single_shuffle(spark, sf_dir):
+    """The whole CUSUM detector - per-key mean, cumsum, running
+    extrema, final per-key aggregate - reuses ONE hash partitioning on
+    user_id: exactly one Exchange in the physical plan."""
+    plan = (
+        REGISTRY["value_drift_cusum"].builder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
