@@ -74,16 +74,16 @@ _DRIVER_WINDOW = [
     "replay_dim_history",
     "asof_view_within_tolerance",
     "normalized_dedup_docs",
+    "replay_env_asof_names",
+    "seasonal_naive_skill",
+    "value_drift_cusum",
+    "frequent_event_props",
     # -- long-green representatives, one per §2 family --
     "pricing_summary",
     "fact_dim_join",
-    "hourly_avg_by_node",
     "outage_episodes",
-    "aligned_type_buckets",
-    "props_json_extract",
     "pacific_daily_counts",
     "token_stats_by_lang",
-    "quality_scores",
     "pii_scan",
 ]
 # Demoted long-green representatives (still registered + locally
@@ -120,6 +120,15 @@ _DRIVER_WINDOW = [
 # top_orders_by_revenue (driver-green r1+r2; its join+agg shape stays
 # covered in-window by fact_dim_join + pricing_summary — demoted for
 # replay_dim_history, the new SCD2 dimension-history query),
+# hourly_avg_by_node + aligned_type_buckets + props_json_extract +
+# quality_scores (all driver-green r1+r2; their families stay repped
+# in-window by sliding_hourly_load / incremental_rollup_hourly,
+# gapfill_value_grid / ewma_value_smooth, frequent_event_props — the
+# JSON-extraction family's NEVER-checked member replaces its
+# twice-green twin — and token_stats_by_lang / pii_scan; the freed
+# slots fund replay_env_asof_names, seasonal_naive_skill,
+# value_drift_cusum and frequent_event_props, the four oracle-backed
+# queries that had no driver row in any round),
 # latest_reading_per_node (driver-green r1+r2; the window/align family
 # keeps hourly_avg, outage_episodes, aligned_type_buckets, gapfill,
 # ewma, sliding — demoted for asof_view_within_tolerance, whose oracle
