@@ -292,3 +292,103 @@ def ffd_pack_bins(
         return pdf[["doc_id", "shard", "n_tokens", "bin_id"]]
 
     return base.groupBy("shard").applyInPandas(_pack, _FFD_SCHEMA)
+
+
+# --- DSIR-style importance resampling -----------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_SMOOTH = 1.0
+
+
+def _hash_bucket(col, buckets: int):
+    """Deterministic engine-portable hash bucket: first 8 hex chars of
+    md5 as an int, mod ``buckets``. Same construction as the
+    content-hash split (plans/textq.py) — md5 exists verbatim in both
+    Spark and DuckDB, so the oracle reproduces bucket ids exactly."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    arXiv:2302.03169): score every document by how much its hashed
+    unigram distribution looks like a TARGET slice of the corpus
+    relative to the corpus as a whole.
+
+    Per token occurrence t: bucket b(t) in [0, buckets); the bucket's
+    importance log-weight is
+        lw(b) = ln((tgt_b + a) / (tgt_tot + a*B))
+              - ln((raw_b + a) / (raw_tot + a*B))
+    (add-a smoothed log likelihood ratio of the target vs the raw
+    unigram bucket model), and a document's importance is the sum of
+    lw over its token occurrences.
+
+    Scale shape: one explode -> hash-agg to AT MOST ``buckets`` rows
+    (map-side partialed; the shuffle carries (bucket, 2 longs), never
+    tokens), totals folded in with a window over the tiny bucket
+    table, then a BROADCAST join of that <=B-row weight table back to
+    the token stream and a second hash-agg per doc_id. Two shuffles
+    total (bucket agg, doc agg), both on bounded-width rows. The
+    reference has no counterpart; this is pure extension surface.
+
+    ``target_pred`` is a boolean Column over ``docs`` (e.g.
+    ``F.col('lang') == 'en'``).
+    """
+    toks = docs.where(F.trim("text") != "").select(
+        "doc_id",
+        target_pred.alias("_is_target"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    tok_buckets = toks.select(
+        "doc_id",
+        "_is_target",
+        _hash_bucket(F.col("tok"), buckets).alias("bucket"),
+    )
+    counts = tok_buckets.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tgt"),
+        F.count(F.lit(1)).cast("long").alias("raw"),
+    )
+    w = Window.partitionBy()  # <=B rows: totals via window, no extra pass
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("tgt") + smooth) / (F.sum("tgt").over(w) + smooth * buckets))
+            - F.log((F.col("raw") + smooth) / (F.sum("raw").over(w) + smooth * buckets))
+        ).alias("lw"),
+    )
+    return (
+        tok_buckets.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("imp_w"), F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+
+
+def dsir_gumbel_topk(docs: DataFrame, imp: DataFrame, k: int) -> DataFrame:
+    """DSIR's sampling step, made deterministic: sample k documents
+    without replacement from softmax(imp_w) via the Gumbel top-k
+    trick (select the k largest imp_w + Gumbel(0,1) keys), with the
+    Gumbel noise derived from md5(doc_id) instead of an RNG so any
+    engine reproduces the exact same sample — no seed coordination
+    across executors, no per-partition RNG state.
+
+    u in (0,1) from the top 8 md5 hex chars; g = -ln(-ln(u)).
+    Selection is a global top-k: TakeOrderedAndProject (per-partition
+    partial top-k, k rows to the driver), never a full sort.
+    """
+    u = (
+        (_hash_bucket(F.col("doc_id").cast("string"), 2**32) + F.lit(0.5))
+        / F.lit(float(2**32))
+    )
+    keyed = imp.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "imp_w",
+        (F.col("imp_w") + (-F.log(-F.log(u)))).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), "doc_id").limit(k)

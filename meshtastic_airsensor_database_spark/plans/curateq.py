@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from ..io_utils import fan_out, load
 from ..operators.curation import (
     CONTAM_NGRAM_N,
+    DSIR_BUCKETS,
+    DSIR_SMOOTH,
+    dsir_gumbel_topk,
+    dsir_importance,
     FFD_BIN_CAPACITY,
     PACK_SHARDS,
     SEQ_LEN,
@@ -605,6 +609,79 @@ LEFT JOIN cov USING (id)
 """
 
 
+# --- DSIR importance resampling (arXiv:2302.03169) ----------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_SAMPLE_K = 50
+
+
+def dsir_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection end to end: hashed-unigram importance
+    weights (target = the ``lang='en'`` slice vs the whole corpus),
+    then a deterministic Gumbel top-k sample of ``DSIR_SAMPLE_K``
+    documents from softmax(imp_w) (operators/curation.py:
+    dsir_importance / dsir_gumbel_topk; scale notes there — two
+    bounded-width shuffles + one broadcast join + partial top-k).
+
+    Rounding happens AFTER selection: the top-k keys are compared
+    unrounded (both engines), the projected doubles are decimal-routed
+    to 4 places for the hash compare.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    imp = dsir_importance(docs, F.col("lang") == DSIR_TARGET_LANG)
+    picked = dsir_gumbel_topk(docs, imp, DSIR_SAMPLE_K)
+    return picked.select(
+        "doc_id",
+        "lang",
+        r("imp_w", 4).alias("imp_w"),
+        r("gumbel_key", 4).alias("gumbel_key"),
+    )
+
+
+DSIR_SAMPLED_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_target,
+         unnest({_TOKS}) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+tb AS (
+  SELECT doc_id, is_target,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+              % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt,
+         COUNT(*) AS raw
+  FROM tb GROUP BY bucket
+),
+weights AS (
+  SELECT bucket,
+         ln((tgt + {DSIR_SMOOTH}) / (SUM(tgt) OVER () + {DSIR_SMOOTH} * {DSIR_BUCKETS}))
+       - ln((raw + {DSIR_SMOOTH}) / (SUM(raw) OVER () + {DSIR_SMOOTH} * {DSIR_BUCKETS})) AS lw
+  FROM counts
+),
+imp AS (
+  SELECT doc_id, SUM(lw) AS imp_w
+  FROM tb JOIN weights USING (bucket) GROUP BY doc_id
+),
+keyed AS (
+  SELECT i.doc_id, d.lang, i.imp_w,
+         i.imp_w + (-ln(-ln(
+           (CAST(concat('0x', substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) + 0.5) / 4294967296.0))) AS gumbel_key
+  FROM imp i JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang,
+       CAST(ROUND(CAST(imp_w AS DECIMAL(38,9)), 4) AS DOUBLE) AS imp_w,
+       CAST(ROUND(CAST(gumbel_key AS DECIMAL(38,9)), 4) AS DOUBLE) AS gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {DSIR_SAMPLE_K}
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -639,4 +716,8 @@ QUERIES: list[Query] = [
     Query("dup_span_stats", dup_span_stats, DUP_SPAN_STATS_SQL,
           ("text_analysis", "near_dedup"),
           "Lee-et-al exact-substring duplicated-span coverage per doc"),
+    Query("dsir_sampled_docs", dsir_sampled_docs, DSIR_SAMPLED_DOCS_SQL,
+          ("text_analysis",),
+          "DSIR hashed-unigram importance weights + deterministic "
+          "Gumbel top-k sample (arXiv:2302.03169)"),
 ]

@@ -8,6 +8,8 @@ import math
 from pyspark.sql import functions as F
 
 from meshtastic_airsensor_database_spark.operators.curation import (
+    dsir_gumbel_topk,
+    dsir_importance,
     chunk_pack_assignment,
     ffd_pack_bins,
     ngram_decontaminate,
@@ -212,3 +214,37 @@ def test_curation_funnel_is_monotone_and_ordered(spark, sf_dir):
     counts = [r["n_docs"] for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[0] > counts[-1] > 0
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    # Target slice speaks "alpha beta"; off-target speaks "gamma delta".
+    # A fresh doc in the target's vocabulary must outscore one in the
+    # off-target vocabulary (hashed-unigram likelihood ratio).
+    rows = [
+        (0, "alpha beta alpha beta", "en"),
+        (1, "alpha beta beta alpha", "en"),
+        (2, "gamma delta gamma delta", "de"),
+        (3, "gamma delta delta gamma", "de"),
+        (10, "alpha beta", "zz"),   # target-like, unlabeled
+        (11, "gamma delta", "zz"),  # off-target-like, unlabeled
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    imp = {
+        r["doc_id"]: r["imp_w"]
+        for r in dsir_importance(docs, F.col("lang") == "en").collect()
+    }
+    assert imp[10] > imp[11]
+    # weights are per-token sums: doc 0 (4 target tokens) doubles doc 10
+    assert math.isclose(imp[0], 2 * imp[10], rel_tol=1e-9)
+
+
+def test_dsir_gumbel_topk_deterministic_and_bounded(spark):
+    rows = [(i, "alpha beta gamma", "en") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    imp = dsir_importance(docs, F.col("lang") == "en")
+    a = [r["doc_id"] for r in dsir_gumbel_topk(docs, imp, 5).collect()]
+    b = [r["doc_id"] for r in dsir_gumbel_topk(docs, imp, 5).collect()]
+    assert a == b and len(a) == 5
+    # identical imp_w everywhere -> selection is ranked purely by the
+    # md5-derived Gumbel noise, which is a fixed function of doc_id
+    assert len(set(a)) == 5
