@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_utils import load
+from ..operators.entity import blocked_fuzzy_match
 from .base import Query, r
 
 
@@ -585,6 +586,61 @@ GROUP BY 1
 """
 
 
+# --- blocked fuzzy entity matching (operators/entity.py) ----------------------
+
+FUZZY_MAX_DISTANCE = 6
+FUZZY_BLOCK_WIDTH = 10
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution across the customer and supplier registries:
+    names share the layout '<Role>#<9 digits>', so the blocking key is
+    the digit suffix's decade (floor(digits / 10)) — derived from the
+    dirty field itself, as real ER blocking does — and candidates
+    within a block are verified with Levenshtein <= 6 (the two role
+    prefixes differ by exactly 5 substitutions, so the budget admits
+    at most one digit of drift). Equi-join on the block key + codegen
+    Levenshtein only inside blocks: O(n * block) not O(n * m).
+    """
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+
+    def block(name: str):
+        return F.expr(f"CAST(substring({name}, 10, 9) AS BIGINT) DIV {FUZZY_BLOCK_WIDTH}")
+
+    pairs = blocked_fuzzy_match(
+        cust,
+        supp,
+        left_key=F.col("c_custkey"),
+        right_key=F.col("s_suppkey"),
+        left_block=block("c_name"),
+        right_block=block("s_name"),
+        left_name=F.col("c_name"),
+        right_name=F.col("s_name"),
+        max_distance=FUZZY_MAX_DISTANCE,
+    )
+    return pairs.select(
+        F.col("left_key").alias("c_custkey"),
+        F.col("right_key").alias("s_suppkey"),
+        F.col("distance").cast("long").alias("distance"),
+        r("similarity", 4).alias("similarity"),
+    )
+
+
+FUZZY_NAME_MATCHES_SQL = f"""
+SELECT c_custkey, s_suppkey,
+       CAST(levenshtein(c_name, s_name) AS BIGINT) AS distance,
+       CAST(ROUND(CAST(
+         1 - levenshtein(c_name, s_name)
+             / CAST(greatest(length(c_name), length(s_name)) AS DOUBLE)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS similarity
+FROM customer JOIN supplier
+  ON CAST(substr(c_name, 10, 9) AS BIGINT) // {FUZZY_BLOCK_WIDTH}
+   = CAST(substr(s_name, 10, 9) AS BIGINT) // {FUZZY_BLOCK_WIDTH}
+WHERE levenshtein(c_name, s_name) <= {FUZZY_MAX_DISTANCE}
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -635,4 +691,8 @@ QUERIES: list[Query] = [
     Query("salted_brand_quantities", salted_brand_quantities,
           SALTED_BRAND_QUANTITIES_SQL, ("node_dim_enrich",),
           "skew-salted equi-join == plain join (semantics-invariant salting)"),
+    Query("fuzzy_name_matches", fuzzy_name_matches, FUZZY_NAME_MATCHES_SQL,
+          ("node_dim_enrich", "near_dedup"),
+          "blocked fuzzy entity matching: derive-block equi-join + "
+          "in-block Levenshtein verify"),
 ]
