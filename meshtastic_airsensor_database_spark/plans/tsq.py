@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io_utils import load
@@ -559,6 +559,81 @@ FROM agg
 """
 
 
+# --- autocorrelation function (ACF) -------------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def value_acf_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation of the hourly-mean value series at
+    lags 1..ACF_MAX_LAG — the seasonality/persistence diagnostic that
+    picks window sizes for the forecast/EWMA/CUSUM family.
+
+    Scale shape: ONE shuffle to the hourly agg (map-side partials),
+    then all lags ride a single per-type window sort (lag(1..L) in the
+    same window frame = one exchange + one local sort), stacked via an
+    inline array explode (narrow), and corr() is a hash agg with
+    map-side partials. corr ignores NULL pairs on both engines, so the
+    first L rows of each series fall out identically.
+    """
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"l{k}").alias("vlag"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.lag").alias("lag"), "v", F.col("p.vlag").alias("vlag"))
+    return stacked.groupBy("event_type", "lag").agg(
+        r(F.corr("v", "vlag"), 4).alias("acf"),
+        F.count("vlag").cast("long").alias("n_pairs"),
+    )
+
+
+VALUE_ACF_BY_TYPE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS l1,
+         lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+stacked AS (
+  SELECT event_type, 1 AS lag, v, l1 AS vlag FROM lagged
+  UNION ALL SELECT event_type, 2, v, l2 FROM lagged
+  UNION ALL SELECT event_type, 3, v, l3 FROM lagged
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(ROUND(CAST(corr(v, vlag) AS DECIMAL(38,9)), 4) AS DOUBLE) AS acf,
+       CAST(COUNT(vlag) AS BIGINT) AS n_pairs
+FROM stacked
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -592,4 +667,8 @@ QUERIES: list[Query] = [
           ("robust_outlier_detect", "rolling_avg_pm25"),
           "CUSUM-chart sustained-shift detection as pure window algebra "
           "(cumsum vs running extrema, one shuffle)"),
+    Query("value_acf_by_type", value_acf_by_type, VALUE_ACF_BY_TYPE_SQL,
+          ("timeseries_align", "per_node_stats"),
+          "autocorrelation of the hourly-mean series at lags 1..3 "
+          "(one window sort serves all lags)"),
 ]
