@@ -77,3 +77,113 @@ def pagerank_fixed(
         pr.join(deg.withColumnRenamed("s", "node"), "node")
         .select("node", "deg", F.col("pr").alias("pagerank"))
     )
+
+
+# --- co-occurrence graph construction -----------------------------------------
+
+COOC_MAX_BUCKET = 500
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    entity: str,
+    bucket,
+    min_shared: int,
+    max_bucket: int = COOC_MAX_BUCKET,
+) -> DataFrame:
+    """Build the co-occurrence graph: entities are connected when they
+    appear in at least ``min_shared`` common buckets (users sharing
+    active hours, terms sharing documents, items sharing baskets).
+
+    Scale shape: distinct (entity, bucket) via hash agg, a bucket-size
+    gate dropping degenerate hub buckets (> ``max_bucket`` members —
+    a bucket everyone is in carries no signal but generates B^2 pairs;
+    the LSH MAX_BUCKET pattern), then a SELF EQUI-JOIN on the bucket
+    key with entity_a < entity_b, and one more hash agg counting shared
+    buckets per pair. Both shuffles are on bounded-width keys; pair
+    fan-out per bucket is capped at max_bucket^2.
+    """
+    eb = df.select(
+        F.col(entity).alias("_e"), bucket.alias("_b")
+    ).distinct()
+    sizes = eb.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    kept = eb.join(
+        F.broadcast(sizes.where(F.col("_n") > max_bucket).select("_b")),
+        "_b",
+        "left_anti",
+    )
+    a = kept.select(F.col("_e").alias("src"), "_b")
+    b = kept.select(F.col("_e").alias("dst"), "_b")
+    return (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+# --- triangle counting --------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts via the degree-ordered
+    orientation (Cohen's MapReduce triangle algorithm / compact-forward):
+    orient every undirected edge from its lower (degree, id) endpoint
+    to the higher, enumerate wedges at each node's out-neighborhood,
+    and close them against the oriented edge set.
+
+    Why this survives scale: out-degree under the degree ordering is
+    bounded by O(sqrt(m)) (graph arboricity), so the wedge fan-out is
+    sum deg_out^2 = O(m^1.5) worst case instead of sum deg^2, which a
+    star node makes quadratic in the naive formulation. Both the wedge
+    step and the closing step are plain equi-joins (shuffle on node
+    id / id pair); the triangle set is orientation-independent, so the
+    oracle can verify with the simpler id-ordering.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("osrc"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("odst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("odeg"),
+    )
+    x, y, z = oriented.alias("x"), oriented.alias("y"), oriented.alias("z")
+    wedge_order = (F.col("x.odeg") < F.col("y.odeg")) | (
+        (F.col("x.odeg") == F.col("y.odeg")) & (F.col("x.odst") < F.col("y.odst"))
+    )
+    tri = (
+        x.join(y, F.col("x.osrc") == F.col("y.osrc"))
+        .where(wedge_order)
+        .join(
+            z,
+            (F.col("z.osrc") == F.col("x.odst"))
+            & (F.col("z.odst") == F.col("y.odst")),
+        )
+        .select(
+            F.col("x.osrc").alias("u"),
+            F.col("x.odst").alias("v"),
+            F.col("y.odst").alias("w"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

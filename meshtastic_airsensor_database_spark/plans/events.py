@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import f_to_c, tz_suffix_strip, utc_to_pacific
 from ..io_utils import load
+from ..operators.graph import cooccurrence_edges, triangle_counts
 from ..operators.align import (
     latest_reading_per_node,
     reading_gap_detect,
@@ -612,6 +613,66 @@ GROUP BY event_type
 """
 
 
+# --- co-presence graph triangles ----------------------------------------------
+
+COPRESENCE_MIN_SHARED_HOURS = 12
+
+
+def user_copresence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure in the user co-presence graph: connect two
+    users when they were active in >= COPRESENCE_MIN_SHARED_HOURS of
+    the same clock hours, then count each user's triangle
+    participation — the clustering-coefficient numerator that
+    separates genuine cohorts from hub artifacts.
+
+    Scale shape (operators/graph.py): co-occurrence via distinct +
+    bucket-size gate + self equi-join on the hour key (never all user
+    pairs), triangles via the degree-ordered orientation (wedge
+    fan-out bounded by arboricity, both steps plain equi-joins). The
+    oracle re-derives the same graph and enumerates id-ordered
+    triangles with a 3-way join — orientation-independence of the
+    triangle set is part of what the hash match proves.
+    """
+    ev = load(spark, sf_dir, "events")
+    edges = cooccurrence_edges(
+        ev,
+        "user_id",
+        F.date_trunc("hour", "ts"),
+        min_shared=COPRESENCE_MIN_SHARED_HOURS,
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("user_id"), "n_triangles"
+    )
+
+
+USER_COPRESENCE_TRIANGLES_SQL = f"""
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+),
+sizes AS (SELECT h FROM uh GROUP BY h HAVING COUNT(*) <= 500),
+kept AS (SELECT uh.user_id, uh.h FROM uh JOIN sizes USING (h)),
+e AS (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM kept a JOIN kept b ON a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPRESENCE_MIN_SHARED_HOURS}
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT u AS user_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY user_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
           ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
@@ -658,4 +719,9 @@ QUERIES: list[Query] = [
     Query("sliding_hourly_load", sliding_hourly_load, SLIDING_HOURLY_LOAD_SQL,
           ("windowed_ingest",),
           "2h-wide / 1h-slide overlapping window aggregate"),
+    Query("user_copresence_triangles", user_copresence_triangles,
+          USER_COPRESENCE_TRIANGLES_SQL,
+          ("per_node_stats",),
+          "co-presence graph build (bucket equi-join) + degree-ordered "
+          "triangle counting"),
 ]

@@ -58,3 +58,43 @@ def test_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iter"):
         pagerank_fixed(edges, n_iter=0)
+
+
+def test_triangle_counts_known_graph(spark):
+    from meshtastic_airsensor_database_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_dedups_and_ignores_orientation(spark):
+    from meshtastic_airsensor_database_spark.operators.graph import triangle_counts
+
+    # same triangle given with duplicates, reversed edges, and a self-loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cooccurrence_edges_threshold_and_hub_cap(spark):
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        # users 1,2 share buckets 10,11; user 3 only bucket 10
+        (1, 10), (1, 11), (2, 10), (2, 11), (3, 10),
+        # hub bucket 99 holds everyone; with max_bucket=3 it must not
+        # create any pair (4 members > cap), while bucket 10 (3 members)
+        # survives
+        (1, 99), (2, 99), (3, 99), (4, 99),
+    ]
+    df = spark.createDataFrame(rows, "u long, b long")
+    got = cooccurrence_edges(
+        df, "u", F.col("b"), min_shared=2, max_bucket=3
+    ).collect()
+    assert [(r["src"], r["dst"], r["shared"]) for r in got] == [(1, 2, 2)]
