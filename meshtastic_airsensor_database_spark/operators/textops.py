@@ -8,7 +8,7 @@ shuffle, trivially parallel at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -90,4 +90,76 @@ def quality_filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("punct_ratio") < max_punct_ratio)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+
+
+# --- vocabulary encoding (tokens -> ids) --------------------------------------
+
+
+def build_vocab(df: DataFrame, text_col: str, size: int) -> DataFrame:
+    """Top-``size`` terms by DOCUMENT frequency as (term, id) with ids
+    0..size-1 assigned by (df DESC, term ASC) — the deterministic
+    vocabulary a tokenizer/embedding table is built from.
+
+    Scale shape: explode(array_distinct) -> two-level hash agg for df
+    counts (shuffle carries (term, long)), then the top-``size``
+    selection is a partial top-k (TakeOrderedAndProject — per-partition
+    k rows to one reducer, never a global sort of the vocabulary), and
+    the rank window runs on the ALREADY-limited <=size rows. The
+    returned table is broadcast-sized by construction.
+    """
+    from ..functions.text import tokens
+
+    w = Window.orderBy(F.desc("df"), "term")
+    return (
+        df.where(F.trim(text_col) != "")
+        .select(F.explode(F.array_distinct(tokens(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(size)
+        .withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    unk_id: int,
+    head: int = 12,
+) -> DataFrame:
+    """Encode each document's token stream against ``vocab``:
+    out-of-vocabulary tokens map to the reserved ``unk_id`` (by
+    convention one past the last vocab id; passed explicitly so the
+    encode plan never needs an eager count action on the vocab). Returns per-doc token/OOV counts, the OOV rate,
+    and the first ``head`` ids as a space-joined string (the
+    order-preserving probe both engines can hash-compare).
+
+    Scale shape: posexplode (narrow) -> LEFT BROADCAST join against the
+    vocab (dimension-sized by construction, no shuffle of the token
+    stream) -> one hash agg per doc_id reassembling order via
+    sort_array(collect_list(struct(pos, id))). The only shuffle is the
+    per-doc agg, keyed on the doc id.
+    """
+    from ..functions.text import tokens
+
+    unk = unk_id
+    tok = df.where(F.trim(text_col) != "").select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    enc = tok.join(F.broadcast(vocab.select("term", "token_id")), "term", "left").select(
+        id_col,
+        "pos",
+        F.coalesce("token_id", F.lit(unk)).cast("long").alias("tid"),
+    )
+    ids = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == unk).cast("long")).cast("long").alias("n_oov"),
+        F.concat_ws(" ", F.slice(ids, 1, head).cast("array<string>")).alias("ids_head"),
     )

@@ -24,6 +24,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..io_utils import fan_out, load
+from ..operators.textops import build_vocab, encode_docs
 from .base import Query, r
 
 
@@ -701,6 +702,80 @@ FROM starts
 """
 
 
+# --- vocabulary encoding (tokens -> ids, OOV to reserved id) ------------------
+
+VOCAB_SIZE = 20
+ENCODE_HEAD = 12
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def vocab_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids against a corpus-derived vocabulary — the step
+    that turns a curated corpus into a trainable id stream. Vocabulary
+    = top-VOCAB_SIZE terms by document frequency (ids by df DESC, term
+    ASC); OOV tokens take the reserved id VOCAB_SIZE. Emits per-doc
+    token/OOV counts, OOV rate, and the first ENCODE_HEAD ids in
+    document order (space-joined) as the order-preserving probe.
+
+    Scale notes in operators/textops.py::build_vocab / encode_docs:
+    df counts via two-level hash agg, top-k selection (never a global
+    vocab sort), broadcast encode join, one per-doc agg shuffle.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    vocab = build_vocab(docs, "text", VOCAB_SIZE)
+    enc = encode_docs(docs, vocab, "doc_id", "text", unk_id=VOCAB_SIZE,
+                      head=ENCODE_HEAD)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        r(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        "ids_head",
+    )
+
+
+VOCAB_ENCODED_DOCS_SQL = f"""
+WITH vocab AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+           AS token_id
+  FROM (
+    SELECT tok AS term, COUNT(*) AS df
+    FROM (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+      FROM documents WHERE trim(text) <> ''
+    )
+    GROUP BY tok
+    ORDER BY df DESC, term
+    LIMIT {VOCAB_SIZE}
+  )
+),
+tok AS (
+  SELECT doc_id, pos, {_TOKS}[pos] AS term
+  FROM (
+    SELECT doc_id, text, unnest(range(1, len({_TOKS}) + 1)) AS pos
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+enc AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(v.token_id, {VOCAB_SIZE}) AS tid
+  FROM tok t LEFT JOIN vocab v ON v.term = t.term
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = {VOCAB_SIZE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(ROUND(CAST(
+         SUM(CASE WHEN tid = {VOCAB_SIZE} THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS oov_rate,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)
+         FILTER (WHERE pos <= {ENCODE_HEAD}) AS ids_head
+FROM enc
+GROUP BY doc_id
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -742,4 +817,8 @@ QUERIES: list[Query] = [
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),
           "char-5-gram Jaccard near-dup pairs (exact, sampled)"),
+    Query("vocab_encoded_docs", vocab_encoded_docs, VOCAB_ENCODED_DOCS_SQL,
+          ("text_analysis",),
+          "df-ranked vocabulary build + order-preserving token-id "
+          "encoding with reserved OOV id"),
 ]

@@ -187,3 +187,28 @@ def test_normalize_text_merges_formatting_variants(spark):
     assert out[0] == out[1] == "hello world"
     assert out[2] == "hello — world"
     assert out[3] == "different"
+
+
+def test_build_vocab_rank_and_tiebreak(spark):
+    from meshtastic_airsensor_database_spark.operators.textops import build_vocab
+
+    docs = spark.createDataFrame(
+        [(0, "b a"), (1, "b c"), (2, "b a"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: (r["df"], r["token_id"]) for r in build_vocab(docs, "text", 2).collect()}
+    # b df=3 -> id 0; a df=2 -> id 1; c df=1 falls outside size=2
+    assert got == {"b": (3, 0), "a": (2, 1)}
+
+
+def test_encode_docs_order_and_oov(spark):
+    from meshtastic_airsensor_database_spark.operators.textops import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [(0, "b a zzz b"), (1, "a")], "doc_id long, text string"
+    )
+    vocab = build_vocab(docs, "text", 2)  # a df=2 -> 0, b df=1 -> 1; zzz OOV -> 2
+    got = {r["doc_id"]: r for r in encode_docs(docs, vocab, "doc_id", "text", unk_id=2).collect()}
+    assert got[0]["ids_head"] == "1 0 2 1"
+    assert got[0]["n_tokens"] == 4 and got[0]["n_oov"] == 1
+    assert got[1]["ids_head"] == "0" and got[1]["n_oov"] == 0
