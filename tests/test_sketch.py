@@ -1,0 +1,63 @@
+"""Mergeable HLL sketch rollups (operators/sketch.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meshtastic_airsensor_database_spark.operators.sketch import (
+    hll_partial_sketches,
+    hll_rollup_estimate,
+)
+
+
+def _events(spark, n, dupe_every=3):
+    return spark.range(n).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 17).alias("day"),
+        (F.col("id") / dupe_every).cast("long").alias("user"),
+    )
+
+
+def test_merge_of_partials_equals_single_pass(spark):
+    # Merging per-day partials must track a single-pass sketch of the
+    # whole group. Beyond the sparse regime the DataSketches union
+    # gadget (HLL_8 round-trip) may drift from the one-pass sketch by
+    # a fraction of the ~1.6% rse, so assert closeness, not equality;
+    # sparse-regime equality is asserted in test_exact_in_sparse_regime.
+    df = _events(spark, 20000)
+    partials = hll_partial_sketches(df, ["g"], "user", F.col("day"))
+    merged = {
+        r["g"]: r["distinct_est"]
+        for r in hll_rollup_estimate(partials, ["g"]).collect()
+    }
+    single = {
+        r["g"]: r["est"]
+        for r in df.groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("est"))
+        .collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - single[g]) / single[g] < 0.05
+
+
+def test_exact_in_sparse_regime(spark):
+    df = _events(spark, 600)  # 200 distinct users, far below sparse cap
+    partials = hll_partial_sketches(df, ["g"], "user", F.col("day"))
+    got = {r["g"]: r for r in hll_rollup_estimate(partials, ["g"]).collect()}
+    exact = {
+        r["g"]: r["ex"]
+        for r in df.groupBy("g").agg(F.countDistinct("user").alias("ex")).collect()
+    }
+    for g, row in got.items():
+        assert row["distinct_est"] == exact[g]
+        assert row["n_buckets"] == 17
+
+
+def test_estimate_within_rsd_beyond_sparse(spark):
+    df = spark.range(200_000).select(
+        F.lit(0).alias("g"), (F.col("id") % 13).alias("day"), F.col("id").alias("user")
+    )
+    partials = hll_partial_sketches(df, ["g"], "user", F.col("day"))
+    est = hll_rollup_estimate(partials, ["g"]).collect()[0]["distinct_est"]
+    # lgConfigK=12 -> rse ~1.6%; allow 5 sigma
+    assert abs(est - 200_000) / 200_000 < 0.08
