@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "normalized_dedup_docs",
     "seasonal_naive_skill",
     "asof_view_within_tolerance",
+    "dsir_sampled_docs",
+    "fuzzy_name_matches",
+    "value_acf_by_type",
+    "user_copresence_triangles",
+    "vocab_encoded_docs",
+    "hll_distinct_users_rollup",
 ]
 
 

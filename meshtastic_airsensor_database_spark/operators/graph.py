@@ -140,12 +140,25 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     step and the closing step are plain equi-joins (shuffle on node
     id / id pair); the triangle set is orientation-independent, so the
     oracle can verify with the simpler id-ordering.
+
+    The canonical edge list is MATERIALIZED once (checkpoint when a
+    checkpoint dir is configured, localCheckpoint otherwise — the
+    connected_components convention): the degree branch, the
+    orientation join and all three triangle-join sides consume it, and
+    without truncation Spark re-executes the whole upstream edge
+    construction per consumer (measured 5.1 s -> 1.4 s at sf0.1 for
+    the co-presence graph, whose edge build is itself a join).
     """
     e = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    sc = e.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        e = e.checkpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
