@@ -1,0 +1,101 @@
+"""Exact set-similarity join via prefix filtering (PPJoin family,
+Xiao et al., WWW'08 / Chaudhuri et al., ICDE'06 "SSJoin").
+
+The third tier of the near-dup stack, between the exact all-pairs join
+(sound, O(n^2), oracle tool only) and MinHash-LSH (scales, but is
+probabilistic — a true pair missing every band is silently lost):
+prefix filtering gives EXACT results (zero false negatives, zero
+false positives) with candidate generation that is still an equi-join.
+
+The theorem: order every set's elements by one global total order and
+keep only each set's first ``p = |A| - ceil(t*|A|) + 1`` elements (its
+"prefix"). If J(A,B) >= t, the prefixes of A and B must share at least
+one element. So candidates = pairs sharing ANY prefix token — an
+ordinary equi-join on the token — and the exact Jaccard verify runs
+only on those. Ordering by ascending document frequency makes prefixes
+maximally rare, which is what keeps candidate lists short.
+
+Scale shape:
+- the global order is (df, xxhash64(token)): computed with one hash
+  agg + one equi-join of per-token df counts back onto the exploded
+  token stream — NO dense global rank (a row_number over the whole
+  vocabulary would be a single-partition sort at corpus scale; any
+  consistent total order satisfies the theorem, so the raw (df, hash)
+  tuple IS the order key);
+- per-doc prefix extraction is a narrow sort_array + slice;
+- candidate generation reuses pairs_within_buckets (one shuffle on the
+  prefix token, positional pairing, degenerate-bucket cap) — prefixes
+  are rare tokens by construction, so the cap is a safety valve, not a
+  working regime (cap hits would be the common-token buckets the
+  df-ordering already excluded);
+- exact verify joins the candidate ids back to the per-doc shingle
+  arrays and evaluates intersection/union JVM-side.
+
+Reference parity: no counterpart (the reference has no similarity
+surface at all); this mirrors the LSH tiers in operators/dedup.py and
+is verified against the same exact all-pairs oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MAX_BUCKET, pairs_within_buckets
+
+
+def prefix_tokens(
+    sets_df: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """Explode each row's set into its df-ordered prefix of length
+    ``|A| - ceil(t*|A|) + 1`` as (id, token) rows."""
+    toks = sets_df.select(F.col(id_col), F.explode(set_col).alias("_tok"))
+    dfc = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(dfc, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("_df", F.xxhash64("_tok").alias("_h"), F.col("_tok"))
+                    )
+                ),
+                lambda s: s["_tok"],
+            ).alias("_ordered")
+        )
+    )
+    # prefix length: |A| - ceil(t|A|) + 1
+    n = F.size("_ordered")
+    plen = n - F.ceil(n * F.lit(threshold)).cast("int") + 1
+    return ordered.select(
+        id_col, F.explode(F.slice("_ordered", 1, plen)).alias("_tok")
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    jaccard_expr,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join: prefix-filter candidates,
+    then verify with the caller-supplied ``jaccard_expr(a_set, b_set)``
+    column factory (so the query layer controls rounding parity with
+    its oracle). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    pref = prefix_tokens(sets_df, id_col, set_col, threshold)
+    cands = pairs_within_buckets(pref, ["_tok"], id_col, max_bucket=max_bucket)
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("_sb"))
+    jac = jaccard_expr(F.col("_sa"), F.col("_sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -24,6 +24,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..io_utils import fan_out, load
+from ..operators.setjoin import prefix_filtered_jaccard_pairs
 from ..operators.textops import build_vocab, encode_docs
 from .base import Query, r
 
@@ -776,6 +777,41 @@ GROUP BY doc_id
 """
 
 
+# --- exact set-similarity join via prefix filtering (PPJoin family) -----------
+
+
+def prefix_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 near-dup pairs via prefix filtering
+    (operators/setjoin.py): candidates = docs sharing any df-ordered
+    prefix shingle (equi-join on the shingle), verify = exact
+    intersection/union. Unlike the MinHash tier there are no missed
+    bands — the prefix theorem guarantees every true pair surfaces —
+    and unlike ``jaccard_neardup_pairs`` there is no O(n^2) join.
+
+    Same oracle-mirrored sample, shingling, rounding and threshold as
+    the all-pairs tool, so the DuckDB twin is the identical exact SQL:
+    the hash match proves the prefix filter loses nothing.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    sh = fan_out(docs).select(
+        "doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh")
+    )
+
+    def jac(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(a) + F.size(b) - inter
+        return r(inter.cast("double") / union, 4)
+
+    pairs = prefix_filtered_jaccard_pairs(
+        sh, "doc_id", "sh", JACCARD_THRESHOLD, jac
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -821,4 +857,9 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "df-ranked vocabulary build + order-preserving token-id "
           "encoding with reserved OOV id"),
+    Query("prefix_jaccard_neardups", prefix_jaccard_neardups,
+          _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID),
+          ("near_dedup",),
+          "exact set-similarity join via prefix filtering (PPJoin "
+          "family) == all-pairs result, no O(n^2) join"),
 ]

@@ -385,3 +385,45 @@ class TestDeltaNeardup:
             .toString()
         )
         assert "LeftSemi" in plan
+
+
+def test_prefix_filtered_equals_brute_force(spark):
+    import random
+
+    from meshtastic_airsensor_database_spark.operators.setjoin import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(3, 10))
+        rows.append((i, base))
+        if rng.random() < 0.5:  # planted near-dup: drop/add one element
+            mut = base[:-1] if len(base) > 3 else base + [rng.choice(vocab)]
+            rows.append((100 + i, mut))
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+
+    def jac(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in prefix_filtered_jaccard_pairs(df, "id", "s", t, jac).collect()
+        }
+        a, b = df.alias("a"), df.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"], round(r["j"], 9))
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jac(F.col("a.s"), F.col("b.s")).alias("j"),
+            )
+            .where(F.col("j") >= t)
+            .collect()
+        }
+        assert got == brute, f"threshold {t}"
