@@ -46,30 +46,51 @@ ROLLUP_PARTITION_COL = "rollup_date"
 _PARTIAL_COLS = ("sum_value", "cnt", "min_value", "max_value")
 
 
-def _partials(df: DataFrame, keys: list[str], ts_col: str, value_col: str) -> DataFrame:
+def _partials(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    distinct_col: str | None = None,
+) -> DataFrame:
     """Aggregate raw facts to hourly partial aggregates (map-side
-    combined hash agg; the shuffle carries one row per key x hour)."""
+    combined hash agg; the shuffle carries one row per key x hour).
+
+    ``distinct_col`` additionally stores an HLL sketch of that column
+    per key x hour — COUNT(DISTINCT) is the one dashboard aggregate
+    with no exact partial form, so the rollup keeps the mergeable
+    sketch instead (operators/sketch.py rationale; union in ``_merge``
+    is associative, so out-of-order slices still converge to the
+    single-pass sketch)."""
+    aggs = [
+        F.sum(value_col).alias("sum_value"),
+        F.count(value_col).alias("cnt"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_sketch"))
     return (
         df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"), *keys)
-        .agg(
-            F.sum(value_col).alias("sum_value"),
-            F.count(value_col).alias("cnt"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-        )
+        .agg(*aggs)
         .withColumn(ROLLUP_PARTITION_COL, F.to_date("hour_ts"))
     )
 
 
 def _merge(parts: DataFrame, keys: list[str]) -> DataFrame:
     """Associatively merge partial-aggregate rows sharing a key x hour:
-    sums add, counts add, mins/maxes fold."""
-    return parts.groupBy("hour_ts", *keys).agg(
+    sums add, counts add, mins/maxes fold, sketches union."""
+    aggs = [
         F.sum("sum_value").alias("sum_value"),
         F.sum("cnt").alias("cnt"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
-    ).withColumn(ROLLUP_PARTITION_COL, F.to_date("hour_ts"))
+    ]
+    if "distinct_sketch" in parts.columns:
+        aggs.append(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"))
+    return parts.groupBy("hour_ts", *keys).agg(*aggs).withColumn(
+        ROLLUP_PARTITION_COL, F.to_date("hour_ts")
+    )
 
 
 def maintain_rollup(
@@ -78,6 +99,7 @@ def maintain_rollup(
     keys: list[str],
     ts_col: str = "ts",
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> list:
     """Fold one micro-batch of raw facts into the materialized hourly
     rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
@@ -87,7 +109,7 @@ def maintain_rollup(
     Returns the list of affected partition dates (for tests/metrics).
     """
     spark = batch.sparkSession
-    new_parts = _partials(batch, keys, ts_col, value_col)
+    new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
 
     # The affected-date set is bounded by the batch's event-time spread
     # (normally 1-2 dates per micro-batch) — a driver-side collect of a
@@ -143,11 +165,16 @@ def read_rollup(spark: SparkSession, rollup_path: str, keys: list[str]) -> DataF
     aggregate view (avg derived at read time — the stored state stays
     mergeable)."""
     parts = spark.read.parquet(rollup_path)
-    return parts.select(
-        "hour_ts",
-        *keys,
+    cols = [
+        F.col("hour_ts"),
+        *[F.col(k) for k in keys],
         (F.col("sum_value") / F.col("cnt")).alias("avg_value"),
         F.col("min_value"),
         F.col("max_value"),
         F.col("cnt").alias("n"),
-    )
+    ]
+    if "distinct_sketch" in parts.columns:
+        cols.append(
+            F.hll_sketch_estimate("distinct_sketch").alias("distinct_est")
+        )
+    return parts.select(*cols)

@@ -110,3 +110,39 @@ def test_rollup_read_merge_is_partition_pruned(spark, sf_dir, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert re.search(rf"PartitionFilters: \[[^\]]*{ROLLUP_PARTITION_COL}", plan), plan
+
+
+def test_sketch_maintenance_slice_order_independent(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    rows = [
+        # (event_id, hour offset, user, value); users repeat across slices
+        (i, i % 3, i % 7, float(i)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, h int, user_id long, value double").select(
+        "event_id",
+        F.expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)").alias("ts"),
+        "user_id",
+        "value",
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    # maintain from 3 interleaved slices vs one shot
+    for i in range(3):
+        maintain_rollup(df.filter(F.col("event_id") % 3 == i), p1, keys=[], distinct_col="user_id")
+    maintain_rollup(df, p2, keys=[], distinct_col="user_id")
+    a = {r["hour_ts"]: (r["distinct_est"], r["n"]) for r in read_rollup(spark, p1, []).collect()}
+    b = {r["hour_ts"]: (r["distinct_est"], r["n"]) for r in read_rollup(spark, p2, []).collect()}
+    assert a == b
+    # sparse regime: estimates are exact
+    exact = {
+        r["hour_ts"]: r["d"]
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert {h: v[0] for h, v in a.items()} == exact
