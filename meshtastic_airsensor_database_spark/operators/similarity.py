@@ -562,3 +562,46 @@ def kmeans_ivf_topk(
     return _probe_and_rerank(
         assigned, centers, q, k, n_probe, id_col, vec_col, query_vec_id, "euclidean"
     )
+
+
+# --- per-dimension feature standardization ------------------------------------
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean / population stddev / count over an
+    ``array<float>`` column: posexplode -> one map-side-partialed hash
+    agg keyed on the dimension index. The shuffle carries (dim,
+    partials) — at most vector-width rows per map task — so this is a
+    constant-size exchange at any corpus size.
+    """
+    return (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.avg("val").alias("mean"),
+            F.stddev_pop("val").alias("std"),
+            F.count("val").cast("long").alias("n"),
+        )
+    )
+
+
+def standardize_vectors(
+    emb: DataFrame, stats: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Apply per-dim z-scoring as a NARROW transform: the stats table
+    is vector-width rows (bounded by the embedding dimension, not the
+    corpus), so it is collected to the driver and folded into a single
+    ``transform`` expression — no explode, no join, no shuffle touches
+    the vector table; the whole application stays in one codegen'd
+    projection. Constant-std dimensions z-score to NULL (no signal)
+    rather than dividing by zero.
+    """
+    rows = sorted((r["dim"], r["mean"], r["std"]) for r in stats.collect())
+    means = F.array(*[F.lit(m) for _, m, _ in rows])
+    stds = F.array(*[F.lit(s) for _, _, s in rows])
+    z = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x, i: (x - F.element_at(means, i + 1))
+        / F.nullif(F.element_at(stds, i + 1), F.lit(0.0)),
+    )
+    return emb.withColumn("z_vec", z)

@@ -674,6 +674,55 @@ GROUP BY 1, 2
 """
 
 
+# --- equi-depth histogram (ntile binning) -------------------------------------
+
+EQUIDEPTH_BINS = 10
+
+
+def value_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of ``value`` per event type: NTILE assigns
+    equal-population bins, then per-bin extrema/counts — the
+    selectivity-estimation / quantile-sketch-calibration companion to
+    the fixed-width ``value_histogram``.
+
+    Scale note: NTILE is a per-key window sort (one exchange + local
+    sort per event_type; deterministic tie-break on event_id so both
+    engines bin identical rows identically). Exact equi-depth
+    fundamentally requires that per-key ordering; the approximation
+    that avoids it at extreme per-key cardinality is
+    ``approx_value_percentiles`` (approx_percentile sketch), declared
+    separately — this query is the exact tier.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.select(
+        "event_type", "value", F.ntile(EQUIDEPTH_BINS).over(w).alias("bin")
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r(F.min("value"), 2).alias("lo"),
+        r(F.max("value"), 2).alias("hi"),
+        r(F.avg("value"), 2).alias("mid"),
+    ).select("event_type", F.col("bin").cast("long").alias("bin"), "n", "lo", "hi", "mid")
+
+
+VALUE_EQUIDEPTH_BINS_SQL = f"""
+WITH binned AS (
+  SELECT event_type, value,
+         ntile({EQUIDEPTH_BINS}) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_R2.format(x="MIN(value)")} AS lo,
+       {_R2.format(x="MAX(value)")} AS hi,
+       {_R2.format(x="AVG(value)")} AS mid
+FROM binned
+GROUP BY 1, 2
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -716,4 +765,8 @@ QUERIES: list[Query] = [
           ("continuous_aggregate", "approx_distinct_nodes"),
           "materialized rollup maintains a mergeable HLL sketch for "
           "hourly distinct users across out-of-order slices"),
+    Query("value_equidepth_bins", value_equidepth_bins,
+          VALUE_EQUIDEPTH_BINS_SQL,
+          ("per_node_stats",),
+          "exact equi-depth histogram via deterministic NTILE binning"),
 ]

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_similarity, l2_norm, quantize_int8
 from ..io_utils import fan_out, load
 from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
-from ..operators.similarity import ivf_topk, brute_force_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_dim_stats,
+    ivf_topk,
+    standardize_vectors,
+)
 from .base import Query, r
 
 QUERY_VEC_ID = 0
@@ -989,6 +994,55 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query_vec_id=QUERY_VEC_ID, k=TOP_K)
 
 
+# --- per-dimension standardization (feature whitening for ANN/clustering) -----
+
+STANDARDIZE_PROBE_VECS = 3
+
+
+def standardized_embedding_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring end to end: corpus-wide dim stats (one
+    constant-width shuffle) folded into a narrow transform expression
+    (operators/similarity.py::embedding_dim_stats /
+    standardize_vectors — the stats table is vector-width, so the
+    driver-side collect is bounded by the embedding dimension, never
+    the corpus). The declared output flattens the standardized values
+    of the first STANDARDIZE_PROBE_VECS vectors alongside each dim's
+    mean/std, so the hash match checks both the statistics and their
+    application.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    stats = embedding_dim_stats(emb)
+    z = standardize_vectors(emb.filter(F.col("vec_id") < STANDARDIZE_PROBE_VECS), stats)
+    flat = z.select(
+        "vec_id", F.posexplode("z_vec").alias("dim", "zval")
+    )
+    return flat.join(stats, "dim").select(
+        "vec_id",
+        "dim",
+        r("zval", 4).alias("z"),
+        r("mean", 4).alias("dim_mean"),
+        r("std", 4).alias("dim_std"),
+    )
+
+
+STANDARDIZED_EMBEDDING_PROBE_SQL = f"""
+WITH vals AS (
+  SELECT vec_id, dim - 1 AS dim, embedding[dim]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dim)
+),
+stats AS (
+  SELECT dim, AVG(val) AS mean, stddev_pop(val) AS std
+  FROM vals GROUP BY dim
+)
+SELECT v.vec_id, v.dim,
+       CAST(ROUND(CAST((v.val - s.mean) / nullif(s.std, 0.0) AS DECIMAL(38,9)), 4) AS DOUBLE) AS z,
+       CAST(ROUND(CAST(s.mean AS DECIMAL(38,9)), 4) AS DOUBLE) AS dim_mean,
+       CAST(ROUND(CAST(s.std AS DECIMAL(38,9)), 4) AS DOUBLE) AS dim_std
+FROM vals v JOIN stats s USING (dim)
+WHERE v.vec_id < {STANDARDIZE_PROBE_VECS}
+"""
+
+
 QUERIES: list[Query] = [
     Query("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL,
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
@@ -1062,5 +1116,9 @@ QUERIES: list[Query] = [
           ("near_dedup", "similarity_search_topk"),
           "sign-LSH pruned + exactly verified cosine near-dups (rows-only)"),
     Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes, None,
-          ("similarity_search_topk", "near_dedup"), "sign-LSH bucket occupancy (rows-only)"),
+          ("similarity_search_topk", "near_dedup"), "sign-LSH bucket occupancy (rows-only)"),    Query("standardized_embedding_probe", standardized_embedding_probe,
+          STANDARDIZED_EMBEDDING_PROBE_SQL,
+          ("similarity_search_topk",),
+          "per-dim z-scoring: constant-width stats shuffle + narrow "
+          "transform application (bounded driver collect)"),
 ]

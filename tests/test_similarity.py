@@ -344,3 +344,25 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
         assert got_map[vid] == exact[vid]  # re-ranked cosines are exact
     dists = [r.adc_dist2 for r in got]
     assert all(d >= 0 for d in dists)
+
+
+def test_standardize_vectors_zero_mean_unit_std(spark):
+    import math
+
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        embedding_dim_stats,
+        standardize_vectors,
+    )
+
+    rows = [(i, [float(i), 10.0 * i, 5.0]) for i in range(8)]  # dim 2 constant
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = embedding_dim_stats(emb)
+    z = standardize_vectors(emb, stats).select("z_vec").collect()
+    dims = list(zip(*[r["z_vec"] for r in z]))
+    for d in (0, 1):
+        vals = dims[d]
+        assert abs(sum(vals) / len(vals)) < 1e-9
+        var = sum(v * v for v in vals) / len(vals)
+        assert math.isclose(var, 1.0, rel_tol=1e-9)
+    # constant dimension -> NULL z-scores, not a divide-by-zero
+    assert all(v is None for v in dims[2])
