@@ -9,9 +9,10 @@ BIGINT casts on integer aggregates, identical column aliases.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..io_utils import fan_out, load
 from ..operators.curation import (
     CONTAM_NGRAM_N,
@@ -682,6 +683,99 @@ LIMIT {DSIR_SAMPLE_K}
 """
 
 
+# --- corpus drift: population stability index over hashed-token buckets -------
+
+PSI_BUCKETS = 256
+PSI_SMOOTH = 0.5
+
+
+def token_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and val slices of the
+    content-hash split, measured as per-bucket Population Stability
+    Index contributions over hashed-unigram buckets — the monitoring
+    gate a production pipeline runs between corpus snapshots (PSI =
+    sum (p-q) ln(p/q); buckets make it O(B), not O(vocab)).
+
+    Scale shape: one explode -> hash agg to <= PSI_BUCKETS rows with
+    conditional sums per slice (map-side partials; the shuffle carries
+    (bucket, 2 longs)), totals via a window over the tiny bucket
+    table, PSI algebra as narrow expressions. Same md5 bucket + add-a
+    smoothing construction as DSIR (operators/curation.py).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    bucket100 = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket100 < SPLIT_TRAIN_PCT, "train")
+        .when(bucket100 < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    toks = (
+        docs.where(F.trim("text") != "")
+        .select(split.alias("split"), F.explode(tokens("text")).alias("tok"))
+        .where(F.col("split").isin("train", "val"))
+    )
+    tb = toks.select(
+        "split",
+        (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+         % PSI_BUCKETS).alias("bucket"),
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("c_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("c_val"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("c_train") + PSI_SMOOTH) / (
+        F.sum("c_train").over(w) + PSI_SMOOTH * PSI_BUCKETS
+    )
+    q = (F.col("c_val") + PSI_SMOOTH) / (
+        F.sum("c_val").over(w) + PSI_SMOOTH * PSI_BUCKETS
+    )
+    return counts.select(
+        "bucket",
+        "c_train",
+        "c_val",
+        r((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+TOKEN_DRIFT_PSI_SQL = f"""
+WITH toks AS (
+  SELECT CASE WHEN bucket100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         unnest({_TOKS}) AS tok
+  FROM (
+    SELECT text,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) % 100
+                AS BIGINT) AS bucket100
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+tb AS (
+  SELECT split,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+              % {PSI_BUCKETS} AS BIGINT) AS bucket
+  FROM toks WHERE split IN ('train', 'val')
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val
+  FROM tb GROUP BY bucket
+)
+SELECT bucket, c_train, c_val,
+       CAST(ROUND(CAST(
+         ((c_train + {PSI_SMOOTH}) / (SUM(c_train) OVER () + {PSI_SMOOTH} * {PSI_BUCKETS})
+          - (c_val + {PSI_SMOOTH}) / (SUM(c_val) OVER () + {PSI_SMOOTH} * {PSI_BUCKETS}))
+         * ln(((c_train + {PSI_SMOOTH}) / (SUM(c_train) OVER () + {PSI_SMOOTH} * {PSI_BUCKETS}))
+              / ((c_val + {PSI_SMOOTH}) / (SUM(c_val) OVER () + {PSI_SMOOTH} * {PSI_BUCKETS})))
+         AS DECIMAL(38,9)), 6) AS DOUBLE) AS psi_contrib
+FROM counts
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -720,4 +814,8 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "DSIR hashed-unigram importance weights + deterministic "
           "Gumbel top-k sample (arXiv:2302.03169)"),
+    Query("token_drift_psi", token_drift_psi, TOKEN_DRIFT_PSI_SQL,
+          ("text_analysis",),
+          "population-stability-index drift report over hashed-token "
+          "buckets between the train and val slices"),
 ]
