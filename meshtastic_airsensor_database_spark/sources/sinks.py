@@ -252,3 +252,17 @@ def compact_table(
         raise IOError(f"compact_table: could not promote {tmp}")
     fs.delete(jold, True)
     return count
+
+
+def orc_table_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC twin of ``parquet_table_sink`` (same layout contract:
+    optional hive-style partition directories for pruned reads)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
