@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import f_to_c, tz_suffix_strip, utc_to_pacific
 from ..io_utils import load
 from ..operators.graph import cooccurrence_edges, triangle_counts
+from ..operators.profile import profile_columns
 from ..operators.sketch import hll_partial_sketches, hll_rollup_estimate
 from ..operators.align import (
     latest_reading_per_node,
@@ -718,6 +719,69 @@ GROUP BY event_type
 """
 
 
+# --- one-pass table profile ---------------------------------------------------
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of every events column in ONE scan + ONE
+    aggregate (operators/profile.py): null counts, exact cardinalities
+    (Expand — the declared cost of exactness; approx=True is the
+    sketch-based relaxation for wide tables), numeric/timestamp
+    ranges. The pre-flight check a pipeline runs on a new snapshot.
+    """
+    ev = load(spark, sf_dir, "events")
+    prof = profile_columns(ev)
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        r("min_num", 4).alias("min_num"),
+        r("max_num", 4).alias("max_num"),
+    )
+
+
+EVENTS_COLUMN_PROFILE_SQL = """
+WITH one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS dist_event_id,
+         MIN(event_id)::DOUBLE AS min_event_id, MAX(event_id)::DOUBLE AS max_event_id,
+         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+         CAST(COUNT(DISTINCT ts) AS BIGINT) AS dist_ts,
+         FLOOR(epoch(MIN(ts)))::DOUBLE AS min_ts, FLOOR(epoch(MAX(ts)))::DOUBLE AS max_ts,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dist_user_id,
+         MIN(user_id)::DOUBLE AS min_user_id, MAX(user_id)::DOUBLE AS max_user_id,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS dist_event_type,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+         CAST(COUNT(DISTINCT value) AS BIGINT) AS dist_value,
+         MIN(value)::DOUBLE AS min_value, MAX(value)::DOUBLE AS max_value,
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         CAST(COUNT(DISTINCT props) AS BIGINT) AS dist_props
+  FROM events
+)
+SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_null, dist_event_id AS n_distinct,
+       CAST(ROUND(CAST(min_event_id AS DECIMAL(38,9)), 4) AS DOUBLE) AS min_num, CAST(ROUND(CAST(max_event_id AS DECIMAL(38,9)), 4) AS DOUBLE) AS max_num FROM one
+UNION ALL
+SELECT 'ts' AS col_name, n_rows, null_ts AS n_null, dist_ts AS n_distinct,
+       CAST(ROUND(CAST(min_ts AS DECIMAL(38,9)), 4) AS DOUBLE) AS min_num, CAST(ROUND(CAST(max_ts AS DECIMAL(38,9)), 4) AS DOUBLE) AS max_num FROM one
+UNION ALL
+SELECT 'user_id' AS col_name, n_rows, null_user_id AS n_null, dist_user_id AS n_distinct,
+       CAST(ROUND(CAST(min_user_id AS DECIMAL(38,9)), 4) AS DOUBLE) AS min_num, CAST(ROUND(CAST(max_user_id AS DECIMAL(38,9)), 4) AS DOUBLE) AS max_num FROM one
+UNION ALL
+SELECT 'event_type' AS col_name, n_rows, null_event_type AS n_null, dist_event_type AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num FROM one
+UNION ALL
+SELECT 'value' AS col_name, n_rows, null_value AS n_null, dist_value AS n_distinct,
+       CAST(ROUND(CAST(min_value AS DECIMAL(38,9)), 4) AS DOUBLE) AS min_num, CAST(ROUND(CAST(max_value AS DECIMAL(38,9)), 4) AS DOUBLE) AS max_num FROM one
+UNION ALL
+SELECT 'props' AS col_name, n_rows, null_props AS n_null, dist_props AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num FROM one
+"""
+
+
 QUERIES: list[Query] = [
     Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
           ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
@@ -774,4 +838,9 @@ QUERIES: list[Query] = [
           ("approx_distinct_nodes", "windowed_ingest"),
           "incremental distinct via mergeable per-day HLL sketches "
           "(exact-sparse at oracle scale; rsd-bounded beyond)"),
+    Query("events_column_profile", events_column_profile,
+          EVENTS_COLUMN_PROFILE_SQL,
+          ("per_node_stats", "approx_distinct_nodes"),
+          "one-scan all-column data-quality profile (nulls, exact "
+          "cardinality, numeric/timestamp ranges)"),
 ]

@@ -1,0 +1,49 @@
+"""One-pass table profiler (operators/profile.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meshtastic_airsensor_database_spark.operators.profile import profile_columns
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.5, None),
+            (2, "a", None, None),
+            (None, "b", 3.5, None),
+            (4, None, 3.5, None),
+        ],
+        "k long, s string, v double, z string",
+    )
+
+
+def test_profile_exact(spark):
+    got = {r["column"]: r for r in profile_columns(_df(spark)).collect()}
+    assert set(got) == {"k", "s", "v", "z"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["k"]["n_null"], got["k"]["n_distinct"]) == (1, 3)
+    assert (got["k"]["min_num"], got["k"]["max_num"]) == (1.0, 4.0)
+    assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+    assert got["s"]["min_num"] is None  # non-numeric: no range
+    assert (got["v"]["n_null"], got["v"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["min_num"], got["v"]["max_num"]) == (1.5, 3.5)
+    assert (got["z"]["n_null"], got["z"]["n_distinct"]) == (4, 0)
+
+
+def test_profile_approx_matches_exact_at_small_cardinality(spark):
+    exact = {r["column"]: r["n_distinct"] for r in profile_columns(_df(spark)).collect()}
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_columns(_df(spark), approx=True).collect()
+    }
+    assert exact == approx  # HLL is exact in the sparse regime
+
+
+def test_profile_timestamp_range_is_epoch(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-02 00:00:00",)], "t string"
+    ).select(F.to_timestamp("t").alias("t"))
+    got = profile_columns(df).collect()[0]
+    assert got["max_num"] - got["min_num"] == 86400.0
