@@ -316,3 +316,55 @@ def test_cusum_drift_single_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dsir_weight_join_broadcasts_and_topk_is_partial(spark, sf_dir):
+    """The <=1024-row bucket-weight table must broadcast back onto the
+    token stream (a shuffled join would exchange every token row), and
+    the Gumbel top-k must compile to TakeOrderedAndProject, never a
+    global sort of the scored corpus."""
+    plan = plan_of(spark, "dsir_sampled_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_encode_broadcasts_and_vocab_topk_is_partial(spark, sf_dir):
+    """The vocabulary is broadcast-sized by construction: its selection
+    is a partial top-k (TakeOrderedAndProject) and the encode join must
+    be a BroadcastHashJoin — shuffling the exploded token stream
+    against a 20-row vocab would be the classic small-dim mistake."""
+    plan = plan_of(spark, "vocab_encoded_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fuzzy_match_blocking_is_equi_join(spark, sf_dir):
+    """ER blocking must stay an equi-join on the derived block key with
+    Levenshtein evaluated post-join — a similarity THETA join (BNLJ /
+    cartesian) is exactly what blocking exists to avoid."""
+    plan = plan_of(spark, "fuzzy_name_matches", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_triangle_pipeline_all_equi_joins(spark, sf_dir):
+    """Wedge enumeration and wedge closing are plain equi-joins under
+    the degree orientation; any nested-loop fallback would be the
+    quadratic naive triangle join."""
+    plan = plan_of(spark, "user_copresence_triangles", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_is_single_aggregate_no_join(spark, sf_dir):
+    """The all-column profile must stay one scan + one aggregate tree
+    (Expand for the exact distincts) — per-column subqueries would scan
+    the table once per column."""
+    plan = plan_of(spark, "events_column_profile", sf_dir)
+    assert "Join" not in plan, plan
+    # formatted explain lists each node in the tree AND the detail
+    # section; count unique scan node ids
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1, plan
+    assert "Expand" in plan, plan
