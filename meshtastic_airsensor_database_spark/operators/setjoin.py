@@ -50,20 +50,28 @@ def prefix_tokens(
     sets_df: DataFrame, id_col: str, set_col: str, threshold: float
 ) -> DataFrame:
     """Explode each row's set into its df-ordered prefix of length
-    ``|A| - ceil(t*|A|) + 1`` as (id, token) rows."""
-    toks = sets_df.select(F.col(id_col), F.explode(set_col).alias("_tok"))
-    dfc = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ``|A| - ceil(t*|A|) + 1`` as (id, token-HASH) rows.
+
+    Every exchange here carries 8-byte xxhash64 keys, never token
+    strings: df counts group on the hash, the df join keys on the
+    hash, and the emitted prefix element IS the hash — a hash
+    collision can only merge two tokens' df counts or produce an
+    extra candidate pair, and the exact verify rejects spurious
+    candidates, so soundness is unaffected (same argument as the
+    decontamination join's hashed gram keys). At corpus scale this
+    halves-to-quarters the bytes through the two widest shuffles.
+    """
+    toks = sets_df.select(
+        F.col(id_col), F.explode(set_col).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    dfc = toks.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
-        toks.join(dfc, "_tok")
+        toks.join(dfc, "_h")
         .groupBy(id_col)
         .agg(
             F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("_df", F.xxhash64("_tok").alias("_h"), F.col("_tok"))
-                    )
-                ),
-                lambda s: s["_tok"],
+                F.sort_array(F.collect_list(F.struct("_df", "_h"))),
+                lambda s: s["_h"],
             ).alias("_ordered")
         )
     )

@@ -213,14 +213,40 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_smoke")
 
-    docs = replicate_docs(load(spark, sf_dir, "documents"), factor)
-    emb = replicate_embeddings(load(spark, sf_dir, "embeddings"), factor)
+    # Materialize the synthetic corpus ONCE before timing: a real corpus
+    # is stored parquet, so the smoke must measure the OPERATORS, not
+    # re-evaluations of the replication expressions (explode-of-derived-
+    # array pipelines re-inline the generator into every consumer —
+    # measured 4-8x inflation on the prefix-join path).
+    docs = replicate_docs(load(spark, sf_dir, "documents"), factor).localCheckpoint(
+        eager=True
+    )
+    emb = replicate_embeddings(load(spark, sf_dir, "embeddings"), factor).localCheckpoint(
+        eager=True
+    )
     n_docs, n_emb = docs.count(), emb.count()
 
     out: dict = {"factor": factor, "n_docs": n_docs, "n_embeddings": n_emb}
     timed(spark, "minhash_lsh_candidates",
           minhash_lsh_candidates(docs, "doc_id", "text"), out)
     timed(spark, "simhash_buckets", simhash_buckets(docs, "doc_id", "text"), out)
+    # Prefix-filtered exact set-similarity join: candidates must track
+    # the planted 1% duplicate pairs (df-ordered prefixes keep common
+    # tokens out of the candidate generation). A quasi-quadratic
+    # candidate count here means the df-ordering or the bucket cap
+    # regressed.
+    from meshtastic_airsensor_database_spark.functions.text import word_shingles
+    from meshtastic_airsensor_database_spark.operators.setjoin import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    def _jac(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    timed(spark, "prefix_jaccard_pairs",
+          prefix_filtered_jaccard_pairs(sh, "doc_id", "sh", 0.8, _jac), out)
     timed(spark, "ivf_topk",
           ivf_topk(emb, query_vec_id=0, k=10, n_centroids=32, n_probe=4), out)
     # SemDeDup: centroid count scales WITH the corpus (the documented
