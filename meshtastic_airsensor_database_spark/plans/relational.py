@@ -641,6 +641,121 @@ WHERE levenshtein(c_name, s_name) <= {FUZZY_MAX_DISTANCE}
 """
 
 
+# --- declarative data-quality constraint report (Deequ-style) -----------------
+
+
+def table_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit frame for a whole table family: per-row domain rules
+    (single aggregation pass per table, violations = FALSE or NULL),
+    key-uniqueness checks (hash agg carrying counts only), and
+    FK referential integrity (left-anti equi-joins — broadcast or
+    shuffled by AQE from runtime sizes). operators/quality.py.
+
+    The reference validates nothing beyond a connection probe
+    (AIRWISEv0.py:315-327); this is the declared-gate replacement a
+    100-TB ingest needs, and every rule is an exact SQL aggregate so
+    the whole report is oracle-checkable.
+    """
+    from ..operators.quality import (
+        combine_reports,
+        referential_check,
+        row_checks,
+        uniqueness_check,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    return combine_reports(
+        row_checks(
+            orders,
+            {
+                "orders.totalprice_positive": F.col("o_totalprice") > 0,
+                "orders.status_domain": F.col("o_orderstatus").isin(
+                    "O", "F", "P"
+                ),
+                "orders.priority_format": F.col("o_orderpriority").rlike(
+                    "^[1-5]-"
+                ),
+                "orders.orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            },
+        ),
+        row_checks(
+            li,
+            {
+                "lineitem.quantity_range": (F.col("l_quantity") >= 1)
+                & (F.col("l_quantity") <= 50),
+                "lineitem.discount_range": (F.col("l_discount") >= 0)
+                & (F.col("l_discount") <= 0.1),
+            },
+        ),
+        uniqueness_check(orders, ["o_orderkey"]),
+        uniqueness_check(li, ["l_orderkey", "l_linenumber"]),
+        referential_check(li, "l_orderkey", orders, "o_orderkey"),
+        referential_check(orders, "o_custkey", cust, "c_custkey"),
+    )
+
+
+TABLE_CONSTRAINT_REPORT_SQL = """
+WITH rep AS (
+  SELECT 'orders.totalprice_positive' AS rule, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_bad
+  FROM orders
+  UNION ALL
+  SELECT 'orders.status_domain', COUNT(*),
+         SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.priority_format', COUNT(*),
+         SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.orderdate_not_null', COUNT(*),
+         SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.quantity_range', COUNT(*),
+         SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.discount_range', COUNT(*),
+         SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique(o_orderkey)', COALESCE(SUM(c), 0),
+         COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'unique(l_orderkey,l_linenumber)', COALESCE(SUM(c), 0),
+         COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0)
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'ref(l_orderkey->o_orderkey)',
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'ref(o_custkey->c_custkey)',
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT rule AS "constraint",
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       CASE WHEN n_rows > 0
+            THEN CAST(ROUND(CAST(1 - n_bad / CAST(n_rows AS DOUBLE)
+                 AS DECIMAL(38,9)), 4) AS DOUBLE)
+            ELSE 1.0 END AS pass_rate
+FROM rep
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -695,4 +810,8 @@ QUERIES: list[Query] = [
           ("node_dim_enrich", "near_dedup"),
           "blocked fuzzy entity matching: derive-block equi-join + "
           "in-block Levenshtein verify"),
+    Query("table_constraint_report", table_constraint_report,
+          TABLE_CONSTRAINT_REPORT_SQL, ("ddl_bootstrap", "jdbc_healthcheck"),
+          "Deequ-style declarative quality gates: one-pass row rules, "
+          "uniqueness, FK referential integrity"),
 ]

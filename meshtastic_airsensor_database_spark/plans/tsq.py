@@ -723,6 +723,135 @@ GROUP BY 1, 2
 """
 
 
+# --- weekly cohort retention (product-analytics staple) -----------------------
+
+WEEK_S = 604800
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    then counted in every later week they return.
+
+    Scale shape: (user, week) activity is de-duplicated FIRST (one
+    hash agg — the frame every later step touches is bounded by
+    users x weeks, not by raw events), cohorts are a second hash agg
+    on user_id, and the join back is a co-partitioned equi-join on
+    user_id. Because (user, week) is already distinct and maps to
+    exactly one (cohort, offset) cell, the retention count is a plain
+    COUNT(*) — no expensive distinct aggregation after the join. The
+    week axis is epoch seconds (tz-free, both engines agree).
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("wk")
+    activity = ev.select("user_id", wk).distinct()
+    first = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = activity.join(first, "user_id")
+    offset = ((F.col("wk") - F.col("cohort_wk")) / WEEK_S).cast("int")
+    ret = joined.groupBy(
+        "cohort_wk", offset.alias("week_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return ret.join(sizes, "cohort_wk").select(
+        F.col("cohort_wk").cast("long").alias("cohort_wk_epoch"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        r(F.col("n_active") / F.col("cohort_size"), 4).alias("retention_rate"),
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY user_id
+),
+j AS (
+  SELECT f.cohort_wk,
+         CAST((a.wk - f.cohort_wk) / {WEEK_S} AS INT) AS week_offset
+  FROM activity a JOIN first f USING (user_id)
+),
+ret AS (
+  SELECT cohort_wk, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT r.cohort_wk AS cohort_wk_epoch, r.week_offset, r.n_active,
+       s.cohort_size,
+       CAST(ROUND(CAST(r.n_active / CAST(s.cohort_size AS DOUBLE)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_wk)
+"""
+
+
+# --- event-type transition matrix (first-order Markov counts) -----------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transitions with empirical
+    transition probabilities — the first-order Markov view of user
+    behavior (the generalization of the funnel's fixed 3-step path).
+
+    Scale shape: ONE window sort shuffle on user_id computes every
+    lag; the transition counts are a hash agg over at most
+    |event_type|^2 cells, and the probability denominator is a second
+    tiny agg joined back broadcast-size. Tie-break on event_id makes
+    the sequence deterministic under equal timestamps.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return counts.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        r(F.col("n") / F.col("n_from"), 4).alias("p"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT user_id, event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+  FROM counts GROUP BY 1
+)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(ROUND(CAST(c.n / CAST(t.n_from AS DOUBLE)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS p
+FROM counts c JOIN totals t USING (prev_type)
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -769,4 +898,12 @@ QUERIES: list[Query] = [
           VALUE_EQUIDEPTH_BINS_SQL,
           ("per_node_stats",),
           "exact equi-depth histogram via deterministic NTILE binning"),
+    Query("cohort_retention", cohort_retention, COHORT_RETENTION_SQL,
+          ("funnel_pattern", "per_node_stats"),
+          "weekly first-activity cohort retention (dedup-first, "
+          "count-only after join)"),
+    Query("event_transition_matrix", event_transition_matrix,
+          EVENT_TRANSITION_MATRIX_SQL, ("funnel_pattern",),
+          "first-order Markov transition counts/probabilities over "
+          "per-user event sequences"),
 ]
