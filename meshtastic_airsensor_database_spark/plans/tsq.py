@@ -723,6 +723,132 @@ GROUP BY 1, 2
 """
 
 
+# --- exact two-sample KS drift per series -------------------------------------
+
+KS_SPLIT_TS = "2024-01-16 00:00:00"  # mid-range of the testdata month
+KS_BIN_W = 1.0
+
+
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kolmogorov–Smirnov statistic between the first and second
+    half of each event type's value distribution — the classic
+    distribution-drift test beside the PSI report (token_drift_psi).
+
+    Exactness note: the statistic is computed on values quantized to
+    {KS_BIN_W}-wide bins; the quantized KS is itself exact and
+    deterministic (both engines see identical bins), and binning is
+    what makes the CDF walk scale-safe: the cumulative sums run per
+    event type over at most range/width rows, partitioned by type —
+    never a global single-partition sort. One hash agg (map-side
+    partials) + one per-key window + one tiny broadcast-size join.
+    """
+    ev = load(spark, sf_dir, "events")
+    is_before = F.col("ts") < F.lit(KS_SPLIT_TS).cast("timestamp")
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / KS_BIN_W).cast("long").alias("bin"),
+    ).agg(
+        F.sum(F.when(is_before, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_before, 0).otherwise(1)).alias("nb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = g.select(
+        "event_type",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    d = cum.join(tot, "event_type").select(
+        "event_type",
+        F.abs(
+            F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+        ).alias("d"),
+        "ta",
+        "tb",
+    )
+    return d.groupBy("event_type").agg(
+        r(F.max("d"), 4).alias("ks_stat"),
+        F.max("ta").cast("long").alias("n_before"),
+        F.max("tb").cast("long").alias("n_after"),
+    )
+
+
+VALUE_KS_DRIFT_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(floor(value / {KS_BIN_W}) AS BIGINT) AS bin,
+         SUM(CASE WHEN ts < TIMESTAMP '{KS_SPLIT_TS}' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN ts < TIMESTAMP '{KS_SPLIT_TS}' THEN 0 ELSE 1 END) AS nb
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(na) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+         SUM(nb) OVER (PARTITION BY event_type ORDER BY bin) AS cb
+  FROM g
+),
+tot AS (
+  SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb FROM g GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(ROUND(CAST(MAX(ABS(c.ca / CAST(t.ta AS DOUBLE)
+         - c.cb / CAST(t.tb AS DOUBLE))) AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS ks_stat,
+       CAST(MAX(t.ta) AS BIGINT) AS n_before,
+       CAST(MAX(t.tb) AS BIGINT) AS n_after
+FROM cum c JOIN tot t USING (event_type)
+GROUP BY 1
+"""
+
+
+# --- cross-series Pearson correlation matrix ----------------------------------
+
+
+def type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' hourly-
+    mean series — the cross-series companion of value_acf_by_type
+    (which correlates each series with its own past).
+
+    Scale shape: the hourly agg collapses events to |types| x |hours|
+    rows (one shuffle, map-side partials); the pair generation is a
+    self equi-join ON THE HOUR key (co-partitioned, output bounded by
+    |types|^2 per hour — never a cross join); corr() is a hash agg
+    with map-side co-moment partials.
+    """
+    ev = load(spark, sf_dir, "events")
+    hm = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.avg("value").alias("m"))
+    a, b = hm.alias("a"), hm.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        r(F.corr(F.col("a.m"), F.col("b.m")), 4).alias("pearson_r"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+
+
+TYPE_CORR_MATRIX_SQL = """
+WITH hm AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, AVG(value) AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(ROUND(CAST(corr(a.m, b.m) AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS pearson_r,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hm a JOIN hm b ON a.h = b.h AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # --- weekly cohort retention (product-analytics staple) -----------------------
 
 WEEK_S = 604800
@@ -906,4 +1032,12 @@ QUERIES: list[Query] = [
           EVENT_TRANSITION_MATRIX_SQL, ("funnel_pattern",),
           "first-order Markov transition counts/probabilities over "
           "per-user event sequences"),
+    Query("value_ks_drift", value_ks_drift, VALUE_KS_DRIFT_SQL,
+          ("robust_outlier_detect", "per_node_stats"),
+          "exact two-sample KS drift statistic per event type "
+          "(binned CDF walk, per-key windows, no global sort)"),
+    Query("type_corr_matrix", type_corr_matrix, TYPE_CORR_MATRIX_SQL,
+          ("timeseries_align", "per_node_stats"),
+          "pairwise Pearson correlation of hourly-mean series "
+          "(hour-keyed self equi-join, co-moment hash agg)"),
 ]

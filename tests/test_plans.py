@@ -368,3 +368,23 @@ def test_profile_is_single_aggregate_no_join(spark, sf_dir):
     # section; count unique scan node ids
     assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_stats_windows_are_keyed_not_global(spark, sf_dir):
+    """The KS CDF walk, the transition-matrix lag, and the cohort
+    aggregations must all partition their windows/aggs by key — a
+    single-partition exchange anywhere would serialize the whole table
+    through one task at scale."""
+    for name in ("value_ks_drift", "event_transition_matrix",
+                 "cohort_retention", "type_corr_matrix"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_corr_matrix_self_join_is_equi_on_hour(spark, sf_dir):
+    """The pair generator must key on the hour (equi-join with the
+    type inequality as a residual filter), never a nested loop over
+    the hourly grid."""
+    plan = plan_of(spark, "type_corr_matrix", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
