@@ -106,6 +106,28 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumed intermediate and truncate lineage.
+
+    Spark's exchange reuse only collapses IDENTICAL subplans; an
+    intermediate consumed through different downstream aliases (e.g. a
+    set table feeding both candidate generation and both verify sides
+    of a similarity join) is re-evaluated per consumer — measured 7x
+    wall-time inflation on the prefix-join at 200k docs. Checkpointing
+    evaluates it exactly once.
+
+    Uses RELIABLE ``checkpoint()`` when the session has a checkpoint
+    dir (survives executor loss — the right mode for long cluster
+    runs); falls back to ``localCheckpoint`` (executor-pinned blocks)
+    otherwise. Same policy as connected_components' per-round
+    truncation.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a small input is spread across the cluster before a
     CPU-heavy narrow stage (shingle hashing, all-pairs joins, sketches).

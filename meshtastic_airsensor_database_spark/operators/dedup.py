@@ -447,11 +447,7 @@ def connected_components(
     loss) at the cost of a write per round.
     """
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    from ..io_utils import materialize as _truncate
 
     edges = _truncate(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))

@@ -115,16 +115,22 @@ def referential_check(
     keyed = child.select(F.col(child_key).alias("_fk")).where(
         F.col("_fk").isNotNull()
     )
-    orphans = keyed.join(
-        parent.select(F.col(parent_key).alias("_fk")).distinct(),
+    # One join + one agg: a left join against the distinct parent keys
+    # with a hit marker yields base count and orphan count in a single
+    # pass (a left_anti would need a second scan for the denominator).
+    marked = keyed.join(
+        parent.select(F.col(parent_key).alias("_fk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1)),
         "_fk",
-        "left_anti",
+        "left",
     )
-    report = (
-        keyed.agg(F.count(F.lit(1)).alias("n_rows"))
-        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_bad")))
-        .select(F.lit(label).alias("constraint"), "n_rows", "n_bad")
-    )
+    report = marked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_bad"),
+    ).select(F.lit(label).alias("constraint"), "n_rows", "n_bad")
     return _finish(report)
 
 

@@ -90,12 +90,26 @@ def prefix_filtered_jaccard_pairs(
     threshold: float,
     jaccard_expr,
     max_bucket: int = MAX_BUCKET,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-threshold self-join: prefix-filter candidates,
     then verify with the caller-supplied ``jaccard_expr(a_set, b_set)``
     column factory (so the query layer controls rounding parity with
     its oracle). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The input is consumed THREE times (prefix build + both verify
+    sides), each through a different alias chain, which defeats
+    Spark's identical-subplan exchange reuse — with a derived input
+    (e.g. shingling inline from a document table) every consumer
+    re-runs the derivation: measured 395s -> 22s at 200k docs by
+    materializing once. ``materialize_input=False`` opts out when the
+    caller passes an already-stored table (parquet scan leaves are
+    shared fine).
     """
+    if materialize_input:
+        from ..io_utils import materialize
+
+        sets_df = materialize(sets_df.select(id_col, set_col))
     pref = prefix_tokens(sets_df, id_col, set_col, threshold)
     cands = pairs_within_buckets(pref, ["_tok"], id_col, max_bucket=max_bucket)
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa"))

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from meshtastic_airsensor_database_spark.io_utils import load
+from meshtastic_airsensor_database_spark.io_utils import fan_out, load
 from meshtastic_airsensor_database_spark.operators.dedup import (
     minhash_lsh_candidates,
     simhash_buckets,
@@ -218,10 +218,14 @@ def main() -> None:
     # re-evaluations of the replication expressions (explode-of-derived-
     # array pipelines re-inline the generator into every consumer —
     # measured 4-8x inflation on the prefix-join path).
-    docs = replicate_docs(load(spark, sf_dir, "documents"), factor).localCheckpoint(
+    # fan_out BEFORE checkpointing: the replicated corpus derives
+    # narrowly from a 1-2 file scan, so without the repartition every
+    # downstream narrow stage (shingling, hashing) runs on 1-2 of the
+    # 32 cores — measured 88s vs ~6s for the 200k-doc shingle pass.
+    docs = fan_out(replicate_docs(load(spark, sf_dir, "documents"), factor)).localCheckpoint(
         eager=True
     )
-    emb = replicate_embeddings(load(spark, sf_dir, "embeddings"), factor).localCheckpoint(
+    emb = fan_out(replicate_embeddings(load(spark, sf_dir, "embeddings"), factor)).localCheckpoint(
         eager=True
     )
     n_docs, n_emb = docs.count(), emb.count()
