@@ -134,6 +134,41 @@ def referential_check(
     return _finish(report)
 
 
+def split_by_rules(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter routing: partition rows into (passing, quarantined).
+
+    The quarantine frame carries every original column plus
+    ``violations: array<string>`` naming each failed rule — the
+    generalization of the reference's silent drop-on-parse-error
+    (AIRWISEv0.py:155-157) into an auditable quarantine stream. Use
+    inside ``foreachBatch``: write the passing slice to the fact sink
+    and the quarantine slice to a dead-letter sink instead of losing
+    the rows.
+
+    Single evaluation: the violation array is ONE projection; the two
+    output frames filter on its emptiness, so Catalyst evaluates each
+    predicate once per row per branch (both branches are cheap narrow
+    plans over the same scan — no join, no shuffle).
+    """
+    if not rules:
+        raise ValueError("split_by_rules needs at least one rule")
+    viol = F.filter(
+        F.array(
+            *[
+                F.when(pred.isNull() | (~pred), F.lit(name))
+                for name, pred in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("violations", viol)
+    passing = tagged.where(F.size("violations") == 0).drop("violations")
+    quarantined = tagged.where(F.size("violations") > 0)
+    return passing, quarantined
+
+
 def combine_reports(*reports: DataFrame) -> DataFrame:
     """Union report frames into one (same schema by construction)."""
     out = reports[0]

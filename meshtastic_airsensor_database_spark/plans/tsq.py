@@ -723,6 +723,134 @@ GROUP BY 1, 2
 """
 
 
+# --- time-weighted average per key (TimescaleDB `time_weight` parity) ---------
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of value: each reading is held
+    until the next one (LOCF weighting), so irregular sampling does
+    not bias the mean toward burst periods — the telemetry-correct
+    mean for the reference's 1-msg/15-min nodes whenever radio
+    conditions bunch packets.
+
+    Scale shape: ONE window shuffle on user_id (lead is the only
+    ordered op) then a hash agg on the same key — AQE reuses the
+    partitioning, no second exchange. Weights are integer epoch
+    MICROseconds: summing large positive integers keeps the float
+    condition number at 1, so the distributed sum matches the serial
+    oracle within the decimal(38,9) collapse.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("double")
+    spans = ev.select(
+        "user_id", "value", dt.alias("dt")
+    ).where(F.col("dt").isNotNull())
+    return spans.groupBy("user_id").agg(
+        r(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias(
+            "twa_value"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH spans AS (
+  SELECT user_id, value,
+         CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS DOUBLE) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(ROUND(CAST(SUM(value * dt) / SUM(dt)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS twa_value,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM spans WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --- M4 chart downsampling ----------------------------------------------------
+
+M4_BUCKET_S = 14400  # 4-hour pixel columns over the testdata month
+
+
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14): per series pixel
+    bucket keep first/last/min/max of value — the four points that
+    make a line chart pixel-identical to the full-resolution render.
+    The scalable form of the reference's matplotlib plots
+    (graphdata.py:99-192), which draw every raw row.
+
+    Scale shape: one window shuffle on (user, bucket) for the
+    first/last row-numbers, then a hash agg on the SAME key (no
+    second exchange). Every output value is a SELECTION of stored
+    doubles (no arithmetic), so parity needs no rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / M4_BUCKET_S).cast("long")
+    rows = ev.select(
+        "user_id",
+        bucket.alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = rows.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.row_number().over(w).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    return marked.groupBy("user_id", "bucket").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("v_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "user_id",
+        (F.col("bucket") * M4_BUCKET_S).cast("long").alias("bucket_epoch"),
+        "v_first",
+        "v_last",
+        "v_min",
+        "v_max",
+        "n",
+    )
+
+
+M4_DOWNSAMPLE_SQL = f"""
+WITH rows_ AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / {M4_BUCKET_S}) AS BIGINT) AS bucket,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                            CAST(FLOOR(epoch(ts) / {M4_BUCKET_S}) AS BIGINT)
+                            ORDER BY ts, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                            CAST(FLOOR(epoch(ts) / {M4_BUCKET_S}) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id, CAST(bucket * {M4_BUCKET_S} AS BIGINT) AS bucket_epoch,
+       MAX(CASE WHEN ra = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rd = 1 THEN value END) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM rows_
+GROUP BY user_id, bucket
+"""
+
+
 # --- exact two-sample KS drift per series -------------------------------------
 
 KS_SPLIT_TS = "2024-01-16 00:00:00"  # mid-range of the testdata month
@@ -1040,4 +1168,12 @@ QUERIES: list[Query] = [
           ("timeseries_align", "per_node_stats"),
           "pairwise Pearson correlation of hourly-mean series "
           "(hour-keyed self equi-join, co-moment hash agg)"),
+    Query("time_weighted_avg", time_weighted_avg, TIME_WEIGHTED_AVG_SQL,
+          ("rolling_avg_pm25", "per_node_stats"),
+          "LOCF time-weighted mean per user (one window shuffle, "
+          "integer-microsecond weights)"),
+    Query("m4_downsample", m4_downsample, M4_DOWNSAMPLE_SQL,
+          ("timeseries_align", "column_projection"),
+          "M4 pixel-exact chart downsampling: first/last/min/max per "
+          "series bucket (selection-only, window+agg share one key)"),
 ]

@@ -376,7 +376,8 @@ def test_stats_windows_are_keyed_not_global(spark, sf_dir):
     single-partition exchange anywhere would serialize the whole table
     through one task at scale."""
     for name in ("value_ks_drift", "event_transition_matrix",
-                 "cohort_retention", "type_corr_matrix"):
+                 "cohort_retention", "type_corr_matrix",
+                 "time_weighted_avg", "m4_downsample"):
         plan = plan_of(spark, name, sf_dir)
         assert "Exchange SinglePartition" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)

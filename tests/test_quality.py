@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from meshtastic_airsensor_database_spark.operators.quality import (
+    split_by_rules,
     combine_reports,
     referential_check,
     row_checks,
@@ -84,3 +85,21 @@ def test_combine_reports_schema_stable(spark):
     )
     assert rep.columns == ["constraint", "n_rows", "n_bad", "pass_rate"]
     assert rep.count() == 2
+
+
+def test_split_by_rules_quarantines_with_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -3.0, "a"), (3, None, "zz"), (4, 7.0, "b")],
+        "id long, v double, s string",
+    )
+    passing, quarantined = split_by_rules(
+        df,
+        {
+            "v_positive": F.col("v") > 0,
+            "s_short": F.length("s") <= 1,
+        },
+    )
+    assert sorted(r["id"] for r in passing.collect()) == [1, 4]
+    q = {r["id"]: sorted(r["violations"]) for r in quarantined.collect()}
+    assert q == {2: ["v_positive"], 3: ["s_short", "v_positive"]}
+    assert passing.columns == ["id", "v", "s"]
