@@ -164,7 +164,49 @@ def process_packet_batch(
         "_pkt_id", "_pkt_from"
     )
     parsed = parsed.cache()  # one parse feeds four routes
+    counts: dict[str, int] = {}
     try:
+        # Dead-letter quarantine: the reference logs-and-drops corrupt
+        # JSON and unknown packet types (AIRWISEv0.py:112-114,155-157);
+        # route them to an auditable quarantine table instead, tagged
+        # with the violated rule. Runs on a second parse of the raw
+        # micro-batch so the hot fact path keeps its single cached
+        # parse; micro-batches are small, and at scale the DLQ slice is
+        # written with the same append path as the facts.
+        from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
+        from ..operators.quality import split_by_rules
+
+        enveloped = batch.withColumn(
+            "packet", F.from_json(F.col(RAW_COLUMN), PACKET_SCHEMA)
+        )
+        _, dlq = split_by_rules(
+            enveloped,
+            {
+                "parseable_json": F.col("packet").isNotNull()
+                & F.col("packet.type").isNotNull(),
+                # corrupt rows fail only parseable_json, not this too
+                "known_packet_type": F.col("packet.type").isNull()
+                | F.col("packet.type").isin("telemetry", "text", "nodeinfo"),
+            },
+        )
+        if not dlq.isEmpty():
+            dlq_out = dlq.select(
+                F.col(RAW_COLUMN).alias("raw"),
+                "violations",
+                F.current_timestamp().alias("quarantined_at"),
+            )
+            obs_dlq = None
+            if with_counts:
+                from pyspark.sql import Observation
+
+                obs_dlq = Observation("ingest_quarantine")
+                dlq_out = dlq_out.observe(
+                    obs_dlq, F.count(F.lit(1)).alias("n")
+                )
+            dlq_out.write.mode("append").json(paths.table("quarantine"))
+            if obs_dlq is not None:
+                counts["quarantine"] = obs_dlq.get["n"]
+
         routed = route_packets(parsed)
 
         # Dimension first, so facts in the same batch see their own
@@ -172,7 +214,6 @@ def process_packet_batch(
         # (map_nodes runs before the parsers, AIRWISEv0v1comb.py:389-395).
         dim = _load_node_dim(spark, paths)
         updates = routed["nodeinfo"]
-        counts: dict[str, int] = {}
         if not updates.isEmpty():
             # localCheckpoint (eager) pins the tiny upserted dim to
             # executor storage and TRUNCATES lineage before we overwrite

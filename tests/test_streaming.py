@@ -791,3 +791,24 @@ def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_quarantine_captures_corrupt_and_unknown_packets(spark, tmp_path):
+    """The DLQ replaces the reference's silent drop (AIRWISEv0.py:
+    112-114,155-157): truncated JSON and unknown packet types land in
+    the quarantine table tagged with the violated rule; rows that
+    merely fail FIELD parsing (bad v1 text payload) are a downstream
+    concern and must NOT be quarantined here."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    write_packet_fixture(landing, as_json_lines(), "batch-0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    counts = process_packet_batch(packet_batch_source(spark, landing), paths)
+
+    assert counts["quarantine"] == 2
+    dlq = spark.read.json(paths.table("quarantine"))
+    rows = {tuple(sorted(r["violations"])): r["raw"] for r in dlq.collect()}
+    assert ("parseable_json",) in rows  # truncated JSON
+    assert rows[("known_packet_type",)].find('"position"') != -1
+    assert dlq.count() == 2  # BAD_TEXT_PACKET stays out of the DLQ
