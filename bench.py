@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "user_copresence_triangles",
     "vocab_encoded_docs",
     "hll_distinct_users_rollup",
+    "table_constraint_report",
+    "m4_downsample",
+    "cohort_retention",
 ]
 
 

@@ -157,14 +157,25 @@ def pairs_within_buckets(
     boilerplate (the standard web-dedup guard) — that cap also bounds
     the per-bucket pair blow-up, so no bucket skews the stage. Final
     ``distinct`` dedups pairs that collide in >1 bucket.
+
+    Bounded buffering: rows are capped at ``max_bucket + 1`` per bucket
+    BEFORE collection by a row_number window on the same partitioning
+    (one exchange serves window + agg; the window's per-key sort spills
+    to disk, it never holds a bucket in memory). max_bucket + 1 rows
+    suffice to DETECT oversize — such buckets are dropped whole by the
+    size filter, which is also why the row_number order doesn't matter
+    semantically (any order keeps/drops the same buckets; ordering by
+    id just makes the plan deterministic). Without the pre-cap, a
+    degenerate key (e.g. the empty-document shingle) with 10^8 members
+    would buffer 10^8 ids inside one collect_list buffer at 100 TB.
     """
+    w = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    capped = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket + 1
+    )
     buckets = (
-        df.groupBy(*bucket_cols)
-        # max_bucket+1 ids suffice to detect oversize (filtered next);
-        # slicing keeps oversize rows narrow. (collect_list still
-        # buffers the full bucket — at extreme skew, pre-filter with a
-        # count pass before bucketing.)
-        .agg(F.slice(F.collect_list(id_col), 1, max_bucket + 1).alias("ids"))
+        capped.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     ids = F.array_sort("ids")
