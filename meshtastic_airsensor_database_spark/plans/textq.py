@@ -640,6 +640,25 @@ ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
 """
 
 
+# --- iterative BPE training (the full loop; one round = bpe_merge_candidates) -
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered merge list a BPE tokenizer learns on the corpus:
+    ``BPE_TRAIN_ROUNDS`` rounds of count-argmax-merge over the word
+    vocabulary (operators/bpetrain.py). Iterative with a 1-row driver
+    collect per round — not SQL-expressible, so rows-only here; the
+    exactness contract is tests/test_bpetrain.py, which reproduces a
+    serial pure-Python trainer merge-for-merge.
+    """
+    from ..operators.bpetrain import bpe_merges_df
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_merges_df(docs, "text", n_merges=BPE_TRAIN_ROUNDS)
+
+
 # --- RAG chunking: overlapping fixed-size token windows -----------------------
 
 CHUNK_SIZE = 64
@@ -849,6 +868,10 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "BPE tokenizer-training round: adjacent char-pair counts over "
           "the vocabulary, word-frequency weighted"),
+    Query("bpe_learned_merges", bpe_learned_merges, None,
+          ("text_analysis",),
+          "full iterative BPE training loop (count-argmax-merge x8, "
+          "O(vocab) per round; serial-trainer parity in pytest)"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),
