@@ -641,6 +641,69 @@ WHERE levenshtein(c_name, s_name) <= {FUZZY_MAX_DISTANCE}
 """
 
 
+# --- snapshot reconciliation (CDC-style keyed diff) ---------------------------
+
+SNAP_OLD_BEFORE = "1996-01-01 00:00:00"
+SNAP_NEW_FROM = "1994-01-01 00:00:00"
+
+
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two snapshot versions of a per-customer order summary
+    (overlapping date windows, so all four statuses occur): one full
+    outer equi-join on the key, null-safe column comparison in codegen
+    (operators/cdc.py). The "what changed since yesterday's run"
+    question as a declared, oracle-checked query.
+    """
+    from ..operators.cdc import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            r(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    old = summarize(
+        orders.filter(
+            F.col("o_orderdate") < F.lit(SNAP_OLD_BEFORE).cast("timestamp")
+        )
+    )
+    new = summarize(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(SNAP_NEW_FROM).cast("timestamp")
+        )
+    )
+    return snapshot_diff(old, new, ["o_custkey"], ["n_orders", "total"])
+
+
+SNAPSHOT_DIFF_CUSTOMERS_SQL = f"""
+WITH old_ AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE)
+           AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SNAP_OLD_BEFORE}'
+  GROUP BY 1
+),
+new_ AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,9)), 2) AS DOUBLE)
+           AS total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SNAP_NEW_FROM}'
+  GROUP BY 1
+)
+SELECT COALESCE(o.o_custkey, n.o_custkey) AS o_custkey,
+       CASE WHEN o.o_custkey IS NULL THEN 'added'
+            WHEN n.o_custkey IS NULL THEN 'removed'
+            WHEN o.n_orders IS DISTINCT FROM n.n_orders
+              OR o.total IS DISTINCT FROM n.total THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.n_orders AS old_n_orders, o.total AS old_total,
+       n.n_orders AS new_n_orders, n.total AS new_total
+FROM old_ o FULL OUTER JOIN new_ n ON o.o_custkey = n.o_custkey
+"""
+
+
 # --- declarative data-quality constraint report (Deequ-style) -----------------
 
 
@@ -814,4 +877,8 @@ QUERIES: list[Query] = [
           TABLE_CONSTRAINT_REPORT_SQL, ("ddl_bootstrap", "jdbc_healthcheck"),
           "Deequ-style declarative quality gates: one-pass row rules, "
           "uniqueness, FK referential integrity"),
+    Query("snapshot_diff_customers", snapshot_diff_customers,
+          SNAPSHOT_DIFF_CUSTOMERS_SQL, ("dim_upsert_from_stream",),
+          "CDC-style snapshot reconciliation: keyed full-outer diff "
+          "with null-safe change detection"),
 ]
