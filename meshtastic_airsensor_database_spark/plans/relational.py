@@ -641,6 +641,50 @@ WHERE levenshtein(c_name, s_name) <= {FUZZY_MAX_DISTANCE}
 """
 
 
+# --- unpivot (wide -> long reshape) -------------------------------------------
+
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape + per-metric stats: ``unpivot`` compiles
+    to ONE scan with an Expand node (each row fans to 4 metric rows
+    in-memory), where the naive formulation is 4 UNION'd scans of the
+    same table — at 100 TB that is a 4x scan saving. The long shape is
+    then a plain hash agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    long_ = li.unpivot(
+        ids=[],
+        values=list(UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long_.groupBy("metric").agg(
+        r(F.avg("v"), 4).alias("avg_v"),
+        r(F.min("v"), 4).alias("min_v"),
+        r(F.max("v"), 4).alias("max_v"),
+        F.count("v").cast("long").alias("n"),
+    )
+
+
+_UNPIVOT_ARMS = "\n  UNION ALL ".join(
+    f"SELECT '{m}' AS metric, {m} AS v FROM lineitem" for m in UNPIVOT_METRICS
+)
+UNPIVOT_METRIC_STATS_SQL = f"""
+WITH long_ AS (
+  {_UNPIVOT_ARMS}
+)
+SELECT metric,
+       CAST(ROUND(CAST(AVG(v) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_v,
+       CAST(ROUND(CAST(MIN(v) AS DECIMAL(38,9)), 4) AS DOUBLE) AS min_v,
+       CAST(ROUND(CAST(MAX(v) AS DECIMAL(38,9)), 4) AS DOUBLE) AS max_v,
+       CAST(COUNT(v) AS BIGINT) AS n
+FROM long_
+GROUP BY metric
+"""
+
+
 # --- snapshot reconciliation (CDC-style keyed diff) ---------------------------
 
 SNAP_OLD_BEFORE = "1996-01-01 00:00:00"
@@ -881,4 +925,8 @@ QUERIES: list[Query] = [
           SNAPSHOT_DIFF_CUSTOMERS_SQL, ("dim_upsert_from_stream",),
           "CDC-style snapshot reconciliation: keyed full-outer diff "
           "with null-safe change detection"),
+    Query("unpivot_metric_stats", unpivot_metric_stats,
+          UNPIVOT_METRIC_STATS_SQL, ("column_projection", "per_node_stats"),
+          "wide-to-long unpivot (single-scan Expand vs 4 unioned "
+          "scans) + per-metric hash agg"),
 ]

@@ -389,3 +389,11 @@ def test_corr_matrix_self_join_is_equi_on_hour(spark, sf_dir):
     the hourly grid."""
     plan = plan_of(spark, "type_corr_matrix", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """The wide->long reshape must compile to ONE scan + Expand; the
+    4-way unioned-scan formulation would read the table four times."""
+    plan = plan_of(spark, "unpivot_metric_stats", sf_dir)
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1, plan
+    assert "Expand" in plan, plan
