@@ -149,9 +149,10 @@ _DRIVER_WINDOW = [
 # oracle-green locally but past the 50-row gate): cohort_retention,
 # event_transition_matrix, value_ks_drift, type_corr_matrix,
 # time_weighted_avg, m4_downsample, table_constraint_report,
-# snapshot_diff_customers, unpivot_metric_stats, prefix_jaccard_neardups
-# (+ rows-only bpe_learned_merges). Swap them in for this round's
-# entries once CORRECTNESS_r03 records the current window green.
+# snapshot_diff_customers, unpivot_metric_stats, prefix_jaccard_neardups,
+# replay_quarantine_counts (+ rows-only bpe_learned_merges). Swap them
+# in for this round's entries once CORRECTNESS_r03 records the current
+# window green.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

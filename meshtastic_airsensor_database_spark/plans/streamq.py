@@ -662,7 +662,58 @@ FROM env e LEFT JOIN hist h
 )
 
 
+# --- quarantine (dead-letter) routing of corrupt / unknown packets ------------
+
+
+def replay_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts from the quarantine table the replay
+    writes for corrupt-JSON and unknown-type packets
+    (streaming/ingest.py dead-letter path; the auditable replacement
+    for the reference's silent drop, AIRWISEv0.py:112-114,155-157).
+    The DuckDB twin re-derives both rules from the RAW fixture lines
+    (json_valid + type extraction), so a hash match proves the DLQ
+    captures exactly the right rows for exactly the right reasons.
+    ``quarantined_at`` (wallclock) is excluded by construction."""
+    out = _replayed_out_dir(spark)
+    dlq = spark.read.json(os.path.join(out, "quarantine"))
+    return (
+        dlq.select(F.explode("violations").alias("violation"))
+        .groupBy("violation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+REPLAY_QUARANTINE_COUNTS_SQL = f"""
+WITH lines AS (
+  SELECT raw FROM read_csv('{FIXTURE_PATH}', header=false, delim='\t',
+                           quote='', escape='',
+                           columns={{'raw': 'VARCHAR'}})
+  WHERE length(trim(raw)) > 0
+),
+checked AS (
+  SELECT raw, json_valid(raw) AS is_json,
+         CASE WHEN json_valid(raw)
+              THEN json_extract_string(raw, '$.type') END AS t
+  FROM lines
+),
+viol AS (
+  SELECT 'parseable_json' AS violation FROM checked
+  WHERE NOT (is_json AND t IS NOT NULL)
+  UNION ALL
+  SELECT 'known_packet_type' FROM checked
+  WHERE is_json AND t IS NOT NULL
+    AND t NOT IN ('telemetry', 'text', 'nodeinfo')
+)
+SELECT violation, CAST(COUNT(*) AS BIGINT) AS n FROM viol GROUP BY violation
+"""
+
+
 QUERIES: list[Query] = [
+    Query("replay_quarantine_counts", replay_quarantine_counts,
+          REPLAY_QUARANTINE_COUNTS_SQL,
+          ("malformed_row_skip", "stream_route_multiplex"),
+          "dead-letter quarantine counts per violated rule (DuckDB twin "
+          "re-derives both rules from the raw fixture lines)"),
     Query("replay_route_counts", replay_route_counts, REPLAY_ROUTE_COUNTS_SQL,
           ("stream_route_multiplex", "packet_type_filter", "exact_dedup"),
           "golden-replay per-table routing counts"),

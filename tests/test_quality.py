@@ -103,3 +103,51 @@ def test_split_by_rules_quarantines_with_reasons(spark):
     q = {r["id"]: sorted(r["violations"]) for r in quarantined.collect()}
     assert q == {2: ["v_positive"], 3: ["s_short", "v_positive"]}
     assert passing.columns == ["id", "v", "s"]
+
+
+def test_split_partitions_exactly_and_reports_bound(spark):
+    """Property: for random frames and rule sets, split_by_rules is an
+    exact partition (pass + quarantine == input, disjoint) and
+    row_checks invariants hold (n_bad <= n_rows, pass_rate in [0,1],
+    and the two views agree on the violation count per rule)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=rows_strategy, cutoff=st.floats(-5, 5, allow_nan=False))
+    def prop(rows, cutoff):
+        df = spark.createDataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)],
+            "id long, k long, v double",
+        )
+        rules = {
+            "v_above": F.col("v") > cutoff,
+            "k_even": F.col("k") % 2 == 0,
+        }
+        passing, quarantined = split_by_rules(df, rules)
+        got_ids = sorted(
+            [r["id"] for r in passing.collect()]
+            + [r["id"] for r in quarantined.collect()]
+        )
+        assert got_ids == list(range(len(rows)))  # exact disjoint split
+        rep = {r["constraint"]: r for r in row_checks(df, rules).collect()}
+        viol_counts = {name: 0 for name in rules}
+        for r in quarantined.collect():
+            for name in r["violations"]:
+                viol_counts[name] += 1
+        for name, row in rep.items():
+            assert row["n_rows"] == len(rows)
+            assert 0 <= row["n_bad"] <= row["n_rows"]
+            assert 0.0 <= row["pass_rate"] <= 1.0
+            assert row["n_bad"] == viol_counts[name]
+
+    prop()

@@ -264,6 +264,52 @@ def main() -> None:
           semantic_dedup_pairs(emb, threshold=0.9,
                                n_centroids=max(8, 4 * factor)), out)
     timed(spark, "pq_encode", pq_encode(emb, train_pq_codebooks(emb)), out)
+    # Stats/quality family over a factor-x events corpus: the KS CDF
+    # walk, the TWA window, and the one-pass row-rule report must all
+    # track corpus size linearly (each is one keyed exchange or a
+    # single aggregation pass — a super-linear time here means a
+    # window lost its partitioning or a rule added a pass).
+    from pyspark.sql import Window
+
+    from meshtastic_airsensor_database_spark.operators.quality import row_checks
+
+    ev = load(spark, sf_dir, "events")
+    reps_e = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    big_ev = fan_out(
+        ev.select("event_id", "ts", "user_id", "event_type", "value", reps_e).select(
+            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+            (F.col("ts") + F.make_interval(hours=F.col("rep"))).alias("ts"),
+            # spread users with the replicas so per-key series stay
+            # bounded (matching real growth: more users, not 40x-longer
+            # histories per user)
+            (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    ).localCheckpoint(eager=True)
+    out["n_events_stats"] = big_ev.count()
+    w_ks = Window.partitionBy("event_type").orderBy("bin")
+    g = big_ev.groupBy(
+        "event_type", F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    timed(spark, "ks_cdf_walk",
+          g.select("event_type", F.sum("na").over(w_ks).alias("ca")), out)
+    w_twa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = big_ev.select(
+        "user_id", "value",
+        (F.unix_micros(F.lead("ts").over(w_twa)) - F.unix_micros("ts"))
+        .cast("double").alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    timed(spark, "time_weighted_avg",
+          spans.groupBy("user_id").agg(
+              (F.sum(F.col("value") * F.col("dt")) / F.sum("dt")).alias("twa")
+          ), out)
+    timed(spark, "row_rule_report",
+          row_checks(big_ev, {
+              "value_nonneg": F.col("value") >= 0,
+              "type_known": F.col("event_type").isNotNull(),
+              "ts_in_range": F.col("ts").isNotNull(),
+          }), out)
     out["rollup_maintenance"] = rollup_maintenance(
         spark, sf_dir, factor, "/tmp/spark_graft_scale_rollup"
     )
