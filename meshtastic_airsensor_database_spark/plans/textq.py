@@ -640,6 +640,101 @@ ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
 """
 
 
+# --- BM25 ranking (Robertson/Sparck Jones; the lexical-IR standard) -----------
+
+BM25_TERMS = ("spark", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed term query — the lexical IR
+    baseline the RRF fusion's TF arm approximates. Full formula with
+    document-length normalization:
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``,
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``.
+
+    Scale shape: doc lengths and per-(doc,term) tf come from one
+    tokenize pass (explode filtered to the query terms only — the
+    exchange carries query-term hits, not the corpus vocabulary); df
+    is a |terms|-row agg broadcast back; N/avgdl is a single-row agg
+    broadcast (the same single-row crossJoin pattern as the ANN
+    queries); the final ranking is TakeOrderedAndProject.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("toks", lambda t: F.array_contains(terms, t))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+    out = scored.groupBy("doc_id").agg(
+        r(F.sum(contrib), 4).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+    )
+    return out.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPK)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_TOPK_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * t.tf * ({BM25_K1} + 1.0)
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * t.dl / s.avgdl)) AS contrib
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(ROUND(CAST(SUM(contrib) AS DECIMAL(38,9)), 4) AS DOUBLE) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
 # --- iterative BPE training (the full loop; one round = bpe_merge_candidates) -
 
 BPE_TRAIN_ROUNDS = 8
@@ -872,6 +967,11 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "full iterative BPE training loop (count-argmax-merge x8, "
           "O(vocab) per round; serial-trainer parity in pytest)"),
+    Query("bm25_topk_docs", bm25_topk_docs, BM25_TOPK_DOCS_SQL,
+          ("text_analysis",),
+          "BM25 lexical ranking with doc-length normalization "
+          "(query-term-only explode, broadcast df/corpus stats, "
+          "TakeOrdered top-k)"),
     Query("char_jaccard_neardup_pairs", char_jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(CHAR_JACCARD_NEARDUP_PAIRS_SQL, CHAR_NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",),

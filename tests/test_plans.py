@@ -50,7 +50,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "hybrid_search_rrf",
            # single vocabulary-size row broadcast into the LM smoothing
            # denominator (operators/lmquality.py::perplexity_scores)
-           "doc_perplexity"}
+           "doc_perplexity",
+           # single (n_docs, avgdl) corpus-stats row broadcast into the
+           # per-(doc,term) BM25 scoring
+           "bm25_topk_docs"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
