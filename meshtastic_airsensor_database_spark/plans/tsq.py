@@ -977,6 +977,65 @@ GROUP BY 1, 2
 """
 
 
+# --- winsorized means (robust-stats companion of the MAD outlier gate) --------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean before/after winsorizing values to the exact
+    [p05, p95] band — the robust-mean companion to value_outliers_mad
+    (which flags; this repairs).
+
+    Parity note: the clip bounds are decimal-rounded to 2 places
+    BEFORE comparing (the testdata values are 2-decimal), so the
+    clipped/not-clipped decision is bit-deterministic in both engines
+    — raw interpolated percentiles can differ in the last ulp, which
+    would otherwise flip strict comparisons for values exactly on the
+    boundary. Two hash aggs on the same key + a 5-row broadcast join.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        r(F.percentile("value", WINSOR_LO), 2).alias("lo"),
+        r(F.percentile("value", WINSOR_HI), 2).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        r(F.avg("value"), 4).alias("avg_raw"),
+        r(F.avg(clipped), 4).alias("avg_winsorized"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_clipped"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+WINSORIZED_VALUE_STATS_SQL = f"""
+WITH bounds AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(quantile_cont(value, {WINSOR_LO})
+           AS DECIMAL(38,9)), 2) AS DOUBLE) AS lo,
+         CAST(ROUND(CAST(quantile_cont(value, {WINSOR_HI})
+           AS DECIMAL(38,9)), 2) AS DOUBLE) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(ROUND(CAST(AVG(e.value) AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS avg_raw,
+       CAST(ROUND(CAST(AVG(LEAST(GREATEST(e.value, b.lo), b.hi))
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_winsorized,
+       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 # --- weekly cohort retention (product-analytics staple) -----------------------
 
 WEEK_S = 604800
@@ -1176,4 +1235,8 @@ QUERIES: list[Query] = [
           ("timeseries_align", "column_projection"),
           "M4 pixel-exact chart downsampling: first/last/min/max per "
           "series bucket (selection-only, window+agg share one key)"),
+    Query("winsorized_value_stats", winsorized_value_stats,
+          WINSORIZED_VALUE_STATS_SQL, ("robust_outlier_detect",),
+          "winsorized means per type (decimal-rounded clip bounds for "
+          "bit-deterministic comparisons, 5-row broadcast join)"),
 ]
