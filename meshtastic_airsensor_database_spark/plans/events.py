@@ -213,6 +213,40 @@ FROM events GROUP BY event_type
 """
 
 
+# --- VARIANT-typed JSON access (Spark 4 semi-structured path) -----------------
+
+
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 VARIANT path for semi-structured access:
+    ``parse_json`` once into a binary variant, then typed
+    ``try_variant_get`` extraction — at scale the parse cost is paid
+    once per row even when many fields are read (``get_json_object``
+    re-parses per field), and the variant column can be STORED,
+    making later reads skip text parsing entirely. Same null-on-
+    absent/corrupt semantics as the reference's ``.get(key, None)``.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+PROPS_VARIANT_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- epoch <-> timestamp <-> string round trip (SURVEY §2.8) ------------------
 
 def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +827,9 @@ QUERIES: list[Query] = [
           ("rolling_avg_pm25",), "trailing 1h range-window average"),
     Query("session_counts", session_counts, SESSION_COUNTS_SQL,
           ("windowed_ingest", "offline_detection"), "gap-based sessionization"),
+    Query("props_variant_extract", props_variant_extract,
+          PROPS_VARIANT_EXTRACT_SQL, ("json_envelope_parse",),
+          "VARIANT-typed JSON access: parse once, typed try_variant_get"),
     Query("props_json_extract", props_json_extract, PROPS_JSON_EXTRACT_SQL,
           ("json_envelope_parse", "numeric_coercion"), "JSON payload field extraction"),
     Query("epoch_roundtrip", epoch_roundtrip, EPOCH_ROUNDTRIP_SQL,
