@@ -52,6 +52,9 @@ SHOWCASE = [
     ("time_weighted_avg", "LOCF time-weighted mean: lead window + hash agg share ONE user_id exchange"),
     ("m4_downsample", "M4: first/last via row_number windows + min/max agg on the same (user,bucket) key"),
     ("cohort_retention", "cohort retention: dedup-first bounds every later stage to users x weeks"),
+    ("bm25_topk_docs", "BM25: query-term-only explode, broadcast df + corpus stats, TakeOrdered top-k"),
+    ("winsorized_value_stats", "winsorize: 5-row broadcast bounds join, two hash aggs on one key"),
+    ("unpivot_metric_stats", "unpivot: ONE scan + Expand (vs 4 unioned scans) into a hash agg"),
 ]
 
 
