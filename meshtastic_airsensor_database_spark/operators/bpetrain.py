@@ -118,6 +118,59 @@ def train_bpe_merges(
     return merges
 
 
+def encode_words(
+    vocab: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge list (rank order) to every word — the
+    ENCODE side of the tokenizer: chained Catalyst folds, one per
+    merge, all narrow (no shuffle; the whole encode is a single
+    projection over the vocabulary or corpus)."""
+    out = vocab
+    for _, left, right, _ in merges:
+        out = apply_merge(out, left, right)
+    return out
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train on the corpus, then encode its word vocabulary with the
+    learned merges and report the compression the tokenizer achieves:
+    corpus-weighted symbols per word before (== chars) and after.
+
+    Scale shape: training is O(vocab)/round (train_bpe_merges); the
+    encode is ``n_merges`` chained narrow folds over the vocabulary;
+    the report is one tiny agg. At serving time the same encode
+    expression runs over the full corpus as a pure projection.
+    """
+    vocab = materialize(init_word_vocab(docs, text_col))
+    merges = train_bpe_merges(docs, text_col, n_merges)
+    encoded = encode_words(vocab, merges)
+    return encoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wc").cast("long").alias("n_occurrences"),
+        F.sum(F.aggregate("syms", F.lit(0), lambda a, x: a + F.length(x)) * F.col("wc"))
+        .cast("long")
+        .alias("chars_weighted"),
+        F.sum(F.size("syms") * F.col("wc")).cast("long").alias("symbols_weighted"),
+    ).select(
+        "n_words",
+        "n_occurrences",
+        "chars_weighted",
+        "symbols_weighted",
+        F.round(
+            (F.col("symbols_weighted") / F.col("chars_weighted")).cast(
+                "decimal(38,9)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("compression_ratio"),
+    )
+
+
 def bpe_merges_df(
     docs: DataFrame,
     text_col: str = "text",

@@ -754,6 +754,19 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(docs, "text", n_merges=BPE_TRAIN_ROUNDS)
 
 
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE on the corpus, encode its vocabulary with the learned
+    merges, and report corpus-weighted compression (symbols per char) —
+    the end-to-end tokenizer lifecycle (train -> encode -> measure).
+    Rows-only (the merge list comes from the iterative loop); encode
+    exactness vs a serial reference is pinned in tests/test_bpetrain.py.
+    """
+    from ..operators.bpetrain import bpe_encode_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, "text", n_merges=BPE_TRAIN_ROUNDS)
+
+
 # --- RAG chunking: overlapping fixed-size token windows -----------------------
 
 CHUNK_SIZE = 64
@@ -967,6 +980,10 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "full iterative BPE training loop (count-argmax-merge x8, "
           "O(vocab) per round; serial-trainer parity in pytest)"),
+    Query("bpe_encode_compression", bpe_encode_compression, None,
+          ("text_analysis",),
+          "end-to-end tokenizer lifecycle: train BPE, encode the "
+          "vocabulary, report corpus-weighted compression"),
     Query("bm25_topk_docs", bm25_topk_docs, BM25_TOPK_DOCS_SQL,
           ("text_analysis",),
           "BM25 lexical ranking with doc-length normalization "

@@ -96,3 +96,46 @@ def test_init_vocab_splits_to_chars(spark):
         for r in init_word_vocab(docs).collect()
     }
     assert rows == {("a", "b"): 2, ("c", "d"): 1}
+
+
+def test_encode_matches_serial_merge_application(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    from meshtastic_airsensor_database_spark.operators.bpetrain import (
+        encode_words,
+    )
+
+    merges = train_bpe_merges(docs, "text", n_merges=6)
+    vocab = init_word_vocab(docs)
+    got = {
+        "".join(r["syms"]): tuple(r["syms"])
+        for r in encode_words(vocab, merges).collect()
+    }
+
+    def serial_encode(word):
+        syms = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    for w in _word_counts():
+        assert got[w] == serial_encode(w), w
+
+
+def test_encode_stats_compression_below_one(spark):
+    from meshtastic_airsensor_database_spark.operators.bpetrain import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    row = bpe_encode_stats(docs, n_merges=6).collect()[0]
+    assert row["symbols_weighted"] < row["chars_weighted"]
+    assert 0.0 < row["compression_ratio"] < 1.0
+    assert row["n_occurrences"] >= row["n_words"]
