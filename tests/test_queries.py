@@ -71,3 +71,35 @@ def test_frequent_event_props_contains_true_heavy_hitter(spark, sf_dir):
         .collect()[0]["user_id_freqItems"]
     )
     assert heavy <= got  # no false negatives above support (sketch guarantee)
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["event_transition_matrix"].builder(spark, sf_dir).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-2, prev  # rounded to 4dp per cell
+
+
+def test_cohort_retention_offset_zero_is_full(spark, sf_dir):
+    rows = REGISTRY["cohort_retention"].builder(spark, sf_dir).collect()
+    zero = [r for r in rows if r["week_offset"] == 0]
+    assert zero, "every cohort must have an offset-0 row"
+    for r in zero:
+        assert r["n_active"] == r["cohort_size"]
+        assert r["retention_rate"] == 1.0
+
+
+def test_ks_drift_stat_in_unit_interval(spark, sf_dir):
+    for r in REGISTRY["value_ks_drift"].builder(spark, sf_dir).collect():
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["n_before"] > 0 and r["n_after"] > 0
+
+
+def test_winsorized_mean_moves_toward_center(spark, sf_dir):
+    for r in REGISTRY["winsorized_value_stats"].builder(spark, sf_dir).collect():
+        assert r["n_clipped"] < r["n"]
+        # clipping a right-skewed positive series cannot raise the max
+        # deviation: winsorized mean stays within the raw value band
+        assert r["avg_winsorized"] <= r["avg_raw"] * 1.5 + 1e-9
