@@ -82,7 +82,15 @@ def replicate_embeddings(emb, factor: int):
     clusters that blow past the MAX_BUCKET guard and void the smoke
     (measured: 0 candidate pairs because every cluster was dropped).
     Interleaved, the first-N ids are N distinct base directions at any
-    factor."""
+    factor.
+
+    Known artifact: all ``factor`` copies of one base vector are
+    mutually near-dup, so the TRUE semantic-dup pair count grows as
+    C(factor, 2) per base — quadratic in factor BY CONSTRUCTION
+    (measured 1.55M pairs at 40x, 6.25M at 80x). Judge the
+    semantic-dedup path by its wall time (which stays flat: the
+    cluster-pruned candidate generation touches each pair once), not
+    by output rows."""
     base_count = emb.count()
     reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     delta = (F.col("rep").cast("double") / F.lit(1e4)).cast("float")
