@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "table_constraint_report",
     "m4_downsample",
     "cohort_retention",
+    "bm25_topk_docs",
+    "time_weighted_avg",
+    "value_ks_drift",
 ]
 
 
