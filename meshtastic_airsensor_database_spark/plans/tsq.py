@@ -977,6 +977,121 @@ GROUP BY 1, 2
 """
 
 
+# --- mergeable binned-quantile sketch (continuous-aggregate quantiles) --------
+
+QSKETCH_W = 0.25  # bin width; estimate error is bounded by one bin
+
+
+def rollup_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles answered from MERGEABLE pre-aggregated state: build a
+    fixed-width binned histogram sketch per event type from two
+    disjoint time slices, merge the sketches (groupBy-sum — the same
+    associative merge the hourly rollup uses for counts/HLL), then
+    estimate p50/p95 by an interpolated CDF walk over bins. This is
+    the continuous-aggregate quantile path: any time range's quantile
+    comes from summing stored (key, bin, cnt) rows — no raw rescan.
+
+    Determinism: the sketch is integer counts over fixed bins and the
+    interpolation is one multiply-divide per quantile, so both engines
+    produce bit-comparable estimates (unlike raw quantile_cont, whose
+    interpolation point depends on engine-internal ordering).
+    Definition: this estimates the LOWER empirical quantile (smallest
+    value whose CDF reaches q) with uniform-within-bin smoothing —
+    within one bin width of the exact discrete quantile (pytest-
+    pinned); it is NOT quantile_cont, which interpolates between
+    order statistics and can differ by the tail gap in sparse data.
+
+    Scale shape: two hash aggs (map-side partials) + a per-key window
+    over at most range/width rows + a min_by agg — no global sort, no
+    raw-data second pass.
+    """
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit(KS_SPLIT_TS).cast("timestamp")
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / QSKETCH_W).cast("long").alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    merged = (
+        sketch(ev.filter(F.col("ts") < mid))
+        .unionByName(sketch(ev.filter(F.col("ts") >= mid)))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = merged.select(
+        "event_type", "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    j = cum.join(tot, "event_type")
+
+    def estimate(q: float, name: str) -> DataFrame:
+        target = F.lit(q) * F.col("n")
+        hit = (
+            j.where(F.col("cum") >= target)
+            .groupBy("event_type")
+            .agg(
+                F.expr("min_by(struct(bin, cnt, cum), bin)").alias("h"),
+                F.max("n").alias("n"),
+            )
+        )
+        est = (
+            F.col("h.bin") * QSKETCH_W
+            + QSKETCH_W
+            * (F.lit(q) * F.col("n") - (F.col("h.cum") - F.col("h.cnt")))
+            / F.col("h.cnt")
+        )
+        return hit.select("event_type", r(est, 4).alias(name))
+
+    p50 = estimate(0.5, "p50_est")
+    p95 = estimate(0.95, "p95_est")
+    return p50.join(p95, "event_type").join(
+        tot.select("event_type", F.col("n").cast("long").alias("n")),
+        "event_type",
+    )
+
+
+ROLLUP_QUANTILE_ESTIMATE_SQL = f"""
+WITH sk AS (
+  SELECT event_type, bin, SUM(cnt) AS cnt FROM (
+    SELECT event_type, CAST(FLOOR(value / {QSKETCH_W}) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM events WHERE ts < TIMESTAMP '{KS_SPLIT_TS}' GROUP BY 1, 2
+    UNION ALL
+    SELECT event_type, CAST(FLOOR(value / {QSKETCH_W}) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM events WHERE ts >= TIMESTAMP '{KS_SPLIT_TS}' GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM sk
+),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM sk GROUP BY 1),
+est AS (
+  SELECT c.event_type, t.n,
+         min_by(struct_pack(bin := c.bin, cnt := c.cnt, cum := c.cum), c.bin)
+           FILTER (WHERE c.cum >= 0.5 * t.n) AS h50,
+         min_by(struct_pack(bin := c.bin, cnt := c.cnt, cum := c.cum), c.bin)
+           FILTER (WHERE c.cum >= 0.95 * t.n) AS h95
+  FROM cum c JOIN tot t USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(ROUND(CAST(h50.bin * {QSKETCH_W} + {QSKETCH_W}
+         * (0.5 * n - (h50.cum - h50.cnt)) / h50.cnt
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS p50_est,
+       CAST(ROUND(CAST(h95.bin * {QSKETCH_W} + {QSKETCH_W}
+         * (0.95 * n - (h95.cum - h95.cnt)) / h95.cnt
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS p95_est,
+       CAST(n AS BIGINT) AS n
+FROM est
+"""
+
+
 # --- winsorized means (robust-stats companion of the MAD outlier gate) --------
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
@@ -1239,4 +1354,9 @@ QUERIES: list[Query] = [
           WINSORIZED_VALUE_STATS_SQL, ("robust_outlier_detect",),
           "winsorized means per type (decimal-rounded clip bounds for "
           "bit-deterministic comparisons, 5-row broadcast join)"),
+    Query("rollup_quantile_estimate", rollup_quantile_estimate,
+          ROLLUP_QUANTILE_ESTIMATE_SQL,
+          ("continuous_aggregate", "per_node_stats"),
+          "quantiles from a MERGEABLE binned sketch: two disjoint "
+          "slices merged by groupBy-sum, interpolated CDF walk"),
 ]

@@ -103,3 +103,29 @@ def test_winsorized_mean_moves_toward_center(spark, sf_dir):
         # clipping a right-skewed positive series cannot raise the max
         # deviation: winsorized mean stays within the raw value band
         assert r["avg_winsorized"] <= r["avg_raw"] * 1.5 + 1e-9
+
+
+def test_sketch_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """The mergeable binned sketch's estimate must land within one bin
+    width of the exact DISCRETE quantile of the same definition
+    (smallest value whose CDF reaches q). The interpolated
+    quantile_cont can sit arbitrarily far away in a sparse tail —
+    that gap is a property of the data, not sketch error."""
+    import math
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.tsq import QSKETCH_W
+
+    est = {
+        r["event_type"]: (r["p50_est"], r["p95_est"])
+        for r in REGISTRY["rollup_quantile_estimate"].builder(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    by_type: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, (e50, e95) in est.items():
+        vals = sorted(by_type[et])
+        for q, e in ((0.5, e50), (0.95, e95)):
+            disc = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            assert abs(e - disc) <= QSKETCH_W, (et, q, e, disc)
