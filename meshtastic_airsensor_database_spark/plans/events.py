@@ -775,6 +775,48 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: users contributing >= 0.75% of all events.
+
+    The hash-checkable twin of ``frequent_event_props`` (freqItems /
+    Karp-Shenker sketch, rows-only): two hash aggregates — a per-key
+    count (map-side partialed) and a single-row grand total broadcast
+    back — with the support test in exact integer arithmetic
+    (``n * 10000 >= total * 75``), so no float threshold can diverge
+    between engines. At 100 TB this is one shuffle on ``user_id`` plus
+    a scalar broadcast; the sketch variant remains the single-pass
+    path when even one per-key pass is too expensive.
+    """
+    ev = load(spark, sf_dir, "events")
+    total = ev.groupBy().agg(F.count("*").cast("bigint").alias("_total"))
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_events") * 10000 >= F.col("_total") * 75)
+        .select(
+            "user_id",
+            "n_events",
+            r(F.col("n_events") * 100.0 / F.col("_total"), 4).alias("pct_of_events"),
+        )
+    )
+
+
+HEAVY_HITTER_USERS_SQL = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS _total FROM events),
+c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT c.user_id, c.n_events,
+       CAST(ROUND(CAST(c.n_events * 100.0 / tot._total AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS pct_of_events
+FROM c, tot
+WHERE c.n_events * 10000 >= tot._total * 75
+"""
+
+
 EVENTS_COLUMN_PROFILE_SQL = """
 WITH one AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -875,6 +917,10 @@ QUERIES: list[Query] = [
           ("approx_distinct_nodes", "windowed_ingest"),
           "incremental distinct via mergeable per-day HLL sketches "
           "(exact-sparse at oracle scale; rsd-bounded beyond)"),
+    Query("heavy_hitter_users", heavy_hitter_users, HEAVY_HITTER_USERS_SQL,
+          ("per_node_stats", "approx_distinct_nodes"),
+          "exact heavy hitters (integer-arithmetic support threshold); "
+          "hash-checkable twin of the freqItems sketch"),
     Query("events_column_profile", events_column_profile,
           EVENTS_COLUMN_PROFILE_SQL,
           ("per_node_stats", "approx_distinct_nodes"),

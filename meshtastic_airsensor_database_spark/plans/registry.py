@@ -77,7 +77,7 @@ _DRIVER_WINDOW = [
     "replay_env_asof_names",
     "seasonal_naive_skill",
     "value_drift_cusum",
-    "frequent_event_props",
+    "heavy_hitter_users",
     # -- this round's new operator families (never driver-checked) --
     "dsir_sampled_docs",
     "fuzzy_name_matches",
@@ -123,11 +123,12 @@ _DRIVER_WINDOW = [
 # hourly_avg_by_node + aligned_type_buckets + props_json_extract +
 # quality_scores (all driver-green r1+r2; their families stay repped
 # in-window by sliding_hourly_load / incremental_rollup_hourly,
-# gapfill_value_grid / ewma_value_smooth, frequent_event_props — the
-# JSON-extraction family's NEVER-checked member replaces its
-# twice-green twin — and token_stats_by_lang / pii_scan; the freed
+# gapfill_value_grid / ewma_value_smooth, heavy_hitter_users — the
+# heavy-hitters family's EXACT, hash-checkable member (the freqItems
+# sketch twin frequent_event_props stays registered rows-only outside
+# the window) — and token_stats_by_lang / pii_scan; the freed
 # slots fund replay_env_asof_names, seasonal_naive_skill,
-# value_drift_cusum and frequent_event_props, the four oracle-backed
+# value_drift_cusum and heavy_hitter_users, the four oracle-backed
 # queries that had no driver row in any round),
 # pricing_summary + fact_dim_join + outage_episodes +
 # pacific_daily_counts + token_stats_by_lang + pii_scan (the last six

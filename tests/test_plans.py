@@ -53,7 +53,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "doc_perplexity",
            # single (n_docs, avgdl) corpus-stats row broadcast into the
            # per-(doc,term) BM25 scoring
-           "bm25_topk_docs"}
+           "bm25_topk_docs",
+           # single grand-total row broadcast into the per-user support
+           # filter (exact heavy hitters)
+           "heavy_hitter_users"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
