@@ -939,6 +939,182 @@ def prefix_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus statistics: PMI collocations + Zipf slope -------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+ZIPF_MAX_RANK = 200
+
+
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOPK`` bigram collocations by pointwise mutual
+    information: PMI(w1,w2) = log2(p(w1,w2) / (p(w1)p(w2))), bigram
+    count >= ``PMI_MIN_COUNT`` (the classic collocation-extraction
+    primitive; generalizes `graphdata.py`'s implicit corpus inspection
+    to corpus statistics).
+
+    Scale shape: bigrams come from one ``transform(slice(...))`` over
+    the token array (no self-join, no posexplode join-back), then two
+    hash aggs (map-side partialed) sized by vocabulary, two
+    vocabulary-sized equi-joins for the unigram marginals, and two
+    single-row scalar broadcasts for the totals. Top-k is
+    TakeOrderedAndProject on the ROUNDED pmi (cross-engine-stable
+    ordering) — never a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bgc = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, greatest(size(ts)-1, 0)),"
+                    " (w, i) -> struct(w AS w1, ts[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    # scalar totals from the token-array sizes directly — a scan +
+    # single-row agg, never a second pass over the vocabulary aggregate
+    n_uni = (
+        toks.select(F.size("ts").alias("nu"))
+        .groupBy()
+        .agg(F.sum("nu").cast("double").alias("n_uni"))
+    )
+    n_bg = (
+        toks.select(
+            F.greatest(F.size("ts") - 1, F.lit(0)).alias("nb")
+        )
+        .groupBy()
+        .agg(F.sum("nb").cast("double").alias("n_bg"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log2(
+        (F.col("c12").cast("double") / F.col("n_bg"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni"))
+            * (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bgc.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bg))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            r(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+BIGRAM_PMI_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  ) GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT SUM(len(ts))::DOUBLE FROM toks) AS n_uni,
+         (SELECT SUM(GREATEST(len(ts) - 1, 0))::DOUBLE FROM toks) AS n_bg
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(ROUND(CAST(log2(
+         (c12::DOUBLE / n_bg)
+         / ((u1.c::DOUBLE / n_uni) * (u2.c::DOUBLE / n_uni))
+       ) AS DECIMAL(38,9)), 4) AS DOUBLE) AS pmi
+FROM bgc
+JOIN uni u1 ON bgc.w1 = u1.w
+JOIN uni u2 ON bgc.w2 = u2.w
+CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit: OLS slope of ln(frequency) on ln(rank)
+    over the top-``ZIPF_MAX_RANK`` tokens — the corpus-health
+    diagnostic (natural text sits near -1; synthetic/templated text is
+    flatter).
+
+    Scale shape: one explode -> two-level hash agg (map-side
+    partialed), a rank window over the vocabulary-sized aggregate
+    (partitioned by lang, never the corpus), and ``regr_slope``
+    (sum/covar form — a single partial-aggregable pass).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "w")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ZIPF_MAX_RANK
+    )
+    return ranked.groupBy("lang").agg(
+        r(
+            F.regr_slope(
+                F.log(F.col("n").cast("double")), F.log(F.col("rnk").cast("double"))
+            ),
+            4,
+        ).alias("zipf_slope"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+    )
+
+
+ZIPF_TOKEN_SLOPE_SQL = f"""
+WITH cnt AS (
+  SELECT lang, w, COUNT(*) AS n FROM (
+    SELECT lang,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) GROUP BY lang, w
+),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rnk
+  FROM cnt
+)
+SELECT lang,
+       CAST(ROUND(CAST(regr_slope(ln(n::DOUBLE), ln(rnk::DOUBLE))
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS zipf_slope,
+       CAST(COUNT(*) AS BIGINT) AS n_ranks
+FROM ranked WHERE rnk <= {ZIPF_MAX_RANK}
+GROUP BY lang
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1002,4 +1178,11 @@ QUERIES: list[Query] = [
           ("near_dedup",),
           "exact set-similarity join via prefix filtering (PPJoin "
           "family) == all-pairs result, no O(n^2) join"),
+    Query("bigram_pmi_topk", bigram_pmi_topk, BIGRAM_PMI_TOPK_SQL,
+          ("text_analysis",),
+          "PMI bigram collocations (transform over token arrays, "
+          "vocabulary-sized marginal joins, TakeOrdered top-k)"),
+    Query("zipf_token_slope", zipf_token_slope, ZIPF_TOKEN_SLOPE_SQL,
+          ("text_analysis",),
+          "per-language Zipf rank-frequency OLS slope via regr_slope"),
 ]

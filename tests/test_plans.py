@@ -56,7 +56,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "bm25_topk_docs",
            # single grand-total row broadcast into the per-user support
            # filter (exact heavy hitters)
-           "heavy_hitter_users"}
+           "heavy_hitter_users",
+           # two single-row totals (n_uni, n_bg) broadcast into the PMI
+           # scoring over the vocabulary-sized bigram aggregate
+           "bigram_pmi_topk"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
