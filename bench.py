@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "bm25_topk_docs",
     "time_weighted_avg",
     "value_ks_drift",
+    "heavy_hitter_users",
+    "bigram_pmi_topk",
+    "zipf_token_slope",
 ]
 
 
