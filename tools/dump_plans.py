@@ -55,6 +55,9 @@ SHOWCASE = [
     ("bm25_topk_docs", "BM25: query-term-only explode, broadcast df + corpus stats, TakeOrdered top-k"),
     ("winsorized_value_stats", "winsorize: 5-row broadcast bounds join, two hash aggs on one key"),
     ("unpivot_metric_stats", "unpivot: ONE scan + Expand (vs 4 unioned scans) into a hash agg"),
+    ("heavy_hitter_users", "exact heavy hitters: per-key partial agg + single-row total broadcast, integer support test"),
+    ("bigram_pmi_topk", "PMI collocations: bigrams via narrow transform over token arrays (no posexplode join-back), vocab-sized marginal joins, TakeOrdered top-k"),
+    ("zipf_token_slope", "Zipf fit: vocab-sized rank window per lang, regr_slope as partialed hash agg"),
 ]
 
 
