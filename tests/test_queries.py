@@ -129,3 +129,69 @@ def test_sketch_quantiles_within_one_bin_of_exact(spark, sf_dir):
         for q, e in ((0.5, e50), (0.95, e95)):
             disc = vals[max(0, math.ceil(q * len(vals)) - 1)]
             assert abs(e - disc) <= QSKETCH_W, (et, q, e, disc)
+
+
+def test_heavy_hitters_exact_against_brute_force(spark, sf_dir):
+    """Every returned user truly clears the 0.75% support threshold
+    with its exact count, and no qualifying user is missing."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in REGISTRY["heavy_hitter_users"].builder(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    expected = {u: n for u, n in exact.items() if n * 10000 >= total * 75}
+    assert got == expected
+
+
+def test_pmi_identifies_planted_collocation(spark, sf_dir):
+    """PMI invariants: counts clear the min-count floor, the list is
+    sorted by (pmi desc, w1, w2), and every reported PMI matches the
+    log2 ratio recomputed from exact corpus counts."""
+    import math
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import PMI_MIN_COUNT
+
+    rows = REGISTRY["bigram_pmi_topk"].builder(spark, sf_dir).collect()
+    assert rows
+    keys = [(-r["pmi"], r["w1"], r["w2"]) for r in rows]
+    assert keys == sorted(keys)
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    uni: dict = {}
+    bg: dict = {}
+    n_uni = n_bg = 0
+    for d in docs:
+        ts = d["text"].strip().lower().split()
+        n_uni += len(ts)
+        n_bg += max(len(ts) - 1, 0)
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    for r in rows:
+        assert r["c12"] >= PMI_MIN_COUNT
+        assert bg[(r["w1"], r["w2"])] == r["c12"]
+        expect = math.log2(
+            (r["c12"] / n_bg) / ((uni[r["w1"]] / n_uni) * (uni[r["w2"]] / n_uni))
+        )
+        assert abs(r["pmi"] - expect) < 1e-3, (r, expect)
+
+
+def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
+    """Rank-frequency slope of any real token distribution is negative
+    (frequency decreases with rank) and cannot be steeper than free
+    fall to a single hapax tier."""
+    rows = REGISTRY["zipf_token_slope"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -10.0 < r["zipf_slope"] < 0.0, r
+        assert r["n_ranks"] > 1
