@@ -339,6 +339,49 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def daily_rollup_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily grain derived from the MATERIALIZED hourly partials — the
+    rollup-cascade step (hour -> day -> month) of a continuous
+    aggregate: sums add, counts add, mins/maxes fold, so every coarser
+    grain is one small re-merge over stored state (24 x keys rows per
+    day), never a raw-fact rescan. The oracle recomputes daily stats
+    from the full raw table, so the hash match proves the cascade
+    algebra end to end on the same 4-slice out-of-order maintenance
+    run that backs ``incremental_rollup_hourly``."""
+    path = _maintained_rollup_path(spark, sf_dir)
+    parts = spark.read.parquet(path)
+    day = parts.groupBy(
+        F.date_trunc("day", F.col("hour_ts")).alias("day_ts"),
+        "user_id",
+        "event_type",
+    ).agg(
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("cnt").alias("cnt"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return day.select(
+        "user_id",
+        "event_type",
+        "day_ts",
+        r(F.col("sum_value") / F.col("cnt"), 2).alias("avg_value"),
+        r("min_value", 2).alias("min_value"),
+        r("max_value", 2).alias("max_value"),
+        F.col("cnt").cast("long").alias("n"),
+    )
+
+
+DAILY_ROLLUP_FROM_HOURLY_SQL = f"""
+SELECT user_id, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+       {_R2.format(x="AVG(value)")} AS avg_value,
+       {_R2.format(x="MIN(value)")} AS min_value,
+       {_R2.format(x="MAX(value)")} AS max_value,
+       CAST(COUNT(value) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def incremental_distinct_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly distinct users per event type read from the SAME
     materialized-rollup machinery, exercising the sketch column:
@@ -1298,6 +1341,11 @@ QUERIES: list[Query] = [
           ("continuous_aggregate", "per_node_stats"),
           "materialized hourly rollup maintained from out-of-order "
           "micro-batches == full recompute"),
+    Query("daily_rollup_from_hourly", daily_rollup_from_hourly,
+          DAILY_ROLLUP_FROM_HOURLY_SQL,
+          ("continuous_aggregate", "per_node_stats"),
+          "rollup cascade: daily grain re-merged from the stored hourly "
+          "partials (no raw rescan) == direct daily recompute"),
     Query("ewma_value_smooth", ewma_value_smooth, EWMA_VALUE_SMOOTH_SQL,
           ("rolling_avg_pm25", "timeseries_align"),
           "per-key truncated EWMA smoothing as a pure window expression"),
