@@ -151,7 +151,10 @@ _DRIVER_WINDOW = [
 # event_transition_matrix, value_ks_drift, type_corr_matrix,
 # time_weighted_avg, m4_downsample, table_constraint_report,
 # snapshot_diff_customers, unpivot_metric_stats, prefix_jaccard_neardups,
-# replay_quarantine_counts (+ rows-only bpe_learned_merges). Swap them
+# replay_quarantine_counts, winsorized_value_stats,
+# rollup_quantile_estimate, events_column_profile, props_variant_extract,
+# bigram_pmi_topk, zipf_token_slope, daily_rollup_from_hourly
+# (+ rows-only bpe_learned_merges). Swap them
 # in for this round's entries once CORRECTNESS_r03 records the current
 # window green.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
