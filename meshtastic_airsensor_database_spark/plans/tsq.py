@@ -270,6 +270,92 @@ WHERE d.mad > 0
 """
 
 
+# --- last-touch attribution (attribution_asof) --------------------------------
+
+ATTRIB_TOUCH_TYPES = ("view", "click")
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each 'purchase' is credited to
+    the user's most recent PRECEDING touch event ('view'/'click'),
+    with the touch id/type and the seconds elapsed — the per-conversion
+    as-of question a funnel aggregate can't answer.
+
+    Scale shape: ONE per-user window sort serves all three attributed
+    columns (``last(..., ignorenulls)`` over rows up to the previous
+    event — the LOCF idiom of ``asof_latest_view_value``); the
+    purchase filter then prunes the carried columns. No join at all:
+    the event stream attributes itself in a single exchange on
+    user_id. Ties at the same timestamp break on event_id in BOTH
+    engines, so the ordering is total and cross-engine stable."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    touched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return touched.filter(
+        (F.col("event_type") == "purchase") & F.col("touch_event_id").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "touch_event_id",
+        "touch_type",
+        (F.col("ts").cast("long") - F.col("touch_ts").cast("long"))
+        .cast("bigint")
+        .alias("sec_since_touch"),
+        r("value", 2).alias("attributed_value"),
+    )
+
+
+_TOUCH_IN = ", ".join(f"'{t}'" for t in ATTRIB_TOUCH_TYPES)
+
+LAST_TOUCH_ATTRIBUTION_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ({_TOUCH_IN}) THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_event_id,
+         last_value(CASE WHEN event_type IN ({_TOUCH_IN}) THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type,
+         last_value(CASE WHEN event_type IN ({_TOUCH_IN}) THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+)
+SELECT event_id, user_id, touch_event_id, touch_type,
+       CAST(FLOOR(epoch(ts)) - FLOOR(epoch(touch_ts)) AS BIGINT)
+         AS sec_since_touch,
+       {_R2.format(x="value")} AS attributed_value
+FROM w
+WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+"""
+
+
 # --- incremental rollup (continuous_aggregate) --------------------------------
 
 ROLLUP_SLICES = 4
@@ -1336,6 +1422,11 @@ QUERIES: list[Query] = [
     Query("value_outliers_mad", value_outliers_mad, VALUE_OUTLIERS_MAD_SQL,
           ("robust_outlier_detect",),
           "median/MAD modified z-score outlier detection per user"),
+    Query("last_touch_attribution", last_touch_attribution,
+          LAST_TOUCH_ATTRIBUTION_SQL,
+          ("timeseries_align", "funnel_pattern"),
+          "last-touch purchase attribution: LOCF window carries the "
+          "most recent preceding view/click — one exchange, no join"),
     Query("incremental_rollup_hourly", incremental_rollup_hourly,
           INCREMENTAL_ROLLUP_HOURLY_SQL,
           ("continuous_aggregate", "per_node_stats"),
