@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "heavy_hitter_users",
     "bigram_pmi_topk",
     "zipf_token_slope",
+    "last_touch_attribution",
 ]
 
 
