@@ -58,6 +58,8 @@ SHOWCASE = [
     ("heavy_hitter_users", "exact heavy hitters: per-key partial agg + single-row total broadcast, integer support test"),
     ("bigram_pmi_topk", "PMI collocations: bigrams via narrow transform over token arrays (no posexplode join-back), vocab-sized marginal joins, TakeOrdered top-k"),
     ("zipf_token_slope", "Zipf fit: vocab-sized rank window per lang, regr_slope as partialed hash agg"),
+    ("last_touch_attribution", "last-touch attribution: ONE LOCF window pass carries touch id/type/ts, no join"),
+    ("daily_rollup_from_hourly", "rollup cascade: daily grain re-merged from stored hourly partials, no raw rescan"),
 ]
 
 
