@@ -195,3 +195,28 @@ def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
     for r in rows:
         assert -10.0 < r["zipf_slope"] < 0.0, r
         assert r["n_ranks"] > 1
+
+
+def test_attribution_touch_precedes_purchase(spark, sf_dir):
+    """Every attributed purchase credits a real earlier touch event of
+    an allowed type belonging to the same user."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.tsq import ATTRIB_TOUCH_TYPES
+
+    rows = REGISTRY["last_touch_attribution"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = {
+        r["event_id"]: r
+        for r in load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    }
+    for r in rows:
+        touch = ev[r["touch_event_id"]]
+        assert touch["event_type"] in ATTRIB_TOUCH_TYPES
+        assert touch["event_type"] == r["touch_type"]
+        assert touch["user_id"] == r["user_id"]
+        purchase = ev[r["event_id"]]
+        assert purchase["event_type"] == "purchase"
+        assert (touch["ts"], touch["event_id"]) < (purchase["ts"], purchase["event_id"])
+        assert r["sec_since_touch"] >= 0
