@@ -383,12 +383,50 @@ DISTINCT_MKTSEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 def line_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.6 line_numbering (QuerryGenerator.py:11-16): stable
-    0-based sequence over an explicit total order."""
-    docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
-    return docs.select(
+    0-based sequence over an explicit total order.
+
+    Two-pass partition-offset zipWithIndex (SURVEY §2.6's prescribed
+    scale form) instead of a global ``Window.orderBy`` — the old plan
+    moved the whole table through ONE partition. Pass 1 range-partitions
+    on the total order and counts rows per partition (map-side partial
+    -> one row per partition, bounded driver collect). Pass 2 re-runs
+    the same deterministic range shuffle and numbers rows narrowly:
+    ``monotonically_increasing_id`` encodes (partition id << 33 | row
+    index within partition), and because rows are sorted within each
+    range partition the within-partition index IS the local rank, so
+    line_number = broadcast_offset[pid] + local_index. No Window, no
+    single-partition exchange; the only movement of the table is the one
+    range shuffle of a two-column projection.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
+    ranged = docs.repartitionByRange(
+        n_parts, F.col("n_chars"), F.col("doc_id")
+    ).sortWithinPartitions("n_chars", "doc_id")
+    # Pass 1: per-partition counts. groupBy(spark_partition_id) partials
+    # to exactly one row per partition before the exchange; the collect
+    # is bounded by the partition count, never the row count.
+    counts = {
+        r["_pid"]: r["_cnt"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):  # range partitions are ordered by key
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    # Pass 2: narrow numbering over the same deterministic shuffle.
+    mid = F.monotonically_increasing_id()
+    local_idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    pid = F.shiftright(mid, 33).cast("int")
+    return ranged.select(
         "doc_id",
-        (F.row_number().over(w).cast("long") - 1).alias("line_number"),
+        (F.element_at(off_map, pid) + local_idx).cast("long").alias("line_number"),
     )
 
 

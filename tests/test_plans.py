@@ -406,3 +406,16 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
     plan = plan_of(spark, "unpivot_metric_stats", sf_dir)
     assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_line_numbering_has_no_global_window(spark, sf_dir):
+    """line_numbering must be the two-pass partition-offset form: one
+    range shuffle of the slim projection, narrow id arithmetic on top.
+    The old Window.orderBy-over-everything plan funneled the entire
+    table through a single-partition WindowExec — a 100x-scale killer
+    (the VERDICT r3 defect). Pin: no Window node, no single-partition
+    exchange, and the range partitioning IS present."""
+    plan = plan_of(spark, "line_numbering", sf_dir)
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
