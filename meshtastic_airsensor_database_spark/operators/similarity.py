@@ -209,7 +209,16 @@ def _probe_and_rerank(
         .select(
             F.col(id_col),
             F.col("cluster"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 4).alias("cosine"),
+            # decimal-route rounding (plans/base.py parity rule): plain
+            # double ROUND half-up diverges from DuckDB at .xxxx5
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qv")).cast(
+                    "decimal(38,9)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -557,6 +566,124 @@ def kmeans_ivf_topk(
     centers = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "centroid_id int, centroid_vec array<double>",
+    )
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    return _probe_and_rerank(
+        assigned, centers, q, k, n_probe, id_col, vec_col, query_vec_id, "euclidean"
+    )
+
+
+def assign_to_centroids_euclidean(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2 against an arbitrary
+    (cid, cv) centroid frame — the Euclidean twin of
+    ``assign_ivf_clusters``'s cosine argmax, with the same scale shape:
+    centroids packed into ONE broadcast row, per-vector argmin as a
+    narrow transform + array_max projection (no fan-out, no shuffle).
+    Tie-break: lowest distance, then lowest centroid id (negated id in
+    the struct comparison). Returns (id, vec, cluster)."""
+    cent_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-_euclidean_dist2(F.col(vec_col), c["cv"])).alias("s"),
+            (-c["cid"]).alias("t"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return (
+        fan_out(emb).crossJoin(F.broadcast(cent_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_max(scored)["cid"].alias("cluster"),
+        )
+    )
+
+
+def lloyd_kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic DataFrame-native Lloyd's k-means: init = the first
+    ``n_centroids`` vectors by id, then ``n_iters`` rounds of
+    (Euclidean argmin assignment -> per-dimension mean update). Returns
+    the trained (cid, cv) centroid frame.
+
+    Fully declarative and reproducible — no driver RNG, no sampling, no
+    ML-library dependency — so the whole training loop is expressible as
+    unrolled SQL and the IVF query built on it gets an exact DuckDB
+    oracle (the r3 verdict's ask for ``ann_kmeans_ivf_topk``). Each
+    round's centroid dimensions are rounded via the decimal route
+    (plans/base.py parity rule) so the centroid table is bit-identical
+    across engines regardless of each engine's partial-aggregation
+    summation order.
+
+    Scale shape: assignment is the narrow broadcast argmin (zero
+    shuffle); the update is posexplode -> groupBy(cluster, dim) avg —
+    map-side partials reduce every partition to <= C x dim rows before
+    the exchange — then a C-row repack. The driver never touches
+    vectors; clusters that lose all members simply drop out (same
+    semantics both engines)."""
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    for _ in range(n_iters):
+        assigned = assign_to_centroids_euclidean(emb, cents, id_col, vec_col)
+        dims = assigned.select(
+            "cluster",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
+        )
+        means = dims.groupBy("cluster", "dim").agg(
+            F.round(F.avg("val").cast("decimal(38,9)"), round_digits)
+            .cast("double")
+            .alias("m")
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+    return cents
+
+
+def lloyd_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over ``lloyd_kmeans_centroids`` — trained-centroid IVF
+    with an exact SQL twin. Probe and final assignment both use
+    Euclidean distance (centroids are means, not unit vectors — a
+    cosine probe would rank clusters differently from the assignment
+    and lose recall)."""
+    cents = lloyd_kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    assigned = assign_to_centroids_euclidean(emb, cents, id_col, vec_col)
+    centers = cents.select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centroid_vec")
     )
     q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
     return _probe_and_rerank(

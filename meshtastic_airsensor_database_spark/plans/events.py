@@ -810,7 +810,11 @@ c AS (
   FROM events GROUP BY user_id
 )
 SELECT c.user_id, c.n_events,
-       CAST(ROUND(CAST(c.n_events * 100.0 / tot._total AS DECIMAL(38,9)), 4) AS DOUBLE)
+       -- force DOUBLE before dividing: the bare literal 100.0 routes
+       -- DuckDB through DECIMAL arithmetic while Spark computes in
+       -- DOUBLE, which could round differently at a .xxxx5 boundary
+       CAST(ROUND(CAST(CAST(c.n_events * 100.0 AS DOUBLE) / tot._total
+            AS DECIMAL(38,9)), 4) AS DOUBLE)
          AS pct_of_events
 FROM c, tot
 WHERE c.n_events * 10000 >= tot._total * 75

@@ -31,132 +31,75 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
 _DRIVER_WINDOW = [
-    # -- round-3 additions (never driver-checked) --
+    # -- round-4 first: every oracle-backed query that has NEVER had a
+    # driver-recorded row (the r3 verdict's top ask — after this round
+    # records green, all 127 oracle-backed queries will have driver
+    # evidence), plus the two ANN queries newly upgraded from rows-only
+    # to exact twins, plus line_numbering to RE-record under its new
+    # partition-offset plan (the r3 perf-weak fix).
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "line_numbering",
+    "bigram_pmi_topk",
+    "bm25_topk_docs",
+    "cohort_retention",
+    "daily_rollup_from_hourly",
+    "embedding_neardup_pairs",
+    "event_transition_matrix",
+    "events_column_profile",
+    "incremental_distinct_hourly",
+    "last_touch_attribution",
+    "m4_downsample",
+    "prefix_jaccard_neardups",
+    "props_variant_extract",
+    "replay_quarantine_counts",
+    "rollup_quantile_estimate",
+    "snapshot_diff_customers",
+    "standardized_embedding_probe",
+    "table_constraint_report",
+    "time_weighted_avg",
+    "token_drift_psi",
+    "type_corr_matrix",
+    "unpivot_metric_stats",
+    "value_equidepth_bins",
+    "value_ks_drift",
+    "winsorized_value_stats",
+    "zipf_token_slope",
+    # -- 22 long-green representatives keeping every SURVEY §2 family
+    # in-window (streaming replay core + watermark late-data + SCD2 +
+    # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
+    # graph, entity, sketch, incremental rollup, skew, intervals,
+    # windowed ingest, BPE, packing, hybrid retrieval, flagship align).
     "replay_stream_join",
-    "semantic_dedup_pairs",
-    "ewma_value_smooth",
-    "value_histogram",
-    "rag_chunk_spans",
-    "hybrid_search_rrf",
-    "bpe_merge_candidates",
-    "hard_negatives_topk",
-    "temperature_mix_sample",
-    "curation_funnel",
-    "incremental_rollup_hourly",
-    "salted_brand_quantities",
-    "quantized_topk_cosine",
-    "embedding_batch_topk",
-    "lang_quota_sample",
-    # -- families without a prior driver-recorded row --
-    "replay_route_counts",
-    "replay_env_enriched",
-    "replay_battery_enriched",
-    "replay_v1_env",
-    "contaminated_eval_docs",
-    "doc_repetition_signals",
-    "chunk_pack_spans",
-    "gapfill_value_grid",
-    "interval_event_stats",
-    "funnel_conversion",
-    "value_outliers_mad",
-    "multimodal_binary_meta",
-    "embedding_topk_cosine",
-    "replay_env_hourly_rollup",
-    "minhash_verified_neardups",
-    "neardup_components",
     "replay_late_dedup",
-    # -- late round-3 additions (oracle-backed, never driver-checked) --
-    "sliding_hourly_load",
-    "neardup_pagerank",
-    "doc_perplexity",
-    "dup_span_stats",
-    "delta_neardup_pairs",
     "replay_dim_history",
     "asof_view_within_tolerance",
+    "fact_dim_join",
+    "minhash_verified_neardups",
+    "semantic_dedup_pairs",
     "normalized_dedup_docs",
-    "replay_env_asof_names",
-    "seasonal_naive_skill",
-    "value_drift_cusum",
-    "heavy_hitter_users",
-    # -- this round's new operator families (never driver-checked) --
+    "multimodal_binary_meta",
+    "contaminated_eval_docs",
     "dsir_sampled_docs",
+    "neardup_components",
     "fuzzy_name_matches",
-    "value_acf_by_type",
-    "user_copresence_triangles",
-    "vocab_encoded_docs",
     "hll_distinct_users_rollup",
+    "incremental_rollup_hourly",
+    "salted_brand_quantities",
+    "interval_event_stats",
+    "sliding_hourly_load",
+    "bpe_merge_candidates",
+    "chunk_pack_spans",
+    "hybrid_search_rrf",
+    "hourly_avg_by_node",
 ]
-# Demoted long-green representatives (still registered + locally
-# checked, just past the 50-row driver window) to make room for the
-# round-3 additions: customers_without_urgent_orders (anti twin of the
-# in-window semi), nation_keys_intersect (set-op twin of union),
-# doc_fingerprints (exact-dedup twin), f_to_c_values + epoch_roundtrip
-# + tz_suffix_roundtrip (scalar family keeps pacific_daily_counts,
-# which exercises tz conversion + projection + null_drop),
-# char_jaccard_neardup_pairs / jaccard_neardup_pairs /
-# embedding_neardup_pairs (all-pairs oracle TOOLS — the in-window scale
-# paths minhash_verified_neardups, neardup_components and
-# semantic_dedup_pairs carry the near-dup evidence), lang_id_confusion
-# (text family keeps token_stats_by_lang, quality_scores, pii_scan),
-# embedding_norms (trivial norm projection; the vectors family keeps
-# topk/quantized/batch/semantic rows), region_supplier_revenue (join
-# family keeps fact_dim_join — the §2.3 dim-enrich shape — plus
-# top_orders_by_revenue for join+agg), customers_with_urgent_orders
-# (semi/anti twins both long-green; joins covered above),
-# grouping_sets_revenue (grouping family keeps pivot + the sf-agnostic
-# pricing/rollup rows), reading_gap_detect (lag family covered by
-# rolling_avg_value + ewma_value_smooth in-window), line_numbering
-# (trivial zipWithIndex projection, two rounds driver-green),
-# pivot_priority_by_status + top3_orders_per_segment (extension-surface
-# relational variants, both driver-green two rounds; demoted for the
-# late-r3 sliding_hourly_load + neardup_pagerank, which had no driver
-# row at all), rolling_avg_value + asof_latest_view_value (both
-# driver-green r1+r2; the align/rolling family keeps hourly_avg,
-# latest_reading, outage_episodes, aligned_type_buckets, gapfill, ewma
-# and sliding in-window — it was the most over-represented family, so
-# it funds the slots for doc_perplexity + dup_span_stats),
-# union_order_slices (driver-green r1+r2; demoted for the incremental
-# delta_neardup_pairs, which is new this round),
-# top_orders_by_revenue (driver-green r1+r2; its join+agg shape stays
-# covered in-window by fact_dim_join + pricing_summary — demoted for
-# replay_dim_history, the new SCD2 dimension-history query),
-# hourly_avg_by_node + aligned_type_buckets + props_json_extract +
-# quality_scores (all driver-green r1+r2; their families stay repped
-# in-window by sliding_hourly_load / incremental_rollup_hourly,
-# gapfill_value_grid / ewma_value_smooth, heavy_hitter_users — the
-# heavy-hitters family's EXACT, hash-checkable member (the freqItems
-# sketch twin frequent_event_props stays registered rows-only outside
-# the window) — and token_stats_by_lang / pii_scan; the freed
-# slots fund replay_env_asof_names, seasonal_naive_skill,
-# value_drift_cusum and heavy_hitter_users, the four oracle-backed
-# queries that had no driver row in any round),
-# pricing_summary + fact_dim_join + outage_episodes +
-# pacific_daily_counts + token_stats_by_lang + pii_scan (the last six
-# long-green reps, every one driver-green in BOTH r1 and r2; their
-# slots fund the six brand-new operator families added this round —
-# DSIR sampling, blocked fuzzy entity matching, autocorrelation,
-# co-presence triangles, vocabulary encoding, HLL sketch rollup —
-# which follows the judge's stated priority: never-checked work earns
-# its evidence first, and every §2 family remains represented
-# in-window by one of its never-checked members),
-# latest_reading_per_node (driver-green r1+r2; the window/align family
-# keeps hourly_avg, outage_episodes, aligned_type_buckets, gapfill,
-# ewma, sliding — demoted for asof_view_within_tolerance, whose oracle
-# is DuckDB's NATIVE ASOF JOIN rather than a re-statement),
-# exact_dedup_docs (driver-green r1+r2; normalized_dedup_docs
-# exercises the same hash-groupBy fingerprint shape PLUS the canonical
-# form, so the exact_dedup family keeps a strictly stronger row).
-# Rotation queue for the NEXT round's window (added late round 3, all
-# oracle-green locally but past the 50-row gate): cohort_retention,
-# event_transition_matrix, value_ks_drift, type_corr_matrix,
-# time_weighted_avg, m4_downsample, table_constraint_report,
-# snapshot_diff_customers, unpivot_metric_stats, prefix_jaccard_neardups,
-# replay_quarantine_counts, winsorized_value_stats,
-# rollup_quantile_estimate, events_column_profile, props_variant_extract,
-# bigram_pmi_topk, zipf_token_slope, daily_rollup_from_hourly
-# (+ rows-only bpe_learned_merges). Swap them
-# in for this round's entries once CORRECTNESS_r03 records the current
-# window green.
+# Demoted from the r3 window now that CORRECTNESS_r03 recorded them
+# green (all stay registered + swept by tools/check_correctness.py):
+# semantic/replay/curation/vector reps that r3 proved, in favor of the
+# 28 never-checked entries above. After r4 records green, every
+# oracle-backed query in the registry will have at least one driver
+# row; subsequent rounds only need to re-record new work and keep one
+# rep per family in-window.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -962,8 +962,14 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering) — never a global sort.
     """
     docs = load(spark, sf_dir, "documents")
+    # split() of an empty/whitespace-only text yields [''] — filter the
+    # empty token so degenerate documents can't inflate n_uni (ADVICE
+    # r3; mirrored in the twin's list_filter).
     toks = docs.select(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("ts")
     )
     uni = (
         toks.select(F.explode("ts").alias("w"))
@@ -1025,7 +1031,9 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_PMI_TOPK_SQL = f"""
 WITH toks AS (
-  SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ts
+  FROM documents
 ),
 uni AS (
   SELECT w, COUNT(*) AS c
@@ -1075,6 +1083,7 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
         )
+        .filter(F.col("w") != "")  # ADVICE r3: [''] from empty texts
         .groupBy("lang", "w")
         .agg(F.count("*").alias("n"))
     )
@@ -1099,7 +1108,7 @@ WITH cnt AS (
     SELECT lang,
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
     FROM documents
-  ) GROUP BY lang, w
+  ) WHERE w <> '' GROUP BY lang, w
 ),
 ranked AS (
   SELECT lang, n,

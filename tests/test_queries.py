@@ -152,10 +152,12 @@ def test_heavy_hitters_exact_against_brute_force(spark, sf_dir):
     assert got == expected
 
 
-def test_pmi_identifies_planted_collocation(spark, sf_dir):
+def test_pmi_matches_brute_force_counts(spark, sf_dir):
     """PMI invariants: counts clear the min-count floor, the list is
     sorted by (pmi desc, w1, w2), and every reported PMI matches the
-    log2 ratio recomputed from exact corpus counts."""
+    log2 ratio recomputed from exact corpus counts. (No planted
+    collocation exists in the synthetic corpus to assert on — this
+    pins the arithmetic, not retrieval.)"""
     import math
 
     from meshtastic_airsensor_database_spark.io_utils import load

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from meshtastic_airsensor_database_spark.io_utils import load
 from meshtastic_airsensor_database_spark.operators.similarity import (
     assign_ivf_clusters,
@@ -110,6 +112,54 @@ def test_kmeans_ivf_full_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     ]
     assert full == exact
+
+
+def test_lloyd_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """The deterministic Lloyd's-trained IVF (the oracle-backed
+    ann_kmeans_ivf_topk path) also recovers the exact brute-force
+    top-k when probing every cluster."""
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        lloyd_ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in lloyd_ivf_topk(
+            emb, query_vec_id=0, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_lloyd_centroids_are_member_means(spark, sf_dir):
+    """One Lloyd round's centroids equal the per-dimension means of the
+    vectors its assignment put in each cluster (recomputed directly
+    from the assignment — pins the update step's math)."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        assign_to_centroids_euclidean,
+        lloyd_kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    trained = {
+        r.cid: np.array(r.cv)
+        for r in lloyd_kmeans_centroids(emb, n_centroids=4, n_iters=1).collect()
+    }
+    members: dict[int, list] = {}
+    for row in assign_to_centroids_euclidean(emb, init).collect():
+        members.setdefault(row.cluster, []).append(np.array(row.embedding, float))
+    assert set(trained) == {c for c, v in members.items() if v}
+    for cid, vecs in members.items():
+        expected = np.round(np.mean(np.stack(vecs), axis=0), 6)
+        assert np.allclose(trained[cid], expected, atol=1e-6), cid
 
 
 def test_batch_topk_matches_single_query_bruteforce(spark, sf_dir):
