@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     "bigram_pmi_topk",
     "zipf_token_slope",
     "last_touch_attribution",
+    # r4: previously un-benched families (set-join, intervals, CDC,
+    # graph, trained-centroid ANN) so regressions there are visible
+    # round-over-round (r3 verdict item 5)
+    "prefix_jaccard_neardups",
+    "interval_event_stats",
+    "snapshot_diff_customers",
+    "neardup_components",
+    "ann_kmeans_ivf_topk",
 ]
 
 
