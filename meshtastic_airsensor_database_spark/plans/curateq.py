@@ -776,6 +776,73 @@ FROM counts
 """
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage ACROSS the deterministic content-hash
+    train/val/test split: a verified >=0.8-Jaccard pair whose members
+    land in different splits is evaluation contamination that exact
+    n-gram decontamination (contaminated_eval_docs) cannot see — the
+    near-dup complement every serious training-data pipeline audits
+    before trusting its held-out loss. One row per unordered split
+    pair with the leaking-pair count.
+
+    Scale shape: pairs come from the bucketed-LSH -> exact-verify path
+    (never all-pairs), the split column is a narrow md5 projection, and
+    the two lookups are equi-joins on doc_id followed by one tiny hash
+    aggregate (<= 6 split-pair rows). Oracle: the exact all-pairs twin
+    on the oracle-mirrored sample joined to the same split CTE.
+    """
+    from ..operators.dedup import minhash_lsh_neardup_pairs
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    pairs = minhash_lsh_neardup_pairs(docs, "doc_id", "text", threshold=0.8)
+    splits = _with_split(docs).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("crosses_split", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .textq import (
+        JACCARD_NEARDUP_PAIRS_SQL,
+        NEARDUP_SAMPLE_MAX_ID,
+        _doc_sampled_sql,
+    )
+
+    inner = _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
+    return f"""
+WITH pairs AS (
+  {inner}
+),
+{_SPLIT_CTE}
+SELECT split_lo, split_hi, n_pairs, split_lo <> split_hi AS crosses_split
+FROM (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs p
+  JOIN split_docs sa ON p.doc_a = sa.doc_id
+  JOIN split_docs sb ON p.doc_b = sb.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+SPLIT_LEAKAGE_REPORT_SQL = _split_leakage_sql()
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -818,4 +885,10 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "population-stability-index drift report over hashed-token "
           "buckets between the train and val slices"),
+    Query("split_leakage_report", split_leakage_report,
+          SPLIT_LEAKAGE_REPORT_SQL,
+          ("near_dedup", "text_analysis"),
+          "verified near-dup pairs crossing the hash train/val/test "
+          "split — the eval-contamination audit n-gram decontamination "
+          "misses"),
 ]

@@ -143,6 +143,59 @@ FROM flagged GROUP BY user_id
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates via Spark's NATIVE
+    ``F.session_window`` — the same operator the streaming engine uses
+    for watermarked session aggregation, and the scale-preferred form
+    next to ``session_counts``' manual lag/flag/running-sum
+    sessionization: sessions merge INSIDE one hash aggregate (map-side
+    partial session merging), no ordered window function over the
+    event table. Output pins the full session-window semantics:
+    start = first event, end = last event + gap.
+
+    Oracle: island detection (lag > gap -> break, running sum -> group)
+    with end re-derived as max(ts) + gap, which is definitionally
+    equivalent.
+    """
+    ev = load(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", f"{GAP_SECONDS} seconds")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        r(F.sum("value"), 4).alias("sum_value"),
+    )
+    return sw.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SESSION_WINDOW_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > {GAP_SECONDS}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+grp AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {GAP_SECONDS} SECOND AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,9)), 4) AS DOUBLE) AS sum_value
+FROM grp GROUP BY user_id, g
+"""
+
+
 # --- sliding windows (SURVEY §2.9 windowed_ingest, overlapping variant) -------
 
 SLIDE_WIDTH_S = 7200
@@ -873,6 +926,12 @@ QUERIES: list[Query] = [
           ("rolling_avg_pm25",), "trailing 1h range-window average"),
     Query("session_counts", session_counts, SESSION_COUNTS_SQL,
           ("windowed_ingest", "offline_detection"), "gap-based sessionization"),
+    Query("session_window_stats", session_window_stats,
+          SESSION_WINDOW_STATS_SQL,
+          ("windowed_ingest", "offline_detection"),
+          "native F.session_window per-user session aggregates "
+          "(sessions merge inside one hash agg; start/end semantics "
+          "pinned)"),
     Query("props_variant_extract", props_variant_extract,
           PROPS_VARIANT_EXTRACT_SQL, ("json_envelope_parse",),
           "VARIANT-typed JSON access: parse once, typed try_variant_get"),

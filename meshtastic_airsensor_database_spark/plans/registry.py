@@ -65,18 +65,23 @@ _DRIVER_WINDOW = [
     "value_ks_drift",
     "winsorized_value_stats",
     "zipf_token_slope",
+    # -- round-4 NEW queries (never driver-checked, added this round):
+    # quality-aware dedup survivor selection, near-dup split-leakage
+    # audit, per-source vocabulary growth.
+    "quality_survivor_docs",
+    "split_leakage_report",
+    "vocab_growth_by_source",
+    "session_window_stats",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
     # graph, entity, sketch, incremental rollup, skew, intervals,
     # windowed ingest, BPE, packing, hybrid retrieval, flagship align).
-    "replay_stream_join",
     "replay_late_dedup",
     "replay_dim_history",
     "asof_view_within_tolerance",
     "fact_dim_join",
     "minhash_verified_neardups",
-    "semantic_dedup_pairs",
     "normalized_dedup_docs",
     "multimodal_binary_meta",
     "contaminated_eval_docs",
@@ -87,12 +92,18 @@ _DRIVER_WINDOW = [
     "incremental_rollup_hourly",
     "salted_brand_quantities",
     "interval_event_stats",
-    "sliding_hourly_load",
     "bpe_merge_candidates",
     "chunk_pack_spans",
-    "hybrid_search_rrf",
     "hourly_avg_by_node",
 ]
+# The four slots for the round-4 new queries came from
+# replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf and
+# sliding_hourly_load — all r3 driver-green, and their families stay
+# in-window (replay via replay_late_dedup/replay_dim_history/
+# replay_quarantine_counts, vectors via the ann_* pair +
+# embedding_neardup_pairs + standardized_embedding_probe, retrieval
+# via bm25_topk_docs, windowed_ingest via the never-checked
+# session_window_stats itself plus hourly_avg_by_node).
 # Demoted from the r3 window now that CORRECTNESS_r03 recorded them
 # green (all stay registered + swept by tools/check_correctness.py):
 # semantic/replay/curation/vector reps that r3 proved, in favor of the

@@ -1124,6 +1124,74 @@ GROUP BY lang
 """
 
 
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal vocabulary contribution per source: walking sources in
+    lexical order, how many distinct tokens each source introduces that
+    no earlier source contains, plus the running vocabulary size — the
+    diversity diagnostic for choosing which corpus slices actually add
+    coverage (a source whose new_tokens ~ 0 is redundant with what is
+    already mixed in).
+
+    Scale shape: one explode -> per-token MIN(source) hash aggregate
+    (map-side partialed; the shuffle carries one row per distinct
+    token, never per occurrence) -> a per-source count -> a running sum
+    over the <= |sources| aggregated rows (bounded window, same class
+    as the whitelisted totals). Oracle mirrors token-for-token.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    first = toks.groupBy("w").agg(F.min("source").alias("source"))
+    counts = first.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    # keep zero-contribution sources in the curve (a source whose
+    # every token was already seen is exactly the signal this query
+    # exists to surface)
+    per = (
+        docs.select("source")
+        .distinct()
+        .join(counts, "source", "left")
+        .select(
+            "source",
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+        )
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn(
+        "cumulative_vocab", F.sum("new_tokens").over(w).cast("long")
+    )
+
+
+VOCAB_GROWTH_BY_SOURCE_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+first_seen AS (
+  SELECT w, MIN(source) AS source FROM toks WHERE w <> '' GROUP BY w
+),
+counts AS (
+  SELECT source, COUNT(*) AS n FROM first_seen GROUP BY source
+),
+per AS (
+  SELECT s.source, CAST(COALESCE(c.n, 0) AS BIGINT) AS new_tokens
+  FROM (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN counts c ON s.source = c.source
+)
+SELECT source, new_tokens,
+       CAST(SUM(new_tokens) OVER (
+         ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_vocab
+FROM per
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1132,6 +1200,11 @@ QUERIES: list[Query] = [
           "normalization-insensitive exact dedup (canonical-form md5)"),
     Query("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL,
           ("text_analysis",), "whitespace token counting"),
+    Query("vocab_growth_by_source", vocab_growth_by_source,
+          VOCAB_GROWTH_BY_SOURCE_SQL,
+          ("text_analysis",),
+          "marginal vocabulary contribution per source (first-seen "
+          "token attribution + running vocab size)"),
     Query("quality_scores", quality_scores, QUALITY_SCORES_SQL,
           ("text_analysis",), "length/punct/stopword quality gate"),
     Query("lang_id_confusion", lang_id_confusion, LANG_ID_CONFUSION_SQL,

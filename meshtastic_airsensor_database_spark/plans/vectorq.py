@@ -767,7 +767,11 @@ def neardup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs, "doc_id", "text", threshold=0.8)
 
 
-def _neardup_components_sql() -> str:
+def _neardup_comp_ctes() -> str:
+    """Shared recursive-CTE block (pairs -> edges -> min-label closure
+    -> comp) used by every twin that needs the exact connected
+    components of the >=0.8-Jaccard graph on the oracle-mirrored
+    sample."""
     from .textq import (
         JACCARD_NEARDUP_PAIRS_SQL,
         NEARDUP_SAMPLE_MAX_ID,
@@ -775,8 +779,7 @@ def _neardup_components_sql() -> str:
     )
 
     inner = _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID)
-    return f"""
-WITH RECURSIVE pairs AS (
+    return f"""pairs AS (
   {inner}
 ), edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -788,7 +791,14 @@ WITH RECURSIVE pairs AS (
   SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
 ), comp AS (
   SELECT u AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY u
-)
+)"""
+
+
+def _neardup_components_sql() -> str:
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    return f"""
+WITH RECURSIVE {_neardup_comp_ctes()}
 SELECT d.doc_id,
        COALESCE(c.component_id, d.doc_id) AS component_id,
        COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
@@ -798,6 +808,65 @@ LEFT JOIN comp c ON c.doc_id = d.doc_id
 
 
 _NEARDUP_COMPONENTS_SQL = _neardup_components_sql()
+
+
+def quality_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster — what a
+    curation run actually keeps: within each transitive >=0.8-Jaccard
+    component, the LONGEST document wins (max n_chars, ties to the
+    lowest doc_id), not simply the minimum id. One row per component
+    with the survivor and member stats.
+
+    Scale shape: the cluster labels come from the bucketed-LSH ->
+    verify -> alternating-star CC pipeline (all bounded, no all-pairs),
+    the quality join is an equi-join on doc_id, and the arg-max is a
+    map-side-partialed ``max_by`` hash aggregate — no window over the
+    corpus. Oracle: the shared recursive-CTE components plus a
+    first_value window per component.
+    """
+    from ..operators.dedup import neardup_clusters
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    comp = neardup_clusters(docs, "doc_id", "text", threshold=0.8)
+    m = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return m.groupBy("component_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_t"))
+        ).alias("survivor_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def _quality_survivor_sql() -> str:
+    from .textq import NEARDUP_SAMPLE_MAX_ID
+
+    return f"""
+WITH RECURSIVE {_neardup_comp_ctes()},
+members AS (
+  SELECT d.doc_id,
+         COALESCE(c.component_id, d.doc_id) AS component_id,
+         d.n_chars
+  FROM (SELECT doc_id, n_chars FROM documents
+        WHERE doc_id < {NEARDUP_SAMPLE_MAX_ID}) d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT component_id, survivor_doc_id, n_members, max_chars FROM (
+  SELECT component_id,
+         first_value(doc_id) OVER w AS survivor_doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members,
+         CAST(MAX(n_chars) OVER (PARTITION BY component_id) AS BIGINT) AS max_chars,
+         row_number() OVER w AS rn
+  FROM members
+  WINDOW w AS (PARTITION BY component_id ORDER BY n_chars DESC, doc_id)
+) WHERE rn = 1
+"""
+
+
+_QUALITY_SURVIVOR_SQL = _quality_survivor_sql()
 
 
 # Deterministic batch membership for the incremental-dedup query: every
@@ -1209,6 +1278,10 @@ QUERIES: list[Query] = [
     Query("neardup_pagerank", neardup_pagerank_q, _NEARDUP_PAGERANK_SQL,
           ("near_dedup",),
           "fixed-3-iteration PageRank centrality over the near-dup graph"),
+    Query("quality_survivor_docs", quality_survivor_docs, _QUALITY_SURVIVOR_SQL,
+          ("near_dedup", "exact_dedup"),
+          "quality-aware (longest-doc) canonical survivor per "
+          "transitive near-dup cluster"),
     Query("neardup_components", neardup_components_q, _NEARDUP_COMPONENTS_SQL,
           ("near_dedup",),
           "transitive dedup clusters via alternating-star connected components "

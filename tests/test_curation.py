@@ -248,3 +248,35 @@ def test_dsir_gumbel_topk_deterministic_and_bounded(spark):
     # identical imp_w everywhere -> selection is ranked purely by the
     # md5-derived Gumbel noise, which is a fixed function of doc_id
     assert len(set(a)) == 5
+
+
+def test_split_leakage_report_consistent_with_splits(spark, sf_dir):
+    """Every reported pair count must be reproducible by classifying
+    the verified near-dup pairs with the split assignment directly;
+    cross-split rows (and only those) carry crosses_split=True."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        minhash_lsh_neardup_pairs,
+    )
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+    from meshtastic_airsensor_database_spark.plans.curateq import _with_split
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        NEARDUP_SAMPLE_MAX_ID,
+    )
+
+    rows = REGISTRY["split_leakage_report"].builder(spark, sf_dir).collect()
+    got = {(r["split_lo"], r["split_hi"]): r["n_pairs"] for r in rows}
+    assert all(
+        r["crosses_split"] == (r["split_lo"] != r["split_hi"]) for r in rows
+    )
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    split = {
+        r["doc_id"]: r["split"] for r in _with_split(docs).collect()
+    }
+    expected: dict = {}
+    for p in minhash_lsh_neardup_pairs(docs, "doc_id", "text", 0.8).collect():
+        key = tuple(sorted((split[p["id_a"]], split[p["id_b"]])))
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected

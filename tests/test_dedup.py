@@ -427,3 +427,35 @@ def test_prefix_filtered_equals_brute_force(spark):
             .collect()
         }
         assert got == brute, f"threshold {t}"
+
+
+def test_quality_survivor_is_longest_member(spark, sf_dir):
+    """The survivor of every cluster must be a member whose n_chars is
+    the cluster max (ties broken to the lowest doc_id), and member
+    counts must partition the sample."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.dedup import (
+        neardup_clusters,
+    )
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        NEARDUP_SAMPLE_MAX_ID,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NEARDUP_SAMPLE_MAX_ID
+    )
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    members: dict = {}
+    for r in neardup_clusters(docs, "doc_id", "text", threshold=0.8).collect():
+        members.setdefault(r["component_id"], []).append(r["doc_id"])
+    rows = REGISTRY["quality_survivor_docs"].builder(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rows) == len(chars)
+    for r in rows:
+        comp = members[r["component_id"]]
+        assert len(comp) == r["n_members"]
+        best = min(
+            comp, key=lambda d: (-chars[d], d)
+        )
+        assert r["survivor_doc_id"] == best
+        assert r["max_chars"] == max(chars[d] for d in comp)

@@ -87,3 +87,26 @@ def test_self_derived_sides_resolve_unambiguously(spark):
     # only the ts=100 point falls in [100, 220]; a trivially-true join
     # condition would also pass the ts=7000 point through
     assert [r.value for r in got.collect()] == [10.0]
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """F.session_window's session end is last_ts + gap and an event AT
+    that boundary merges (break rule is diff > gap, not >=) — the
+    semantics the session_window_stats oracle's island detection
+    mirrors."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"),
+         (1, "2024-01-01 00:30:00"),   # exactly gap after -> merges
+         (1, "2024-01-01 01:30:01")],  # gap + 1s after -> new session
+        "user_id int, s string",
+    ).select("user_id", F.to_timestamp("s").alias("ts"))
+    rows = (
+        df.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r["n"] for r in rows] == [2, 1]
+    assert str(rows[0]["session_window"]["end"]) == "2024-01-01 01:00:00"

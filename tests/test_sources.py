@@ -110,10 +110,14 @@ def test_bridge_golden_session_replay_end_to_end(spark, tmp_path):
         process_packet_batch,
     )
 
+    # lives in a SUBDIRECTORY of fixtures/: the golden-replay queries
+    # stream fixtures/ itself as a landing dir (top-level files only),
+    # so a transcript at the top level would be ingested as packets
     transcript_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures",
-        "bridge_session_transcript.jsonl",
+        "bridge",
+        "session_transcript.jsonl",
     )
     events = [
         _json.loads(line)

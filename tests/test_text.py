@@ -212,3 +212,32 @@ def test_encode_docs_order_and_oov(spark):
     assert got[0]["ids_head"] == "1 0 2 1"
     assert got[0]["n_tokens"] == 4 and got[0]["n_oov"] == 1
     assert got[1]["ids_head"] == "0" and got[1]["n_oov"] == 0
+
+
+def test_vocab_growth_curve_is_consistent(spark, sf_dir):
+    """new_tokens must sum to the corpus-wide distinct token count,
+    the cumulative column must be the running sum in source order, and
+    every source appears exactly once (zero-contribution sources
+    included)."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["vocab_growth_by_source"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["source"],
+    )
+    docs = load(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    vocab = (
+        docs.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    running = 0
+    for r in rows:
+        running += r["new_tokens"]
+        assert r["cumulative_vocab"] == running
+    assert running == vocab
