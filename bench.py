@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "snapshot_diff_customers",
     "neardup_components",
     "ann_kmeans_ivf_topk",
+    "session_window_stats",
+    "weighted_quality_sample",
 ]
 
 

@@ -843,6 +843,55 @@ FROM (
 SPLIT_LEAKAGE_REPORT_SQL = _split_leakage_sql()
 
 
+WQS_K = 50
+_WQS_DENOM = float(16**15 + 1)
+
+
+def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    arXiv:cs/0509026), derandomized: each doc draws a uniform
+    u in (0,1) from its md5 and ranks by key = ln(u)/w with weight
+    w = n_chars, so longer documents are proportionally more likely to
+    survive a corpus downsample — the quality-weighted cousin of the
+    per-language hash quotas. Deterministic, so reproducible across
+    runs AND engines; the top-K by key IS the weighted sample.
+
+    Scale shape: one narrow projection (md5 + arithmetic in codegen)
+    into TakeOrderedAndProject — no shuffle, no window, no driver RNG.
+    A-ES keys merge associatively, so the same query distributes to any
+    number of partitions unchanged.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_WQS_DENOM)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            r(key, 6).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WQS_K)
+    )
+
+
+WEIGHTED_QUALITY_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(ROUND(CAST(
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT)::DOUBLE + 1.0) / {_WQS_DENOM!r})
+         / CAST(n_chars AS DOUBLE)
+       AS DECIMAL(38,9)), 6) AS DOUBLE) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT {WQS_K}
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -891,4 +940,9 @@ QUERIES: list[Query] = [
           "verified near-dup pairs crossing the hash train/val/test "
           "split — the eval-contamination audit n-gram decontamination "
           "misses"),
+    Query("weighted_quality_sample", weighted_quality_sample,
+          WEIGHTED_QUALITY_SAMPLE_SQL,
+          ("text_analysis",),
+          "derandomized Efraimidis-Spirakis weighted sampling without "
+          "replacement (quality-proportional corpus downsample)"),
 ]

@@ -72,6 +72,7 @@ _DRIVER_WINDOW = [
     "split_leakage_report",
     "vocab_growth_by_source",
     "session_window_stats",
+    "weighted_quality_sample",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -93,17 +94,17 @@ _DRIVER_WINDOW = [
     "salted_brand_quantities",
     "interval_event_stats",
     "bpe_merge_candidates",
-    "chunk_pack_spans",
     "hourly_avg_by_node",
 ]
-# The four slots for the round-4 new queries came from
-# replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf and
-# sliding_hourly_load — all r3 driver-green, and their families stay
-# in-window (replay via replay_late_dedup/replay_dim_history/
-# replay_quarantine_counts, vectors via the ann_* pair +
-# embedding_neardup_pairs + standardized_embedding_probe, retrieval
-# via bm25_topk_docs, windowed_ingest via the never-checked
-# session_window_stats itself plus hourly_avg_by_node).
+# The five slots for the round-4 new queries came from
+# replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
+# sliding_hourly_load and chunk_pack_spans — all r3 driver-green, and
+# their families stay covered (replay via replay_late_dedup/
+# replay_dim_history/replay_quarantine_counts, vectors via the ann_*
+# pair + embedding_neardup_pairs + standardized_embedding_probe,
+# retrieval via bm25_topk_docs, windowed_ingest via the never-checked
+# session_window_stats itself plus hourly_avg_by_node, packing via
+# chunk_pack_spans' r3 driver record).
 # Demoted from the r3 window now that CORRECTNESS_r03 recorded them
 # green (all stay registered + swept by tools/check_correctness.py):
 # semantic/replay/curation/vector reps that r3 proved, in favor of the

@@ -280,3 +280,35 @@ def test_split_leakage_report_consistent_with_splits(spark, sf_dir):
         key = tuple(sorted((split[p["id_a"]], split[p["id_b"]])))
         expected[key] = expected.get(key, 0) + 1
     assert got == expected
+
+
+def test_weighted_quality_sample_matches_brute_force(spark, sf_dir):
+    """The derandomized A-ES top-K must equal a direct Python
+    recomputation of key = ln(md5-uniform)/n_chars over every doc, and
+    heavier docs must be overrepresented relative to a uniform draw
+    (the sample's mean weight exceeds the corpus mean)."""
+    import hashlib
+    import math
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+    from meshtastic_airsensor_database_spark.plans.curateq import (
+        _WQS_DENOM,
+        WQS_K,
+    )
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+
+    def key(doc_id: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return math.log((float(h) + 1.0) / _WQS_DENOM) / float(docs[doc_id])
+
+    expected = sorted(docs, key=lambda d: (-round(key(d), 6), d))[:WQS_K]
+    rows = REGISTRY["weighted_quality_sample"].builder(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in rows] == expected
+    mean_sample = sum(docs[d] for d in expected) / WQS_K
+    mean_corpus = sum(docs.values()) / len(docs)
+    assert mean_sample > mean_corpus

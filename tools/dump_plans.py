@@ -60,6 +60,11 @@ SHOWCASE = [
     ("zipf_token_slope", "Zipf fit: vocab-sized rank window per lang, regr_slope as partialed hash agg"),
     ("last_touch_attribution", "last-touch attribution: ONE LOCF window pass carries touch id/type/ts, no join"),
     ("daily_rollup_from_hourly", "rollup cascade: daily grain re-merged from stored hourly partials, no raw rescan"),
+    ("line_numbering", "global sequence via partition-offset numbering: one range shuffle + narrow id arithmetic, NO single-partition WindowExec (r4 fix)"),
+    ("ann_kmeans_ivf_topk", "trained-centroid IVF: deterministic Lloyd's rounds as broadcast argmin + (cluster,dim) partial aggs; probe/re-rank broadcast-only"),
+    ("session_window_stats", "native session windows: sessions merge inside ONE hash agg, no ordered window over the event table"),
+    ("split_leakage_report", "near-dup split leakage: LSH-verified pairs x md5 split via two doc_id equi-joins into a <=6-row agg"),
+    ("vocab_growth_by_source", "vocab growth: per-token MIN(source) agg (shuffle carries distinct tokens), running sum over <=|sources| rows"),
 ]
 
 
