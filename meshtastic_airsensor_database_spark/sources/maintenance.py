@@ -122,3 +122,183 @@ def compact_partitions(
         files_before=files_before,
         files_after=sum(n for n, _ in after.values()),
     )
+
+
+@dataclass(frozen=True)
+class ErasureReport:
+    """What a right-to-erasure pass touched (and, as important, what it
+    provably did not)."""
+
+    rows_deleted: int
+    fact_partitions_total: int
+    fact_partitions_rewritten: int
+    fact_partitions_removed: int
+    rollup_dates_rewritten: int
+    rollup_mode: str  # 'row-drop' | 'rebuild' | 'none'
+
+
+def _overwrite_partitions(df, path: str, partition_by: str) -> None:
+    """Dynamic-partition-overwrite write (the compact_partitions swap
+    discipline): only the partitions present in ``df`` are replaced."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _drop_partition_dirs(
+    spark: SparkSession, path: str, partition_by: str, values: list[str]
+) -> int:
+    """Remove partition directories outright — dynamic overwrite cannot
+    touch a partition for which the rewritten frame has ZERO rows, so a
+    partition wholly owned by the erased subject must be deleted at the
+    filesystem level or its data would silently survive."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    removed = 0
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(path, f"{partition_by}={v}")
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed
+
+
+def erase_key(
+    spark: SparkSession,
+    fact_path: str,
+    partition_by: str,
+    key_col: str,
+    key_value,
+    rollup_path: str | None = None,
+    rollup_keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ErasureReport:
+    """Right-to-erasure over the parquet lake: delete every fact row of
+    one subject (``key_col = key_value``) by rewriting ONLY the
+    partitions that contain it, then repair the materialized hourly
+    rollup. The 100-TB discipline is what is NOT done: no full-table
+    rewrite, no full rollup recompute, untouched partitions stay
+    byte-identical (their files are never listed for rewrite).
+
+    Phase 1 — locate: a column-pruned scan of (partition, key) finds the
+    affected partitions and the subject's row count; parquet row-group
+    min/max stats on ``key_col`` prune most files without reading data
+    pages.
+
+    Phase 2 — facts: affected partitions are re-read, the subject's
+    rows filtered out (null-safe), and swapped in via dynamic partition
+    overwrite. A partition wholly owned by the subject produces zero
+    output rows — dynamic overwrite cannot replace it, so its directory
+    is removed at the filesystem level.
+
+    Phase 3 — rollup (when ``rollup_path`` is given): two regimes.
+    If ``key_col`` is one of the rollup's grouping keys, the subject's
+    contribution lives in its own rollup rows — retraction is a plain
+    row-drop rewrite of the affected DATE partitions (cheap, no fact
+    rescan). Otherwise sum/count partials would need subtraction but
+    min/max and HLL sketches are NOT retractable, so the affected dates
+    are REBUILT from the post-erasure facts — bounded by the subject's
+    event-time spread, never the table.
+    """
+    from ..streaming.rollup import ROLLUP_PARTITION_COL, _merge, _partials
+
+    facts = spark.read.parquet(fact_path)
+    subject = F.col(key_col).eqNullSafe(F.lit(key_value))
+    located = (
+        facts.filter(subject)
+        .groupBy(F.col(partition_by).cast("string").alias("_pv"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    affected = [r["_pv"] for r in located]
+    rows_deleted = int(sum(r["_n"] for r in located))
+    n_parts_total = len(_partition_file_stats(spark, fact_path, partition_by))
+    if not affected:
+        return ErasureReport(0, n_parts_total, 0, 0, 0, "none")
+
+    # the subject's event-time spread, captured BEFORE the rows vanish
+    touched_dates = [
+        str(r["_d"])
+        for r in facts.filter(subject)
+        .select(F.to_date(F.col(ts_col)).alias("_d"))
+        .distinct()
+        .collect()
+    ]
+
+    kept = facts.filter(
+        F.col(partition_by).cast("string").isin(affected)
+    ).filter(~subject)
+    kept = kept.localCheckpoint(eager=True)  # plan reads the path it overwrites
+    nonempty = {
+        str(r["_pv"])
+        for r in kept.select(F.col(partition_by).cast("string").alias("_pv"))
+        .distinct()
+        .collect()
+    }
+    if nonempty:
+        _overwrite_partitions(
+            kept.filter(F.col(partition_by).cast("string").isin(list(nonempty))),
+            fact_path,
+            partition_by,
+        )
+    removed = _drop_partition_dirs(
+        spark, fact_path, partition_by, [pv for pv in affected if pv not in nonempty]
+    )
+
+    rollup_mode = "none"
+    rollup_dates = 0
+    if rollup_path is not None and rollup_keys is not None:
+        roll = spark.read.parquet(rollup_path)
+        in_dates = F.col(ROLLUP_PARTITION_COL).cast("string").isin(touched_dates)
+        if key_col in rollup_keys:
+            rollup_mode = "row-drop"
+            kept_roll = roll.filter(in_dates).filter(~subject)
+        else:
+            rollup_mode = "rebuild"
+            post = spark.read.parquet(fact_path).filter(
+                F.to_date(F.col(ts_col)).cast("string").isin(touched_dates)
+            )
+            kept_roll = _merge(
+                _partials(post, rollup_keys, ts_col, value_col), rollup_keys
+            )
+        kept_roll = kept_roll.localCheckpoint(eager=True)
+        nonempty_dates = {
+            str(r["_d"])
+            for r in kept_roll.select(
+                F.col(ROLLUP_PARTITION_COL).cast("string").alias("_d")
+            )
+            .distinct()
+            .collect()
+        }
+        if nonempty_dates:
+            _overwrite_partitions(
+                kept_roll.filter(
+                    F.col(ROLLUP_PARTITION_COL).cast("string").isin(list(nonempty_dates))
+                ),
+                rollup_path,
+                ROLLUP_PARTITION_COL,
+            )
+        _drop_partition_dirs(
+            spark,
+            rollup_path,
+            ROLLUP_PARTITION_COL,
+            [d for d in touched_dates if d not in nonempty_dates],
+        )
+        rollup_dates = len(touched_dates)
+
+    return ErasureReport(
+        rows_deleted=rows_deleted,
+        fact_partitions_total=n_parts_total,
+        fact_partitions_rewritten=len(nonempty),
+        fact_partitions_removed=removed,
+        rollup_dates_rewritten=rollup_dates,
+        rollup_mode=rollup_mode,
+    )

@@ -72,3 +72,113 @@ def test_compaction_noop_on_healthy_table(spark, tmp_path):
     report = compact_partitions(spark, path, "d", small_file_mb=1.0)
     assert report.partitions_compacted == 0
     assert _files_of(path, "d=a") == files
+
+
+def _erasure_fixture(spark, tmp_path):
+    """Partitioned facts for three users; user 7 owns ALL of date
+    2024-01-03 (the full-partition edge) and parts of 01 and 02."""
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        maintain_rollup,
+    )
+
+    fact_path = str(tmp_path / "facts")
+    rollup_path = str(tmp_path / "rollup")
+    rows = []
+    for day, hour, user, value in [
+        (1, 0, 7, 1.0), (1, 0, 8, 2.0), (1, 5, 9, 3.0),
+        (2, 3, 7, 4.0), (2, 3, 8, 5.0),
+        (3, 1, 7, 6.0), (3, 2, 7, 7.0),   # date wholly owned by user 7
+        (4, 6, 8, 8.0), (4, 7, 9, 9.0),
+    ]:
+        rows.append((f"2024-01-0{day} 0{hour}:00:00", user, value))
+    facts = spark.createDataFrame(rows, "s string, user_id long, value double").select(
+        F.to_timestamp("s").alias("ts"),
+        "user_id",
+        "value",
+        F.to_date(F.to_timestamp("s")).alias("event_date"),
+    )
+    facts.write.partitionBy("event_date").parquet(fact_path)
+    maintain_rollup(
+        spark.read.parquet(fact_path), rollup_path, keys=["user_id"]
+    )
+    return fact_path, rollup_path
+
+
+def test_erase_key_rewrites_only_affected_partitions(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.sources.maintenance import erase_key
+
+    fact_path, rollup_path = _erasure_fixture(spark, tmp_path)
+    untouched_before = _files_of(fact_path, "event_date=2024-01-04")
+
+    rep = erase_key(
+        spark, fact_path, "event_date", "user_id", 7,
+        rollup_path=rollup_path, rollup_keys=["user_id"],
+    )
+    assert rep.rows_deleted == 4
+    assert rep.fact_partitions_total == 4
+    assert rep.fact_partitions_rewritten == 2      # 01 and 02 keep rows
+    assert rep.fact_partitions_removed == 1        # 03 was wholly user 7's
+    assert rep.rollup_mode == "row-drop"
+
+    post = spark.read.parquet(fact_path)
+    assert post.filter(F.col("user_id") == 7).count() == 0
+    assert post.count() == 5                        # everyone else intact
+    assert not os.path.isdir(os.path.join(fact_path, "event_date=2024-01-03"))
+    # the unaffected partition's files were never rewritten
+    assert _files_of(fact_path, "event_date=2024-01-04") == untouched_before
+
+    # rollup no longer mentions the subject and equals a from-scratch
+    # rebuild over the post-erasure facts
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        _merge, _partials,
+    )
+
+    roll = spark.read.parquet(rollup_path)
+    assert roll.filter(F.col("user_id") == 7).count() == 0
+    expected = {
+        (str(r["hour_ts"]), r["user_id"], r["sum_value"], r["cnt"])
+        for r in _merge(_partials(post, ["user_id"], "ts", "value"), ["user_id"]).collect()
+    }
+    got = {
+        (str(r["hour_ts"]), r["user_id"], r["sum_value"], r["cnt"])
+        for r in roll.collect()
+    }
+    assert got == expected
+
+
+def test_erase_key_rebuild_mode_and_idempotency(spark, tmp_path):
+    """When the rollup is NOT keyed by the subject, affected dates are
+    rebuilt from post-erasure facts (sketch/min-max partials are not
+    retractable); a second erase is a no-op."""
+    from meshtastic_airsensor_database_spark.sources.maintenance import erase_key
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        _merge, _partials, maintain_rollup,
+    )
+
+    fact_path, _ = _erasure_fixture(spark, tmp_path)
+    rollup_path = str(tmp_path / "rollup_global")
+    maintain_rollup(spark.read.parquet(fact_path), rollup_path, keys=[])
+
+    rep = erase_key(
+        spark, fact_path, "event_date", "user_id", 7,
+        rollup_path=rollup_path, rollup_keys=[],
+    )
+    assert rep.rollup_mode == "rebuild"
+    post = spark.read.parquet(fact_path)
+    roll = spark.read.parquet(rollup_path)
+    expected = {
+        (str(r["hour_ts"]), r["sum_value"], r["cnt"], r["min_value"], r["max_value"])
+        for r in _merge(_partials(post, [], "ts", "value"), []).collect()
+    }
+    got = {
+        (str(r["hour_ts"]), r["sum_value"], r["cnt"], r["min_value"], r["max_value"])
+        for r in roll.collect()
+    }
+    assert got == expected
+
+    rep2 = erase_key(
+        spark, fact_path, "event_date", "user_id", 7,
+        rollup_path=rollup_path, rollup_keys=[],
+    )
+    assert rep2.rows_deleted == 0 and rep2.fact_partitions_rewritten == 0
+    assert rep2.rollup_mode == "none"
