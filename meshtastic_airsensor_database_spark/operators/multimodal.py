@@ -323,6 +323,44 @@ def frame_sample(media: DataFrame, every_n: int = 2, max_frames: int = 16) -> Da
     return media.select("media_id", "content").mapInPandas(op, FRAME_SCHEMA)
 
 
+def frame_sample_udtf(
+    media: DataFrame, every_n: int = 2, max_frames: int = 16
+) -> DataFrame:
+    """``frame_sample`` through Spark 4's native Python UDTF API
+    (user-defined TABLE function + LATERAL join) instead of
+    mapInPandas — the declarative form of the 1:N flat-map: Catalyst
+    sees a real generator relation (it can push limits/projections
+    around it, and the lateral join distributes like any generate),
+    while the demux logic stays row-local Python. Frame-for-frame
+    parity with the mapInPandas path is pinned in tests; the same
+    ``max_frames`` cap bounds the per-row output amplification."""
+    from pyspark.sql.functions import lit, udtf
+
+    spark = media.sparkSession
+    en, mf, fb = int(every_n), int(max_frames), FRAME_BYTES
+
+    @udtf(returnType=FRAME_SCHEMA)
+    class _FrameSampler:
+        def eval(self, media_id, content):  # noqa: ANN001 - UDTF contract
+            if content is None:
+                return  # malformed_row_skip semantics
+            blob = bytes(content)
+            n_frames = max(1, len(blob) // fb)
+            kept = 0
+            for i in range(0, n_frames, en):
+                if kept >= mf:
+                    break
+                yield media_id, i, blob[i * fb : (i + 1) * fb]
+                kept += 1
+
+    spark.udtf.register("frame_sample_udtf", _FrameSampler)
+    media.select("media_id", "content").createOrReplaceTempView("_frame_src")
+    return spark.sql(
+        "SELECT s.media_id, s.frame_idx, s.frame "
+        "FROM _frame_src m, LATERAL frame_sample_udtf(m.media_id, m.content) s"
+    )
+
+
 # --- perceptual image hashing + multimodal near-dup ---------------------------
 
 AHASH_SIDE = 8  # 8x8 grid -> 64-bit hash

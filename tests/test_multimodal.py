@@ -184,6 +184,32 @@ def test_frame_sample_is_one_to_many_and_capped(spark):
     assert [f.frame_idx for f in by_id[2]] == [0]  # single short frame
 
 
+def test_frame_sample_udtf_matches_mapinpandas(spark):
+    """The native-UDTF lateral-join formulation must yield EXACTLY the
+    mapInPandas path's frames (ids, indices, bytes), including the
+    malformed-row drop and the max_frames cap."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        FRAME_BYTES,
+        frame_sample,
+        frame_sample_udtf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10), (2, b"x" * FRAME_BYTES), (3, None)],
+        ["doc_id", "payload"],
+    )
+    media = df.selectExpr("doc_id as media_id", "payload as content")
+
+    def key(rows):
+        return sorted(
+            (r.media_id, r.frame_idx, bytes(r.frame)) for r in rows
+        )
+
+    a = key(frame_sample(media, every_n=2, max_frames=3).collect())
+    b = key(frame_sample_udtf(media, every_n=2, max_frames=3).collect())
+    assert a == b and len(a) == 4
+
+
 def test_resize_media_skips_null_meta_rows(spark):
     from meshtastic_airsensor_database_spark.operators.multimodal import (
         MEDIA_SCHEMA,

@@ -419,3 +419,30 @@ def test_line_numbering_has_no_global_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_session_window_stats_is_single_agg_no_window_function(spark, sf_dir):
+    """Native session windows must merge sessions INSIDE the hash
+    aggregate: no window-function node, no single-partition exchange —
+    the one exchange is the keyed user_id repartition."""
+    plan = plan_of(spark, "session_window_stats", sf_dir)
+    assert re.search(r"\(\d+\) Window\b", plan) is None, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_weighted_sample_is_shuffle_free_takeordered(spark, sf_dir):
+    """Derandomized A-ES is one narrow codegen projection into
+    TakeOrderedAndProject — any Exchange here means the sample stopped
+    being mergeable-top-K and became a global sort."""
+    plan = plan_of(spark, "weighted_quality_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_growth_aggregates_are_partialed(spark, sf_dir):
+    """Both hash aggs (per-token MIN(source), per-source count) must
+    combine map-side so the exchanges carry distinct tokens / sources,
+    never raw occurrences."""
+    plan = plan_of(spark, "vocab_growth_by_source", sf_dir)
+    assert "partial_min" in plan, plan
+    assert "partial_count" in plan, plan

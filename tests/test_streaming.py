@@ -583,6 +583,83 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         query.stop()
 
 
+def test_streaming_session_window_agg_with_watermark(spark, tmp_path):
+    """SURVEY §2.9 windowed_ingest, SESSION variant: the same native
+    F.session_window the batch query session_window_stats uses, run as
+    a watermarked streaming aggregation. Two bursts separated by more
+    than the gap form two sessions; a session closes (appends) only
+    once the watermark passes its end, and its end is last event + gap.
+    This exercises the session-specific streaming state path (session
+    merge + expiry), which tumbling-window tests cannot."""
+    import json
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_v0_env_facts,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import packet_stream_source
+
+    landing = str(tmp_path / "sw_landing")
+
+    def env(node, ts, temp):
+        return json.dumps(
+            {
+                "from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+                "payload": {"temperature": temp, "relative_humidity": 40.0,
+                            "barometric_pressure": 1000.0, "gas_resistance": 1.0,
+                            "iaq": 10},
+            }
+        )
+
+    base = 1_700_000_000
+    # burst 1: three readings 60s apart (one session, gap 300s);
+    # burst 2: one reading 1000s later (new session)
+    write_packet_fixture(
+        landing,
+        [env(1, base, 20.0), env(1, base + 60, 30.0), env(1, base + 120, 40.0),
+         env(1, base + 1120, 50.0)],
+        "b0.jsonl",
+    )
+
+    raw = packet_stream_source(spark, landing)
+    facts = extract_v0_env_facts(json_envelope_parse(raw))
+    agg = (
+        facts.withWatermark("event_ts", "5 minutes")
+        .groupBy(F.session_window("event_ts", "300 seconds").alias("sw"), "node")
+        .agg(F.count("*").alias("n"), F.avg("temperature").alias("avg_temp"))
+        .select(
+            F.col("sw.start").alias("s_start"), F.col("sw.end").alias("s_end"),
+            "node", "n", "avg_temp",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("sw_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # nothing emitted yet for session 2 (not expired); session 1 may
+        # emit once the watermark (base+1120-300s) passes its end
+        # (base+120+300). Push the watermark far ahead to close both.
+        write_packet_fixture(landing, [env(1, base + 9000, 1.0)], "b1.jsonl")
+        query.processAllAvailable()
+        rows = {
+            int(r["s_start"].timestamp()): (
+                int(r["s_end"].timestamp()), r["n"], r["avg_temp"]
+            )
+            for r in spark.sql("SELECT * FROM sw_agg").collect()
+        }
+        # session 1: events at base, +60, +120 -> end = +120 + 300
+        assert rows[base] == (base + 420, 3, 30.0)
+        # session 2: single event -> end = event + gap
+        assert rows[base + 1120] == (base + 1420, 1, 50.0)
+    finally:
+        query.stop()
+
+
 def test_streaming_ingest_dedups_packet_ids_within_watermark(spark, tmp_path):
     """exact_dedup on the stream (SURVEY §2.11/§2.9): the same packet id
     re-delivered in a later micro-batch (MQTT at-least-once / mesh
