@@ -73,6 +73,7 @@ _DRIVER_WINDOW = [
     "vocab_growth_by_source",
     "session_window_stats",
     "weighted_quality_sample",
+    "seasonal_decomposition",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -86,7 +87,6 @@ _DRIVER_WINDOW = [
     "normalized_dedup_docs",
     "multimodal_binary_meta",
     "contaminated_eval_docs",
-    "dsir_sampled_docs",
     "neardup_components",
     "fuzzy_name_matches",
     "hll_distinct_users_rollup",
@@ -96,9 +96,10 @@ _DRIVER_WINDOW = [
     "bpe_merge_candidates",
     "hourly_avg_by_node",
 ]
-# The five slots for the round-4 new queries came from
+# The six slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
-# sliding_hourly_load and chunk_pack_spans — all r3 driver-green, and
+# sliding_hourly_load, chunk_pack_spans and dsir_sampled_docs — all
+# r3 driver-green, and
 # their families stay covered (replay via replay_late_dedup/
 # replay_dim_history/replay_quarantine_counts, vectors via the ann_*
 # pair + embedding_neardup_pairs + standardized_embedding_probe,

@@ -1409,6 +1409,85 @@ FROM counts c JOIN totals t USING (prev_type)
 """
 
 
+DECOMP_HALF_WIN = 12  # 25-point centered MA over the hourly series
+
+
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive seasonal decomposition of the per-type hourly
+    mean-value series: trend = 25-point centered moving average
+    (emitted only where the window is FULL — the standard edge rule),
+    seasonal = hour-of-day mean of the detrended series, residual =
+    value - trend - seasonal. The decomposition underlying every
+    'is this spike load or rhythm?' triage.
+
+    Scale shape: one hourly pre-aggregation (map-side partialed; the
+    series is hours x types, tiny relative to raw events), ONE keyed
+    window sort per type for the centered MA, a (type, hour-of-day)
+    hash agg for the seasonal profile, and a broadcast-sized join back
+    (<= types x 24 rows). Nothing unkeyed, nothing over raw events.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.avg("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-DECOMP_HALF_WIN, DECOMP_HALF_WIN)
+    )
+    full = 2 * DECOMP_HALF_WIN + 1
+    with_trend = hourly.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(w) == full, F.avg("v").over(w)),
+    ).withColumn("detrended", F.col("v") - F.col("trend"))
+    seasonal = with_trend.groupBy(
+        "event_type", F.hour("hour_ts").alias("hod")
+    ).agg(F.avg("detrended").alias("seasonal"))
+    return (
+        with_trend.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            r("v", 4).alias("value"),
+            r("trend", 4).alias("trend"),
+            r("seasonal", 4).alias("seasonal"),
+            r(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias("resid"),
+        )
+    )
+
+
+SEASONAL_DECOMPOSITION_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+with_trend AS (
+  SELECT event_type, hour_ts, v,
+         CASE WHEN COUNT(*) OVER w = {2 * DECOMP_HALF_WIN + 1}
+              THEN AVG(v) OVER w END AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN {DECOMP_HALF_WIN} PRECEDING
+                        AND {DECOMP_HALF_WIN} FOLLOWING)
+),
+seasonal AS (
+  SELECT event_type, hour(hour_ts) AS hod, AVG(v - trend) AS seasonal
+  FROM with_trend GROUP BY 1, 2
+)
+SELECT t.event_type,
+       CAST(t.hour_ts AS TIMESTAMP) AS hour_ts,
+       CAST(ROUND(CAST(t.v AS DECIMAL(38,9)), 4) AS DOUBLE) AS value,
+       CAST(ROUND(CAST(t.trend AS DECIMAL(38,9)), 4) AS DOUBLE) AS trend,
+       CAST(ROUND(CAST(s.seasonal AS DECIMAL(38,9)), 4) AS DOUBLE) AS seasonal,
+       CAST(ROUND(CAST(t.v - t.trend - s.seasonal AS DECIMAL(38,9)), 4) AS DOUBLE) AS resid
+FROM with_trend t
+JOIN seasonal s ON t.event_type = s.event_type AND hour(t.hour_ts) = s.hod
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -1443,6 +1522,11 @@ QUERIES: list[Query] = [
     Query("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
           ("per_node_stats",),
           "fixed-width value histogram per event type (one-shuffle binning)"),
+    Query("seasonal_decomposition", seasonal_decomposition,
+          SEASONAL_DECOMPOSITION_SQL,
+          ("timeseries_align", "rolling_avg_pm25"),
+          "additive trend/seasonal/residual decomposition of the "
+          "hourly series (25-pt centered MA + hour-of-day profile)"),
     Query("seasonal_naive_skill", seasonal_naive_skill,
           SEASONAL_NAIVE_SKILL_SQL,
           ("timeseries_align", "per_node_stats"),
