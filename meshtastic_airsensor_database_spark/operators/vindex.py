@@ -1,0 +1,123 @@
+"""Persisted IVF vector index: build once, query many.
+
+The ann_* queries train + assign per query — right for a one-shot
+analytical run, wrong for a serving/repeated-retrieval workload where
+training and assignment must amortize. This module persists the index
+as two parquet tables:
+
+- ``<path>/centroids`` — the trained Lloyd's centroids (C rows);
+- ``<path>/vectors`` — every vector PARTITIONED BY its assigned
+  cluster on disk.
+
+Partitioning by cluster IS the inverted list: a probe of ``n_probe``
+clusters compiles to a partition-pruned scan that lists and reads only
+those clusters' files — at 100 TB, probing 3 of 1024 clusters touches
+~0.3% of the data, enforced by the layout rather than a filter the
+executor applies after reading. ``extend_ivf_index`` appends new
+vectors assigned against the FROZEN centroids (the standard IVF
+regime: retrain only when drift warrants a rebuild), so continuous
+ingestion never rewrites existing partitions.
+
+No counterpart in the reference (its similarity surface is this
+engine's extension mandate); the probe/re-rank semantics match
+operators/similarity.py::lloyd_ivf_topk, pinned by tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from .similarity import (
+    assign_to_centroids_euclidean,
+    lloyd_kmeans_centroids,
+)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train deterministic Lloyd's centroids, assign every vector, and
+    persist both tables. The vectors write is one shuffle on the
+    cluster key (the partitionBy); centroids are C rows."""
+    cents = lloyd_kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # re-read so assignment uses exactly what a later extend will see
+    # (parquet round-trip, not the in-flight plan)
+    stored = emb.sparkSession.read.parquet(os.path.join(path, "centroids"))
+    assigned = assign_to_centroids_euclidean(emb, stored, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def extend_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign a new batch against the FROZEN centroids and append.
+    Existing cluster partitions are never rewritten — dynamic append
+    only adds files to the partitions the batch lands in."""
+    spark = new_emb.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = assign_to_centroids_euclidean(new_emb, cents, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the persisted index: rank clusters by squared-L2 of their
+    centroid to the query (C rows — a bounded driver computation, the
+    same class as the ANN training caps), then exact-cosine re-rank
+    ONLY the probed clusters. The cluster membership test is a
+    partition filter, so unprobed clusters are pruned at file-listing
+    time (asserted in tests via the input-file set)."""
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    q = [float(x) for x in query_vec]
+
+    def d2(cv) -> float:
+        return sum((float(a) - b) * (float(a) - b) for a, b in zip(cv, q))
+
+    probed = [
+        int(r["cid"])
+        for r in sorted(cent_rows, key=lambda r: (d2(r["cv"]), int(r["cid"])))
+    ][:n_probe]
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    out = vectors.filter(F.col("cluster").isin(probed))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return (
+        out.select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(
+                cosine_similarity(F.col(vec_col), qcol).cast("decimal(38,9)"), 4
+            )
+            .cast("double")
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -416,3 +416,104 @@ def test_standardize_vectors_zero_mean_unit_std(spark):
         assert math.isclose(var, 1.0, rel_tol=1e-9)
     # constant dimension -> NULL z-scores, not a divide-by-zero
     assert all(v is None for v in dims[2])
+
+
+def test_ivf_index_search_matches_live_topk(spark, sf_dir, tmp_path):
+    """Persisted-index search must equal the live lloyd_ivf_topk for
+    the same parameters (build once == train per query)."""
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        lloyd_ivf_topk,
+    )
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, n_iters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in search_ivf_index(
+            spark, path, qvec, k=10, n_probe=3, exclude_id=0
+        ).collect()
+    ]
+    live = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in lloyd_ivf_topk(
+            emb, query_vec_id=0, k=10, n_centroids=8, n_probe=3
+        ).collect()
+    ]
+    assert got == live
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The probe must read ONLY the probed clusters' partitions — the
+    persisted layout IS the inverted list, enforced at file-listing
+    time, not by a post-read filter."""
+    import re as _re
+
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, n_iters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = search_ivf_index(spark, path, qvec, k=10, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan  # filter reached the listing
+    # execute and read the scan's actual file-selection metrics: only
+    # the probed clusters' partitions may be listed for read
+    out.collect()
+    scan = out._jdf.queryExecution().executedPlan()
+    leaves = scan.collectLeaves()
+    metrics = leaves.apply(0).metrics()
+    n_parts = metrics.get("numPartitions").get().value()
+    all_clusters = {
+        int(mm.group(1))
+        for f in spark.read.parquet(f"{path}/vectors").inputFiles()
+        for mm in [_re.search(r"cluster=(\d+)", f)]
+        if mm
+    }
+    assert n_parts <= 3 < len(all_clusters), (n_parts, len(all_clusters))
+
+
+def test_ivf_index_extend_appends_without_rewrite(spark, sf_dir, tmp_path):
+    """extend assigns against the FROZEN centroids and appends: search
+    over the extended index equals a probe/re-rank over the union with
+    the ORIGINAL centroids, and pre-existing files are untouched."""
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=4, n_iters=1)
+    files_before = set(spark.read.parquet(f"{path}/vectors").inputFiles())
+    extend_ivf_index(extra, path)
+    files_after = set(spark.read.parquet(f"{path}/vectors").inputFiles())
+    assert files_before <= files_after  # append-only
+
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = {
+        r.vec_id
+        for r in search_ivf_index(
+            spark, path, qvec, k=10, n_probe=4, exclude_id=0
+        ).collect()
+    }
+    # probing ALL clusters == brute force over the union
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    exact = {r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()}
+    assert got == exact
