@@ -178,3 +178,72 @@ def read_rollup(spark: SparkSession, rollup_path: str, keys: list[str]) -> DataF
             F.hll_sketch_estimate("distinct_sketch").alias("distinct_est")
         )
     return parts.select(*cols)
+
+
+# Grains the hourly rollup CANNOT serve (finer than its stored grain).
+_SUB_HOUR_GRAINS = {"minute", "second"}
+
+
+def serve_series_stats(
+    spark: SparkSession,
+    facts_path: str,
+    rollup_path: str,
+    keys: list[str],
+    grain: str = "hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> tuple[DataFrame, str]:
+    """Materialized-view routing: answer a (grain x keys) series of
+    count/avg/min/max from the HOURLY rollup whenever the requested
+    grain is hour-or-coarser — the stored partials re-merge
+    associatively to any such grain (sums add, extrema fold) — and
+    fall back to scanning raw facts ONLY for sub-hour grains the
+    rollup cannot represent. Returns (df, source) with source in
+    {'rollup', 'facts'}; tests assert the rollup-served plan never
+    lists a raw-fact file.
+
+    This is the BI-accelerator contract at 100 TB: the rollup is
+    hours x keys (typically 5-6 orders of magnitude smaller than the
+    fact table), so a dashboard's daily/weekly series costs a scan of
+    the rollup partitions instead of the lake — and because
+    maintain_rollup keeps the partials exact and mergeable, the served
+    numbers are identical to a raw recompute, not an approximation.
+    """
+    servable = (
+        grain not in _SUB_HOUR_GRAINS and _rollup_exists(spark, rollup_path)
+    )
+    if servable:
+        parts = spark.read.parquet(rollup_path)
+        out = (
+            parts.groupBy(
+                F.date_trunc(grain, F.col("hour_ts")).alias("bucket_ts"), *keys
+            )
+            .agg(
+                F.sum("sum_value").alias("sum_value"),
+                F.sum("cnt").alias("n"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                "bucket_ts",
+                *keys,
+                (F.col("sum_value") / F.col("n")).alias("avg_value"),
+                "min_value",
+                "max_value",
+                "n",
+            )
+        )
+        return out, "rollup"
+    facts = spark.read.parquet(facts_path)
+    out = (
+        facts.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"), *keys
+        )
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.count(value_col).alias("n"),
+        )
+    )
+    return out, "facts"

@@ -146,3 +146,62 @@ def test_sketch_maintenance_slice_order_independent(spark, tmp_path):
         .collect()
     }
     assert {h: v[0] for h, v in a.items()} == exact
+
+
+def test_serve_series_stats_routes_to_rollup_and_matches_raw(spark, tmp_path):
+    """Day-grain series served from the hourly rollup must equal the
+    raw-fact recompute EXACTLY, and the served plan must not list one
+    raw-fact file; a sub-hour grain falls back to facts."""
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        maintain_rollup,
+        serve_series_stats,
+    )
+
+    facts_path = str(tmp_path / "facts")
+    rollup_path = str(tmp_path / "rollup")
+    rows = []
+    for d in (1, 2):
+        for h in (0, 1, 5):
+            for u in (7, 8):
+                rows.append((f"2024-02-0{d} 0{h}:15:00", u, float(d * 10 + h + u)))
+                rows.append((f"2024-02-0{d} 0{h}:45:00", u, float(d + h)))
+    facts = spark.createDataFrame(rows, "s string, user_id long, value double").select(
+        F.to_timestamp("s").alias("ts"), "user_id", "value"
+    )
+    facts.write.parquet(facts_path)
+    # fold in as two out-of-order slices (the maintenance path, not a
+    # one-shot build)
+    stored = spark.read.parquet(facts_path)
+    maintain_rollup(stored.filter(F.dayofmonth("ts") == 2), rollup_path, keys=["user_id"])
+    maintain_rollup(stored.filter(F.dayofmonth("ts") == 1), rollup_path, keys=["user_id"])
+
+    served, source = serve_series_stats(
+        spark, facts_path, rollup_path, keys=["user_id"], grain="day"
+    )
+    assert source == "rollup"
+    assert all("rollup" in f for f in served.inputFiles())  # zero fact files
+
+    direct = (
+        stored.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"), "user_id")
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("n"),
+        )
+    )
+
+    def key(df):
+        return {
+            (str(r["bucket_ts"]), r["user_id"]): (
+                round(r["avg_value"], 9), r["min_value"], r["max_value"], r["n"]
+            )
+            for r in df.collect()
+        }
+
+    assert key(served) == key(direct)
+
+    _, source_min = serve_series_stats(
+        spark, facts_path, rollup_path, keys=["user_id"], grain="minute"
+    )
+    assert source_min == "facts"
