@@ -74,6 +74,7 @@ _DRIVER_WINDOW = [
     "session_window_stats",
     "weighted_quality_sample",
     "seasonal_decomposition",
+    "tfidf_top_terms",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -92,14 +93,14 @@ _DRIVER_WINDOW = [
     "hll_distinct_users_rollup",
     "incremental_rollup_hourly",
     "salted_brand_quantities",
-    "interval_event_stats",
     "bpe_merge_candidates",
     "hourly_avg_by_node",
 ]
-# The six slots for the round-4 new queries came from
+# The seven slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
-# sliding_hourly_load, chunk_pack_spans and dsir_sampled_docs — all
-# r3 driver-green, and
+# sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs and
+# interval_event_stats — all r3 driver-green (intervals stay visible
+# via the bench entry), and
 # their families stay covered (replay via replay_late_dedup/
 # replay_dim_history/replay_quarantine_counts, vectors via the ann_*
 # pair + embedding_neardup_pairs + standardized_embedding_probe,

@@ -1192,6 +1192,94 @@ FROM per
 """
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-``TFIDF_TOPK`` terms by
+    smoothed TF-IDF (score = tf * (ln((N+1)/(df+1)) + 1)) — the
+    per-document summarization primitive next to BM25's query-side
+    scoring (BM25 ranks docs for a query; this ranks terms for a doc).
+
+    Scale shape: one explode -> (doc, term) counts (map-side partial;
+    the shuffle carries distinct doc-term pairs), document frequencies
+    as a second vocabulary-sized agg over those pairs, the corpus size
+    as a single-row broadcast, and the final rank window PARTITIONED BY
+    doc (never global).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score").cast("decimal(38,9)"), 4).desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            r("score", 4).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df::DOUBLE + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term, CAST(tf AS BIGINT) AS tf,
+       CAST(ROUND(CAST(score AS DECIMAL(38,9)), 4) AS DOUBLE) AS tfidf
+FROM (
+  SELECT doc_id, w, tf, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY ROUND(CAST(score AS DECIMAL(38,9)), 4) DESC, w
+         ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1200,6 +1288,9 @@ QUERIES: list[Query] = [
           "normalization-insensitive exact dedup (canonical-form md5)"),
     Query("token_stats_by_lang", token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL,
           ("text_analysis",), "whitespace token counting"),
+    Query("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
+          ("text_analysis",),
+          "per-document top-K smoothed-TF-IDF keyword extraction"),
     Query("vocab_growth_by_source", vocab_growth_by_source,
           VOCAB_GROWTH_BY_SOURCE_SQL,
           ("text_analysis",),

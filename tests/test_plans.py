@@ -57,6 +57,9 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            # single grand-total row broadcast into the per-user support
            # filter (exact heavy hitters)
            "heavy_hitter_users",
+           # single corpus-size row broadcast into the per-(doc,term)
+           # smoothed-IDF scoring
+           "tfidf_top_terms",
            # two single-row totals (n_uni, n_bg) broadcast into the PMI
            # scoring over the vocabulary-sized bigram aggregate
            "bigram_pmi_topk"}
