@@ -214,24 +214,34 @@ def serve_series_stats(
     )
     if servable:
         parts = spark.read.parquet(rollup_path)
+        aggs = [
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("cnt").alias("n"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ]
+        # HLL sketches exist precisely for this re-merge: hourly
+        # sketches union to any coarser grain, so the served distinct
+        # estimate equals the single-pass sketch over the raw rows.
+        has_sketch = "distinct_sketch" in parts.columns
+        if has_sketch:
+            aggs.append(F.hll_union_agg("distinct_sketch").alias("_sk"))
+        cols = [
+            "bucket_ts",
+            *keys,
+            (F.col("sum_value") / F.col("n")).alias("avg_value"),
+            "min_value",
+            "max_value",
+            "n",
+        ]
+        if has_sketch:
+            cols.append(F.hll_sketch_estimate("_sk").alias("distinct_est"))
         out = (
             parts.groupBy(
                 F.date_trunc(grain, F.col("hour_ts")).alias("bucket_ts"), *keys
             )
-            .agg(
-                F.sum("sum_value").alias("sum_value"),
-                F.sum("cnt").alias("n"),
-                F.min("min_value").alias("min_value"),
-                F.max("max_value").alias("max_value"),
-            )
-            .select(
-                "bucket_ts",
-                *keys,
-                (F.col("sum_value") / F.col("n")).alias("avg_value"),
-                "min_value",
-                "max_value",
-                "n",
-            )
+            .agg(*aggs)
+            .select(*cols)
         )
         return out, "rollup"
     facts = spark.read.parquet(facts_path)

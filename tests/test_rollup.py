@@ -205,3 +205,39 @@ def test_serve_series_stats_routes_to_rollup_and_matches_raw(spark, tmp_path):
         spark, facts_path, rollup_path, keys=["user_id"], grain="minute"
     )
     assert source_min == "facts"
+
+
+def test_serve_series_merges_distinct_sketches_to_grain(spark, tmp_path):
+    """A sketch-bearing rollup served at day grain must union the
+    hourly HLL sketches — the estimate equals a single-pass sketch of
+    the raw rows' users for that day (identical sketch algebra), while
+    still reading zero fact files."""
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        maintain_rollup,
+        serve_series_stats,
+    )
+
+    facts_path = str(tmp_path / "facts")
+    rollup_path = str(tmp_path / "rollup")
+    rows = []
+    for h in (0, 1, 2):
+        for u in range(20):
+            rows.append((f"2024-03-01 0{h}:10:00", (h * 7 + u) % 30, 1.0))
+    facts = spark.createDataFrame(rows, "s string, user_id long, value double").select(
+        F.to_timestamp("s").alias("ts"), "user_id", "value"
+    )
+    facts.write.parquet(facts_path)
+    stored = spark.read.parquet(facts_path)
+    maintain_rollup(stored, rollup_path, keys=[], distinct_col="user_id")
+
+    served, source = serve_series_stats(
+        spark, facts_path, rollup_path, keys=[], grain="day"
+    )
+    assert source == "rollup"
+    assert all("rollup" in f for f in served.inputFiles())
+    got = served.collect()
+    assert len(got) == 1
+    direct = stored.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d")
+    ).first()["d"]
+    assert got[0]["distinct_est"] == direct
