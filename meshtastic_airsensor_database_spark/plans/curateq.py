@@ -327,9 +327,11 @@ FUNNEL_TOP_TOKEN_MAX = 0.14
 FUNNEL_DUP_BIGRAM_MAX = 0.2
 
 
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole pretraining-corpus pipeline as ONE composed lineage —
-    per-stage surviving-document counts for:
+def funnel_stages(docs: DataFrame) -> list[tuple[str, DataFrame]]:
+    """The curation pipeline's per-stage survivor frames, shared by the
+    oracle-checked ``curation_funnel`` query and the ``cli.curate``
+    batch driver (one definition, so the CLI ships exactly the
+    composition the hash match proves):
 
     0. raw corpus
     1. per-language quota downsampling (salted content hash)
@@ -339,17 +341,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. train split only (deterministic content-hash split)
     5. decontamination (drop train docs sharing a word-8-gram with any
        val/test document of the original corpus)
-
-    Every stage reuses the independently-oracle-checked operator
-    (lang_quota_sample, doc_repetition_signals, exact_dedup,
-    doc_split_assignment, ngram_decontaminate mirror); the funnel's
-    oracle re-implements the full chain as one CTE cascade, so the hash
-    match proves the COMPOSITION (gate order, survivor propagation),
-    not just the parts. Scale: one lineage, no collects — counts
-    aggregate map-side; the only wide ops are the dedup fingerprint agg
-    and the decontamination gram join, both on hashed keys.
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    from ..functions.text import word_shingles
+    from ..operators.dedup import exact_dedup
 
     # 1. language quota (same derivation as lang_quota_sample)
     bucket = (
@@ -378,8 +372,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 3. exact-dedup survivors (min doc_id per content fingerprint)
-    from ..operators.dedup import exact_dedup
-
     s3 = s2.join(
         exact_dedup(s2, "doc_id", "text").select(F.col("keep_id").alias("doc_id")),
         "doc_id",
@@ -389,8 +381,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = _with_split(s3).filter(F.col("split") == "train").drop("split")
 
     # 5. decontaminate against the ORIGINAL corpus's val/test docs
-    from ..functions.text import word_shingles
-
     eval_grams = (
         _with_split(docs)
         .filter(F.col("split") != "train")
@@ -404,6 +394,32 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = train_grams.join(eval_grams, "gram_key").select("doc_id").distinct()
     s5 = s4.join(contaminated, "doc_id", "left_anti")
 
+    return [
+        ("all", docs),
+        ("lang_quota", s1),
+        ("quality", s2),
+        ("exact_dedup", s3),
+        ("train_split", s4),
+        ("decontaminated", s5),
+    ]
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus pipeline as ONE composed lineage —
+    per-stage surviving-document counts (stage list in
+    ``funnel_stages``). Every stage reuses the independently
+    oracle-checked operator (lang_quota_sample, doc_repetition_signals,
+    exact_dedup, doc_split_assignment, ngram_decontaminate mirror); the
+    funnel's oracle re-implements the full chain as one CTE cascade, so
+    the hash match proves the COMPOSITION (gate order, survivor
+    propagation), not just the parts. Scale: one lineage, no collects —
+    counts aggregate map-side; the only wide ops are the dedup
+    fingerprint agg and the decontamination gram join, both on hashed
+    keys.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    stages = funnel_stages(docs)
+
     def cnt(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
             F.lit(idx).cast("int").alias("stage_idx"),
@@ -411,17 +427,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
 
-    stages = [
-        cnt(docs, 0, "all"),
-        cnt(s1, 1, "lang_quota"),
-        cnt(s2, 2, "quality"),
-        cnt(s3, 3, "exact_dedup"),
-        cnt(s4, 4, "train_split"),
-        cnt(s5, 5, "decontaminated"),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
+    out = None
+    for idx, (name, df) in enumerate(stages):
+        c = cnt(df, idx, name)
+        out = c if out is None else out.unionByName(c)
     return out
 
 

@@ -7,6 +7,8 @@ import glob
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from .fixtures import as_json_lines
 
 PA_CSV = """UTCDateTime,current_temp_f,current_humidity,pressure,pm1_0_atm,pm2_5_atm,pm10_0_atm,extra
@@ -226,3 +228,33 @@ def test_monitor_cli_once(spark, tmp_path, monkeypatch, capsys):
     assert main(["--landing-dir", landing, "--checkpoint-dir", ckpt, "--once"],
                 spark=spark) == 0
     assert os.path.isdir(ckpt)
+
+
+def test_curate_cli_matches_funnel_query(spark, sf_dir, tmp_path):
+    """The curate CLI's per-stage report must equal the oracle-checked
+    curation_funnel query's counts (same funnel_stages lineage), the
+    final parquet must hold exactly the surviving doc_ids, and the
+    counts must be monotone non-increasing."""
+    import json
+    import os
+
+    from meshtastic_airsensor_database_spark.cli.curate import main as curate_main
+    from meshtastic_airsensor_database_spark.plans import REGISTRY
+
+    out = str(tmp_path / "curated")
+    rc = curate_main(
+        [os.path.join(sf_dir, "documents.parquet"), "-o", out], spark=spark
+    )
+    assert rc == 0
+    report = json.load(open(os.path.join(out, "report.json")))["stages"]
+    got = {s["stage"]: s["n_docs"] for s in report}
+    want = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["curation_funnel"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
+    counts = [s["n_docs"] for s in sorted(report, key=lambda s: s["stage_idx"])]
+    assert counts == sorted(counts, reverse=True)
+    final = spark.read.parquet(os.path.join(out, "decontaminated"))
+    assert final.count() == got["decontaminated"]
+    assert final.filter(F.col("text").isNull()).count() == 0
