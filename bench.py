@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "ann_kmeans_ivf_topk",
     "session_window_stats",
     "weighted_quality_sample",
+    "seasonal_decomposition",
+    "tfidf_top_terms",
+    "split_leakage_report",
 ]
 
 

@@ -65,6 +65,8 @@ SHOWCASE = [
     ("session_window_stats", "native session windows: sessions merge inside ONE hash agg, no ordered window over the event table"),
     ("split_leakage_report", "near-dup split leakage: LSH-verified pairs x md5 split via two doc_id equi-joins into a <=6-row agg"),
     ("vocab_growth_by_source", "vocab growth: per-token MIN(source) agg (shuffle carries distinct tokens), running sum over <=|sources| rows"),
+    ("tfidf_top_terms", "TF-IDF keywords: doc-term partial aggs, vocab-sized df join, single-row corpus broadcast, doc-partitioned rank window"),
+    ("seasonal_decomposition", "seasonal decomposition: ONE keyed window sort over the hourly pre-aggregate, broadcast hour-of-day profile join"),
 ]
 
 
