@@ -1426,9 +1426,22 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg for the seasonal profile, and a broadcast-sized join back
     (<= types x 24 rows). Nothing unkeyed, nothing over raw events.
     """
+    return _decomposed(load(spark, sf_dir, "events")).select(
+        "event_type",
+        "hour_ts",
+        r("v", 4).alias("value"),
+        r("trend", 4).alias("trend"),
+        r("seasonal", 4).alias("seasonal"),
+        r("resid", 4).alias("resid"),
+    )
+
+
+def _decomposed(ev: DataFrame) -> DataFrame:
+    """Unrounded decomposition core shared by seasonal_decomposition
+    and seasonal_anomaly_flags: (event_type, hour_ts, v, trend,
+    seasonal, resid)."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.avg("value").alias("v"))
@@ -1451,16 +1464,58 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "hour_ts",
-            r("v", 4).alias("value"),
-            r("trend", 4).alias("trend"),
-            r("seasonal", 4).alias("seasonal"),
-            r(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias("resid"),
+            "v",
+            "trend",
+            "seasonal",
+            (F.col("v") - F.col("trend") - F.col("seasonal")).alias("resid"),
         )
     )
 
 
-SEASONAL_DECOMPOSITION_SQL = f"""
-WITH hourly AS (
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: robust (median/MAD)
+    modified z-scores over the decomposition RESIDUAL, per event type.
+    The raw-value MAD flagger (value_outliers_mad) marks every rush
+    hour anomalous on a rhythmic series; flagging the residual after
+    removing trend + hour-of-day rhythm is the triage that only fires
+    on genuinely unexplained spikes.
+
+    The flag compares the ROUNDED z on both engines (the decimal-route
+    integer-threshold discipline), so ulp-level engine differences in
+    the computed residual can never flip a row across the threshold.
+    Scale shape: the decomposition core (hours x types) plus two tiny
+    per-type median aggregations broadcast back — nothing over raw
+    events beyond the hourly pre-aggregate.
+    """
+    d = _decomposed(load(spark, sf_dir, "events")).filter(
+        F.col("resid").isNotNull()
+    )
+    med = d.groupBy("event_type").agg(F.median("resid").alias("med"))
+    mad = (
+        d.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("resid") - F.col("med"))).alias("mad"))
+    )
+    z = r(
+        MAD_CONSISTENCY * (F.col("resid") - F.col("med")) / F.col("mad"), 3
+    )
+    return (
+        d.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > MAD_Z_THRESHOLD)
+        .select(
+            "event_type",
+            "hour_ts",
+            r("v", 4).alias("value"),
+            r("resid", 4).alias("resid"),
+            "robust_z",
+        )
+    )
+
+
+_DECOMP_CTES = f"""hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour_ts, AVG(value) AS v
   FROM events GROUP BY 1, 2
 ),
@@ -1476,15 +1531,44 @@ with_trend AS (
 seasonal AS (
   SELECT event_type, hour(hour_ts) AS hod, AVG(v - trend) AS seasonal
   FROM with_trend GROUP BY 1, 2
-)
+)"""
+
+SEASONAL_DECOMPOSITION_SQL = f"""
+WITH {_DECOMP_CTES}
 SELECT t.event_type,
        CAST(t.hour_ts AS TIMESTAMP) AS hour_ts,
-       CAST(ROUND(CAST(t.v AS DECIMAL(38,9)), 4) AS DOUBLE) AS value,
-       CAST(ROUND(CAST(t.trend AS DECIMAL(38,9)), 4) AS DOUBLE) AS trend,
-       CAST(ROUND(CAST(s.seasonal AS DECIMAL(38,9)), 4) AS DOUBLE) AS seasonal,
-       CAST(ROUND(CAST(t.v - t.trend - s.seasonal AS DECIMAL(38,9)), 4) AS DOUBLE) AS resid
+       {_R4.format(x="t.v")} AS value,
+       {_R4.format(x="t.trend")} AS trend,
+       {_R4.format(x="s.seasonal")} AS seasonal,
+       {_R4.format(x="t.v - t.trend - s.seasonal")} AS resid
 FROM with_trend t
 JOIN seasonal s ON t.event_type = s.event_type AND hour(t.hour_ts) = s.hod
+"""
+
+SEASONAL_ANOMALY_FLAGS_SQL = f"""
+WITH {_DECOMP_CTES},
+d AS (
+  SELECT t.event_type, t.hour_ts, t.v,
+         t.v - t.trend - s.seasonal AS resid
+  FROM with_trend t
+  JOIN seasonal s ON t.event_type = s.event_type AND hour(t.hour_ts) = s.hod
+  WHERE t.v - t.trend - s.seasonal IS NOT NULL
+),
+med AS (SELECT event_type, median(resid) AS med FROM d GROUP BY 1),
+mad AS (
+  SELECT d.event_type, median(abs(d.resid - m.med)) AS mad
+  FROM d JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT event_type, CAST(hour_ts AS TIMESTAMP) AS hour_ts, value, resid, robust_z
+FROM (
+  SELECT d.event_type, d.hour_ts,
+         {_R4.format(x="d.v")} AS value,
+         {_R4.format(x="d.resid")} AS resid,
+         {_R3.format(x=f"{MAD_CONSISTENCY} * (d.resid - m.med) / x.mad")} AS robust_z
+  FROM d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+  WHERE x.mad > 0
+)
+WHERE abs(robust_z) > {MAD_Z_THRESHOLD}
 """
 
 
@@ -1527,6 +1611,12 @@ QUERIES: list[Query] = [
           ("timeseries_align", "rolling_avg_pm25"),
           "additive trend/seasonal/residual decomposition of the "
           "hourly series (25-pt centered MA + hour-of-day profile)"),
+    Query("seasonal_anomaly_flags", seasonal_anomaly_flags,
+          SEASONAL_ANOMALY_FLAGS_SQL,
+          ("robust_outlier_detect", "timeseries_align"),
+          "seasonality-aware anomaly flags: median/MAD robust z over "
+          "the decomposition residual (fires on unexplained spikes, "
+          "not rhythm)"),
     Query("seasonal_naive_skill", seasonal_naive_skill,
           SEASONAL_NAIVE_SKILL_SQL,
           ("timeseries_align", "per_node_stats"),
