@@ -570,6 +570,72 @@ GROUP BY 1
 """
 
 
+CCNET_BUCKETS = 3
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail selection step (arXiv:1911.00359):
+    rank each language's documents by bigram-LM perplexity and cut
+    into terciles — 'head' is the LM-fluent slice a CCNet-style
+    pipeline keeps, 'tail' the noise it drops. Completes the quality
+    story: doc_perplexity SCORES, this SELECTS.
+
+    Ranking uses the ROUNDED perplexity (cross-engine-stable order,
+    doc_id tie-break), so the ntile cut is deterministic on both
+    engines. Scale shape: scoring is the LM equi-join (nothing
+    model-shaped on the driver), the cut is one keyed window per
+    language over doc-grain rows, then a 3xlangs-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.lmquality import perplexity_scores
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    s = perplexity_scores(docs).select(
+        F.col("id").alias("doc_id"), r(F.col("ppl"), 2).alias("ppl")
+    )
+    j = docs.select("doc_id", "lang").join(s, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col("doc_id"))
+    name = (
+        F.when(F.col("_b") == 1, "head")
+        .when(F.col("_b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.withColumn("_b", F.ntile(CCNET_BUCKETS).over(w))
+        .groupBy("lang", name.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+    )
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = f"""
+WITH scored AS (
+  {DOC_PERPLEXITY_SQL}
+),
+j AS (
+  SELECT s.doc_id, d.lang, s.ppl
+  FROM scored s JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT lang, ppl,
+         ntile({CCNET_BUCKETS}) OVER (
+           PARTITION BY lang ORDER BY ppl, doc_id
+         ) AS _b
+  FROM j
+)
+SELECT lang,
+       CASE _b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(ppl) AS min_ppl,
+       MAX(ppl) AS max_ppl
+FROM b GROUP BY 1, 2
+"""
+
+
 # --- duplicated-span coverage (exact-substring dedup statistic) ---------------
 
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,6 +998,11 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "CCNet-style bigram-LM perplexity quality scoring (LM "
           "trained and applied as DataFrame aggs/joins)"),
+    Query("ccnet_perplexity_buckets", ccnet_perplexity_buckets,
+          CCNET_PERPLEXITY_BUCKETS_SQL,
+          ("text_analysis",),
+          "CCNet head/middle/tail selection: per-language perplexity "
+          "terciles with population + ppl range"),
     Query("dup_span_stats", dup_span_stats, DUP_SPAN_STATS_SQL,
           ("text_analysis", "near_dedup"),
           "Lee-et-al exact-substring duplicated-span coverage per doc"),

@@ -76,6 +76,7 @@ _DRIVER_WINDOW = [
     "seasonal_decomposition",
     "tfidf_top_terms",
     "seasonal_anomaly_flags",
+    "ccnet_perplexity_buckets",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -91,7 +92,6 @@ _DRIVER_WINDOW = [
     "contaminated_eval_docs",
     "neardup_components",
     "fuzzy_name_matches",
-    "incremental_rollup_hourly",
     "salted_brand_quantities",
     "bpe_merge_candidates",
     "hourly_avg_by_node",
@@ -99,10 +99,11 @@ _DRIVER_WINDOW = [
 # The eight slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
 # sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs,
-# interval_event_stats and hll_distinct_users_rollup — all r3
-# driver-green (intervals stay visible via the bench entry; the sketch
-# family keeps the never-checked incremental_distinct_hourly
-# in-window), and
+# interval_event_stats, hll_distinct_users_rollup and
+# incremental_rollup_hourly — all r3 driver-green (intervals and the
+# rollup stay visible via bench entries; the sketch/rollup families
+# keep the never-checked incremental_distinct_hourly and
+# daily_rollup_from_hourly in-window), and
 # their families stay covered (replay via replay_late_dedup/
 # replay_dim_history/replay_quarantine_counts, vectors via the ann_*
 # pair + embedding_neardup_pairs + standardized_embedding_probe,
