@@ -51,6 +51,8 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            # single vocabulary-size row broadcast into the LM smoothing
            # denominator (operators/lmquality.py::perplexity_scores)
            "doc_perplexity",
+           # same LM scorer feeding the per-language tercile cut
+           "ccnet_perplexity_buckets",
            # single (n_docs, avgdl) corpus-stats row broadcast into the
            # per-(doc,term) BM25 scoring
            "bm25_topk_docs",
