@@ -662,6 +662,13 @@ def lloyd_kmeans_centroids(
             )
             .select(F.col("cluster").alias("cid"), "cv")
         )
+        # Iterative-lineage truncation (the connected_components
+        # convention): each round's centroid table is C rows — pinning
+        # it stops round N+1's plan (and every downstream consumer:
+        # final assignment, probe, index write) from re-running the
+        # whole training prefix per evaluation. Values are identical;
+        # this is purely a plan-shape fix.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
