@@ -636,6 +636,79 @@ FROM b GROUP BY 1, 2
 """
 
 
+BATCH_DOCS = 32
+
+
+def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped training batches: within each shard, sort
+    documents longest-first and cut into fixed-size batches of
+    ``BATCH_DOCS`` — the dynamic-batching trick that puts similar
+    lengths together so each batch pads to its own max, not the
+    corpus max. Output per (shard, batch): population, max/sum tokens
+    and the padding fraction actually wasted — the metric a training
+    loader tunes against.
+
+    Scale shape: tokens counted in a narrow projection, ONE rank
+    window per shard (``PACK_SHARDS``-way parallel, the chunk-pack
+    sharding convention — never a global sort), then a (shard, batch)
+    hash aggregate.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    b = base.withColumn(
+        "batch",
+        F.floor((F.row_number().over(w) - 1) / BATCH_DOCS).cast("long"),
+    )
+    return b.groupBy("shard", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        r(
+            1.0
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_tokens")).cast("double"),
+            4,
+        ).alias("padding_frac"),
+    )
+
+
+LENGTH_GROUPED_BATCHES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST({_N_TOKENS} AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT shard, n_tokens,
+         CAST(FLOOR((row_number() OVER (
+           PARTITION BY shard ORDER BY n_tokens DESC, doc_id
+         ) - 1) / {BATCH_DOCS}) AS BIGINT) AS batch
+  FROM base WHERE n_tokens > 0
+)
+SELECT shard, batch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(ROUND(CAST(
+         1.0 - SUM(n_tokens)::DOUBLE / (COUNT(*) * MAX(n_tokens))::DOUBLE
+       AS DECIMAL(38,9)), 4) AS DOUBLE) AS padding_frac
+FROM ranked GROUP BY 1, 2
+"""
+
+
 # --- duplicated-span coverage (exact-substring dedup statistic) ---------------
 
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,6 +1093,11 @@ QUERIES: list[Query] = [
           "verified near-dup pairs crossing the hash train/val/test "
           "split — the eval-contamination audit n-gram decontamination "
           "misses"),
+    Query("length_grouped_batches", length_grouped_batches,
+          LENGTH_GROUPED_BATCHES_SQL,
+          ("text_analysis",),
+          "length-grouped (longest-first) training batches with "
+          "per-batch padding-waste metrics"),
     Query("weighted_quality_sample", weighted_quality_sample,
           WEIGHTED_QUALITY_SAMPLE_SQL,
           ("text_analysis",),

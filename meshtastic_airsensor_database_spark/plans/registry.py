@@ -77,6 +77,7 @@ _DRIVER_WINDOW = [
     "tfidf_top_terms",
     "seasonal_anomaly_flags",
     "ccnet_perplexity_buckets",
+    "length_grouped_batches",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -93,17 +94,17 @@ _DRIVER_WINDOW = [
     "neardup_components",
     "fuzzy_name_matches",
     "salted_brand_quantities",
-    "bpe_merge_candidates",
     "hourly_avg_by_node",
 ]
 # The eight slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
 # sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs,
-# interval_event_stats, hll_distinct_users_rollup and
-# incremental_rollup_hourly — all r3 driver-green (intervals and the
-# rollup stay visible via bench entries; the sketch/rollup families
-# keep the never-checked incremental_distinct_hourly and
-# daily_rollup_from_hourly in-window), and
+# interval_event_stats, hll_distinct_users_rollup,
+# incremental_rollup_hourly and bpe_merge_candidates — all r3
+# driver-green (intervals and the rollup stay visible via bench
+# entries; the sketch/rollup families keep the never-checked
+# incremental_distinct_hourly and daily_rollup_from_hourly in-window),
+# and
 # their families stay covered (replay via replay_late_dedup/
 # replay_dim_history/replay_quarantine_counts, vectors via the ann_*
 # pair + embedding_neardup_pairs + standardized_embedding_probe,
