@@ -451,3 +451,13 @@ def test_vocab_growth_aggregates_are_partialed(spark, sf_dir):
     plan = plan_of(spark, "vocab_growth_by_source", sf_dir)
     assert "partial_min" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_seasonal_and_batching_plans_have_no_global_exchange(spark, sf_dir):
+    """The decomposition pair's windows/aggs key on event_type, the
+    batching rank keys on shard, and the leakage joins key on doc_id —
+    none may funnel through a single partition."""
+    for name in ("seasonal_decomposition", "seasonal_anomaly_flags",
+                 "length_grouped_batches", "split_leakage_report"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
