@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "seasonal_decomposition",
     "tfidf_top_terms",
     "split_leakage_report",
+    "seasonal_anomaly_flags",
+    "ccnet_perplexity_buckets",
+    "length_grouped_batches",
 ]
 
 
