@@ -932,3 +932,71 @@ def test_quarantine_captures_corrupt_and_unknown_packets(spark, tmp_path):
     assert ("parseable_json",) in rows  # truncated JSON
     assert rows[("known_packet_type",)].find('"position"') != -1
     assert dlq.count() == 2  # BAD_TEXT_PACKET stays out of the DLQ
+
+
+def test_progress_frame_and_health_rollup(spark, tmp_path):
+    """The observability harvester turns a live query's recentProgress
+    into a typed frame: batch ids monotone, input rows accounted, the
+    watermark column real (not the epoch sentinel) once data flowed,
+    and the health rollup aggregates to one row per query."""
+    import json as _json
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_v0_env_facts,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+    from meshtastic_airsensor_database_spark.streaming.observe import (
+        progress_frame,
+        progress_health,
+    )
+
+    landing = str(tmp_path / "obs_landing")
+
+    def env(node, ts):
+        return _json.dumps(
+            {"from": node, "id": ts, "type": "telemetry", "timestamp": ts,
+             "payload": {"temperature": 20.0, "relative_humidity": 40.0,
+                         "barometric_pressure": 1000.0, "gas_resistance": 1.0,
+                         "iaq": 10}}
+        )
+
+    write_packet_fixture(landing, [env(1, 1_700_000_000 + i) for i in range(5)], "b0.jsonl")
+    facts = extract_v0_env_facts(
+        json_envelope_parse(packet_stream_source(spark, landing))
+    )
+    agg = (
+        facts.withWatermark("event_ts", "10 minutes")
+        .groupBy(F.window("event_ts", "10 minutes"), "node")
+        .count()
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("obs_agg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        write_packet_fixture(landing, [env(1, 1_700_000_900)], "b1.jsonl")
+        query.processAllAvailable()
+        pf = progress_frame(spark, query)
+        rows = pf.orderBy("batch_id").collect()
+        assert len(rows) >= 2
+        ids = [r["batch_id"] for r in rows]
+        assert ids == sorted(ids)
+        assert sum(r["num_input_rows"] or 0 for r in rows) == 6
+        assert any(
+            r["watermark"] is not None and r["watermark"].year > 1970
+            for r in rows
+        )
+        health = progress_health(pf).collect()
+        assert len(health) == 1
+        h = health[0]
+        assert h["total_rows"] == 6 and h["n_batches"] == len(rows)
+        assert h["max_watermark_lag_s"] is not None
+    finally:
+        query.stop()
