@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         action="store_true",
         help="also write every intermediate stage's parquet",
     )
+    p.add_argument(
+        "--snapshot",
+        action="store_true",
+        help="publish the final corpus as a new immutable snapshot "
+        "version under OUT_DIR/decontaminated (sources/versioned.py) "
+        "instead of overwriting it — the reproducible-training mode",
+    )
     args = p.parse_args(argv)
 
     spark = spark or get_spark("curate")
@@ -48,12 +55,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     report = []
     prev = None
+    snapshot_version = None
     for idx, (name, df) in enumerate(stages):
-        write_this = args.write_stages or name == "decontaminated"
-        if write_this:
-            df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+        out_path = os.path.join(args.output, name)
+        if name == "decontaminated" and args.snapshot:
+            from ..sources.versioned import read_snapshot, write_snapshot
+
+            snapshot_version = write_snapshot(df, out_path)
+            n = read_snapshot(spark, out_path, snapshot_version).count()
+        elif args.write_stages or name == "decontaminated":
+            df.write.mode("overwrite").parquet(out_path)
             # count what was written, not a second evaluation
-            n = spark.read.parquet(os.path.join(args.output, name)).count()
+            n = spark.read.parquet(out_path).count()
         else:
             n = df.count()
         report.append(
@@ -68,7 +81,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "report.json"), "w") as f:
-        json.dump({"stages": report}, f, indent=2)
+        json.dump(
+            {"stages": report, "snapshot_version": snapshot_version}, f, indent=2
+        )
     for s in report:
         print(f"{s['stage_idx']}. {s['stage']}: {s['n_docs']}")
     print(f"Wrote {args.output}")

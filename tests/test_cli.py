@@ -258,3 +258,29 @@ def test_curate_cli_matches_funnel_query(spark, sf_dir, tmp_path):
     final = spark.read.parquet(os.path.join(out, "decontaminated"))
     assert final.count() == got["decontaminated"]
     assert final.filter(F.col("text").isNull()).count() == 0
+
+
+def test_curate_cli_snapshot_mode_versions_the_corpus(spark, sf_dir, tmp_path):
+    """--snapshot publishes the final corpus as an immutable version:
+    two runs produce v1 and v2, both readable, with identical content
+    for identical inputs (the funnel is deterministic)."""
+    import json
+    import os
+
+    from meshtastic_airsensor_database_spark.cli.curate import main as curate_main
+    from meshtastic_airsensor_database_spark.sources.versioned import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    out = str(tmp_path / "curated")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    assert curate_main([docs, "-o", out, "--snapshot"], spark=spark) == 0
+    assert curate_main([docs, "-o", out, "--snapshot"], spark=spark) == 0
+    snap_path = os.path.join(out, "decontaminated")
+    assert snapshot_versions(snap_path) == [1, 2]
+    report = json.load(open(os.path.join(out, "report.json")))
+    assert report["snapshot_version"] == 2
+    v1 = {r["doc_id"] for r in read_snapshot(spark, snap_path, 1).collect()}
+    v2 = {r["doc_id"] for r in read_snapshot(spark, snap_path, 2).collect()}
+    assert v1 == v2 and len(v1) == report["stages"][-1]["n_docs"]
