@@ -65,3 +65,69 @@ def hll_rollup_estimate(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+
+
+def cms_bucket(col: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic cross-engine CMS hash: row ``row``'s bucket for a
+    key value. md5 over ``"{row}:{value}"`` -> top 15 hex digits as a
+    BIGINT (always < 2^63, so never negative) -> mod width. DuckDB
+    twin: ``CAST(concat('0x', substr(md5(j || ':' || CAST(k AS
+    VARCHAR)), 1, 15)) AS BIGINT) % width`` — bit-identical, which is
+    what lets a sketch ESTIMATE be oracle-checked at all."""
+    s = F.concat(F.lit(f"{row}:"), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % width
+
+
+def cms_counters(
+    df: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of ``key``'s frequency distribution: a
+    ``depth x width`` counter matrix as a DataFrame ``(j, bucket, c)``.
+
+    The counter matrix is the mergeable artifact HLL cannot provide
+    for FREQUENCY (HLL answers distinct-count): counters from disjoint
+    slices add element-wise, so a pipeline materializes one tiny
+    (depth*width rows, O(1) in corpus size) matrix per partition/day
+    and any horizon's sketch is a SUM over pre-built matrices — same
+    incremental-rollup shape as hll_partial_sketches. Built with one
+    posexplode (depth rows per input) into a map-side-partialed hash
+    aggregate; the shuffle carries at most depth*width rows per task,
+    never key values."""
+    buckets = F.array(*[cms_bucket(F.col(key), j, width) for j in range(depth)])
+    return (
+        df.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    counters: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: estimate =
+    min over rows j of counter[j][h_j(key)] — the classic CMS read,
+    always >= the true count (counters only ever over-count on
+    collision). The counter matrix is broadcast (depth*width rows);
+    per-candidate work is a broadcast equi-join on (j, bucket) plus a
+    MIN aggregate, so estimating any candidate set is one narrow pass
+    over it."""
+    buckets = F.array(*[cms_bucket(F.col(key), j, width) for j in range(depth)])
+    other = [c for c in candidates.columns if c != key]
+    expl = candidates.select(
+        key, *other, F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        expl.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(key, *other)
+        .agg(F.min("c").cast("long").alias("est_n"))
+    )

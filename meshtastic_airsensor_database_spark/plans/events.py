@@ -18,7 +18,14 @@ from ..functions.scalars import f_to_c, tz_suffix_strip, utc_to_pacific
 from ..io_utils import load
 from ..operators.graph import cooccurrence_edges, triangle_counts
 from ..operators.profile import profile_columns
-from ..operators.sketch import hll_partial_sketches, hll_rollup_estimate
+from ..operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_counters,
+    cms_estimate,
+    hll_partial_sketches,
+    hll_rollup_estimate,
+)
 from ..operators.align import (
     latest_reading_per_node,
     reading_gap_detect,
@@ -874,6 +881,73 @@ WHERE c.n_events * 10000 >= tot._total * 75
 """
 
 
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation with an exact accuracy
+    audit: top-20 users by SKETCH estimate, alongside their exact
+    count and the sketch overestimate (always >= 0 — CMS never
+    under-counts).
+
+    Like ``quantized_topk_cosine``'s int8 audit, the derandomized
+    md5-based hash (operators/sketch.py::cms_bucket) makes the
+    ESTIMATE itself hash-checkable against a DuckDB twin that rebuilds
+    the same depth x width counter matrix. The exact per-user count
+    exists here only to measure error at test scale; at 100 TB the
+    counter matrix (depth*width rows, O(1) in corpus, mergeable by
+    element-wise SUM across slices — the frequency analogue of the
+    HLL rollup) is the artifact, and candidates come from a cheap
+    sampled pass instead. Deliberately small width (64) so collisions
+    actually occur at sf0.01 and the overestimate column is a live
+    signal, not constant zero.
+    """
+    ev = load(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", CMS_DEPTH, CMS_WIDTH)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = cms_estimate(exact, counters, "user_id", CMS_DEPTH, CMS_WIDTH)
+    return (
+        est.select(
+            "user_id",
+            "est_n",
+            "exact_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("est_n").desc(), "user_id")
+        .limit(20)
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH rows_j AS (SELECT UNNEST({list(range(CMS_DEPTH))}) AS j),
+h AS (
+  SELECT j.j,
+         CAST(concat('0x', substr(md5(j.j || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM events e, rows_j j
+),
+counters AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY j, bucket
+),
+cand AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY user_id
+),
+est AS (
+  SELECT cand.user_id, cand.exact_n, CAST(MIN(ct.c) AS BIGINT) AS est_n
+  FROM cand
+  JOIN rows_j j ON TRUE
+  JOIN counters ct
+    ON ct.j = j.j
+   AND ct.bucket = CAST(concat('0x', substr(md5(j.j || ':' || CAST(cand.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % {CMS_WIDTH}
+  GROUP BY cand.user_id, cand.exact_n
+)
+SELECT user_id, est_n, exact_n, CAST(est_n - exact_n AS BIGINT) AS overestimate
+FROM est
+ORDER BY est_n DESC, user_id
+LIMIT 20
+"""
+
+
 EVENTS_COLUMN_PROFILE_SQL = """
 WITH one AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -989,4 +1063,9 @@ QUERIES: list[Query] = [
           ("per_node_stats", "approx_distinct_nodes"),
           "one-scan all-column data-quality profile (nulls, exact "
           "cardinality, numeric/timestamp ranges)"),
+    Query("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL,
+          ("per_node_stats", "approx_distinct_nodes"),
+          "count-min-sketch frequency estimates (derandomized md5 "
+          "hashes -> the sketch ESTIMATE is hash-checkable) with an "
+          "exact-count overestimate audit"),
 ]

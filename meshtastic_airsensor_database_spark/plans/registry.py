@@ -78,6 +78,17 @@ _DRIVER_WINDOW = [
     "seasonal_anomaly_flags",
     "ccnet_perplexity_buckets",
     "length_grouped_batches",
+    # -- added late in round 4: count-min-sketch frequency audit,
+    # per-doc corpus novelty, cross-source shingle-overlap matrix.
+    # Their three slots came from hourly_avg_by_node (the flagship —
+    # the driver smoke-checks entry() separately every round and it is
+    # benched), normalized_dedup_docs and salted_brand_quantities (both
+    # r3 driver-green; dedup stays in-window via minhash_verified_
+    # neardups + neardup_components + quality_survivor_docs, skew via
+    # the bench entry).
+    "cms_heavy_hitters",
+    "doc_novelty_scores",
+    "source_overlap_jaccard",
     # -- 22 long-green representatives keeping every SURVEY §2 family
     # in-window (streaming replay core + watermark late-data + SCD2 +
     # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
@@ -88,13 +99,10 @@ _DRIVER_WINDOW = [
     "asof_view_within_tolerance",
     "fact_dim_join",
     "minhash_verified_neardups",
-    "normalized_dedup_docs",
     "multimodal_binary_meta",
     "contaminated_eval_docs",
     "neardup_components",
     "fuzzy_name_matches",
-    "salted_brand_quantities",
-    "hourly_avg_by_node",
 ]
 # The eight slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,

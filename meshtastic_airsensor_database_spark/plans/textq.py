@@ -1280,6 +1280,163 @@ WHERE rnk <= {TFIDF_TOPK}
 """
 
 
+# --- corpus novelty / cross-source overlap (SURVEY §2.11 text_analysis) -------
+
+# The shared shingle expression of JACCARD_NEARDUP_PAIRS_SQL's CTE,
+# reusable in twins that need per-row shingle LISTS (word_shingles
+# mirror: distinct word-3-grams; short docs yield the whole text).
+_SHINGLE_LIST_SQL = f"""CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) >= {SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - {SHINGLE_N - 2}),
+                     i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+{SHINGLE_N - 1}], ' ')))
+              ELSE [array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')]
+         END"""
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's distinct word-
+    3-gram shingles that occur in NO other document. The inter-document
+    complement of doc_repetition_signals (intra-doc) and the inverse of
+    contamination — a curation run up-weights high-novelty documents
+    and re-inspects 0%-novelty ones (they are fully reconstructible
+    from the rest of the corpus).
+
+    Scale shape: one scan; the document-frequency count is a KEYED
+    window over the shingle key (never global), and the exchange
+    carries 8-byte xxhash64 keys, not gram strings — same key-hashing
+    rationale as operators/curation.py::ngram_decontaminate (collisions
+    only merge two grams' df, ~n²/2⁶⁴; the oracle matches at test scale
+    because none occur there). Second shuffle re-groups by doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("k"))
+    graded = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    agg = graded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("int")).cast("long").alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        r(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias("novelty_pct"),
+    )
+
+
+DOC_NOVELTY_SCORES_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_SHINGLE_LIST_SQL} AS sh
+  FROM documents
+),
+g AS (
+  SELECT doc_id, UNNEST(sh) AS gram FROM s
+),
+d AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS df FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 100.0 AS DOUBLE) / COUNT(*)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS novelty_pct
+FROM d
+GROUP BY doc_id
+"""
+
+
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level redundancy matrix: Jaccard similarity of the
+    distinct word-3-gram shingle SETS of every source pair that shares
+    at least one shingle. Answers 'which feeds duplicate each other'
+    before any per-document dedup runs — the first report a crawl
+    curation pipeline pulls when deciding which sources to drop.
+
+    Scale shape: per-source shingle sets are hash-distinct on 8-byte
+    xxhash64 keys (strings never reach an exchange); the pair count is
+    an equi-join ON the shingle key (multiplicity per key is bounded by
+    the SOURCE count, never the document count, so no all-pairs blowup)
+    and the set sizes re-attach via a broadcast of the tiny per-source
+    size table."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        docs.select(
+            "source",
+            F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+        )
+        .select("source", F.xxhash64("gram").alias("k"))
+        .distinct()
+    )
+    sizes = u.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        u.alias("a")
+        .join(
+            u.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            r(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT source,
+         {_SHINGLE_LIST_SQL} AS sh
+  FROM documents
+),
+u AS (
+  SELECT DISTINCT source, gram
+  FROM (SELECT source, UNNEST(sh) AS gram FROM s)
+),
+sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY source
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM u a JOIN u b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(ROUND(CAST(
+           CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS jaccard
+FROM p
+JOIN sz sa ON sa.source = p.source_a
+JOIN sz sb ON sb.source = p.source_b
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1305,6 +1462,15 @@ QUERIES: list[Query] = [
     Query("jaccard_neardup_pairs", jaccard_neardup_pairs_sampled,
           _doc_sampled_sql(JACCARD_NEARDUP_PAIRS_SQL, NEARDUP_SAMPLE_MAX_ID),
           ("near_dedup",), "word-3-gram Jaccard near-dup pairs (exact, sampled)"),
+    Query("doc_novelty_scores", doc_novelty_scores, DOC_NOVELTY_SCORES_SQL,
+          ("text_analysis", "near_dedup"),
+          "per-document novelty share (shingles unseen in any other "
+          "doc; keyed df window over 8-byte hashed grams)"),
+    Query("source_overlap_jaccard", source_overlap_jaccard,
+          SOURCE_OVERLAP_JACCARD_SQL,
+          ("text_analysis", "near_dedup"),
+          "cross-source shingle-set Jaccard matrix (which feeds "
+          "duplicate each other, pre-dedup)"),
     Query("rolling_fingerprints", rolling_fingerprints, None,
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,

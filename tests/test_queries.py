@@ -222,3 +222,55 @@ def test_attribution_touch_precedes_purchase(spark, sf_dir):
         assert purchase["event_type"] == "purchase"
         assert (touch["ts"], touch["event_id"]) < (purchase["ts"], purchase["event_id"])
         assert r["sec_since_touch"] >= 0
+
+
+def test_cms_heavy_hitters_never_undercount(spark, sf_dir):
+    """CMS guarantee surfaced by the audit columns: est >= exact."""
+    rows = REGISTRY["cms_heavy_hitters"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for row in rows:
+        assert row.overestimate == row.est_n - row.exact_n
+        assert row.overestimate >= 0
+
+
+def test_doc_novelty_matches_string_brute_force(spark, sf_dir):
+    """The hashed-key df window must agree with a gram-STRING
+    recomputation (catches xxhash collisions / logic drift)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.text import word_shingles
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import SHINGLE_N
+
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel)
+        for r in REGISTRY["doc_novelty_scores"].builder(spark, sf_dir).collect()
+    }
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
+        )
+    )
+    df = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    want = {
+        r.doc_id: (r.n, r.novel)
+        for r in sh.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("df") == 1).cast("int")).alias("novel"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_source_overlap_jaccard_bounds(spark, sf_dir):
+    rows = REGISTRY["source_overlap_jaccard"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for row in rows:
+        assert row.source_a < row.source_b
+        assert 1 <= row.n_common <= min(row.n_a, row.n_b)
+        assert 0.0 < row.jaccard <= 1.0

@@ -61,3 +61,59 @@ def test_estimate_within_rsd_beyond_sparse(spark):
     est = hll_rollup_estimate(partials, ["g"]).collect()[0]["distinct_est"]
     # lgConfigK=12 -> rse ~1.6%; allow 5 sigma
     assert abs(est - 200_000) / 200_000 < 0.08
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from meshtastic_airsensor_database_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.range(3000).select((F.col("id") % 37).alias("k"))
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+
+    # Narrow sketch: estimates must never undercount (CMS guarantee).
+    narrow = cms_counters(df, "k", depth=3, width=8)
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(exact, narrow, "k", depth=3, width=8).collect()
+    }
+    ex = {r["k"]: r["exact_n"] for r in exact.collect()}
+    assert set(est) == set(ex)
+    for k, e in est.items():
+        assert e >= ex[k]
+
+    # Wide sketch (width >> distinct keys): every estimate is exact.
+    wide = cms_counters(df, "k", depth=3, width=4096)
+    est_w = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(exact, wide, "k", depth=3, width=4096).collect()
+    }
+    assert est_w == ex
+
+
+def test_cms_counters_merge_elementwise(spark):
+    # The 100-TB contract: counters built per-slice and SUMmed
+    # element-wise equal the single-pass counter matrix, so per-day
+    # sketches roll up to any horizon without rescanning.
+    from meshtastic_airsensor_database_spark.operators.sketch import cms_counters
+
+    df = spark.range(4000).select(
+        (F.col("id") % 29).alias("k"), (F.col("id") % 2).alias("slice")
+    )
+    single = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cms_counters(df, "k", depth=3, width=16).collect()
+    }
+    merged = {}
+    for s in (0, 1):
+        part = cms_counters(
+            df.filter(F.col("slice") == s), "k", depth=3, width=16
+        )
+        for r in part.collect():
+            key = (r["j"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["c"]
+    assert merged == single
