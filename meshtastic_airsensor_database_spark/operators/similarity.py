@@ -739,3 +739,72 @@ def standardize_vectors(
         / F.nullif(F.element_at(stds, i + 1), F.lit(0.0)),
     )
     return emb.withColumn("z_vec", z)
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rel_col: str = "rel",
+) -> list[tuple[int, int, float, float]]:
+    """Maximal-marginal-relevance re-ranking of a BOUNDED candidate
+    pool: greedily pick the item maximizing ``lam * relevance - mu *
+    max_similarity_to_already_selected`` (ties to the lowest id). The
+    standard diversity re-rank between retrieval and the LLM context
+    window.
+
+    MMR is inherently sequential in ``k``, so this runs the
+    bounded-driver-loop shape the BPE trainer and Lloyd's k-means use:
+    one 1-row collect per round (the argmax), with the selected
+    vectors folded back as literal arrays into the next round's
+    codegen'd expression — candidates are never collected, and each
+    round is one narrow scan of the pool. The pool itself must be
+    LIMIT-bounded upstream (top-N by relevance), which is also what
+    caps the literal fan-in at k vectors.
+
+    Every per-pair similarity and every MMR score is rounded via the
+    decimal route (plans/base.py) BEFORE the argmax, so the greedy
+    trajectory — not just the final scores — is reproducible
+    bit-for-bit by the unrolled SQL twin (plans/vectorq.py).
+
+    ``lam`` and ``mu`` are separate literals (not ``1 - lam``): the
+    twin writes the same decimal text, and ``1 - 0.7`` differs from
+    ``0.3`` in the last ulp.
+
+    Returns plain rows ``(rank, id, rel, mmr)`` — bounded driver data.
+    """
+    from ..plans.base import r
+
+    selected: list[tuple] = []  # (id, vector)
+    out: list[tuple[int, int, float, float]] = []
+    for step in range(1, k + 1):
+        cands = pool
+        if selected:
+            cands = cands.filter(
+                ~F.col(id_col).isin([sid for sid, _ in selected])
+            )
+            sims = [
+                r(
+                    cosine_similarity(
+                        F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+                    ),
+                    4,
+                )
+                for _, vec in selected
+            ]
+            msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            mmr = r(F.lit(lam) * F.col(rel_col) - F.lit(mu) * msim, 4)
+        else:
+            mmr = r(F.lit(lam) * F.col(rel_col), 4)
+        row = (
+            cands.select(id_col, vec_col, rel_col, mmr.alias("mmr"))
+            .orderBy(F.col("mmr").desc(), id_col)
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((row[id_col], row[vec_col]))
+        out.append((step, row[id_col], row[rel_col], row["mmr"]))
+    return out

@@ -89,18 +89,22 @@ _DRIVER_WINDOW = [
     "cms_heavy_hitters",
     "doc_novelty_scores",
     "source_overlap_jaccard",
-    # -- 22 long-green representatives keeping every SURVEY §2 family
-    # in-window (streaming replay core + watermark late-data + SCD2 +
-    # as-of, joins, LSH/semantic/exact dedup, multimodal, curation,
-    # graph, entity, sketch, incremental rollup, skew, intervals,
-    # windowed ingest, BPE, packing, hybrid retrieval, flagship align).
+    # -- and the retrieval/eval pair that followed: MMR diversity
+    # re-rank + per-label cluster-quality report. Slots from
+    # fact_dim_join (r3 green; joins stay via asof_view_within_
+    # tolerance + replay_dim_history) and contaminated_eval_docs (r3
+    # green; curation stays via split_leakage_report + ccnet +
+    # length_grouped_batches, and it stays benched).
+    "mmr_diversified_topk",
+    "cluster_quality_metrics",
+    # -- long-green representatives keeping the remaining SURVEY §2
+    # families in-window (streaming replay core + watermark late-data
+    # + SCD2 + as-of, LSH dedup verify, multimodal, graph, entity).
     "replay_late_dedup",
     "replay_dim_history",
     "asof_view_within_tolerance",
-    "fact_dim_join",
     "minhash_verified_neardups",
     "multimodal_binary_meta",
-    "contaminated_eval_docs",
     "neardup_components",
     "fuzzy_name_matches",
 ]

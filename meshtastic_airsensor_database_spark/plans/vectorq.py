@@ -1226,6 +1226,238 @@ WHERE v.vec_id < {STANDARDIZE_PROBE_VECS}
 """
 
 
+# --- MMR diversified re-ranking (similarity_search_topk retrieval shape) ------
+
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3  # NOT computed as 1 - MMR_LAMBDA: 0.3 != 1.0 - 0.7 in the last ulp
+MMR_POOL = 20
+MMR_K = 5
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking between retrieval and the context window:
+    brute-force top-20 candidate pool by cosine to vec_id=0, then
+    maximal-marginal-relevance greedy selection of 5 (lam=0.7).
+
+    The pool build is the distributed part (one scan +
+    TakeOrderedAndProject); the greedy loop runs over the LIMIT-bounded
+    pool with one 1-row collect per round
+    (operators/similarity.py::mmr_rerank — BPE/Lloyd's bounded-loop
+    shape). Every similarity and score is decimal-rounded BEFORE each
+    argmax, so the DuckDB twin (unrolled CTE cascade, one level per
+    selection step) reproduces the greedy trajectory exactly.
+    """
+    from ..operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            r(cosine_similarity(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    rows = mmr_rerank(pool, k=MMR_K, lam=MMR_LAMBDA, mu=MMR_MU)
+    return spark.createDataFrame(
+        [(int(rk), int(vid), float(rel), float(mmr)) for rk, vid, rel, mmr in rows],
+        "rank bigint, vec_id bigint, rel double, mmr double",
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled MMR twin: sel1..selK CTE cascade, each level computing
+    max rounded-cosine to the union of prior selections and taking the
+    rounded-MMR argmax (ties to lowest vec_id) — the same greedy
+    trajectory the Spark loop walks."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    def rnd(x: str) -> str:
+        return f"CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 4) AS DOUBLE)"
+
+    lam = f"CAST({MMR_LAMBDA} AS DOUBLE)"
+    mu = f"CAST({MMR_MU} AS DOUBLE)"
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+pool AS (
+  SELECT vec_id, v, {rnd(cos('v', 'qv'))} AS rel
+  FROM e, q WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+),
+sel1 AS (
+  SELECT vec_id, v, rel, 1 AS rank, {rnd(f'{lam} * rel')} AS mmr
+  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1
+)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id, v FROM sel{j}" for j in range(1, i))
+        parts.append(
+            f""",
+seld{i} AS ({prev}),
+m{i} AS (
+  SELECT p.vec_id, first(p.v) AS v, p.rel,
+         MAX({rnd(cos('p.v', 's.v'))}) AS msim
+  FROM pool p CROSS JOIN seld{i} s
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM seld{i})
+  GROUP BY p.vec_id, p.rel
+),
+sel{i} AS (
+  SELECT vec_id, v, rel, {i} AS rank,
+         {rnd(f'{lam} * rel - {mu} * msim')} AS mmr
+  FROM m{i} ORDER BY mmr DESC, vec_id LIMIT 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr FROM sel{j}" for j in range(1, MMR_K + 1)
+    )
+    return (
+        "".join(parts)
+        + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr FROM ({final})"
+    )
+
+
+MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
+
+
+# --- embedding cluster-quality report (label column's evaluation use) ---------
+
+def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label clustering quality over the embedding space: intra-
+    cluster mean distance to own centroid, mean distance to the nearest
+    OTHER centroid, and the simplified (centroid-based) silhouette —
+    the report that decides whether `label` is usable for
+    SemDeDup-style cluster pruning.
+
+    Scale shape: centroids via posexplode -> (label, dim) hash agg
+    (map-side partials bound the exchange at labels x dim rows) with
+    per-dim decimal rounding (Lloyd parity rule, so both engines see
+    bit-identical centroids); the distance pass is a NARROW projection
+    against the broadcast packed-centroid row; final agg is keyed by
+    label. No shuffle ever carries vectors.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val").cast("decimal(38,9)"), 6).cast("double").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    pack = cent.groupBy().agg(
+        F.collect_list(F.struct("c_label", "cvec")).alias("_cs")
+    )
+    dist_to = lambda cv: F.sqrt(  # noqa: E731 - local expression builder
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                cv,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+    )
+    per_vec = (
+        emb.crossJoin(F.broadcast(pack))
+        .select(
+            "label",
+            F.transform(
+                "_cs",
+                lambda c: F.struct(
+                    c["c_label"].alias("cl"), dist_to(c["cvec"]).alias("d")
+                ),
+            ).alias("ds"),
+        )
+        .select(
+            "label",
+            F.element_at(
+                F.filter("ds", lambda s: s["cl"] == F.col("label")), 1
+            )["d"].alias("a"),
+            F.array_min(
+                F.transform(
+                    F.filter("ds", lambda s: s["cl"] != F.col("label")),
+                    lambda s: s["d"],
+                )
+            ).alias("b"),
+        )
+        .withColumn(
+            "sil",
+            F.when(
+                F.greatest("a", "b") > 0,
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r(F.avg("a"), 4).alias("mean_intra"),
+        r(F.avg("b"), 4).alias("mean_nearest_other"),
+        r(F.avg("sil"), 4).alias("mean_silhouette"),
+    )
+
+
+CLUSTER_QUALITY_METRICS_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT label, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS pos FROM e
+),
+cd AS (
+  SELECT label AS c_label, pos,
+         CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,9)), 6) AS DOUBLE) AS cv
+  FROM x GROUP BY label, pos
+),
+c AS (SELECT c_label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY c_label),
+d AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])))) AS dist
+  FROM e, c
+),
+pv AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN c_label = label THEN dist END) AS a,
+         MIN(CASE WHEN c_label != label THEN dist END) AS b
+  FROM d GROUP BY vec_id, label
+),
+s AS (
+  SELECT label, a, b,
+         CASE WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+              ELSE 0.0 END AS sil
+  FROM pv
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(CAST(AVG(a) AS DECIMAL(38,9)), 4) AS DOUBLE) AS mean_intra,
+       CAST(ROUND(CAST(AVG(b) AS DECIMAL(38,9)), 4) AS DOUBLE) AS mean_nearest_other,
+       CAST(ROUND(CAST(AVG(sil) AS DECIMAL(38,9)), 4) AS DOUBLE) AS mean_silhouette
+FROM s GROUP BY label
+"""
+
+
 QUERIES: list[Query] = [
     Query("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL,
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
@@ -1260,6 +1492,16 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",),
           "contrastive hard negatives: per-query top-k most-similar "
           "different-label vectors"),
+    Query("mmr_diversified_topk", mmr_diversified_topk,
+          MMR_DIVERSIFIED_TOPK_SQL,
+          ("similarity_search_topk",),
+          "maximal-marginal-relevance diversity re-rank of the top-20 "
+          "pool (greedy trajectory reproduced by an unrolled CTE twin)"),
+    Query("cluster_quality_metrics", cluster_quality_metrics,
+          CLUSTER_QUALITY_METRICS_SQL,
+          ("similarity_search_topk",),
+          "per-label centroid/silhouette clustering-quality report "
+          "(decides SemDeDup cluster-prune usability)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

@@ -64,7 +64,13 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "tfidf_top_terms",
            # two single-row totals (n_uni, n_bg) broadcast into the PMI
            # scoring over the vocabulary-sized bigram aggregate
-           "bigram_pmi_topk"}
+           "bigram_pmi_topk",
+           # single query-vector row crossed into the MMR candidate-pool
+           # scan (the greedy loop itself runs on the LIMIT-20 pool)
+           "mmr_diversified_topk",
+           # single packed-centroid row (labels x dim) crossed into the
+           # narrow per-vector distance projection
+           "cluster_quality_metrics"}
 
 
 def test_no_cartesian_products(spark, sf_dir):

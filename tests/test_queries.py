@@ -274,3 +274,44 @@ def test_source_overlap_jaccard_bounds(spark, sf_dir):
         assert row.source_a < row.source_b
         assert 1 <= row.n_common <= min(row.n_a, row.n_b)
         assert 0.0 < row.jaccard <= 1.0
+
+
+def test_cluster_quality_matches_numpy_brute_force(spark, sf_dir):
+    """Centroid / nearest-other / simplified-silhouette means must
+    match a numpy recomputation (same 6-decimal centroid rounding)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        row.label: (row.n, row.mean_intra, row.mean_nearest_other, row.mean_silhouette)
+        for row in REGISTRY["cluster_quality_metrics"].builder(spark, sf_dir).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    labels = np.asarray(t["label"])
+    vecs = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+
+    def rnd(x, n):
+        d = Decimal(repr(float(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        return float(d.quantize(Decimal(f"1e-{n}"), ROUND_HALF_UP))
+
+    uniq = sorted(set(labels.tolist()))
+    cents = {
+        l: np.array([rnd(v, 6) for v in vecs[labels == l].mean(axis=0)])
+        for l in uniq
+    }
+    for l in uniq:
+        member = vecs[labels == l]
+        a = np.linalg.norm(member - cents[l], axis=1)
+        others = np.stack([
+            np.linalg.norm(member - cents[m], axis=1) for m in uniq if m != l
+        ])
+        b = others.min(axis=0)
+        denom = np.maximum(a, b)
+        sil = np.where(denom > 0, (b - a) / denom, 0.0)
+        n, mi, mo, ms = got[l]
+        assert n == len(member)
+        assert abs(mi - a.mean()) < 2e-4
+        assert abs(mo - b.mean()) < 2e-4
+        assert abs(ms - sil.mean()) < 2e-4

@@ -517,3 +517,61 @@ def test_ivf_index_extend_appends_without_rewrite(spark, sf_dir, tmp_path):
 
     exact = {r.vec_id for r in brute_force_topk(emb, 0, k=10).collect()}
     assert got == exact
+
+
+# --- MMR re-ranking ------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy_reference(spark):
+    """The Spark loop's greedy trajectory must equal a plain-Python
+    MMR over the same pool with the same rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.similarity import mmr_rerank
+    from meshtastic_airsensor_database_spark.plans.base import r
+
+    def rnd4(x):
+        d = Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        return float(d.quantize(Decimal("1e-4"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    vecs = {
+        1: [1.0, 0.0, 0.1], 2: [0.99, 0.02, 0.1], 3: [0.0, 1.0, 0.2],
+        4: [0.1, 0.9, 0.3], 5: [0.5, 0.5, 0.5], 6: [0.98, 0.01, 0.12],
+    }
+    qv = [1.0, 0.1, 0.1]
+    pool_rows = [(i, v, rnd4(cos(v, qv))) for i, v in vecs.items()]
+    pool = spark.createDataFrame(pool_rows, "vec_id int, v array<double>, rel double")
+
+    got = mmr_rerank(pool, k=3, lam=0.7, mu=0.3)
+
+    # plain-Python greedy with identical rounding
+    sel, want = [], []
+    remaining = dict(vecs)
+    rels = {i: rel for i, _, rel in pool_rows}
+    for step in range(1, 4):
+        best = None
+        for i, v in sorted(remaining.items()):
+            if not sel:
+                score = rnd4(0.7 * rels[i])
+            else:
+                msim = max(rnd4(cos(v, vecs[s])) for s in sel)
+                score = rnd4(0.7 * rels[i] - 0.3 * msim)
+            if best is None or score > best[1]:
+                best = (i, score)
+        sel.append(best[0])
+        del remaining[best[0]]
+        want.append((step, best[0], rels[best[0]], best[1]))
+    assert got == want
+    # with a diversity-heavy trade-off, the near-duplicates of the
+    # first pick (2, 6) must NOT fill the remaining slots, unlike the
+    # pure-relevance top-3
+    diverse = mmr_rerank(pool, k=3, lam=0.3, mu=0.7)
+    assert {g[1] for g in diverse} != {1, 2, 6}
