@@ -95,6 +95,13 @@ BENCH_QUERIES = [
     "seasonal_anomaly_flags",
     "ccnet_perplexity_buckets",
     "length_grouped_batches",
+    # late-r4 additions: CMS sketch tier, corpus novelty / source
+    # overlap, MMR re-rank, cluster-quality report
+    "cms_heavy_hitters",
+    "doc_novelty_scores",
+    "source_overlap_jaccard",
+    "mmr_diversified_topk",
+    "cluster_quality_metrics",
 ]
 
 

@@ -63,19 +63,40 @@ def bpe_token_count(col: Column | str) -> Column:
     )
 
 
+def _zipped_ngrams(arr: Column, n: int, sep: str) -> Column:
+    """n-gram join of adjacent elements WITHOUT capturing ``arr`` inside
+    a lambda body. Higher-order-function lambdas re-evaluate any
+    captured outer expression PER ELEMENT (Spark does not CSE into the
+    interpreted lambda), so the previous sequence+transform+slice form
+    re-tokenized the whole document once per shingle — quadratic per
+    doc and the dominant cost of every shingling query. ``zip_with``
+    arguments are evaluated once per ROW, so building the grams as a
+    fold of n-1 zip_withs over n shifted slices costs n evaluations of
+    ``arr`` total (and the lambdas touch only their own variables).
+    Same elements in the same order as the old form."""
+    win = F.size(arr) - (n - 1)
+    out = F.slice(arr, 1, win)
+    for j in range(2, n + 1):
+        out = F.zip_with(
+            out,
+            F.slice(arr, j, win),
+            lambda acc, nxt: F.concat(acc, F.lit(sep), nxt),
+        )
+    return out
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (distinct).
 
-    Built via sequence+transform over the token array — stays JVM-side.
-    Documents shorter than ``n`` tokens yield a single shingle of the
-    whole text so they still participate in MinHash.
+    Built as a zip_with fold over shifted token-array slices — stays
+    JVM-side and evaluates the tokenizer O(n) times per row, never per
+    shingle (see _zipped_ngrams). Documents shorter than ``n`` tokens
+    yield a single shingle of the whole text so they still participate
+    in MinHash.
     """
     toks = tokens(col)
     joined = F.concat_ws(" ", toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    sh = _zipped_ngrams(toks, n, " ")
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(joined))
 
 
@@ -85,12 +106,13 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     The word-boundary-free complement of ``word_shingles``: robust to
     tokenization noise (hyphenation, spacing, CJK text without spaces).
     Strings shorter than ``n`` chars yield themselves as one shingle.
+    Splits to a char array once and zip_with-folds shifted slices —
+    the substring-per-index form re-lowered the whole document per
+    gram (quadratic in doc length; see _zipped_ngrams).
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - (n - 1)),
-        lambda i: F.substring(c, i, F.lit(n)),
-    )
+    chars = F.split(c, "")
+    grams = _zipped_ngrams(chars, n, "")
     return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(F.array(c))
 
 

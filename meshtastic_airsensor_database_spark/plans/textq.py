@@ -1301,32 +1301,44 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-inspects 0%-novelty ones (they are fully reconstructible
     from the rest of the corpus).
 
-    Scale shape: one scan; the document-frequency count is a KEYED
-    window over the shingle key (never global), and the exchange
-    carries 8-byte xxhash64 keys, not gram strings — same key-hashing
-    rationale as operators/curation.py::ngram_decontaminate (collisions
-    only merge two grams' df, ~n²/2⁶⁴; the oracle matches at test scale
-    because none occur there). Second shuffle re-groups by doc_id.
+    Scale shape: hash aggregates ONLY — no sort-window over the gram
+    stream. A gram with df==1 belongs to exactly one document, so its
+    owner is recoverable as MIN(doc_id) from the same (k, count, min)
+    partial-aggregated gram rollup; per-doc novel counts then come from
+    a second tiny agg over the df==1 grams, joined back onto the
+    per-doc totals. The exchanges carry 8-byte xxhash64 keys, not gram
+    strings — same key-hashing rationale as
+    operators/curation.py::ngram_decontaminate (collisions only merge
+    two grams' df, ~n²/2⁶⁴; the oracle matches at test scale because
+    none occur there).
     """
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
     ).select("doc_id", F.xxhash64("gram").alias("k"))
-    graded = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    gram_agg = sh.groupBy("k").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
     )
-    agg = graded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum((F.col("df") == 1).cast("int")).cast("long").alias("n_novel"),
+    novel = (
+        gram_agg.filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
-    return agg.select(
-        "doc_id",
-        "n_shingles",
-        "n_novel",
-        r(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias("novelty_pct"),
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            r(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias(
+                "novelty_pct"
+            ),
+        )
     )
 
 
@@ -1360,12 +1372,14 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any per-document dedup runs — the first report a crawl
     curation pipeline pulls when deciding which sources to drop.
 
-    Scale shape: per-source shingle sets are hash-distinct on 8-byte
-    xxhash64 keys (strings never reach an exchange); the pair count is
-    an equi-join ON the shingle key (multiplicity per key is bounded by
-    the SOURCE count, never the document count, so no all-pairs blowup)
-    and the set sizes re-attach via a broadcast of the tiny per-source
-    size table."""
+    Scale shape: NO self-join. Per-source shingle sets are
+    hash-distinct on 8-byte xxhash64 keys (strings never reach an
+    exchange); one more hash agg folds each gram's sources into a
+    ``collect_set`` bounded by the SOURCE count (a small domain by
+    definition), and the pair expansion is a NARROW nested transform
+    over that sorted set — the small-domain co-occurrence shape,
+    immune to the gram-side data volume. Set sizes re-attach via a
+    broadcast of the tiny per-source size table."""
     docs = load(spark, sf_dir, "documents")
     u = (
         docs.select(
@@ -1376,18 +1390,28 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = u.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    common = (
-        u.alias("a")
-        .join(
-            u.alias("b"),
-            (F.col("a.k") == F.col("b.k")) & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    srcs = u.groupBy("k").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
     )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    common = pairs.groupBy(
+        F.col("p.source_a").alias("source_a"),
+        F.col("p.source_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
     return (

@@ -67,6 +67,10 @@ SHOWCASE = [
     ("vocab_growth_by_source", "vocab growth: per-token MIN(source) agg (shuffle carries distinct tokens), running sum over <=|sources| rows"),
     ("tfidf_top_terms", "TF-IDF keywords: doc-term partial aggs, vocab-sized df join, single-row corpus broadcast, doc-partitioned rank window"),
     ("seasonal_decomposition", "seasonal decomposition: ONE keyed window sort over the hourly pre-aggregate, broadcast hour-of-day profile join"),
+    ("cms_heavy_hitters", "count-min sketch: posexplode into a (depth x width)-bounded partial agg; estimates via broadcast counter join + MIN"),
+    ("doc_novelty_scores", "corpus novelty: hash aggs only (df==1 owner via MIN on the same gram rollup), 8-byte hashed grams, no sort-window"),
+    ("source_overlap_jaccard", "source overlap: NO self-join — per-gram collect_set(source) bounded by the source domain, narrow pair expansion, broadcast size re-attach"),
+    ("cluster_quality_metrics", "cluster quality: (label,dim)-bounded centroid agg + narrow broadcast-pack distance projection, keyed final agg"),
 ]
 
 
