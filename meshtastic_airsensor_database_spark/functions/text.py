@@ -63,7 +63,7 @@ def bpe_token_count(col: Column | str) -> Column:
     )
 
 
-def _zipped_ngrams(arr: Column, n: int, sep: str) -> Column:
+def zipped_ngrams(arr: Column, n: int, sep: str) -> Column:
     """n-gram join of adjacent elements WITHOUT capturing ``arr`` inside
     a lambda body. Higher-order-function lambdas re-evaluate any
     captured outer expression PER ELEMENT (Spark does not CSE into the
@@ -90,13 +90,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Built as a zip_with fold over shifted token-array slices — stays
     JVM-side and evaluates the tokenizer O(n) times per row, never per
-    shingle (see _zipped_ngrams). Documents shorter than ``n`` tokens
+    shingle (see zipped_ngrams). Documents shorter than ``n`` tokens
     yield a single shingle of the whole text so they still participate
     in MinHash.
     """
     toks = tokens(col)
     joined = F.concat_ws(" ", toks)
-    sh = _zipped_ngrams(toks, n, " ")
+    sh = zipped_ngrams(toks, n, " ")
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(F.array(joined))
 
 
@@ -108,11 +108,11 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     Strings shorter than ``n`` chars yield themselves as one shingle.
     Splits to a char array once and zip_with-folds shifted slices —
     the substring-per-index form re-lowered the whole document per
-    gram (quadratic in doc length; see _zipped_ngrams).
+    gram (quadratic in doc length; see zipped_ngrams).
     """
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     chars = F.split(c, "")
-    grams = _zipped_ngrams(chars, n, "")
+    grams = zipped_ngrams(chars, n, "")
     return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(F.array(c))
 
 

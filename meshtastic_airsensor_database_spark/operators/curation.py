@@ -99,13 +99,14 @@ def ngram_decontaminate(
 
 
 def _bigrams(toks):
-    """Non-distinct word bigrams (repetition needs multiplicity)."""
+    """Non-distinct word bigrams (repetition needs multiplicity).
+    zip_with form — a lambda capturing ``toks`` would re-tokenize per
+    bigram (functions/text.py::zipped_ngrams documents the trap)."""
+    from ..functions.text import zipped_ngrams
+
     return F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
+        zipped_ngrams(toks, 2, " "),
     ).otherwise(F.array().cast("array<string>"))
 
 

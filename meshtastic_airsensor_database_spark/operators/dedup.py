@@ -177,8 +177,13 @@ def pairs_within_buckets(
         capped.groupBy(*bucket_cols)
         .agg(F.collect_list(id_col).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        # sort ONCE into a materialized column: a lambda below captures
+        # ``ids``, and HOF lambdas re-evaluate captured expressions per
+        # element — an expression-level array_sort here would re-sort
+        # the bucket per pair-expansion step (O(m^2 log m) per bucket)
+        .withColumn("ids", F.array_sort("ids"))
     )
-    ids = F.array_sort("ids")
+    ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
             ids,
@@ -547,15 +552,20 @@ def simhash(content_col: Column) -> Column:
     from ..functions.text import tokens
 
     toks = F.array_distinct(tokens(content_col))
+    # hash each token ONCE up front: the per-bit lambda below would
+    # otherwise recompute xxhash64(token) for every one of the 64 bits
+    # (HOF lambdas re-evaluate captured expressions per element —
+    # functions/text.py::zipped_ngrams documents the trap)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
     counters = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 bit_idx,
-                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1),
+                lambda i: F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
             ),
             lambda a, b: a + b,
         ),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import tokens, zipped_ngrams
 
 # Additive-smoothing constant for the bigram LM (add-k; k=0.5 is the
 # usual Lidstone compromise between add-one's over-smoothing and MLE's
@@ -167,10 +167,10 @@ def dup_span_coverage(
     dup_fraction)`` for documents with ≥ n tokens.
     """
     toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # zip_with fold, not transform+slice: a lambda capturing ``toks``
+    # would re-tokenize the document per gram (functions/text.py::
+    # zipped_ngrams documents the trap)
+    grams = zipped_ngrams(toks, n, " ")
     pos_grams = (
         docs.where(F.size(toks) >= n)
         .select(
