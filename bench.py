@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "source_overlap_jaccard",
     "mmr_diversified_topk",
     "cluster_quality_metrics",
+    "table_checksum_report",
+    "skew_key_report",
 ]
 
 

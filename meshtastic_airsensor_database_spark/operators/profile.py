@@ -19,6 +19,8 @@ surface.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,3 +79,27 @@ def profile_columns(df: DataFrame, approx: bool = False) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
+
+
+def table_content_checksum(df: DataFrame, name: str, cols: Sequence[str]) -> DataFrame:
+    """Order-insensitive content checksum of ``cols``: row count + the
+    bit_xor of an md5-derived 63-bit integer over a canonical
+    '|'-joined string rendering of each row. Two replicas match iff
+    (n_rows, checksum) match — no sort, no row transfer; xor partials
+    combine across partitions, so the exchange carries one row.
+
+    The md5->15-hex-digit->BIGINT construction is the cross-engine
+    deterministic hash (same as operators/sketch.py::cms_bucket), which
+    is what lets the checksum itself be oracle-checked. Restrict cols
+    to integer/varchar: decimal/timestamp TEXT rendering is not
+    contractual across engines."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("h").alias("checksum"),
+        )
+        .select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+    )

@@ -948,6 +948,67 @@ LIMIT 20
 """
 
 
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis for ``events.user_id`` — the report
+    that decides whether a key needs salting (operators/skew.py) or can
+    rely on AQE's skew-join split: total rows, distinct keys, mean and
+    max per-key cardinality, and the row share of the top-1 / top-10
+    hottest keys.
+
+    Scale shape: one per-key hash aggregate (map-side partialed), one
+    single-row total broadcast, and a TakeOrdered top-10 — the per-key
+    counts never sort globally. Output is one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    )
+    top10 = (
+        counts.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("n").cast("long").alias("top10_rows"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            r(F.col("n_rows") * 1.0 / F.col("n_keys"), 4).alias("avg_key_rows"),
+            "max_key_rows",
+            r(F.col("max_key_rows") * 100.0 / F.col("n_rows"), 4).alias("top1_pct"),
+            r(F.col("top10_rows") * 100.0 / F.col("n_rows"), 4).alias("top10_pct"),
+        )
+    )
+
+
+SKEW_KEY_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_key_rows
+  FROM c
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS top10_rows
+  FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)
+)
+SELECT s.n_rows, s.n_keys,
+       CAST(ROUND(CAST(CAST(s.n_rows * 1.0 AS DOUBLE) / s.n_keys AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_key_rows,
+       s.max_key_rows,
+       CAST(ROUND(CAST(CAST(s.max_key_rows * 100.0 AS DOUBLE) / s.n_rows AS DECIMAL(38,9)), 4) AS DOUBLE) AS top1_pct,
+       CAST(ROUND(CAST(CAST(t.top10_rows * 100.0 AS DOUBLE) / s.n_rows AS DECIMAL(38,9)), 4) AS DOUBLE) AS top10_pct
+FROM s, t
+"""
+
+
 EVENTS_COLUMN_PROFILE_SQL = """
 WITH one AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1068,4 +1129,8 @@ QUERIES: list[Query] = [
           "count-min-sketch frequency estimates (derandomized md5 "
           "hashes -> the sketch ESTIMATE is hash-checkable) with an "
           "exact-count overestimate audit"),
+    Query("skew_key_report", skew_key_report, SKEW_KEY_REPORT_SQL,
+          ("per_node_stats",),
+          "join-key skew diagnosis: key cardinality + top-1/top-10 "
+          "hot-key row shares (decides salting vs AQE skew split)"),
 ]

@@ -97,15 +97,20 @@ _DRIVER_WINDOW = [
     # length_grouped_batches, and it stays benched).
     "mmr_diversified_topk",
     "cluster_quality_metrics",
+    # -- and the ops pair: cross-engine table checksums + join-key skew
+    # diagnosis. Slots from neardup_components and
+    # asof_view_within_tolerance (both r3 driver-green; dedup stays via
+    # minhash_verified_neardups + quality_survivor_docs, as-of/replay
+    # via replay_late_dedup + replay_dim_history).
+    "table_checksum_report",
+    "skew_key_report",
     # -- long-green representatives keeping the remaining SURVEY §2
     # families in-window (streaming replay core + watermark late-data
     # + SCD2 + as-of, LSH dedup verify, multimodal, graph, entity).
     "replay_late_dedup",
     "replay_dim_history",
-    "asof_view_within_tolerance",
     "minhash_verified_neardups",
     "multimodal_binary_meta",
-    "neardup_components",
     "fuzzy_name_matches",
 ]
 # The eight slots for the round-4 new queries came from

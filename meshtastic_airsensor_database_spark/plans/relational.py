@@ -901,6 +901,50 @@ FROM rep
 """
 
 
+def table_checksum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive cross-engine content checksums: per table, the
+    row count plus the bit_xor of an md5-derived 63-bit integer over a
+    canonical '|'-joined rendering of the row. The replication /
+    migration integrity check: two copies of a table match iff their
+    (n_rows, checksum) pairs match, with NO sorting and NO row
+    transfer — each side computes one aggregate locally.
+
+    Scale shape: one scan per table into a map-side-partialed two-value
+    aggregate (xor is commutative/associative, so partition partials
+    combine freely); the exchange carries one row per table. Columns
+    are restricted to integer/varchar (cross-engine decimal/timestamp
+    TEXT rendering is not contractual; integers and strings are).
+    """
+    from ..operators.profile import table_content_checksum as chk
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        chk(orders, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                               "o_orderpriority"])
+        .unionAll(chk(customer, "customer",
+                      ["c_custkey", "c_name", "c_mktsegment"]))
+        .unionAll(chk(nation, "nation", ["n_nationkey", "n_name"]))
+    )
+
+
+def _checksum_sql(table: str, cols: list[str]) -> str:
+    canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""SELECT '{table}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(concat('0x', substr(md5({canon}), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum
+FROM {table}"""
+
+
+TABLE_CHECKSUM_REPORT_SQL = "\nUNION ALL\n".join([
+    _checksum_sql("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderpriority"]),
+    _checksum_sql("customer", ["c_custkey", "c_name", "c_mktsegment"]),
+    _checksum_sql("nation", ["n_nationkey", "n_name"]),
+])
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -959,6 +1003,10 @@ QUERIES: list[Query] = [
           TABLE_CONSTRAINT_REPORT_SQL, ("ddl_bootstrap", "jdbc_healthcheck"),
           "Deequ-style declarative quality gates: one-pass row rules, "
           "uniqueness, FK referential integrity"),
+    Query("table_checksum_report", table_checksum_report,
+          TABLE_CHECKSUM_REPORT_SQL, ("ddl_bootstrap", "jdbc_healthcheck"),
+          "order-insensitive md5-xor content checksums per table "
+          "(replication/migration integrity, no sort, no row transfer)"),
     Query("snapshot_diff_customers", snapshot_diff_customers,
           SNAPSHOT_DIFF_CUSTOMERS_SQL, ("dim_upsert_from_stream",),
           "CDC-style snapshot reconciliation: keyed full-outer diff "

@@ -70,7 +70,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "mmr_diversified_topk",
            # single packed-centroid row (labels x dim) crossed into the
            # narrow per-vector distance projection
-           "cluster_quality_metrics"}
+           "cluster_quality_metrics",
+           # two single-row stat frames (totals + top-10 sum) crossed
+           # into the one-row skew report
+           "skew_key_report"}
 
 
 def test_no_cartesian_products(spark, sf_dir):

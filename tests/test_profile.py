@@ -47,3 +47,26 @@ def test_profile_timestamp_range_is_epoch(spark):
     ).select(F.to_timestamp("t").alias("t"))
     got = profile_columns(df).collect()[0]
     assert got["max_num"] - got["min_num"] == 86400.0
+
+
+def test_content_checksum_order_insensitive_and_value_sensitive(spark):
+    from meshtastic_airsensor_database_spark.operators.profile import (
+        table_content_checksum,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    a = spark.createDataFrame(rows, "k int, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k int, v string").repartition(3)
+    ca = table_content_checksum(a, "t", ["k", "v"]).collect()[0]
+    cb = table_content_checksum(b, "t", ["k", "v"]).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+
+    # flipping a single value must change the checksum
+    c = spark.createDataFrame([(1, "a"), (2, "b"), (3, "d")], "k int, v string")
+    cc = table_content_checksum(c, "t", ["k", "v"]).collect()[0]
+    assert cc.checksum != ca.checksum
+    # ...and duplicate-pair xor cancellation is why n_rows is part of
+    # the contract: two identical extra rows xor to a no-op
+    d = spark.createDataFrame(rows + [(9, "z"), (9, "z")], "k int, v string")
+    cd = table_content_checksum(d, "t", ["k", "v"]).collect()[0]
+    assert cd.checksum == ca.checksum and cd.n_rows != ca.n_rows

@@ -315,3 +315,12 @@ def test_cluster_quality_matches_numpy_brute_force(spark, sf_dir):
         assert abs(mi - a.mean()) < 2e-4
         assert abs(mo - b.mean()) < 2e-4
         assert abs(ms - sil.mean()) < 2e-4
+
+
+def test_skew_key_report_invariants(spark, sf_dir):
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    row = REGISTRY["skew_key_report"].builder(spark, sf_dir).collect()[0]
+    assert row.n_rows == load(spark, sf_dir, "events").count()
+    assert 0 < row.top1_pct <= row.top10_pct <= 100.0
+    assert row.max_key_rows * row.n_keys >= row.n_rows  # max >= mean
