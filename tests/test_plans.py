@@ -470,3 +470,26 @@ def test_seasonal_and_batching_plans_have_no_global_exchange(spark, sf_dir):
                  "length_grouped_batches", "split_leakage_report"):
         plan = plan_of(spark, name, sf_dir)
         assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_novelty_and_overlap_stay_hash_agg_shaped(spark, sf_dir):
+    """doc_novelty_scores must never sort-window the gram stream (the
+    df==1 owner comes from MIN on the gram rollup), and
+    source_overlap_jaccard must never self-join grams (pairs expand
+    narrowly from the bounded per-gram source set)."""
+    plan = plan_of(spark, "doc_novelty_scores", sf_dir)
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    plan = plan_of(spark, "source_overlap_jaccard", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cms_counters_are_bounded_partial_aggs(spark, sf_dir):
+    """The CMS build must be a two-level hash agg on (j, bucket) —
+    bounded at depth x width rows — with the counter matrix BROADCAST
+    into the estimate join, never shuffled with the candidates."""
+    plan = plan_of(spark, "cms_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
