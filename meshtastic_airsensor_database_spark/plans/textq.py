@@ -1381,17 +1381,23 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to the gram-side data volume. Set sizes re-attach via a
     broadcast of the tiny per-source size table."""
     docs = load(spark, sf_dir, "documents")
-    u = (
+    # collect_set IS the dedup — no separate distinct() pass: the gram
+    # stream shuffles exactly once (partial_collect_set combines
+    # map-side), and the per-source set sizes derive from the already
+    # gram-level srcs table instead of a second scan of the stream.
+    srcs = (
         docs.select(
             "source",
             F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
         )
         .select("source", F.xxhash64("gram").alias("k"))
-        .distinct()
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
-    sizes = u.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    srcs = u.groupBy("k").agg(
-        F.array_sort(F.collect_set("source")).alias("ss")
+    sizes = (
+        srcs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     pairs = srcs.select(
         F.explode(

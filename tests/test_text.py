@@ -241,3 +241,35 @@ def test_vocab_growth_curve_is_consistent(spark, sf_dir):
         running += r["new_tokens"]
         assert r["cumulative_vocab"] == running
     assert running == vocab
+
+
+def test_zipped_ngrams_equals_python_ngrams(spark):
+    """The zip_with fold must produce exactly the naive adjacent
+    n-grams for every length (incl. empty, shorter-than-n, unicode) —
+    regression pin for the HOF-capture perf rewrite."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.text import zipped_ngrams
+
+    texts = ["", "a", "a b", "a b c", "a b c d", "one two three four five six",
+             "ü ö ä ß x", "x " * 20]
+    rows = [(t.split(),) for t in texts]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    for n in (2, 3, 5):
+        got = [
+            r.g
+            for r in df.select(
+                F.when(
+                    F.size("toks") >= n, zipped_ngrams(F.col("toks"), n, " ")
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("g")
+            ).collect()
+        ]
+        want = [
+            [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+            if len(tk) >= n
+            else []
+            for (tk,) in rows
+        ]
+        assert got == want, (n, got, want)
