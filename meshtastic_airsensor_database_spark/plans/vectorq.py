@@ -1371,10 +1371,14 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack = cent.groupBy().agg(
         F.collect_list(F.struct("c_label", "cvec")).alias("_cs")
     )
+    # the distance lambda runs once per centroid: reference the cast
+    # vector as a MATERIALIZED column (bare attributes are free to
+    # capture; a cast expression would re-run per centroid element —
+    # functions/text.py::zipped_ngrams documents the trap)
     dist_to = lambda cv: F.sqrt(  # noqa: E731 - local expression builder
         F.aggregate(
             F.zip_with(
-                F.col("embedding").cast("array<double>"),
+                F.col("v"),
                 cv,
                 lambda x, y: (x - y) * (x - y),
             ),
@@ -1383,7 +1387,10 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_vec = (
-        emb.crossJoin(F.broadcast(pack))
+        emb.select(
+            "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .crossJoin(F.broadcast(pack))
         .select(
             "label",
             F.transform(
