@@ -106,22 +106,45 @@ BATCH_K = 5
 
 def _batch_scores_expr(emb: DataFrame) -> DataFrame:
     """(query_id, vec_id, cosine) via the pure-expression path: queries
-    packed into one broadcast row, per-row explode + HOF cosine."""
+    packed into one broadcast row, per-row explode + HOF cosine.
+
+    Both norms are hoisted OUT of the per-query lambda: the row
+    vector's norm becomes a materialized column (a captured
+    cosine_similarity would recompute sqrt(dot(v,v)) once per query —
+    the functions/text.py::zipped_ngrams trap) and each query's norm is
+    precomputed into the broadcast pack (otherwise it re-evaluates per
+    ROW per query). Same arithmetic shape as cosine_similarity —
+    dot / (|a| * |b|), null on zero denom — so the rounded values are
+    bit-identical to the oracle."""
     qpack = (
         emb.filter(F.col("vec_id").isin(*QUERY_BATCH_IDS))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        F.col("vec_id").alias("qid"),
-                        F.col("embedding").alias("qv"),
+                        F.col("vec_id").alias("qid"), "qv", "qn"
                     )
                 )
             ).alias("_qs")
         )
     )
+    dot_vq = lambda qv: F.aggregate(  # noqa: E731 - local expression builder
+        F.zip_with(F.col("_v"), qv, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
     return (
         fan_out(emb)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("_v"),
+            l2_norm(F.col("embedding")).alias("_n"),
+        )
         .crossJoin(F.broadcast(qpack))
         .select(
             "vec_id",
@@ -130,9 +153,13 @@ def _batch_scores_expr(emb: DataFrame) -> DataFrame:
                     "_qs",
                     lambda q: F.struct(
                         q["qid"].alias("qid"),
-                        r(cosine_similarity(F.col("embedding"), q["qv"]), 4).alias(
-                            "cosine"
-                        ),
+                        r(
+                            F.when(
+                                F.col("_n") * q["qn"] > 0,
+                                dot_vq(q["qv"]) / (F.col("_n") * q["qn"]),
+                            ),
+                            4,
+                        ).alias("cosine"),
                     ),
                 )
             ).alias("s"),
