@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, l2_norm
 from ..io_utils import fan_out
 
 N_HYPERPLANES = 16
@@ -74,21 +74,35 @@ def assign_ivf_clusters(
     """
     cent_row = (
         emb.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
         .agg(
             F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("cid"),
-                        F.col(vec_col).alias("cv"),
-                    )
-                )
+                F.collect_list(F.struct("cid", "cv", "cn"))
             ).alias("_cents")
         )
+    )
+    # norms/casts hoisted OUT of the per-centroid lambda: a captured
+    # cosine_similarity would recompute the row vector's cast and norm
+    # once per centroid (HOF lambdas re-evaluate captured expressions
+    # per element — functions/text.py::zipped_ngrams); the centroid
+    # norms precompute into the broadcast pack. Same dot/(|a||b|)
+    # arithmetic shape, null on zero denom — values bit-identical.
+    dot_vc = lambda cv: F.aggregate(  # noqa: E731 - local expression builder
+        F.zip_with(F.col("_v"), cv, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
     )
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            cosine_similarity(F.col(vec_col), c["cv"]).alias("s"),
+            F.when(
+                F.col("_n") * c["cn"] > 0,
+                dot_vc(c["cv"]) / (F.col("_n") * c["cn"]),
+            ).alias("s"),
             (-c["cid"]).alias("t"),
             c["cid"].alias("cid"),
         ),
@@ -97,7 +111,10 @@ def assign_ivf_clusters(
     # width — thousands of splits at scale (no-op), one small file
     # locally (spread once, then compute).
     return (
-        fan_out(emb).crossJoin(F.broadcast(cent_row))
+        fan_out(emb)
+        .withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .withColumn("_n", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent_row))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -588,19 +605,32 @@ def assign_to_centroids_euclidean(
     the struct comparison). Returns (id, vec, cluster)."""
     cent_row = cents.agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv").cast("array<double>").alias("cv"))
+            )
         ).alias("_cents")
+    )
+    # the row vector's cast hoists to a materialized column: a captured
+    # _euclidean_dist2(F.col(vec_col), ...) would re-cast the vector
+    # once per centroid (the zipped_ngrams HOF trap); bare attribute
+    # captures are free
+    dist2 = lambda cv: F.aggregate(  # noqa: E731 - local expression builder
+        F.zip_with(F.col("_v"), cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
     )
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            (-_euclidean_dist2(F.col(vec_col), c["cv"])).alias("s"),
+            (-dist2(c["cv"])).alias("s"),
             (-c["cid"]).alias("t"),
             c["cid"].alias("cid"),
         ),
     )
     return (
-        fan_out(emb).crossJoin(F.broadcast(cent_row))
+        fan_out(emb)
+        .withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .crossJoin(F.broadcast(cent_row))
         .select(
             F.col(id_col),
             F.col(vec_col),
