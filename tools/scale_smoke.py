@@ -272,6 +272,49 @@ def main() -> None:
           semantic_dedup_pairs(emb, threshold=0.9,
                                n_centroids=max(8, 4 * factor)), out)
     timed(spark, "pq_encode", pq_encode(emb, train_pq_codebooks(emb)), out)
+    # r4 late additions over the factor-x corpus: corpus novelty (two
+    # hash aggs over hashed grams), source-overlap (one collect_set
+    # shuffle + narrow pair expansion bounded by the source domain),
+    # and the CMS counter build (output bounded at depth x width
+    # regardless of corpus). Super-linear time here means a gram-keyed
+    # agg lost its map-side partial or the pair expansion regressed to
+    # a join.
+    from meshtastic_airsensor_database_spark.operators.sketch import cms_counters
+
+    # the replicated corpus carries no source column; derive a bounded
+    # 20-value domain from the id (mirrors the real table's cardinality)
+    src = F.concat(
+        F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
+    ).alias("source")
+    sh_k = docs.select(
+        "doc_id", src,
+        F.explode(word_shingles(F.col("text"), 3)).alias("gram"),
+    ).select("doc_id", "source", F.xxhash64("gram").alias("k"))
+    gram_agg = sh_k.groupBy("k").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    )
+    novel = (
+        gram_agg.filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    timed(spark, "doc_novelty",
+          sh_k.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+          .join(novel, "doc_id", "left"), out)
+    srcs = sh_k.groupBy("k").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    pairs = srcs.select(
+        F.explode(F.flatten(F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda b: F.struct(a.alias("sa"), b.alias("sb")),
+            ),
+        ))).alias("p")
+    )
+    timed(spark, "source_overlap",
+          pairs.groupBy("p.sa", "p.sb").agg(F.count(F.lit(1)).alias("n")), out)
+    timed(spark, "cms_counters",
+          cms_counters(docs.select(src), "source"), out)
     # Stats/quality family over a factor-x events corpus: the KS CDF
     # walk, the TWA window, and the one-pass row-rule report must all
     # track corpus size linearly (each is one keyed exchange or a
