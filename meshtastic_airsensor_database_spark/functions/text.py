@@ -116,6 +116,27 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     return F.when(F.length(c) >= n, F.array_distinct(grams)).otherwise(F.array(c))
 
 
+# Deterministic sentiment lexicon (SURVEY §2.11 text_analysis names
+# "sentiment-score text payloads"). Tiny on purpose: the scorer is the
+# operator under test; a real deployment swaps in a full lexicon (or a
+# pandas_udf model scorer) without changing the plan shape.
+SENTIMENT_POS = ("fast", "good", "small")
+SENTIMENT_NEG = ("slow", "bad", "big")
+
+
+def sentiment_score(col: Column | str) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos_hits - neg_hits) / tokens,
+    0.0 for empty text. Pure built-ins (tokenize + two filtered
+    counts), so scoring stays in codegen at any corpus size; the
+    lambdas reference only their own variable and constant arrays
+    (free captures)."""
+    toks = tokens(col)
+    n_pos = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_POS)))
+    n_neg = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_NEG)))
+    n = F.size(toks)
+    return F.when(n > 0, (n_pos - n_neg).cast("double") / n).otherwise(F.lit(0.0))
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Quality-scoring features: length, punctuation ratio, stopword ratio.
 

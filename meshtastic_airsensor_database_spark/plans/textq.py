@@ -1467,6 +1467,72 @@ JOIN sz sb ON sb.source = p.source_b
 """
 
 
+def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexicon sentiment rollup (SURVEY §2.11 text_analysis
+    'sentiment-score text payloads'): mean score plus positive/negative
+    document counts per source — the polarity-balance report a data-mix
+    designer reads before sampling.
+
+    One tokenization per row (the token array materializes once and
+    both lexicon filters read it), then a keyed hash agg; the pos/neg
+    DOC counts compare integer hit counts (p > g), never the float
+    score, so no cross-engine float-comparison divergence exists.
+    """
+    from ..functions.text import SENTIMENT_NEG, SENTIMENT_POS, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", tokens(F.col("text")).alias("ts"))
+    s = d.select(
+        "source",
+        F.size("ts").alias("n"),
+        F.size(F.filter("ts", lambda t: t.isin(*SENTIMENT_POS))).alias("p"),
+        F.size(F.filter("ts", lambda t: t.isin(*SENTIMENT_NEG))).alias("g"),
+    ).withColumn(
+        "score",
+        F.when(F.col("n") > 0, (F.col("p") - F.col("g")).cast("double") / F.col("n"))
+        .otherwise(F.lit(0.0)),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r(F.avg("score"), 4).alias("avg_sentiment"),
+        F.sum((F.col("p") > F.col("g")).cast("int")).cast("long").alias("n_pos_docs"),
+        F.sum((F.col("p") < F.col("g")).cast("int")).cast("long").alias("n_neg_docs"),
+    )
+
+
+def _sentiment_sql() -> str:
+    from ..functions.text import SENTIMENT_NEG, SENTIMENT_POS
+
+    pos = ", ".join(f"'{w}'" for w in SENTIMENT_POS)
+    neg = ", ".join(f"'{w}'" for w in SENTIMENT_NEG)
+    return f"""
+WITH d AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents
+),
+s AS (
+  SELECT source,
+         len(ts) AS n,
+         len(list_filter(ts, t -> t IN ({pos}))) AS p,
+         len(list_filter(ts, t -> t IN ({neg}))) AS g
+  FROM d
+),
+sc AS (
+  SELECT source, p, g,
+         CASE WHEN n > 0 THEN CAST(p - g AS DOUBLE) / n ELSE 0.0 END AS score
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(AVG(score) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_sentiment,
+       CAST(SUM(CASE WHEN p > g THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_docs,
+       CAST(SUM(CASE WHEN p < g THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_docs
+FROM sc GROUP BY source
+"""
+
+
+SENTIMENT_BY_SOURCE_SQL = _sentiment_sql()
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1501,6 +1567,12 @@ QUERIES: list[Query] = [
           ("text_analysis", "near_dedup"),
           "cross-source shingle-set Jaccard matrix (which feeds "
           "duplicate each other, pre-dedup)"),
+    Query("sentiment_by_source", sentiment_by_source,
+          SENTIMENT_BY_SOURCE_SQL,
+          ("text_analysis",),
+          "lexicon sentiment rollup per source (the SURVEY §2.11 "
+          "'sentiment-score text payloads' bullet; integer hit-count "
+          "doc polarity, no float compares)"),
     Query("rolling_fingerprints", rolling_fingerprints, None,
           ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,

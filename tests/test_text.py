@@ -273,3 +273,20 @@ def test_zipped_ngrams_equals_python_ngrams(spark):
             for (tk,) in rows
         ]
         assert got == want, (n, got, want)
+
+
+def test_sentiment_score_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.functions.text import sentiment_score
+
+    rows = [("fast fast good",), ("slow bad big",), ("fast slow",),
+            ("the table row",), ("",), ("Fast GOOD slow",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.s for r in df.select(sentiment_score("text").alias("s")).collect()]
+    assert got[0] == 1.0            # all positive
+    assert got[1] == -1.0           # all negative
+    assert got[2] == 0.0            # balanced
+    assert got[3] == 0.0            # no lexicon hits
+    assert got[4] == 0.0            # empty text guard
+    assert abs(got[5] - (2 - 1) / 3) < 1e-12  # case-insensitive
