@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "cluster_quality_metrics",
     "table_checksum_report",
     "skew_key_report",
+    "sentiment_by_source",
 ]
 
 
