@@ -324,3 +324,12 @@ def test_skew_key_report_invariants(spark, sf_dir):
     assert row.n_rows == load(spark, sf_dir, "events").count()
     assert 0 < row.top1_pct <= row.top10_pct <= 100.0
     assert row.max_key_rows * row.n_keys >= row.n_rows  # max >= mean
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """Protocol guard: a rows-only query must never occupy one of the
+    50 driver-recorded slots when oracle-backed queries are waiting."""
+    from meshtastic_airsensor_database_spark.plans.registry import _DRIVER_WINDOW
+
+    for name in _DRIVER_WINDOW:
+        assert REGISTRY[name].oracle is not None, name
