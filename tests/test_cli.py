@@ -284,3 +284,24 @@ def test_curate_cli_snapshot_mode_versions_the_corpus(spark, sf_dir, tmp_path):
     v1 = {r["doc_id"] for r in read_snapshot(spark, snap_path, 1).collect()}
     v2 = {r["doc_id"] for r in read_snapshot(spark, snap_path, 2).collect()}
     assert v1 == v2 and len(v1) == report["stages"][-1]["n_docs"]
+
+
+def test_run_query_metrics_mode(spark, sf_dir, monkeypatch, capsys):
+    """--metrics must execute and print per-operator runtime rows
+    (the EXPLAIN ANALYZE twin), descending through AQE stage nodes."""
+    import sys as _sys
+
+    sys_path = os.path.join(os.path.dirname(__file__), "..", "tools")
+    _sys.path.insert(0, os.path.abspath(sys_path))
+    try:
+        import run_query as rq
+    finally:
+        _sys.path.pop(0)
+    monkeypatch.setattr(
+        _sys, "argv", ["run_query", "pricing_summary", sf_dir, "--metrics"]
+    )
+    assert rq.main() == 0
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out
+    assert "numOutputRows=" in out
+    assert "AdaptiveSparkPlan" not in out  # descended through AQE roots
