@@ -71,6 +71,9 @@ SHOWCASE = [
     ("doc_novelty_scores", "corpus novelty: hash aggs only (df==1 owner via MIN on the same gram rollup), 8-byte hashed grams, no sort-window"),
     ("source_overlap_jaccard", "source overlap: NO self-join — per-gram collect_set(source) bounded by the source domain, narrow pair expansion, broadcast size re-attach"),
     ("cluster_quality_metrics", "cluster quality: (label,dim)-bounded centroid agg + narrow broadcast-pack distance projection, keyed final agg"),
+    ("table_checksum_report", "content checksums: one scan per table into a two-value xor/count aggregate (map-side partials; one-row exchange per table)"),
+    ("skew_key_report", "skew diagnosis: per-key partial agg + single-row broadcasts + TakeOrdered top-10 (per-key counts never sort globally)"),
+    ("sentiment_by_source", "lexicon sentiment: one tokenization per row feeding both filtered counts, keyed hash agg"),
 ]
 
 
