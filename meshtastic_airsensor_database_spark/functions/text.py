@@ -124,17 +124,31 @@ SENTIMENT_POS = ("fast", "good", "small")
 SENTIMENT_NEG = ("slow", "bad", "big")
 
 
+def lexicon_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in a constant lexicon (free-capture filter:
+    the lambda touches only its variable and a literal array)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def polarity_score(n: Column, n_pos: Column, n_neg: Column) -> Column:
+    """(pos - neg) / tokens in [-1, 1]; 0.0 for empty text."""
+    return F.when(
+        n > 0, (n_pos - n_neg).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
 def sentiment_score(col: Column | str) -> Column:
-    """Lexicon sentiment in [-1, 1]: (pos_hits - neg_hits) / tokens,
-    0.0 for empty text. Pure built-ins (tokenize + two filtered
-    counts), so scoring stays in codegen at any corpus size; the
-    lambdas reference only their own variable and constant arrays
-    (free captures)."""
+    """Lexicon sentiment in [-1, 1] over raw text — composition of
+    ``lexicon_hits`` + ``polarity_score`` (the same pieces
+    plans/textq.py::sentiment_by_source assembles over a materialized
+    token column, so the function and the registered query cannot
+    drift). Pure built-ins; stays in codegen at any corpus size."""
     toks = tokens(col)
-    n_pos = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_POS)))
-    n_neg = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_NEG)))
-    n = F.size(toks)
-    return F.when(n > 0, (n_pos - n_neg).cast("double") / n).otherwise(F.lit(0.0))
+    return polarity_score(
+        F.size(toks),
+        lexicon_hits(toks, SENTIMENT_POS),
+        lexicon_hits(toks, SENTIMENT_NEG),
+    )
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:

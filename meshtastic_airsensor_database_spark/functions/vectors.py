@@ -96,3 +96,30 @@ def cosine_similarity_arrow(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return _rowcos(ca, cb)
+
+
+def dot_raw(a: Column, b: Column) -> Column:
+    """Sequential dot product over PRE-CAST double-array expressions.
+
+    The hoisted-capture variant of ``dot``: both arguments must already
+    be array<double> (a materialized column, a lambda variable, or a
+    pack field) — no cast is applied, so capturing the result inside a
+    HOF lambda re-evaluates nothing but the bare references
+    (functions/text.py::zipped_ngrams documents the trap this exists
+    to avoid)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dist2_raw(a: Column, b: Column) -> Column:
+    """Sequential squared-L2 over PRE-CAST double-array expressions
+    (same no-cast contract as ``dot_raw``; DuckDB twin:
+    ``list_sum(list_transform(range(...), i -> (a[i]-b[i])^2))``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -92,8 +92,25 @@ def table_content_checksum(df: DataFrame, name: str, cols: Sequence[str]) -> Dat
     deterministic hash (same as operators/sketch.py::cms_bucket), which
     is what lets the checksum itself be oracle-checked. Restrict cols
     to integer/varchar: decimal/timestamp TEXT rendering is not
-    contractual across engines."""
-    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    contractual across engines.
+
+    Canonical form: each column renders as chr(2) + value, or chr(1)
+    alone for NULL, joined by the chr(31) unit separator — NULL is
+    distinguishable from empty string and from absence, and column
+    boundaries are unambiguous for any value not containing chr(31)
+    (control characters in checksummed text columns are the one
+    documented restriction). A plain '|'-join would skip NULLs
+    entirely (Spark concat_ws) or NULL the whole row (SQL ||), and
+    ('a|b','c') would collide with ('a','b|c')."""
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                F.concat(F.lit("\x02"), F.col(c).cast("string")), F.lit("\x01")
+            )
+            for c in cols
+        ],
+    )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (
         df.select(h.alias("h"))

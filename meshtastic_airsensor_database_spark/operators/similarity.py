@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import cosine_similarity, dist2_raw, dot_raw, l2_norm
 from ..io_utils import fan_out
 
 N_HYPERPLANES = 16
@@ -91,17 +91,12 @@ def assign_ivf_clusters(
     # per element — functions/text.py::zipped_ngrams); the centroid
     # norms precompute into the broadcast pack. Same dot/(|a||b|)
     # arithmetic shape, null on zero denom — values bit-identical.
-    dot_vc = lambda cv: F.aggregate(  # noqa: E731 - local expression builder
-        F.zip_with(F.col("_v"), cv, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
             F.when(
                 F.col("_n") * c["cn"] > 0,
-                dot_vc(c["cv"]) / (F.col("_n") * c["cn"]),
+                dot_raw(F.col("_v"), c["cv"]) / (F.col("_n") * c["cn"]),
             ).alias("s"),
             (-c["cid"]).alias("t"),
             c["cid"].alias("cid"),
@@ -614,15 +609,10 @@ def assign_to_centroids_euclidean(
     # _euclidean_dist2(F.col(vec_col), ...) would re-cast the vector
     # once per centroid (the zipped_ngrams HOF trap); bare attribute
     # captures are free
-    dist2 = lambda cv: F.aggregate(  # noqa: E731 - local expression builder
-        F.zip_with(F.col("_v"), cv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            (-dist2(c["cv"])).alias("s"),
+            (-dist2_raw(F.col("_v"), c["cv"])).alias("s"),
             (-c["cid"]).alias("t"),
             c["cid"].alias("cid"),
         ),
@@ -808,6 +798,11 @@ def mmr_rerank(
     """
     from ..plans.base import r
 
+    # materialize the pool ONCE: each round's argmax collect would
+    # otherwise re-execute the whole upstream pipeline (scan + cosine +
+    # TakeOrdered) k times — localCheckpoint keeps it distributed and
+    # makes every round a genuinely narrow pass over the bounded pool
+    pool = pool.localCheckpoint(eager=True)
     selected: list[tuple] = []  # (id, vector)
     out: list[tuple[int, int, float, float]] = []
     for step in range(1, k + 1):
@@ -829,12 +824,15 @@ def mmr_rerank(
             mmr = r(F.lit(lam) * F.col(rel_col) - F.lit(mu) * msim, 4)
         else:
             mmr = r(F.lit(lam) * F.col(rel_col), 4)
-        row = (
+        rows = (
             cands.select(id_col, vec_col, rel_col, mmr.alias("mmr"))
             .orderBy(F.col("mmr").desc(), id_col)
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # pool exhausted before k picks: return the picks made
+            break
+        row = rows[0]
         selected.append((row[id_col], row[vec_col]))
         out.append((step, row[id_col], row[rel_col], row["mmr"]))
     return out

@@ -126,8 +126,14 @@ def cms_estimate(
     expl = candidates.select(
         key, *other, F.posexplode(buckets).alias("j", "bucket")
     )
+    # LEFT join + coalesce(0): a candidate whose (j, bucket) has no
+    # counter row (estimating against another slice's sketch — the
+    # documented mergeable use) must read that counter as 0, giving
+    # the classic CMS min(..., 0) = 0 — an inner join would instead
+    # drop the depth row and return a spurious positive estimate (or
+    # lose the key entirely when all its buckets are empty).
     return (
-        expl.join(F.broadcast(counters), ["j", "bucket"])
+        expl.join(F.broadcast(counters), ["j", "bucket"], "left")
         .groupBy(key, *other)
-        .agg(F.min("c").cast("long").alias("est_n"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_n"))
     )

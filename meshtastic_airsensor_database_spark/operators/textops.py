@@ -163,3 +163,104 @@ def encode_docs(
         F.sum((F.col("tid") == unk).cast("long")).cast("long").alias("n_oov"),
         F.concat_ws(" ", F.slice(ids, 1, head).cast("array<string>")).alias("ids_head"),
     )
+
+
+# --- corpus novelty / cross-source overlap cores ------------------------------
+# Shared by the declared queries (plans/textq.py) AND the scale smoke
+# (tools/scale_smoke.py) so the benchmark always measures the shipped
+# plan shapes.
+
+
+def hashed_shingle_stream(
+    docs: DataFrame, keep: list[str], text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``keep... , k`` — one row per (row, distinct word-n-gram), the
+    gram pre-hashed to an 8-byte xxhash64 key so no exchange ever
+    carries gram strings (collisions only merge two grams' stats,
+    ~n²/2⁶⁴ — the operators/curation.py::ngram_decontaminate
+    tolerance argument)."""
+    from ..functions.text import word_shingles
+
+    return docs.select(
+        *keep, F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).select(*keep, F.xxhash64("gram").alias("k"))
+
+
+def novelty_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document ``(id, n_shingles, n_novel)`` — novel = the gram
+    occurs in NO other document. Hash aggregates only: a df==1 gram
+    belongs to exactly one document, so its owner comes back as
+    MIN(id) from the same (k, count, min) partial-aggregated rollup —
+    no sort-window ever touches the gram stream."""
+    sh = hashed_shingle_stream(
+        docs.select(F.col(id_col).alias("_nid"), F.col(text_col).alias("_t")),
+        ["_nid"],
+        "_t",
+        n,
+    )
+    gram_agg = sh.groupBy("k").agg(
+        F.count(F.lit(1)).alias("df"), F.min("_nid").alias("_only")
+    )
+    novel = (
+        gram_agg.filter(F.col("df") == 1)
+        .groupBy(F.col("_only").alias("_nid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    totals = sh.groupBy("_nid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        totals.join(novel, "_nid", "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+
+
+def source_shingle_sets(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source", n: int = 3
+) -> DataFrame:
+    """``(k, ss)`` — per distinct gram hash, the SORTED set of sources
+    containing it. collect_set IS the dedup (one shuffle of the gram
+    stream, map-side partials); the set is bounded by the source
+    domain, never the document count."""
+    sh = hashed_shingle_stream(
+        docs.select(F.col(source_col).alias("_src"), F.col(text_col).alias("_t")),
+        ["_src"],
+        "_t",
+        n,
+    )
+    return sh.groupBy("k").agg(
+        F.array_sort(F.collect_set("_src")).alias("ss")
+    )
+
+
+def bounded_pair_counts(
+    sets_df: DataFrame, set_col: str = "ss", a: str = "source_a", b: str = "source_b"
+) -> DataFrame:
+    """``(a, b, n_common)`` co-occurrence counts via NARROW pair
+    expansion of each row's bounded sorted set — the small-domain
+    co-occurrence shape: no self-join, fan-out capped at |domain|²
+    per row regardless of stream size. ``set_col`` must be a
+    materialized column (the inner lambda slices it — a computed
+    capture would re-evaluate per element)."""
+    pairs = sets_df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col(set_col),
+                    lambda x, i: F.transform(
+                        F.slice(F.col(set_col), i + 2, F.size(set_col)),
+                        lambda y: F.struct(x.alias(a), y.alias(b)),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(f"p.{a}", f"p.{b}").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )

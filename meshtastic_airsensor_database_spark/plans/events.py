@@ -932,10 +932,15 @@ cand AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY user_id
 ),
 est AS (
-  SELECT cand.user_id, cand.exact_n, CAST(MIN(ct.c) AS BIGINT) AS est_n
+  -- LEFT JOIN + COALESCE 0 mirrors cms_estimate: a candidate bucket
+  -- with no counter row reads 0 (equivalent here where every
+  -- candidate came from the sketched corpus, semantically exact for
+  -- the cross-slice use)
+  SELECT cand.user_id, cand.exact_n,
+         CAST(MIN(COALESCE(ct.c, 0)) AS BIGINT) AS est_n
   FROM cand
   JOIN rows_j j ON TRUE
-  JOIN counters ct
+  LEFT JOIN counters ct
     ON ct.j = j.j
    AND ct.bucket = CAST(concat('0x', substr(md5(j.j || ':' || CAST(cand.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
                      % {CMS_WIDTH}

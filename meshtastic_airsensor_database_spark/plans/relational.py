@@ -930,7 +930,12 @@ def table_checksum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _checksum_sql(table: str, cols: list[str]) -> str:
-    canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    # canonical form mirrors operators/profile.py::table_content_checksum:
+    # chr(2)+value / chr(1) for NULL, chr(31)-joined — NULL-safe and
+    # boundary-unambiguous (a plain '|' join would diverge on NULLs)
+    canon = " || chr(31) || ".join(
+        f"COALESCE(chr(2) || CAST({c} AS VARCHAR), chr(1))" for c in cols
+    )
     return f"""SELECT '{table}' AS table_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(CAST(concat('0x', substr(md5({canon}), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum

@@ -25,7 +25,13 @@ from ..functions.text import (
 )
 from ..io_utils import fan_out, load
 from ..operators.setjoin import prefix_filtered_jaccard_pairs
-from ..operators.textops import build_vocab, encode_docs
+from ..operators.textops import (
+    bounded_pair_counts,
+    build_vocab,
+    encode_docs,
+    novelty_counts,
+    source_shingle_sets,
+)
 from .base import Query, r
 
 
@@ -1313,32 +1319,14 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     none occur there).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
+    counts = novelty_counts(docs, "text", "doc_id", SHINGLE_N)
+    return counts.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("k"))
-    gram_agg = sh.groupBy("k").agg(
-        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
-    )
-    novel = (
-        gram_agg.filter(F.col("df") == 1)
-        .groupBy(F.col("only_doc").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
-    )
-    totals = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
-    )
-    return (
-        totals.join(novel, "doc_id", "left")
-        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)).cast("long"))
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_novel",
-            r(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias(
-                "novelty_pct"
-            ),
-        )
+        "n_shingles",
+        "n_novel",
+        r(F.col("n_novel") * 100.0 / F.col("n_shingles"), 4).alias(
+            "novelty_pct"
+        ),
     )
 
 
@@ -1381,43 +1369,13 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to the gram-side data volume. Set sizes re-attach via a
     broadcast of the tiny per-source size table."""
     docs = load(spark, sf_dir, "documents")
-    # collect_set IS the dedup — no separate distinct() pass: the gram
-    # stream shuffles exactly once (partial_collect_set combines
-    # map-side), and the per-source set sizes derive from the already
-    # gram-level srcs table instead of a second scan of the stream.
-    srcs = (
-        docs.select(
-            "source",
-            F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("gram"),
-        )
-        .select("source", F.xxhash64("gram").alias("k"))
-        .groupBy("k")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-    )
+    srcs = source_shingle_sets(docs, "text", "source", SHINGLE_N)
     sizes = (
         srcs.select(F.explode("ss").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    pairs = srcs.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ss"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ss"), i + 2, F.size("ss")),
-                        lambda b: F.struct(
-                            a.alias("source_a"), b.alias("source_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    common = pairs.groupBy(
-        F.col("p.source_a").alias("source_a"),
-        F.col("p.source_b").alias("source_b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    common = bounded_pair_counts(srcs, "ss", "source_a", "source_b")
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
     return (
@@ -1478,20 +1436,22 @@ def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOC counts compare integer hit counts (p > g), never the float
     score, so no cross-engine float-comparison divergence exists.
     """
-    from ..functions.text import SENTIMENT_NEG, SENTIMENT_POS, tokens
+    from ..functions.text import (
+        SENTIMENT_NEG,
+        SENTIMENT_POS,
+        lexicon_hits,
+        polarity_score,
+        tokens,
+    )
 
     docs = load(spark, sf_dir, "documents")
     d = docs.select("source", tokens(F.col("text")).alias("ts"))
     s = d.select(
         "source",
         F.size("ts").alias("n"),
-        F.size(F.filter("ts", lambda t: t.isin(*SENTIMENT_POS))).alias("p"),
-        F.size(F.filter("ts", lambda t: t.isin(*SENTIMENT_NEG))).alias("g"),
-    ).withColumn(
-        "score",
-        F.when(F.col("n") > 0, (F.col("p") - F.col("g")).cast("double") / F.col("n"))
-        .otherwise(F.lit(0.0)),
-    )
+        lexicon_hits(F.col("ts"), SENTIMENT_POS).alias("p"),
+        lexicon_hits(F.col("ts"), SENTIMENT_NEG).alias("g"),
+    ).withColumn("score", polarity_score(F.col("n"), F.col("p"), F.col("g")))
     return s.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         r(F.avg("score"), 4).alias("avg_sentiment"),

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm, quantize_int8
+from ..functions.vectors import (
+    cosine_similarity,
+    dist2_raw,
+    dot_raw,
+    l2_norm,
+    quantize_int8,
+)
 from ..io_utils import fan_out, load
 from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import (
@@ -133,11 +139,6 @@ def _batch_scores_expr(emb: DataFrame) -> DataFrame:
             ).alias("_qs")
         )
     )
-    dot_vq = lambda qv: F.aggregate(  # noqa: E731 - local expression builder
-        F.zip_with(F.col("_v"), qv, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
     return (
         fan_out(emb)
         .select(
@@ -156,7 +157,7 @@ def _batch_scores_expr(emb: DataFrame) -> DataFrame:
                         r(
                             F.when(
                                 F.col("_n") * q["qn"] > 0,
-                                dot_vq(q["qv"]) / (F.col("_n") * q["qn"]),
+                                dot_raw(F.col("_v"), q["qv"]) / (F.col("_n") * q["qn"]),
                             ),
                             4,
                         ).alias("cosine"),
@@ -1385,7 +1386,7 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val").cast("decimal(38,9)"), 6).cast("double").alias("cv"))
+        .agg(r(F.avg("val"), 6).alias("cv"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -1402,17 +1403,7 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector as a MATERIALIZED column (bare attributes are free to
     # capture; a cast expression would re-run per centroid element —
     # functions/text.py::zipped_ngrams documents the trap)
-    dist_to = lambda cv: F.sqrt(  # noqa: E731 - local expression builder
-        F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                cv,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-    )
+    dist_to = lambda cv: F.sqrt(dist2_raw(F.col("v"), cv))  # noqa: E731
     per_vec = (
         emb.select(
             "label", F.col("embedding").cast("array<double>").alias("v")

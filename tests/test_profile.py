@@ -70,3 +70,43 @@ def test_content_checksum_order_insensitive_and_value_sensitive(spark):
     d = spark.createDataFrame(rows + [(9, "z"), (9, "z")], "k int, v string")
     cd = table_content_checksum(d, "t", ["k", "v"]).collect()[0]
     assert cd.checksum == ca.checksum and cd.n_rows != ca.n_rows
+
+
+def test_content_checksum_null_semantics_match_duckdb(spark, tmp_path):
+    """NULL vs empty string vs shifted-NULL must all checksum
+    differently, and the Spark checksum must equal the DuckDB twin's
+    even WITH nulls (the canonical form is NULL-safe on both sides)."""
+    import duckdb
+    import pandas as pd
+
+    from meshtastic_airsensor_database_spark.operators.profile import (
+        table_content_checksum,
+    )
+    from meshtastic_airsensor_database_spark.plans.relational import _checksum_sql
+
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": [None, "", "x"]})
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+
+    df = spark.read.parquet(path)
+    got = table_content_checksum(df, "t", ["k", "v"]).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    want = con.execute(_checksum_sql("t", ["k", "v"])).fetchone()
+    assert (got.n_rows, got.checksum) == (want[1], want[2])
+
+    # NULL, empty and value-shifted rows are all distinct contents
+    variants = [
+        pd.DataFrame({"k": [1, 2, 3], "v": ["", "", "x"]}),   # NULL -> empty
+        pd.DataFrame({"k": [None, 2, 3], "v": ["1", "", "x"]}),  # NULL shifts col
+    ]
+    sums = {got.checksum}
+    for i, vdf in enumerate(variants):
+        p = str(tmp_path / f"v{i}.parquet")
+        vdf.to_parquet(p)
+        c = table_content_checksum(
+            spark.read.parquet(p), "t", ["k", "v"]
+        ).collect()[0]
+        sums.add(c.checksum)
+    assert len(sums) == 3

@@ -117,3 +117,24 @@ def test_cms_counters_merge_elementwise(spark):
             key = (r["j"], r["bucket"])
             merged[key] = merged.get(key, 0) + r["c"]
     assert merged == single
+
+
+def test_cms_estimate_of_unseen_keys_never_drops_or_undercounts(spark):
+    # Estimating a candidate set against ANOTHER slice's sketch (the
+    # mergeable use): keys absent from the sketched slice must come
+    # back (never silently dropped by the counter join) with est >= 0
+    # = their true count — empty buckets read as 0, collisions only
+    # overestimate.
+    from meshtastic_airsensor_database_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    day1 = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    counters = cms_counters(day1, "k", depth=3, width=8)
+    unseen = spark.range(100, 107).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("exact_n")
+    )
+    est = cms_estimate(unseen, counters, "k", depth=3, width=8).collect()
+    assert len(est) == 7          # nothing dropped
+    assert all(r["est_n"] >= 0 for r in est)

@@ -280,41 +280,23 @@ def main() -> None:
     # agg lost its map-side partial or the pair expansion regressed to
     # a join.
     from meshtastic_airsensor_database_spark.operators.sketch import cms_counters
+    from meshtastic_airsensor_database_spark.operators.textops import (
+        bounded_pair_counts,
+        novelty_counts,
+        source_shingle_sets,
+    )
 
     # the replicated corpus carries no source column; derive a bounded
     # 20-value domain from the id (mirrors the real table's cardinality)
     src = F.concat(
         F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string")
     ).alias("source")
-    sh_k = docs.select(
-        "doc_id", src,
-        F.explode(word_shingles(F.col("text"), 3)).alias("gram"),
-    ).select("doc_id", "source", F.xxhash64("gram").alias("k"))
-    gram_agg = sh_k.groupBy("k").agg(
-        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
-    )
-    novel = (
-        gram_agg.filter(F.col("df") == 1)
-        .groupBy(F.col("only_doc").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("n_novel"))
-    )
-    timed(spark, "doc_novelty",
-          sh_k.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-          .join(novel, "doc_id", "left"), out)
-    srcs = sh_k.groupBy("k").agg(F.array_sort(F.collect_set("source")).alias("ss"))
-    pairs = srcs.select(
-        F.explode(F.flatten(F.transform(
-            F.col("ss"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ss"), i + 2, F.size("ss")),
-                lambda b: F.struct(a.alias("sa"), b.alias("sb")),
-            ),
-        ))).alias("p")
-    )
+    docs_src = docs.select("doc_id", src, "text")
+    timed(spark, "doc_novelty", novelty_counts(docs_src), out)
     timed(spark, "source_overlap",
-          pairs.groupBy("p.sa", "p.sb").agg(F.count(F.lit(1)).alias("n")), out)
+          bounded_pair_counts(source_shingle_sets(docs_src)), out)
     timed(spark, "cms_counters",
-          cms_counters(docs.select(src), "source"), out)
+          cms_counters(docs_src.select("source"), "source"), out)
     # Stats/quality family over a factor-x events corpus: the KS CDF
     # walk, the TWA window, and the one-pass row-rule report must all
     # track corpus size linearly (each is one keyed exchange or a
