@@ -209,3 +209,78 @@ def dup_span_coverage(
             (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_fraction"),
         )
     )
+
+
+def exact_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DUP_SPAN_NGRAM_N,
+) -> DataFrame:
+    """Lee-et-al exact-substring dedup as a TRANSFORM: remove every
+    token span whose n-gram occurs verbatim in another document,
+    keeping one canonical occurrence corpus-wide.
+
+    Where :func:`dup_span_coverage` only REPORTS duplicated-span
+    coverage, this rewrites the corpus the way "Deduplicating Training
+    Data Makes Language Models Better" (arXiv:2107.06499 §3) actually
+    deduplicates: for each duplicated n-gram, the document with the
+    MINIMUM id is the keeper; every other document drops the covered
+    token positions. A token survives iff no non-keeper dup-gram
+    occurrence in its document covers it.
+
+    Scale shape (mirrors dup_span_coverage): the gram
+    document-frequency agg and the join back both key on ``xxhash64``
+    of the gram (8-byte exchange rows, never gram text; a hash
+    collision can only merge two grams and over-remove ~n²/2⁶⁴ of
+    spans). The removed-position explode applies only to non-keeper
+    dup hits. Reconstruction is per-row array work — removed positions
+    are aggregated into ONE array per affected document and joined
+    back on id, so the rebuild join carries only affected docs and the
+    token arrays themselves never shuffle. The position filter is an
+    indexed-lambda ``F.filter``; ``array_contains`` is O(removed) per
+    token, bounded by doc length — fine because both factors are
+    per-document, not corpus-sized.
+
+    Returns ``(id, n_tokens, n_removed, kept_tokens)`` for ALL input
+    documents (docs shorter than n tokens keep everything).
+    """
+    toks = tokens(F.col(text_col))
+    grams = zipped_ngrams(toks, n, " ")
+    pos_grams = (
+        docs.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram"))
+        .select("id", "pos", F.xxhash64("gram").alias("gram_key"))
+    )
+    keepers = (
+        pos_grams.groupBy("gram_key")
+        .agg(F.min("id").alias("keeper"), F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram_key", "keeper")
+    )
+    removed = (
+        pos_grams.join(keepers, "gram_key")
+        .where(F.col("id") != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("rpos"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("rpos").alias("removed_pos"))
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    joined = base.join(removed, "id", "left").select(
+        "id",
+        "toks",
+        F.coalesce("removed_pos", F.array().cast("array<int>")).alias("removed_pos"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.array_contains(F.col("removed_pos"), i),
+    )
+    return joined.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.size("removed_pos").alias("n_removed"),
+        kept.alias("kept_tokens"),
+    )

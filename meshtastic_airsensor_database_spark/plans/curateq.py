@@ -758,6 +758,75 @@ LEFT JOIN cov USING (id)
 """
 
 
+# --- exact-substring dedup transform (arXiv:2107.06499 §3) --------------------
+
+def span_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a transform: every duplicated word
+    8-gram span is removed from all but its minimum-doc_id keeper, and
+    the surviving token stream is fingerprinted (operators/lmquality.py
+    ::exact_span_dedup — the removal twin of ``dup_span_stats``).
+
+    The value compare hashes the REBUILT text (md5 of the kept tokens
+    joined by spaces), so the oracle checks the reconstruction
+    end-to-end, not just the removal counts.
+    """
+    from ..operators.lmquality import exact_span_dedup
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    d = exact_span_dedup(docs)
+    return d.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.size("kept_tokens").cast("long").alias("n_kept"),
+        F.md5(F.array_join("kept_tokens", " ")).alias("kept_md5"),
+    )
+
+
+SPAN_DEDUPED_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pg AS (
+  SELECT doc_id AS id, i - 1 AS pos,
+         array_to_string(t[i:i + {DUP_SPAN_NGRAM_N} - 1], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_NGRAM_N} + 2)) AS u(i)
+  WHERE len(t) >= {DUP_SPAN_NGRAM_N}
+),
+keep AS (
+  SELECT gram, MIN(id) AS keeper
+  FROM pg GROUP BY gram HAVING COUNT(DISTINCT id) >= 2
+),
+rem AS (
+  SELECT DISTINCT pg.id, cp
+  FROM pg JOIN keep USING (gram),
+       UNNEST(range(pg.pos, pg.pos + {DUP_SPAN_NGRAM_N})) AS c(cp)
+  WHERE pg.id <> keep.keeper
+),
+tokpos AS (
+  SELECT doc_id AS id, i - 1 AS pos, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT tp.id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(array_to_string(list(tp.tok ORDER BY tp.pos), ' ')) AS kept_md5
+  FROM tokpos tp
+  ANTI JOIN rem ON rem.id = tp.id AND rem.cp = tp.pos
+  GROUP BY 1
+),
+nrem AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM rem GROUP BY id),
+base AS (SELECT doc_id AS id, len(t) AS n_tokens FROM toks)
+SELECT base.id AS doc_id,
+       CAST(base.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(nrem.n_removed, 0) AS n_removed,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       COALESCE(kept.kept_md5, md5('')) AS kept_md5
+FROM base
+LEFT JOIN nrem USING (id)
+LEFT JOIN kept ON kept.id = base.id
+"""
+
+
 # --- DSIR importance resampling (arXiv:2302.03169) ----------------------------
 
 DSIR_TARGET_LANG = "en"
@@ -1079,6 +1148,10 @@ QUERIES: list[Query] = [
     Query("dup_span_stats", dup_span_stats, DUP_SPAN_STATS_SQL,
           ("text_analysis", "near_dedup"),
           "Lee-et-al exact-substring duplicated-span coverage per doc"),
+    Query("span_deduped_docs", span_deduped_docs, SPAN_DEDUPED_DOCS_SQL,
+          ("text_analysis", "near_dedup"),
+          "Lee-et-al exact-substring dedup transform: duplicated spans "
+          "removed (min-doc_id keeper), rebuilt text fingerprinted"),
     Query("dsir_sampled_docs", dsir_sampled_docs, DSIR_SAMPLED_DOCS_SQL,
           ("text_analysis",),
           "DSIR hashed-unigram importance weights + deterministic "

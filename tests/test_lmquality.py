@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from meshtastic_airsensor_database_spark.operators.lmquality import (
     dup_span_coverage,
+    exact_span_dedup,
     perplexity_scores,
     train_bigram_lm,
 )
@@ -131,3 +132,53 @@ class TestPlanShape:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "gram#" not in line
+
+
+class TestExactSpanDedup:
+    def test_exact_duplicate_loses_everything_keeper_keeps_all(self, spark):
+        text = "one two three four five six seven eight nine ten"
+        docs = _docs(spark, [(1, text), (2, text)])
+        rows = {r.id: r for r in exact_span_dedup(docs, n=8).collect()}
+        # doc1 is the min-id keeper: untouched
+        assert rows[1].n_removed == 0
+        assert rows[1].kept_tokens == text.split()
+        # doc2: every position covered by a duplicated 8-gram -> empty
+        assert rows[2].n_removed == 10
+        assert rows[2].kept_tokens == []
+
+    def test_partial_overlap_removes_only_shared_span(self, spark):
+        shared = "one two three four five six seven eight"
+        docs = _docs(
+            spark,
+            [(1, shared + " alpha beta"), (2, shared + " gamma delta")],
+        )
+        rows = {r.id: r for r in exact_span_dedup(docs, n=8).collect()}
+        assert rows[1].n_removed == 0
+        assert rows[1].kept_tokens == (shared + " alpha beta").split()
+        # doc2 drops the shared 8-token prefix, keeps its unique tail
+        assert rows[2].n_removed == 8
+        assert rows[2].kept_tokens == ["gamma", "delta"]
+
+    def test_short_and_unique_docs_untouched(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "tiny doc"),
+             (2, "p q r s t u v w x y z unique words all the way here")],
+        )
+        rows = {r.id: r for r in exact_span_dedup(docs, n=8).collect()}
+        for rid in (1, 2):
+            assert rows[rid].n_removed == 0
+            assert rows[rid].n_tokens == len(rows[rid].kept_tokens)
+
+    def test_keeper_is_min_doc_id_across_three_copies(self, spark):
+        text = "a b c d e f g h"
+        docs = _docs(spark, [(7, text), (3, text), (9, text)])
+        rows = {r.id: r for r in exact_span_dedup(docs, n=8).collect()}
+        assert rows[3].n_removed == 0 and rows[3].kept_tokens == text.split()
+        assert rows[7].kept_tokens == [] and rows[9].kept_tokens == []
+
+    def test_plan_is_join_free_of_cartesian(self, spark):
+        docs = _docs(spark, [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")])
+        plan = exact_span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
