@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "table_checksum_report",
     "skew_key_report",
     "sentiment_by_source",
+    # exact-substring dedup transform (removal twin of dup_span_stats)
+    "span_deduped_docs",
 ]
 
 

@@ -74,6 +74,7 @@ SHOWCASE = [
     ("table_checksum_report", "content checksums: one scan per table into a two-value xor/count aggregate (map-side partials; one-row exchange per table)"),
     ("skew_key_report", "skew diagnosis: per-key partial agg + single-row broadcasts + TakeOrdered top-10 (per-key counts never sort globally)"),
     ("sentiment_by_source", "lexicon sentiment: one tokenization per row feeding both filtered counts, keyed hash agg"),
+    ("span_deduped_docs", "exact-substring dedup transform: 8-byte hashed gram DF + keeper join, removed positions folded to ONE array per doc, rebuild via indexed-lambda filter (token arrays never shuffle)"),
 ]
 
 
