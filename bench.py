@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "sentiment_by_source",
     # exact-substring dedup transform (removal twin of dup_span_stats)
     "span_deduped_docs",
+    # experimentation/uncertainty stats family
+    "ab_welch_test",
+    "bootstrap_value_ci",
 ]
 
 

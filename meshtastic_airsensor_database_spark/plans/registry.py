@@ -114,8 +114,8 @@ _DRIVER_WINDOW = [
     "fuzzy_name_matches",
 ]
 # Rotation queue for r5 (oracle-green, not yet in a window):
-# sentiment_by_source, span_deduped_docs (added after the r4 window
-# filled).
+# sentiment_by_source, span_deduped_docs, ab_welch_test,
+# bootstrap_value_ci (added after the r4 window filled).
 # The eight slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
 # sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs,

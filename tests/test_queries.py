@@ -333,3 +333,59 @@ def test_driver_window_is_fully_oracle_backed():
 
     for name in _DRIVER_WINDOW:
         assert REGISTRY[name].oracle is not None, name
+
+
+def test_welch_t_matches_python_reference(spark, sf_dir):
+    """Welch t and Welch-Satterthwaite df recomputed in plain Python
+    from the same deterministic md5 user split must match the engine
+    to the published rounding."""
+    import hashlib
+    import math
+    import statistics
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    arms: dict = {}
+    for r0 in rows:
+        v = int(hashlib.md5(str(r0.user_id).encode()).hexdigest()[:8], 16) % 2
+        arms.setdefault(r0.event_type, ([], []))[v].append(r0.value)
+    got = {
+        r0.event_type: r0
+        for r0 in REGISTRY["ab_welch_test"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(arms)
+    for et, (a, b) in arms.items():
+        ma, mb = statistics.fmean(a), statistics.fmean(b)
+        va, vb = statistics.variance(a), statistics.variance(b)
+        sa, sb = va / len(a), vb / len(b)
+        t = (mb - ma) / math.sqrt(sa + sb)
+        df = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+        g = got[et]
+        assert (g.n_a, g.n_b) == (len(a), len(b))
+        assert abs(g.welch_t - t) < 1e-3, et
+        assert abs(g.welch_df - df) < 0.51, et
+
+
+def test_bootstrap_ci_is_deterministic_and_calibrated(spark, sf_dir):
+    """Two runs produce identical rows (derandomized draws), the CI
+    brackets the raw mean, and the bootstrap SE is within 3x of the
+    analytic sd/sqrt(n) it estimates."""
+    import math
+    import statistics
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    b = REGISTRY["bootstrap_value_ci"].builder
+    one = sorted(map(tuple, b(spark, sf_dir).collect()))
+    two = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert one == two
+    vals: dict = {}
+    for r0 in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r0.event_type, []).append(r0.value)
+    for r0 in b(spark, sf_dir).collect():
+        assert r0.ci_lo <= r0.raw_mean <= r0.ci_hi, r0
+        analytic = statistics.stdev(vals[r0.event_type]) / math.sqrt(r0.n_rows)
+        assert analytic / 3 < r0.boot_se < analytic * 3, (r0, analytic)

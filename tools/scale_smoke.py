@@ -293,6 +293,18 @@ def main() -> None:
     ).alias("source")
     docs_src = docs.select("doc_id", src, "text")
     timed(spark, "doc_novelty", novelty_counts(docs_src), out)
+    # Exact-substring dedup TRANSFORM: gram-DF agg + keeper join on
+    # 8-byte hashes, removed positions folded to one array per doc,
+    # per-row rebuild. Super-linear time means the gram agg lost its
+    # partial or the rebuild join started carrying token arrays.
+    from meshtastic_airsensor_database_spark.operators.lmquality import exact_span_dedup
+
+    # aggregate over the rebuilt arrays, not count(): a bare count lets
+    # Catalyst prune the removed-position pipeline and the rebuild
+    # lambda out of the plan entirely (measured 0.1s vs the real cost)
+    timed(spark, "exact_span_dedup",
+          exact_span_dedup(docs_src).agg(
+              F.sum(F.size("kept_tokens")), F.sum("n_removed")), out)
     timed(spark, "source_overlap",
           bounded_pair_counts(source_shingle_sets(docs_src)), out)
     timed(spark, "cms_counters",
