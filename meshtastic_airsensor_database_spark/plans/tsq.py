@@ -1686,25 +1686,45 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     under posexplode re-inlines the whole array into every generated
     row (the documented generator-re-inline trap) — measured 10× on
     exactly this query.
+
+    Hash economy: one md5 digest is 32 hex chars = four independent
+    u32 draws, so the explode is two-level — j over B/4 digests
+    (md5 materialized in the projection below the second Generate,
+    so it is an attribute, not a re-inlined expression, afterwards),
+    then k over the digest's four 8-hex windows. md5 is the dominant
+    per-row cost; this quarters it (measured 3.5 s → ~1.3 s at sf0.1).
     """
     ev = load(spark, sf_dir, "events")
+    # Pre-explode fan-out: the B× amplified md5 work happens map-side
+    # (before the partial agg), so it inherits the SCAN's parallelism.
+    # A small-SF scan is one file-split = one core doing 48× the rows;
+    # redistribute the cheap un-exploded rows first. No-op at real
+    # scale, where the scan already has >= cores splits.
+    target = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
+    n_digests = BOOT_B // 4
     e = ev.select(
         "event_type",
         "value",
         "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_digests - 1))).alias("j"),
     )
+    e = e.select(
+        "event_type",
+        "value",
+        "j",
+        F.md5((F.col("event_id") * n_digests + F.col("j")).cast("string")).alias("m"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    )
+    b = F.col("j") * 4 + F.col("k")
     h = F.conv(
-        F.substring(
-            F.md5((F.col("event_id") * BOOT_B + F.col("b")).cast("string")), 1, 8
-        ),
-        16,
-        10,
+        F.col("m").substr(F.col("k") * 8 + 1, F.lit(8)), 16, 10
     ).cast("long")
     u = (h + F.lit(0.5)) / F.lit(float(2**32))
     w = -F.log(u)
     g = (
-        e.select("event_type", "b", "value", w.alias("w"))
+        e.select("event_type", b.alias("b"), "value", w.alias("w"))
         .groupBy("event_type", "b")
         .agg(
             F.sum(F.col("w") * F.col("value")).alias("swv"),
@@ -1733,15 +1753,15 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOOTSTRAP_VALUE_CI_SQL = f"""
 WITH e AS (
-  SELECT event_type, value, event_id, b
-  FROM events, UNNEST(range(0, {BOOT_B})) AS rb(b)
+  SELECT event_type, value,
+         md5(CAST(event_id * {BOOT_B // 4} + j AS VARCHAR)) AS m, j
+  FROM events, UNNEST(range(0, {BOOT_B // 4})) AS rj(j)
 ),
 wtd AS (
-  SELECT event_type, b, value,
-         -ln((CAST(CAST(concat('0x', substr(md5(
-              CAST(event_id * {BOOT_B} + b AS VARCHAR)
-            ), 1, 8)) AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS w
-  FROM e
+  SELECT event_type, j * 4 + k AS b, value,
+         -ln((CAST(CAST(concat('0x', substr(m, 1 + 8 * k, 8))
+            AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0) AS w
+  FROM e, UNNEST(range(0, 4)) AS rk(k)
 ),
 g AS (
   SELECT event_type, b,
