@@ -110,6 +110,18 @@ BENCH_QUERIES = [
     # experimentation/uncertainty stats family
     "ab_welch_test",
     "bootstrap_value_ci",
+    "mannwhitney_value_test",
+    # product-analytics family additions
+    "dau_wau_stickiness",
+    "linear_attribution",
+    # TPC-H Q13 count-of-counts
+    "orders_per_customer_histogram",
+    # embedding-label separability eval
+    "nearest_centroid_confusion",
+    # distributed-covariance (PCA input) Gram-partial path
+    "embedding_corr_pairs",
+    # higher-order session journey mining
+    "top_session_paths",
 ]
 
 

@@ -115,7 +115,11 @@ _DRIVER_WINDOW = [
 ]
 # Rotation queue for r5 (oracle-green, not yet in a window):
 # sentiment_by_source, span_deduped_docs, ab_welch_test,
-# bootstrap_value_ci (added after the r4 window filled).
+# bootstrap_value_ci, orders_per_customer_histogram,
+# linear_attribution, dau_wau_stickiness, pareto_user_share,
+# type_hour_chi2, mannwhitney_value_test, nearest_centroid_confusion,
+# top_session_paths, embedding_corr_pairs
+# (added after the r4 window filled).
 # The eight slots for the round-4 new queries came from
 # replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
 # sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs,

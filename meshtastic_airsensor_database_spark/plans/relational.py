@@ -950,6 +950,50 @@ TABLE_CHECKSUM_REPORT_SQL = "\nUNION ALL\n".join([
 ])
 
 
+# --- count-of-counts distribution (TPC-H Q13 shape) ---------------------------
+
+
+def orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many (non-LOW-priority) orders
+    they placed, INCLUDING the zero-order customers — the TPC-H Q13
+    shape (left join against a filtered fact, then a count-of-counts
+    re-aggregation).
+
+    Scale shape: the fact side aggregates to per-customer counts
+    BEFORE the join (the exchange carries |customers-with-orders|
+    rows, never raw orders), the left join is key-to-key on custkey,
+    and the final histogram agg is |distinct counts| wide. No window,
+    no skew risk beyond the custkey hash.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cust.join(per, cust.c_custkey == per.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+ORDERS_PER_CUSTOMER_HISTOGRAM_SQL = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n
+  FROM orders
+  WHERE o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(per.n, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM customer c LEFT JOIN per ON c.c_custkey = per.o_custkey
+GROUP BY 1
+"""
+
+
 QUERIES: list[Query] = [
     Query("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
           ("per_node_stats", "column_projection"), "TPC-H Q1-style 8-agg hash aggregate"),
@@ -1020,4 +1064,9 @@ QUERIES: list[Query] = [
           UNPIVOT_METRIC_STATS_SQL, ("column_projection", "per_node_stats"),
           "wide-to-long unpivot (single-scan Expand vs 4 unioned "
           "scans) + per-metric hash agg"),
+    Query("orders_per_customer_histogram", orders_per_customer_histogram,
+          ORDERS_PER_CUSTOMER_HISTOGRAM_SQL,
+          ("node_dim_enrich", "per_node_stats"),
+          "TPC-H Q13 count-of-counts: aggregate-before-join left join "
+          "keeping zero-order customers, then histogram re-agg"),
 ]

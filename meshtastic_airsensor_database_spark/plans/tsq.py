@@ -19,7 +19,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_utils import load
+from ..io_utils import fan_out, load
+from ..operators.align import sessionize
 from ..operators.intervals import bucketed_range_join
 from ..operators.timegrid import gapfill
 from ..streaming.rollup import maintain_rollup, read_rollup
@@ -1694,15 +1695,10 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     then k over the digest's four 8-hex windows. md5 is the dominant
     per-row cost; this quarters it (measured 3.5 s → ~1.3 s at sf0.1).
     """
-    ev = load(spark, sf_dir, "events")
     # Pre-explode fan-out: the B× amplified md5 work happens map-side
-    # (before the partial agg), so it inherits the SCAN's parallelism.
-    # A small-SF scan is one file-split = one core doing 48× the rows;
-    # redistribute the cheap un-exploded rows first. No-op at real
-    # scale, where the scan already has >= cores splits.
-    target = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < target:
-        ev = ev.repartition(target)
+    # (before the partial agg), so it inherits the SCAN's parallelism —
+    # a small-SF scan is one file-split = one core doing 48× the rows.
+    ev = fan_out(load(spark, sf_dir, "events"))
     n_digests = BOOT_B // 4
     e = ev.select(
         "event_type",
@@ -1789,6 +1785,453 @@ SELECT event_type, n_rows,
        CAST(ROUND(CAST(boot_mean + 1.96 * boot_se AS DECIMAL(38,9)), 4)
             AS DOUBLE) AS ci_hi
 FROM o
+"""
+
+
+# --- linear (multi-touch) attribution ------------------------------------------
+
+ATTRIB_LOOKBACK_SEC = 7 * 24 * 3600
+
+
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across every preceding touch ('view'/'click') by the same
+    user within a 7-day lookback — the credit model last-touch can't
+    express (`last_touch_attribution` is the single-touch dual).
+
+    Scale shape: purchases and touches are two prunes of one scan,
+    equi-joined on user_id with the time range as a residual filter
+    (per-user bounded fan-out, never a time-grid nested loop); the
+    per-purchase touch count comes from a window KEYED by purchase
+    event_id over the join result, and the final credit rollup is a
+    |touch_type|-wide hash agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    t = ev.filter(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts").cast("long")
+            > F.col("p_ts").cast("long") - ATTRIB_LOOKBACK_SEC
+        ),
+    )
+    k = F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    credited = j.select(
+        "touch_type", (F.col("p_value") / k).alias("credit")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+        r(F.sum("credit"), 2).alias("attributed_value"),
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ({_TOUCH_IN})
+),
+j AS (
+  SELECT p.p_id, p.p_value, t.touch_type,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS k
+  FROM p JOIN t ON p.p_user = t.t_user
+   AND t.t_ts <= p.p_ts
+   AND FLOOR(epoch(t.t_ts)) > FLOOR(epoch(p.p_ts)) - {ATTRIB_LOOKBACK_SEC}
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+       {_R2.format(x="SUM(p_value / k)")} AS attributed_value
+FROM j
+GROUP BY 1
+"""
+
+
+# --- DAU / WAU stickiness -------------------------------------------------------
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, 7-day-window active users (window ENDING
+    each day), and the DAU/WAU stickiness ratio — the rolling COUNT
+    DISTINCT that naive range windows can't do distributively.
+
+    Scale shape: dedup FIRST to (user, day) — everything downstream is
+    bounded by users×days, not raw events — then each active day fans
+    out to the 7 window-end days it contributes to (a constant ×7
+    explode of the deduped frame), a second dedup collapses multi-day
+    users per window, and two hash aggs + one day-keyed equi-join
+    finish. This is the standard mergeable-rollup formulation; no
+    global state, no window function at all.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        F.col("d"),
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("dw"))
+    wau = (
+        fan.distinct()
+        .groupBy("dw")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, dau.d == wau.dw).select(
+        "d",
+        "dau",
+        "wau",
+        r(F.col("dau").cast("double") * 100.0 / F.col("wau"), 4).alias(
+            "stickiness_pct"
+        ),
+    )
+
+
+DAU_WAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+fan AS (
+  SELECT DISTINCT user_id, d + CAST(k AS INTEGER) AS dw
+  FROM ud, UNNEST(range(0, 7)) AS rk(k)
+),
+wau AS (
+  SELECT dw, CAST(COUNT(*) AS BIGINT) AS wau FROM fan GROUP BY 1
+)
+SELECT dau.d, dau.dau, wau.wau,
+       CAST(ROUND(CAST(CAST(dau.dau AS DOUBLE) * 100.0 / wau.wau
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS stickiness_pct
+FROM dau JOIN wau ON dau.d = wau.dw
+"""
+
+
+# --- Pareto coverage (smallest user prefix covering 80% of events) -------------
+
+PARETO_TARGET_PCT = 80
+
+
+def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The smallest set of users (heaviest first) that covers
+    ``PARETO_TARGET_PCT``% of all events, with each user's rank and
+    running coverage — the who-is-80%-of-my-traffic question.
+
+    Scale shape: events collapse to per-user counts first, so the
+    global rank/cumsum window runs over |users| AGGREGATED rows (the
+    bounded-input exception to the no-global-window rule — same class
+    as the stats-family totals); the grand total is a single-row
+    broadcast, and the prefix filter uses integer arithmetic
+    (cum×10 < total×8 keeps the crossing row) so no float boundary
+    can diverge between engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    ranked = per.select(
+        "user_id",
+        "n_events",
+        F.row_number().over(w).alias("user_rank"),
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = per.agg(F.sum("n_events").alias("_total"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(
+            (F.col("cum") - F.col("n_events")) * 10
+            < F.col("_total") * (PARETO_TARGET_PCT // 10)
+        )
+        .select(
+            F.col("user_rank").cast("long").alias("user_rank"),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            r(
+                F.col("cum").cast("double") * 100.0 / F.col("_total"), 4
+            ).alias("cum_pct"),
+        )
+    )
+
+
+PARETO_USER_SHARE_SQL = f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+),
+rk AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS user_rank,
+         SUM(n_events) OVER (ORDER BY n_events DESC, user_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per
+),
+t AS (SELECT SUM(n_events) AS _total FROM per)
+SELECT CAST(user_rank AS BIGINT) AS user_rank, user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(CAST(cum AS DOUBLE) * 100.0 / t._total
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS cum_pct
+FROM rk, t
+WHERE (cum - n_events) * 10 < t._total * {PARETO_TARGET_PCT // 10}
+"""
+
+
+# --- chi-squared independence test (type x hour-of-day) ------------------------
+
+
+def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    hour-of-day: one row with the statistic, degrees of freedom and
+    grid size — the is-my-traffic-mix-time-of-day-dependent check.
+
+    Scale shape: ONE hash agg to the |types|×24 contingency cells;
+    marginals re-aggregate those cells (never rescan events) and join
+    back broadcast; the grand total is a single-row broadcast. The
+    chi2 sum runs over ≤ types×24 DOUBLE cells, so the 4-decimal
+    rounding absorbs summation-order noise.
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("hod").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("_n"))
+    exp = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "hod")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hod",
+            "o",
+            (
+                F.col("rt").cast("double")
+                * F.col("ct")
+                / F.col("_n")
+            ).alias("e"),
+        )
+    )
+    contrib = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return exp.agg(
+        r(F.sum(contrib), 4).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hod") - 1)
+        ).cast("long").alias("dof"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("o").cast("long").alias("n_events"),
+    )
+
+
+TYPE_HOUR_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rowt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+colt AS (SELECT hod, SUM(o) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS _n FROM cells),
+e AS (
+  SELECT c.event_type, c.hod, c.o,
+         CAST(rowt.rt AS DOUBLE) * colt.ct / tot._n AS e
+  FROM cells c
+  JOIN rowt USING (event_type)
+  JOIN colt USING (hod)
+  CROSS JOIN tot
+)
+SELECT CAST(ROUND(CAST(SUM((o - e) * (o - e) / e) AS DECIMAL(38,9)), 4)
+            AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hod) - 1)
+            AS BIGINT) AS dof,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(o) AS BIGINT) AS n_events
+FROM e
+"""
+
+
+# --- Mann-Whitney U (rank-based A/B test) ---------------------------------------
+
+
+def mannwhitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann–Whitney U between the same deterministic
+    md5 50/50 user arms as ``ab_welch_test`` — the rank-based
+    (outlier-robust) counterpart. Reports U per arm and the
+    normal-approximation z (no tie correction: midranks make U exact
+    under ties; the documented z is the classic large-sample form).
+
+    Scale shape: midranks need one value sort per event_type — a
+    KEYED window (same class as value_equidepth_bins' exact-order
+    pass), never a global sort; everything after is one hash agg per
+    type plus narrow algebra. Ties get the standard midrank via
+    rank() + (tie_count-1)/2, identical in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type", "value")
+    ranked = ev.select(
+        "event_type",
+        variant.alias("arm"),
+        (
+            F.rank().over(wv)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("midrank"))).alias("ra"),
+    )
+    u_a = F.col("ra") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    u_b = F.col("n_a") * F.col("n_b") - u_a
+    mu = F.col("n_a") * F.col("n_b") / 2.0
+    sigma = F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        * (F.col("n_a") + F.col("n_b") + 1)
+        / 12.0
+    )
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        r(u_a, 2).alias("u_a"),
+        r(u_b, 2).alias("u_b"),
+        r((u_a - mu) / sigma, 4).alias("mw_z"),
+    )
+
+
+MANNWHITNEY_VALUE_TEST_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 2 AS BIGINT) AS arm,
+         RANK() OVER (PARTITION BY event_type ORDER BY value)
+           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+           AS midrank
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+         SUM(CASE WHEN arm = 0 THEN midrank END) AS ra
+  FROM ranked GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(ROUND(CAST(ra - n_a * (n_a + 1) / 2.0 AS DECIMAL(38,9)), 2)
+            AS DOUBLE) AS u_a,
+       CAST(ROUND(CAST(n_a * n_b - (ra - n_a * (n_a + 1) / 2.0)
+            AS DECIMAL(38,9)), 2) AS DOUBLE) AS u_b,
+       CAST(ROUND(CAST(
+         ((ra - n_a * (n_a + 1) / 2.0) - n_a * n_b / 2.0)
+         / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)
+       AS DECIMAL(38,9)), 4) AS DOUBLE) AS mw_z
+FROM g
+"""
+
+
+# --- top session paths (higher-order journey analysis) -------------------------
+
+PATH_GAP_SEC = 1800
+PATH_LEN = 3
+PATH_TOPK = 15
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common user journeys: the first ``PATH_LEN`` event types of
+    every session (30-min inactivity gap), joined with '>' and counted
+    — the higher-order sequel to `event_transition_matrix` (first-order
+    Markov can't distinguish view>click>purchase from click>view>
+    purchase).
+
+    Scale shape: sessionization and the in-session row_number share ONE
+    user-keyed sort exchange; the path string is assembled per session
+    from at most ``PATH_LEN`` collected rows (rn-filtered BEFORE the
+    collect, so no session, however long, ships more than 3 rows); the
+    final count is |distinct paths| wide with a TakeOrdered top-k.
+    Ties at identical timestamps break on event_id in both engines.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, "user_id", "ts", PATH_GAP_SEC)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first_n = s.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = first_n.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+TOP_SESSION_PATHS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR FLOOR(epoch(ts)) - FLOOR(epoch(
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 )) > {PATH_GAP_SEC}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM o
+),
+fn AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM fn WHERE rn <= {PATH_LEN}
+  GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
 """
 
 
@@ -1900,4 +2343,29 @@ QUERIES: list[Query] = [
           ("per_node_stats",),
           "derandomized Bayesian-bootstrap SE + 95% CI per event type "
           "(map-side xB explode into a bounded (type,b) agg)"),
+    Query("linear_attribution", linear_attribution, LINEAR_ATTRIBUTION_SQL,
+          ("timeseries_align", "windowed_ingest"),
+          "linear multi-touch attribution: user-keyed range join with "
+          "7-day lookback, per-purchase equal credit split"),
+    Query("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_STICKINESS_SQL,
+          ("windowed_ingest", "per_node_stats"),
+          "rolling 7-day COUNT DISTINCT via dedup-first x7 day fan-out "
+          "(mergeable formulation, no window function)"),
+    Query("pareto_user_share", pareto_user_share, PARETO_USER_SHARE_SQL,
+          ("per_node_stats",),
+          "smallest user prefix covering 80% of events: rank/cumsum "
+          "over AGGREGATED per-user counts + integer prefix filter"),
+    Query("type_hour_chi2", type_hour_chi2, TYPE_HOUR_CHI2_SQL,
+          ("per_node_stats",),
+          "Pearson chi-squared independence test on the type x "
+          "hour-of-day contingency (one agg to cells, marginals reuse)"),
+    Query("mannwhitney_value_test", mannwhitney_value_test,
+          MANNWHITNEY_VALUE_TEST_SQL, ("per_node_stats",),
+          "Mann-Whitney U / rank-sum A/B readout with midrank ties, "
+          "keyed per-type rank windows"),
+    Query("top_session_paths", top_session_paths, TOP_SESSION_PATHS_SQL,
+          ("windowed_ingest", "time_sort"),
+          "top first-3-event session journeys: one user-keyed sort "
+          "serves sessionize + in-session ranking; rn-filter before "
+          "collect bounds per-session state at 3 rows"),
 ]

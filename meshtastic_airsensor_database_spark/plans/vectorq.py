@@ -22,7 +22,7 @@ from ..functions.vectors import (
     l2_norm,
     quantize_int8,
 )
-from ..io_utils import fan_out, load
+from ..io_utils import fan_out, load, materialize
 from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import (
     brute_force_topk,
@@ -1446,6 +1446,235 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_TOPK = 20
+
+
+def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``CORR_TOPK`` most-correlated embedding dimension pairs —
+    the redundancy diagnostic behind PCA/whitening decisions (highly
+    correlated dims mean the representation wastes capacity).
+
+    Scale shape: the classic distributed-covariance formulation — each
+    partition computes its Gram-matrix partial with ONE numpy matmul
+    (``X.T @ X``, Arrow-batched mapInPandas; never a per-element HOF
+    or a dim² row explode), the shuffle carries only dim²-bounded
+    partial rows, and everything after the (i, j) sum-agg is narrow
+    algebra over ≤ dim² rows plus two broadcast joins against the
+    dim-sized diagonal. This is how distributed PCA builds its input
+    everywhere; the dim² explode the DuckDB twin uses would be the
+    scan×4096 shape Spark must NOT take.
+
+    Ordering ties break on the ROUNDED |corr| then (i, j), so the
+    top-k set is cross-engine stable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+
+    def gram(batches):
+        S = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if S is None:
+                d = X.shape[1]
+                S = np.zeros((d, d))
+                s = np.zeros(d)
+            S += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        if n:
+            d = len(s)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            keep = ii <= jj  # symmetric: ship the upper triangle only
+            yield pd.DataFrame(
+                {
+                    # the per-dim linear sums (means) ride the SAME
+                    # partial as j = -1 marker rows — one pass, one
+                    # shuffle for both moments
+                    "i": np.concatenate([ii[keep], np.arange(d)]),
+                    "j": np.concatenate([jj[keep], np.full(d, -1)]),
+                    "sxy": np.concatenate([S[keep], s]),
+                    "n": np.int64(n),
+                }
+            )
+
+    # materialize: the aggregated grid is consumed through five
+    # downstream aliases (cells, si, sj, vi, vj) — without the
+    # checkpoint each one would re-run the whole Gram pass
+    # (io_utils.materialize documents the exchange-reuse limitation)
+    partials = materialize(
+        emb.select("embedding")
+        .mapInPandas(gram, "i int, j int, sxy double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
+    )
+    cells = partials.filter(F.col("j") >= 0)
+    sums = partials.filter(F.col("j") == -1)
+    si = sums.select(F.col("i"), F.col("sxy").alias("si"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sxy").alias("sj"))
+    with_marg = (
+        cells.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                (F.col("sxy") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
+    )
+    diag = with_marg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d_pos"), F.col("cov").alias("var")
+    )
+    vi = diag.select(F.col("d_pos").alias("i"), F.col("var").alias("var_i"))
+    vj = diag.select(F.col("d_pos").alias("j"), F.col("var").alias("var_j"))
+    scored = (
+        with_marg.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.col("n").cast("long").alias("n"),
+            r("cov", 6).alias("cov"),
+            r(
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+            ).alias("corr"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("corr")).desc(), "dim_i", "dim_j"
+    ).limit(CORR_TOPK)
+
+
+EMBEDDING_CORR_PAIRS_SQL = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT v[i] AS xi, v[j] AS xj, i - 1 AS i, j - 1 AS j
+  FROM e,
+       UNNEST(range(1, len(v) + 1)) AS ri(i),
+       UNNEST(range(1, len(v) + 1)) AS rj(j)
+  WHERE j >= i
+),
+g AS (
+  SELECT i, j, SUM(xi * xj) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj,
+         COUNT(*) AS n
+  FROM x GROUP BY 1, 2
+),
+c AS (
+  SELECT i, j, n, (sxy - sxi * sxj / n) / (n - 1) AS cov FROM g
+),
+d AS (SELECT i AS p, cov AS var FROM c WHERE i = j)
+SELECT c.i AS dim_i, c.j AS dim_j, CAST(c.n AS BIGINT) AS n,
+       CAST(ROUND(CAST(c.cov AS DECIMAL(38,9)), 6) AS DOUBLE) AS cov,
+       CAST(ROUND(CAST(c.cov / sqrt(di.var * dj.var)
+            AS DECIMAL(38,9)), 6) AS DOUBLE) AS corr
+FROM c
+JOIN d di ON di.p = c.i
+JOIN d dj ON dj.p = c.j
+WHERE c.i < c.j
+ORDER BY abs(CAST(ROUND(CAST(c.cov / sqrt(di.var * dj.var)
+      AS DECIMAL(38,9)), 6) AS DOUBLE)) DESC, dim_i, dim_j
+LIMIT {CORR_TOPK}
+"""
+
+
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    per-label centroids, reported as a confusion matrix (true label ×
+    predicted label × count) — the quick label-separability eval an
+    embedding pipeline runs before trusting labels for SemDeDup-style
+    pruning or stratified sampling.
+
+    Scale shape: identical machinery to ``cluster_quality_metrics`` —
+    centroids via posexplode → (label, dim) hash agg with per-dim
+    decimal rounding (both engines see bit-identical centroids, so the
+    argmin cannot flip on ulp noise), broadcast packed-centroid row,
+    narrow per-vector distance projection. The argmin is an array-min
+    over (dist, label) structs (deterministic label tie-break); the
+    confusion matrix agg is |labels|² wide.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(r(F.avg("val"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    pack = cent.groupBy().agg(
+        F.collect_list(F.struct("c_label", "cvec")).alias("_cs")
+    )
+    dist_to = lambda cv: F.sqrt(dist2_raw(F.col("v"), cv))  # noqa: E731
+    pred = (
+        emb.select(
+            "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .crossJoin(F.broadcast(pack))
+        .select(
+            "label",
+            F.array_min(
+                F.transform(
+                    "_cs",
+                    lambda c: F.struct(
+                        dist_to(c["cvec"]).alias("d"),
+                        c["c_label"].alias("cl"),
+                    ),
+                )
+            )["cl"].alias("pred_label"),
+        )
+    )
+    return pred.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+NEAREST_CENTROID_CONFUSION_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT label, UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS pos FROM e
+),
+cd AS (
+  SELECT label AS c_label, pos,
+         CAST(ROUND(CAST(AVG(val) AS DECIMAL(38,9)), 6) AS DOUBLE) AS cv
+  FROM x GROUP BY label, pos
+),
+c AS (SELECT c_label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY c_label),
+d AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])))) AS dist
+  FROM e, c
+),
+pv AS (
+  SELECT vec_id, label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM d
+)
+SELECT label, c_label AS pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pv WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
 CLUSTER_QUALITY_METRICS_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 x AS (
@@ -1527,6 +1756,17 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",),
           "per-label centroid/silhouette clustering-quality report "
           "(decides SemDeDup cluster-prune usability)"),
+    Query("nearest_centroid_confusion", nearest_centroid_confusion,
+          NEAREST_CENTROID_CONFUSION_SQL,
+          ("similarity_search_topk",),
+          "nearest-centroid classification confusion matrix over the "
+          "embedding labels (broadcast rounded centroids, narrow argmin)"),
+    Query("embedding_corr_pairs", embedding_corr_pairs,
+          EMBEDDING_CORR_PAIRS_SQL,
+          ("similarity_search_topk",),
+          "top correlated dimension pairs via numpy Gram-matrix "
+          "partials (mapInPandas; shuffle bounded at dim^2 rows — the "
+          "distributed-PCA input path)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

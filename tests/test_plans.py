@@ -73,7 +73,16 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "cluster_quality_metrics",
            # two single-row stat frames (totals + top-10 sum) crossed
            # into the one-row skew report
-           "skew_key_report"}
+           "skew_key_report",
+           # single grand-total row broadcast into the ranked per-user
+           # prefix filter (window runs over AGGREGATED user counts)
+           "pareto_user_share",
+           # single grand-total row broadcast into the |types|x24
+           # contingency-cell expected-count projection
+           "type_hour_chi2",
+           # single packed-centroid row (labels x dim) crossed into the
+           # narrow per-vector argmin projection
+           "nearest_centroid_confusion"}
 
 
 def test_no_cartesian_products(spark, sf_dir):

@@ -5,6 +5,7 @@ schema-stable DataFrame. Oracle parity itself is the driver's gate
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from meshtastic_airsensor_database_spark.plans import REGISTRY
 
@@ -389,3 +390,232 @@ def test_bootstrap_ci_is_deterministic_and_calibrated(spark, sf_dir):
         assert r0.ci_lo <= r0.raw_mean <= r0.ci_hi, r0
         analytic = statistics.stdev(vals[r0.event_type]) / math.sqrt(r0.n_rows)
         assert analytic / 3 < r0.boot_se < analytic * 3, (r0, analytic)
+
+
+def test_q13_histogram_conserves_mass(spark, sf_dir):
+    """Every customer lands in exactly one bucket (sum of custdist ==
+    |customer|) and the weighted bucket sum equals the filtered order
+    count — the two invariants that catch a dropped zero-bucket or a
+    join fanout."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    rows = REGISTRY["orders_per_customer_histogram"].builder(spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    n_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .count()
+    )
+    assert sum(r0.custdist for r0 in rows) == n_cust
+    assert sum(r0.c_count * r0.custdist for r0 in rows) == n_orders
+
+
+def test_dau_wau_matches_brute_force(spark, sf_dir):
+    """DAU and WAU recomputed from raw (user, day) sets must match,
+    and WAU >= DAU on every day (the window contains the day)."""
+    import datetime
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    ud = {
+        (r0.d, r0.user_id)
+        for r0 in load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .collect()
+    }
+    days = {d for d, _ in ud}
+    for r0 in REGISTRY["dau_wau_stickiness"].builder(spark, sf_dir).collect():
+        assert r0.d in days
+        dau = len({u for d, u in ud if d == r0.d})
+        wau = len(
+            {
+                u
+                for d, u in ud
+                if r0.d - datetime.timedelta(days=6) <= d <= r0.d
+            }
+        )
+        assert (r0.dau, r0.wau) == (dau, wau), r0
+        assert r0.wau >= r0.dau
+
+
+def test_pareto_prefix_is_exactly_the_crossing_set(spark, sf_dir):
+    """Ranks are contiguous from 1, coverage crosses the 80% target
+    exactly at the last row (previous row still below it)."""
+    rows = sorted(
+        REGISTRY["pareto_user_share"].builder(spark, sf_dir).collect(),
+        key=lambda r0: r0.user_rank,
+    )
+    assert [r0.user_rank for r0 in rows] == list(range(1, len(rows) + 1))
+    assert rows[-1].cum_pct >= 80.0
+    if len(rows) > 1:
+        assert rows[-2].cum_pct < 80.0
+
+
+def test_chi2_matches_python_reference(spark, sf_dir):
+    """The chi-squared statistic recomputed cell-by-cell in plain
+    Python from the same contingency table must agree."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    ).collect()
+    cells: dict = {}
+    for r0 in ev:
+        cells[(r0.event_type, r0.hod)] = cells.get((r0.event_type, r0.hod), 0) + 1
+    n = sum(cells.values())
+    rt: dict = {}
+    ct: dict = {}
+    for (t, h), o in cells.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[h] = ct.get(h, 0) + o
+    chi2 = sum(
+        (o - rt[t] * ct[h] / n) ** 2 / (rt[t] * ct[h] / n)
+        for (t, h), o in cells.items()
+    )
+    got = REGISTRY["type_hour_chi2"].builder(spark, sf_dir).collect()[0]
+    assert abs(got.chi2 - chi2) < 1e-2, (got.chi2, chi2)
+    assert got.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert got.n_cells == len(cells) and got.n_events == n
+
+
+def test_mannwhitney_matches_brute_force(spark, sf_dir):
+    """U recomputed by direct pairwise comparison (wins + half-ties)
+    must match the midrank formulation, and u_a + u_b == n_a * n_b."""
+    import hashlib
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    arms: dict = {}
+    for r0 in (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    ):
+        v = int(hashlib.md5(str(r0.user_id).encode()).hexdigest()[:8], 16) % 2
+        arms.setdefault(r0.event_type, ([], []))[v].append(r0.value)
+    for r0 in REGISTRY["mannwhitney_value_test"].builder(spark, sf_dir).collect():
+        a, b = arms[r0.event_type]
+        assert (r0.n_a, r0.n_b) == (len(a), len(b))
+        assert abs(r0.u_a + r0.u_b - r0.n_a * r0.n_b) < 1e-6
+        u_brute = sum(
+            1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+        )
+        assert abs(r0.u_a - u_brute) < 1e-6, (r0, u_brute)
+
+
+def test_linear_attribution_conserves_purchase_value(spark, sf_dir):
+    """The credit split must conserve value: summed attributed_value
+    across touch types equals the summed value of every purchase that
+    has at least one in-window touch (each purchase distributes
+    exactly its own value)."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.tsq import (
+        ATTRIB_LOOKBACK_SEC,
+        ATTRIB_TOUCH_TYPES,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.col("ts").cast("long").alias("sec")
+    ).collect()
+    touches = [
+        (r0.user_id, r0.sec) for r0 in ev if r0.event_type in ATTRIB_TOUCH_TYPES
+    ]
+    expected = sum(
+        r0.value
+        for r0 in ev
+        if r0.event_type == "purchase"
+        and any(
+            u == r0.user_id and s <= r0.sec and s > r0.sec - ATTRIB_LOOKBACK_SEC
+            for u, s in touches
+        )
+    )
+    rows = REGISTRY["linear_attribution"].builder(spark, sf_dir).collect()
+    assert set(r0.touch_type for r0 in rows) <= set(ATTRIB_TOUCH_TYPES)
+    got = sum(r0.attributed_value for r0 in rows)
+    assert abs(got - expected) < 0.05 * max(len(rows), 1), (got, expected)
+
+
+def test_nearest_centroid_confusion_covers_every_vector(spark, sf_dir):
+    """Confusion cells partition the corpus: counts sum to |embeddings|
+    and predicted labels come from the true label domain."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    labels = {r0.label for r0 in emb.select("label").distinct().collect()}
+    rows = REGISTRY["nearest_centroid_confusion"].builder(spark, sf_dir).collect()
+    assert sum(r0.n_vecs for r0 in rows) == emb.count()
+    assert {r0.pred_label for r0 in rows} <= labels
+    assert {r0.label for r0 in rows} <= labels
+
+
+def test_corr_pairs_matches_numpy(spark, sf_dir):
+    """cov/corr recomputed with numpy over the full collected matrix
+    must match the distributed Gram-partial formulation cell-for-cell
+    on the reported top pairs."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    X = np.array(
+        [
+            r0.embedding
+            for r0 in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cov = np.cov(X, rowvar=False, ddof=1)
+    sd = np.sqrt(np.diag(cov))
+    rows = REGISTRY["embedding_corr_pairs"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r0 in rows:
+        assert r0.n == X.shape[0]
+        c = cov[r0.dim_i, r0.dim_j]
+        assert abs(r0.cov - c) < 1e-5, (r0, c)
+        assert abs(r0.corr - c / (sd[r0.dim_i] * sd[r0.dim_j])) < 1e-5
+    # the reported pairs are the true top-|corr| set
+    full = np.abs(cov / np.outer(sd, sd))
+    iu = np.triu_indices_from(full, k=1)
+    best = sorted(np.round(full[iu], 6), reverse=True)[: len(rows)]
+    got = sorted((abs(r0.corr) for r0 in rows), reverse=True)
+    assert np.allclose(got, best, atol=1e-6), (got[:5], best[:5])
+
+
+def test_session_paths_match_brute_force(spark, sf_dir):
+    """Paths recomputed with a plain-Python sessionizer must produce
+    the same path -> count multiset for the reported top rows."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.tsq import (
+        PATH_GAP_SEC,
+        PATH_LEN,
+    )
+
+    ev = sorted(
+        (
+            (r0.user_id, r0.sec, r0.event_id, r0.event_type)
+            for r0 in load(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.col("ts").cast("long").alias("sec"),
+                "event_id",
+                "event_type",
+            )
+            .collect()
+        ),
+    )
+    counts: dict = {}
+    cur_user, last_sec, cur_path = None, None, []
+    def flush():
+        if cur_path:
+            p = ">".join(cur_path[:PATH_LEN])
+            counts[p] = counts.get(p, 0) + 1
+    for u, sec, _eid, et in ev:
+        if u != cur_user or last_sec is None or sec - last_sec > PATH_GAP_SEC:
+            flush()
+            cur_user, cur_path = u, []
+        cur_path.append(et)
+        last_sec = sec
+    flush()
+    for r0 in REGISTRY["top_session_paths"].builder(spark, sf_dir).collect():
+        assert counts.get(r0.path) == r0.n_sessions, (r0, counts.get(r0.path))
