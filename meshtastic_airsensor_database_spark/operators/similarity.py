@@ -721,6 +721,56 @@ def lloyd_ivf_topk(
 # --- per-dimension feature standardization ------------------------------------
 
 
+def gram_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Aggregated second-moment grid of a vector column — the input
+    every distributed covariance/PCA/whitening computation needs.
+
+    Each partition computes its Gram partial with ONE numpy matmul
+    (``X.T @ X`` per Arrow batch — never a per-element HOF or a dim²
+    row explode), so the shuffle carries only dim²-bounded partial
+    rows. Returns the upper triangle as (i, j, sxy, n) plus the
+    per-dimension linear sums as ``j = -1`` marker rows (means ride
+    the same pass — one shuffle for both moments).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        S = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if S is None:
+                d = X.shape[1]
+                S = np.zeros((d, d))
+                s = np.zeros(d)
+            S += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        if n:
+            d = len(s)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            keep = ii <= jj  # symmetric: ship the upper triangle only
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii[keep], np.arange(d)]),
+                    "j": np.concatenate([jj[keep], np.full(d, -1)]),
+                    "sxy": np.concatenate([S[keep], s]),
+                    "n": np.int64(n),
+                }
+            )
+
+    return (
+        fan_out(emb.select(vec_col))
+        .mapInPandas(gram, "i int, j int, sxy double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
+    )
+
+
 def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension mean / population stddev / count over an
     ``array<float>`` column: posexplode -> one map-side-partialed hash

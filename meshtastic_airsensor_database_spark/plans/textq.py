@@ -191,6 +191,78 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language corpus data card: doc/source counts, token and
+    character totals, median document length and corpus share — the
+    summary table every training-data release publishes (HF dataset
+    cards, Dolma/RedPajama reports).
+
+    Scale shape: ONE scan computes the per-doc token count and feeds a
+    |lang|-wide hash agg (map-side partials; the exact median is the
+    declared cost at |lang| groups — each group's sort is keyed, and
+    the sketch relaxation for high-cardinality grouping keys is
+    `approx_value_percentiles`); the corpus total is a single-row
+    broadcast into the share projection.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    g = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        r(F.median("n_chars"), 2).alias("p50_chars"),
+        r(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_total"))
+    return g.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        "p50_chars",
+        "avg_tokens",
+        r(
+            F.col("n_docs").cast("double") * 100.0 / F.col("_total"), 4
+        ).alias("pct_of_corpus"),
+    )
+
+
+CORPUS_DATA_CARD_SQL = """
+WITH base AS (
+  SELECT lang, source, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         END AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(ROUND(CAST(quantile_cont(n_chars, 0.5)
+              AS DECIMAL(38,9)), 2) AS DOUBLE) AS p50_chars,
+         CAST(ROUND(CAST(AVG(n_tokens) AS DECIMAL(38,9)), 4) AS DOUBLE)
+           AS avg_tokens
+  FROM base GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS _total FROM base)
+SELECT lang, n_docs, n_sources, total_tokens, total_chars, p50_chars,
+       avg_tokens,
+       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE) * 100.0 / t._total
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS pct_of_corpus
+FROM g, t
+"""
+
+
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUALITY_SCORES_SQL = f"""
@@ -1511,6 +1583,10 @@ QUERIES: list[Query] = [
           "token attribution + running vocab size)"),
     Query("quality_scores", quality_scores, QUALITY_SCORES_SQL,
           ("text_analysis",), "length/punct/stopword quality gate"),
+    Query("corpus_data_card", corpus_data_card, CORPUS_DATA_CARD_SQL,
+          ("text_analysis", "column_projection"),
+          "per-language dataset card: doc/source/token/char totals, "
+          "median length, corpus share (one scan, |lang|-wide agg)"),
     Query("lang_id_confusion", lang_id_confusion, LANG_ID_CONFUSION_SQL,
           ("text_analysis",), "marker-word language ID confusion matrix"),
     Query("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,

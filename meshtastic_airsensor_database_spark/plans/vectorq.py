@@ -27,6 +27,7 @@ from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import (
     brute_force_topk,
     embedding_dim_stats,
+    gram_moments,
     ivf_topk,
     lloyd_ivf_topk,
     standardize_vectors,
@@ -1467,52 +1468,11 @@ def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering ties break on the ROUNDED |corr| then (i, j), so the
     top-k set is cross-engine stable.
     """
-    import numpy as np
-    import pandas as pd
-
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
-
-    def gram(batches):
-        S = None
-        s = None
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            if S is None:
-                d = X.shape[1]
-                S = np.zeros((d, d))
-                s = np.zeros(d)
-            S += X.T @ X
-            s += X.sum(axis=0)
-            n += X.shape[0]
-        if n:
-            d = len(s)
-            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-            keep = ii <= jj  # symmetric: ship the upper triangle only
-            yield pd.DataFrame(
-                {
-                    # the per-dim linear sums (means) ride the SAME
-                    # partial as j = -1 marker rows — one pass, one
-                    # shuffle for both moments
-                    "i": np.concatenate([ii[keep], np.arange(d)]),
-                    "j": np.concatenate([jj[keep], np.full(d, -1)]),
-                    "sxy": np.concatenate([S[keep], s]),
-                    "n": np.int64(n),
-                }
-            )
-
     # materialize: the aggregated grid is consumed through five
     # downstream aliases (cells, si, sj, vi, vj) — without the
     # checkpoint each one would re-run the whole Gram pass
     # (io_utils.materialize documents the exchange-reuse limitation)
-    partials = materialize(
-        emb.select("embedding")
-        .mapInPandas(gram, "i int, j int, sxy double, n long")
-        .groupBy("i", "j")
-        .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
-    )
+    partials = materialize(gram_moments(load(spark, sf_dir, "embeddings")))
     cells = partials.filter(F.col("j") >= 0)
     sums = partials.filter(F.col("j") == -1)
     si = sums.select(F.col("i"), F.col("sxy").alias("si"))

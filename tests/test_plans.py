@@ -82,7 +82,10 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "type_hour_chi2",
            # single packed-centroid row (labels x dim) crossed into the
            # narrow per-vector argmin projection
-           "nearest_centroid_confusion"}
+           "nearest_centroid_confusion",
+           # single corpus-total row broadcast into the |lang|-wide
+           # share projection
+           "corpus_data_card"}
 
 
 def test_no_cartesian_products(spark, sf_dir):

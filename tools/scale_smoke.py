@@ -355,6 +355,34 @@ def main() -> None:
               "type_known": F.col("event_type").isNotNull(),
               "ts_in_range": F.col("ts").isNotNull(),
           }), out)
+    # Session-path mining at factor-x: sessionize + in-session rank
+    # share ONE user-keyed sort; per-session state is rn-capped at 3
+    # rows before the collect. Super-linear time means the two windows
+    # stopped sharing the exchange or the collect lost its cap.
+    from meshtastic_airsensor_database_spark.operators.align import sessionize
+
+    sess = sessionize(
+        big_ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", 1800,
+    )
+    w_sp = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w_sp))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(F.concat_ws(">", F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda x: x["event_type"])).alias("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    )
+    timed(spark, "session_paths", paths, out)
+    # Distributed-covariance Gram partials over the factor-x embedding
+    # corpus: one numpy matmul per Arrow batch, shuffle bounded at dim^2
+    # rows regardless of corpus size. Super-linear time means the
+    # matmul degenerated to per-row work or the partial agg vanished.
+    from meshtastic_airsensor_database_spark.operators.similarity import gram_moments
+
+    timed(spark, "gram_moments", gram_moments(emb), out)
     # Graph family at factor-x (r3 verdict item 6 — the O(m^1.5)
     # triangle wedge bound and O(log log n) CC round count were
     # asserted in docstrings but never measured at scale). The
