@@ -201,9 +201,12 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     |lang|-wide hash agg (map-side partials; the exact median is the
     declared cost at |lang| groups — each group's sort is keyed, and
     the sketch relaxation for high-cardinality grouping keys is
-    `approx_value_percentiles`); the corpus total is a single-row
-    broadcast into the share projection.
+    `approx_value_percentiles`); the corpus total is a full-frame
+    window sum over the |lang| AGGREGATED rows (no second scan, no
+    broadcast branch).
     """
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -219,8 +222,10 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(F.median("n_chars"), 2).alias("p50_chars"),
         r(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
-    tot = base.agg(F.count(F.lit(1)).alias("_total"))
-    return g.join(F.broadcast(tot)).select(
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
         "lang",
         "n_docs",
         "n_sources",
@@ -229,7 +234,10 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_chars",
         "avg_tokens",
         r(
-            F.col("n_docs").cast("double") * 100.0 / F.col("_total"), 4
+            F.col("n_docs").cast("double")
+            * 100.0
+            / F.sum("n_docs").over(w_all),
+            4,
         ).alias("pct_of_corpus"),
     )
 
@@ -253,13 +261,13 @@ g AS (
          CAST(ROUND(CAST(AVG(n_tokens) AS DECIMAL(38,9)), 4) AS DOUBLE)
            AS avg_tokens
   FROM base GROUP BY 1
-),
-t AS (SELECT COUNT(*) AS _total FROM base)
+)
 SELECT lang, n_docs, n_sources, total_tokens, total_chars, p50_chars,
        avg_tokens,
-       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE) * 100.0 / t._total
+       CAST(ROUND(CAST(CAST(n_docs AS DOUBLE) * 100.0
+            / SUM(n_docs) OVER ()
             AS DECIMAL(38,9)), 4) AS DOUBLE) AS pct_of_corpus
-FROM g, t
+FROM g
 """
 
 

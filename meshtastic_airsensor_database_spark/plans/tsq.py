@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_utils import fan_out, load
+from ..io_utils import fan_out, load, materialize
 from ..operators.align import sessionize
 from ..operators.intervals import bucketed_range_join
 from ..operators.timegrid import gapfill
@@ -1869,55 +1869,64 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     each day), and the DAU/WAU stickiness ratio — the rolling COUNT
     DISTINCT that naive range windows can't do distributively.
 
-    Scale shape: dedup FIRST to (user, day) — everything downstream is
-    bounded by users×days, not raw events — then each active day fans
-    out to the 7 window-end days it contributes to (a constant ×7
-    explode of the deduped frame), a second dedup collapses multi-day
-    users per window, and two hash aggs + one day-keyed equi-join
-    finish. This is the standard mergeable-rollup formulation; no
-    global state, no window function at all.
+    Scale shape: ONE scan — each event fans out to the 7 window-end
+    days it contributes to (constant ×7, with a k=0 marker recording
+    "active on the day itself"), a (day, user) hash agg collapses the
+    fan-out (map-side partials do the dedup work before the exchange,
+    so the shuffle carries ~7× users×days, never 7× raw events), and
+    the final day-keyed agg counts WAU as group size and DAU as the
+    marker sum. Days with a window but no same-day activity are
+    dropped (dau > 0 = the day actually occurs in the data). No join,
+    no window function, no second scan — the mergeable formulation.
     """
     ev = load(spark, sf_dir, "events")
-    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    fan = ud.select(
+    fan = ev.select(
         "user_id",
+        F.to_date("ts").alias("d"),
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
-        F.col("d"),
-    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("dw"))
-    wau = (
-        fan.distinct()
-        .groupBy("dw")
-        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    ).select(
+        "user_id",
+        F.date_add(F.col("d"), F.col("k")).alias("dw"),
+        (F.col("k") == 0).cast("int").alias("is_day"),
     )
-    return dau.join(wau, dau.d == wau.dw).select(
-        "d",
-        "dau",
-        "wau",
-        r(F.col("dau").cast("double") * 100.0 / F.col("wau"), 4).alias(
-            "stickiness_pct"
-        ),
+    g = fan.groupBy("dw", "user_id").agg(F.max("is_day").alias("active_today"))
+    return (
+        g.groupBy("dw")
+        .agg(
+            F.sum("active_today").cast("long").alias("dau"),
+            F.count(F.lit(1)).cast("long").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
+        .select(
+            F.col("dw").alias("d"),
+            "dau",
+            "wau",
+            r(F.col("dau").cast("double") * 100.0 / F.col("wau"), 4).alias(
+                "stickiness_pct"
+            ),
+        )
     )
 
 
 DAU_WAU_STICKINESS_SQL = """
-WITH ud AS (
-  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+WITH fan AS (
+  SELECT user_id,
+         CAST(ts AS DATE) + CAST(k AS INTEGER) AS dw,
+         CASE WHEN k = 0 THEN 1 ELSE 0 END AS is_day
+  FROM events, UNNEST(range(0, 7)) AS rk(k)
 ),
-dau AS (
-  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+g AS (
+  SELECT dw, user_id, MAX(is_day) AS active_today FROM fan GROUP BY 1, 2
 ),
-fan AS (
-  SELECT DISTINCT user_id, d + CAST(k AS INTEGER) AS dw
-  FROM ud, UNNEST(range(0, 7)) AS rk(k)
-),
-wau AS (
-  SELECT dw, CAST(COUNT(*) AS BIGINT) AS wau FROM fan GROUP BY 1
+o AS (
+  SELECT dw, CAST(SUM(active_today) AS BIGINT) AS dau,
+         CAST(COUNT(*) AS BIGINT) AS wau
+  FROM g GROUP BY 1
 )
-SELECT dau.d, dau.dau, wau.wau,
-       CAST(ROUND(CAST(CAST(dau.dau AS DOUBLE) * 100.0 / wau.wau
+SELECT dw AS d, dau, wau,
+       CAST(ROUND(CAST(CAST(dau AS DOUBLE) * 100.0 / wau
             AS DECIMAL(38,9)), 4) AS DOUBLE) AS stickiness_pct
-FROM dau JOIN wau ON dau.d = wau.dw
+FROM o WHERE dau > 0
 """
 
 
@@ -1934,10 +1943,10 @@ def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: events collapse to per-user counts first, so the
     global rank/cumsum window runs over |users| AGGREGATED rows (the
     bounded-input exception to the no-global-window rule — same class
-    as the stats-family totals); the grand total is a single-row
-    broadcast, and the prefix filter uses integer arithmetic
-    (cum×10 < total×8 keeps the crossing row) so no float boundary
-    can diverge between engines.
+    as the stats-family totals); the grand total is the SAME window's
+    full-frame sum (no second scan, no broadcast branch), and the
+    prefix filter uses integer arithmetic (cum×10 < total×8 keeps the
+    crossing row) so no float boundary can diverge between engines.
     """
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -1949,22 +1958,22 @@ def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
+        F.sum("n_events")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_total"),
     )
-    tot = per.agg(F.sum("n_events").alias("_total"))
-    return (
-        ranked.join(F.broadcast(tot))
-        .filter(
-            (F.col("cum") - F.col("n_events")) * 10
-            < F.col("_total") * (PARETO_TARGET_PCT // 10)
-        )
-        .select(
-            F.col("user_rank").cast("long").alias("user_rank"),
-            "user_id",
-            F.col("n_events").cast("long").alias("n_events"),
-            r(
-                F.col("cum").cast("double") * 100.0 / F.col("_total"), 4
-            ).alias("cum_pct"),
-        )
+    return ranked.filter(
+        (F.col("cum") - F.col("n_events")) * 10
+        < F.col("_total") * (PARETO_TARGET_PCT // 10)
+    ).select(
+        F.col("user_rank").cast("long").alias("user_rank"),
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        r(F.col("cum").cast("double") * 100.0 / F.col("_total"), 4).alias(
+            "cum_pct"
+        ),
     )
 
 
@@ -1977,16 +1986,16 @@ rk AS (
          ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS user_rank,
          SUM(n_events) OVER (ORDER BY n_events DESC, user_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum
+           AS cum,
+         SUM(n_events) OVER () AS _total
   FROM per
-),
-t AS (SELECT SUM(n_events) AS _total FROM per)
+)
 SELECT CAST(user_rank AS BIGINT) AS user_rank, user_id,
        CAST(n_events AS BIGINT) AS n_events,
-       CAST(ROUND(CAST(CAST(cum AS DOUBLE) * 100.0 / t._total
+       CAST(ROUND(CAST(CAST(cum AS DOUBLE) * 100.0 / _total
             AS DECIMAL(38,9)), 4) AS DOUBLE) AS cum_pct
-FROM rk, t
-WHERE (cum - n_events) * 10 < t._total * {PARETO_TARGET_PCT // 10}
+FROM rk
+WHERE (cum - n_events) * 10 < _total * {PARETO_TARGET_PCT // 10}
 """
 
 
@@ -1998,16 +2007,19 @@ def type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-of-day: one row with the statistic, degrees of freedom and
     grid size — the is-my-traffic-mix-time-of-day-dependent check.
 
-    Scale shape: ONE hash agg to the |types|×24 contingency cells;
-    marginals re-aggregate those cells (never rescan events) and join
-    back broadcast; the grand total is a single-row broadcast. The
-    chi2 sum runs over ≤ types×24 DOUBLE cells, so the 4-decimal
-    rounding absorbs summation-order noise.
+    Scale shape: ONE hash agg to the |types|×24 contingency cells,
+    MATERIALIZED so the marginals/total branches re-aggregate the
+    bounded grid instead of re-running the events scan per consumer
+    (four consumers = four full scans without the checkpoint); joins
+    back are broadcast. The chi2 sum runs over ≤ types×24 DOUBLE
+    cells, so the 4-decimal rounding absorbs summation-order noise.
     """
     ev = load(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type", F.hour("ts").alias("hod")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = materialize(
+        ev.groupBy("event_type", F.hour("ts").alias("hod")).agg(
+            F.count(F.lit(1)).alias("o")
+        )
+    )
     rowt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     colt = cells.groupBy("hod").agg(F.sum("o").alias("ct"))
     tot = cells.agg(F.sum("o").alias("_n"))
@@ -2349,8 +2361,8 @@ QUERIES: list[Query] = [
           "7-day lookback, per-purchase equal credit split"),
     Query("dau_wau_stickiness", dau_wau_stickiness, DAU_WAU_STICKINESS_SQL,
           ("windowed_ingest", "per_node_stats"),
-          "rolling 7-day COUNT DISTINCT via dedup-first x7 day fan-out "
-          "(mergeable formulation, no window function)"),
+          "rolling 7-day COUNT DISTINCT via one-scan x7 day fan-out "
+          "with k=0 markers (mergeable, no join, no window function)"),
     Query("pareto_user_share", pareto_user_share, PARETO_USER_SHARE_SQL,
           ("per_node_stats",),
           "smallest user prefix covering 80% of events: rank/cumsum "

@@ -74,18 +74,12 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            # two single-row stat frames (totals + top-10 sum) crossed
            # into the one-row skew report
            "skew_key_report",
-           # single grand-total row broadcast into the ranked per-user
-           # prefix filter (window runs over AGGREGATED user counts)
-           "pareto_user_share",
-           # single grand-total row broadcast into the |types|x24
-           # contingency-cell expected-count projection
+           # single grand-total row (from the MATERIALIZED cell grid)
+           # broadcast into the |types|x24 expected-count projection
            "type_hour_chi2",
            # single packed-centroid row (labels x dim) crossed into the
            # narrow per-vector argmin projection
-           "nearest_centroid_confusion",
-           # single corpus-total row broadcast into the |lang|-wide
-           # share projection
-           "corpus_data_card"}
+           "nearest_centroid_confusion"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
@@ -424,6 +418,22 @@ def test_corr_matrix_self_join_is_equi_on_hour(spark, sf_dir):
     the hourly grid."""
     plan = plan_of(spark, "type_corr_matrix", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multi_consumer_stats_queries_scan_once(spark, sf_dir):
+    """Queries whose totals/marginals re-aggregate an intermediate must
+    not re-run the fact scan per consumer: DAU/WAU folds both counts
+    into one fan-out agg, Pareto and the data card take their grand
+    totals from a full-frame window over the AGGREGATED rows, and chi2
+    materializes the contingency grid (0 scans in the displayed plan —
+    the single scan ran at checkpoint time)."""
+    for name, max_scans in (("dau_wau_stickiness", 1),
+                            ("pareto_user_share", 1),
+                            ("corpus_data_card", 1),
+                            ("type_hour_chi2", 0)):
+        plan = plan_of(spark, name, sf_dir)
+        n = len(set(re.findall(r"\(\d+\) Scan parquet", plan)))
+        assert n <= max_scans, (name, n, plan)
 
 
 def test_unpivot_is_single_scan_expand(spark, sf_dir):
