@@ -75,6 +75,18 @@ SHOWCASE = [
     ("skew_key_report", "skew diagnosis: per-key partial agg + single-row broadcasts + TakeOrdered top-10 (per-key counts never sort globally)"),
     ("sentiment_by_source", "lexicon sentiment: one tokenization per row feeding both filtered counts, keyed hash agg"),
     ("span_deduped_docs", "exact-substring dedup transform: 8-byte hashed gram DF + keeper join, removed positions folded to ONE array per doc, rebuild via indexed-lambda filter (token arrays never shuffle)"),
+    ("ab_welch_test", "Welch A/B readout: ONE conditional-agg pass (both arms share it), narrow algebra after"),
+    ("bootstrap_value_ci", "derandomized bootstrap: two-level explode (4 draws per md5 digest), fan-out before the x48 amplification, (type,b)-bounded exchange"),
+    ("mannwhitney_value_test", "Mann-Whitney U: midranks via KEYED per-type rank windows, one hash agg after"),
+    ("top_session_paths", "session journeys: sessionize + in-session rank + path agg all inside ONE user-keyed exchange (WindowGroupLimit caps rn<=3 before the sort output), TakeOrdered top-k"),
+    ("dau_wau_stickiness", "rolling COUNT DISTINCT: single scan, x7 day fan-out collapsed map-side by the (day,user) agg, DAU/WAU from one final day agg — no join, no window"),
+    ("pareto_user_share", "Pareto coverage: rank/cumsum/total in ONE bounded window over aggregated user counts (single scan)"),
+    ("type_hour_chi2", "chi-squared test: materialized contingency grid (one fact scan), broadcast marginal joins over <= types x 24 rows"),
+    ("linear_attribution", "multi-touch attribution: user-keyed equi-join with the lookback as residual, per-purchase window count, |touch_type| agg"),
+    ("orders_per_customer_histogram", "TPC-H Q13: aggregate-before-join left join (exchange carries per-customer counts, never raw orders), zero-bucket preserved"),
+    ("nearest_centroid_confusion", "nearest-centroid eval: (label,dim)-bounded rounded-centroid agg, broadcast pack, narrow argmin, |labels|^2 confusion agg"),
+    ("embedding_corr_pairs", "distributed covariance: numpy Gram partials via mapInPandas (one matmul per Arrow batch), dim^2-bounded exchange, materialized grid reused by every consumer"),
+    ("corpus_data_card", "data card: one scan into a |lang|-wide agg, corpus share from a full-frame window over the aggregated rows"),
 ]
 
 
