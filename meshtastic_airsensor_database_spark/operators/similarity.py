@@ -771,6 +771,85 @@ def gram_moments(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def pca_components(
+    emb: DataFrame, k: int = 4, vec_col: str = "embedding"
+) -> tuple:
+    """Exact PCA basis from the distributed Gram grid: the cluster
+    computes ``gram_moments`` (one matmul per Arrow batch, dim²-bounded
+    shuffle), the DRIVER collects only the ≤ dim²/2+dim aggregated
+    cells and eigendecomposes the dim×dim covariance — O(dim³) driver
+    work, O(1) in corpus size (the same bounded-training pattern as the
+    PQ codebooks and Lloyd centroids).
+
+    Returns ``(W, evals, mean, n)``: the (dim, k) projection matrix
+    (descending eigenvalue order, sign-normalized so each component's
+    largest-|loading| entry is positive — eigh's sign is otherwise
+    arbitrary), the full descending eigenvalue vector, the column
+    means, and the row count. The covariance is rounded to 9 decimals
+    before eigh so the basis is reproducible across summation orders.
+    """
+    import numpy as np
+
+    rows = gram_moments(emb, vec_col).collect()
+    d = max(r0["i"] for r0 in rows) + 1
+    S = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r0 in rows:
+        if r0["j"] == -1:
+            s[r0["i"]] = r0["sxy"]
+            n = r0["n"]
+        else:
+            S[r0["i"], r0["j"]] = r0["sxy"]
+            S[r0["j"], r0["i"]] = r0["sxy"]
+    mean = s / n
+    cov = np.round((S - np.outer(s, s) / n) / (n - 1), 9)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals = evals[order]
+    evecs = evecs[:, order]
+    W = evecs[:, :k]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    return W * flip, evals, mean, n
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_cols: tuple = ("vec_id",),
+) -> DataFrame:
+    """Project every vector onto the top-``k`` principal components —
+    centered ``(X - mean) @ W`` as ONE numpy matmul per Arrow batch
+    (mapInPandas; the (dim, k) basis ships in the closure). No shuffle:
+    the projection is a narrow map over the scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    W, _evals, mean, _n = pca_components(emb, k, vec_col)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            P = (X - mean) @ W
+            out = {c: pdf[c] for c in id_cols}
+            for j in range(W.shape[1]):
+                out[f"pc{j + 1}"] = P[:, j]
+            yield pd.DataFrame(out)
+
+    id_schema = ", ".join(
+        f"{c} {dict(emb.dtypes)[c]}" for c in id_cols
+    )
+    pc_schema = ", ".join(f"pc{j + 1} double" for j in range(k))
+    return emb.select(*id_cols, vec_col).mapInPandas(
+        project, f"{id_schema}, {pc_schema}"
+    )
+
+
 def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension mean / population stddev / count over an
     ``array<float>`` column: posexplode -> one map-side-partialed hash

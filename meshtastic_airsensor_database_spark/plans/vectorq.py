@@ -30,6 +30,8 @@ from ..operators.similarity import (
     gram_moments,
     ivf_topk,
     lloyd_ivf_topk,
+    pca_components,
+    pca_project,
     standardize_vectors,
 )
 from .base import Query, r
@@ -1546,6 +1548,54 @@ LIMIT {CORR_TOPK}
 """
 
 
+PCA_K = 4
+
+
+def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PCA_K`` principal-component coordinates of the first 50
+    vectors — exact distributed PCA: basis from the dim²-bounded Gram
+    grid (driver eigh is O(dim³), O(1) in corpus size), projection as
+    one centered matmul per Arrow batch. Rows-only: eigendecomposition
+    has no SQL twin; `test_queries.py` pins the coordinates against a
+    straight numpy PCA of the collected matrix.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, k=PCA_K)
+    return proj.select(
+        "vec_id",
+        *[r(f"pc{j + 1}", 4).alias(f"pc{j + 1}") for j in range(PCA_K)],
+    ).orderBy("vec_id").limit(50)
+
+
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance spectrum of the embedding space (how many
+    components carry the signal — the whitening/compression decision).
+    Driver-side reshape of the SAME bounded Gram grid; rows-only
+    (eigenvalues have no SQL twin), numpy-pinned in tests.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    _W, evals, _mean, n = pca_components(emb, k=PCA_K)
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for i, ev in enumerate(evals[:PCA_K]):
+        cum += float(ev)
+        rows.append(
+            (
+                i + 1,
+                round(float(ev), 6),
+                round(float(ev) * 100.0 / total, 4),
+                round(cum * 100.0 / total, 4),
+                int(n),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_pct double, "
+        "cum_pct double, n_vecs long",
+    )
+
+
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification of every embedding against the
     per-label centroids, reported as a confusion matrix (true label ×
@@ -1727,6 +1777,15 @@ QUERIES: list[Query] = [
           "top correlated dimension pairs via numpy Gram-matrix "
           "partials (mapInPandas; shuffle bounded at dim^2 rows — the "
           "distributed-PCA input path)"),
+    Query("embedding_pca_coords", embedding_pca_coords, None,
+          ("similarity_search_topk",),
+          "exact distributed PCA projection: dim^2-bounded Gram grid, "
+          "O(1)-in-corpus driver eigh, one centered matmul per batch "
+          "(rows-only; numpy-pinned)"),
+    Query("pca_explained_variance", pca_explained_variance, None,
+          ("similarity_search_topk",),
+          "explained-variance spectrum from the same bounded Gram grid "
+          "(rows-only; numpy-pinned)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

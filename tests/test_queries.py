@@ -619,3 +619,50 @@ def test_session_paths_match_brute_force(spark, sf_dir):
     flush()
     for r0 in REGISTRY["top_session_paths"].builder(spark, sf_dir).collect():
         assert counts.get(r0.path) == r0.n_sessions, (r0, counts.get(r0.path))
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """Projection coordinates and the explained-variance spectrum must
+    match a straight numpy PCA (eigh of the ddof=1 covariance) of the
+    collected matrix — sign-normalized the same way."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.vectorq import PCA_K
+
+    data = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([r0.embedding for r0 in data], dtype=np.float64)
+    ids = np.array([r0.vec_id for r0 in data])
+    cov = np.round(np.cov(X, rowvar=False, ddof=1), 9)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    W = evecs[:, :PCA_K]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(PCA_K)])
+    flip[flip == 0] = 1.0
+    W = W * flip
+    P = (X - X.mean(axis=0)) @ W
+
+    by_id = {int(i): P[pos] for pos, i in enumerate(ids)}
+    rows = REGISTRY["embedding_pca_coords"].builder(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r0 in rows:
+        want = by_id[r0.vec_id]
+        got = [getattr(r0, f"pc{j + 1}") for j in range(PCA_K)]
+        assert np.allclose(got, np.round(want, 4), atol=2e-4), (r0, want)
+
+    spec = REGISTRY["pca_explained_variance"].builder(spark, sf_dir).collect()
+    total = evals.sum()
+    assert [s.component for s in spec] == list(range(1, PCA_K + 1))
+    for s in spec:
+        ev = evals[s.component - 1]
+        assert abs(s.eigenvalue - ev) < 1e-5
+        assert abs(s.explained_pct - ev * 100.0 / total) < 1e-3
+        assert s.n_vecs == len(X)
+    assert spec[-1].cum_pct == pytest.approx(
+        evals[:PCA_K].sum() * 100.0 / total, abs=1e-3
+    )
