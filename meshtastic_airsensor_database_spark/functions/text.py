@@ -214,15 +214,21 @@ def doc_fingerprint_rolling(col: Column | str, base: int = 31, mod: int = 2**31 
     """Order-sensitive polynomial rolling hash over tokens.
 
     hash = sum(token_hash_i * base^(n-1-i)) mod m, computed with
-    ``aggregate`` over the token array — built-in, no UDF. Spark-only
-    (no SQL-oracle twin); used for shift-robust fingerprinting.
+    ``aggregate`` over the token array — built-in, no UDF; used for
+    shift-robust fingerprinting. The token basis is the cross-engine
+    md5 top-15-hex → BIGINT hash (plans/base.py parity rule), so the
+    DuckDB twin reproduces every fingerprint exactly (list_reduce over
+    the same per-token hashes — was xxhash64/rows-only before r4).
     mod < 2^31 keeps acc*base + h < 2^37 — no ANSI long overflow.
     """
     toks = tokens(col)
+    tok_hash = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(mod)
+    )
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
+        lambda acc, t: (acc * base + tok_hash(t)) % mod,
     )
 
 

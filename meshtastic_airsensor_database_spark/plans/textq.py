@@ -343,13 +343,28 @@ DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 # --- rolling-hash fingerprints (rows-only) -------------------------------------
 
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling hash per document (xxhash64
-    token basis — Spark-only, no SQL twin). Complements the md5 exact
-    fingerprint with shift-robust shape hashing."""
+    """Order-sensitive polynomial rolling hash per document.
+    Complements the md5 exact fingerprint with shift-robust shape
+    hashing. The token basis is the cross-engine md5→BIGINT hash, so
+    the DuckDB twin folds the identical per-token hashes with
+    ``list_reduce`` — this was the registry's one ``no_oracle`` row
+    through r3 (xxhash64 basis); now hash-checked exactly."""
     from ..functions.text import doc_fingerprint_rolling
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", doc_fingerprint_rolling(F.col("text")).alias("rolling_fp"))
+
+
+ROLLING_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+             t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                  % 2147483647)),
+         (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp
+FROM documents
+"""
 
 
 # --- n-gram Jaccard near-dup pairs (SURVEY §2.11 near_dedup) -------------------
@@ -1617,8 +1632,11 @@ QUERIES: list[Query] = [
           "lexicon sentiment rollup per source (the SURVEY §2.11 "
           "'sentiment-score text payloads' bullet; integer hit-count "
           "doc polarity, no float compares)"),
-    Query("rolling_fingerprints", rolling_fingerprints, None,
-          ("text_analysis", "exact_dedup"), "token rolling-hash fingerprints (rows-only)"),
+    Query("rolling_fingerprints", rolling_fingerprints,
+          ROLLING_FINGERPRINTS_SQL,
+          ("text_analysis", "exact_dedup"),
+          "token rolling-hash fingerprints (md5 basis; was the one "
+          "no_oracle row through r3, now hash-checked)"),
     Query("bpe_token_stats", bpe_token_stats, BPE_TOKEN_STATS_SQL,
           ("text_analysis",), "BPE-ish regex token counting per lang"),
     Query("doc_split_assignment", doc_split_assignment, DOC_SPLIT_ASSIGNMENT_SQL,

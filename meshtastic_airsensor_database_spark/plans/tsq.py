@@ -2165,6 +2165,76 @@ FROM g
 """
 
 
+# --- conversion latency (time-to-convert distribution) -------------------------
+
+
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of time-to-convert: for every user, seconds from
+    their FIRST 'view' to their first 'purchase' after it — the
+    latency dual of `funnel_conversion` (which only counts who
+    converts, not how fast).
+
+    Scale shape: ONE user-keyed window carries the running
+    first-view timestamp (the LOCF idiom), the purchase filter prunes
+    to candidate conversions, a per-user agg takes the earliest, and
+    the final percentiles run over |users| aggregated rows in a single
+    reduce. Ties at identical timestamps break on event_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    conv = (
+        ev.select("user_id", "ts", "event_type", fv.alias("fv"))
+        .filter((F.col("event_type") == "purchase") & F.col("fv").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("long") - F.col("fv").cast("long")).alias(
+                "lat_sec"
+            )
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        r(F.avg("lat_sec"), 2).alias("avg_sec"),
+        r(F.median("lat_sec"), 2).alias("p50_sec"),
+        r(F.percentile("lat_sec", 0.9), 2).alias("p90_sec"),
+        F.min("lat_sec").cast("long").alias("min_sec"),
+        F.max("lat_sec").cast("long").alias("max_sec"),
+    )
+
+
+CONVERSION_LATENCY_STATS_SQL = """
+WITH w AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+         MIN(FLOOR(epoch(ts)) - FLOOR(epoch(fv))) AS lat_sec
+  FROM w
+  WHERE event_type = 'purchase' AND fv IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(ROUND(CAST(AVG(lat_sec) AS DECIMAL(38,9)), 2) AS DOUBLE)
+         AS avg_sec,
+       CAST(ROUND(CAST(quantile_cont(lat_sec, 0.5) AS DECIMAL(38,9)), 2)
+            AS DOUBLE) AS p50_sec,
+       CAST(ROUND(CAST(quantile_cont(lat_sec, 0.9) AS DECIMAL(38,9)), 2)
+            AS DOUBLE) AS p90_sec,
+       CAST(MIN(lat_sec) AS BIGINT) AS min_sec,
+       CAST(MAX(lat_sec) AS BIGINT) AS max_sec
+FROM conv
+"""
+
+
 # --- top session paths (higher-order journey analysis) -------------------------
 
 PATH_GAP_SEC = 1800
@@ -2380,4 +2450,9 @@ QUERIES: list[Query] = [
           "top first-3-event session journeys: one user-keyed sort "
           "serves sessionize + in-session ranking; rn-filter before "
           "collect bounds per-session state at 3 rows"),
+    Query("conversion_latency_stats", conversion_latency_stats,
+          CONVERSION_LATENCY_STATS_SQL, ("timeseries_align",),
+          "time-to-convert distribution: one LOCF window carries the "
+          "running first-view ts, per-user earliest conversion, "
+          "percentiles over |users| aggregated rows"),
 ]

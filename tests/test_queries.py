@@ -666,3 +666,38 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     assert spec[-1].cum_pct == pytest.approx(
         evals[:PCA_K].sum() * 100.0 / total, abs=1e-3
     )
+
+
+def test_conversion_latency_matches_brute_force(spark, sf_dir):
+    """Per-user first-view -> first-subsequent-purchase latency
+    recomputed in plain Python must reproduce the count, min/max and
+    mean exactly."""
+    import statistics
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    ev = sorted(
+        (
+            (r0.user_id, r0.sec, r0.event_id, r0.event_type)
+            for r0 in load(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.col("ts").cast("long").alias("sec"),
+                "event_id",
+                "event_type",
+            )
+            .collect()
+        )
+    )
+    first_view: dict = {}
+    lat: dict = {}
+    for u, sec, _eid, et in ev:
+        if et == "view" and u not in first_view:
+            first_view[u] = sec
+        if et == "purchase" and u in first_view and u not in lat:
+            lat[u] = sec - first_view[u]
+    got = REGISTRY["conversion_latency_stats"].builder(spark, sf_dir).collect()[0]
+    assert got.n_converted == len(lat)
+    assert got.min_sec == min(lat.values())
+    assert got.max_sec == max(lat.values())
+    assert abs(got.avg_sec - statistics.fmean(lat.values())) < 0.01
