@@ -2165,6 +2165,97 @@ FROM g
 """
 
 
+# --- RFM segmentation -----------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-base cut: quartile each user on days since
+    last activity, event count, and purchase value, then roll up the
+    4×4×4 segment grid.
+
+    Scale shape: ONE scan collapses events to per-user (last_ts, n,
+    monetary); the three NTILE windows and the recency reference (max
+    over all users) run over the |users| AGGREGATED rows — the
+    bounded-input window class — each with a total order (metric,
+    user_id) so quartile boundaries are cross-engine identical; the
+    final agg is ≤64 segments wide.
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("long")).alias("last_sec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("monetary"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rec_days = (F.max("last_sec").over(w_all) - F.col("last_sec")) / 86400.0
+    scored = per.select(
+        "user_id",
+        rec_days.alias("recency_days"),
+        "freq",
+        "monetary",
+        # NTILE on recency: most recent = highest last_sec = tile 1
+        # under DESC order; invert to make 4 = best. Ordering by the
+        # raw last_sec (recency ascending == last_sec descending)
+        # avoids referencing the lateral recency_days alias.
+        (5 - F.ntile(4).over(Window.orderBy(F.desc("last_sec"), "user_id"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("freq"), "user_id")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary"), "user_id")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws(
+                "",
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            r(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            r(F.avg("freq"), 2).alias("avg_freq"),
+            r(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MAX(FLOOR(epoch(ts))) AS last_sec,
+         COUNT(*) AS freq,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS monetary
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT user_id,
+         (MAX(last_sec) OVER () - last_sec) / 86400.0 AS recency_days,
+         freq, monetary,
+         5 - NTILE(4) OVER (ORDER BY last_sec DESC, user_id) AS r,
+         NTILE(4) OVER (ORDER BY freq, user_id) AS f,
+         NTILE(4) OVER (ORDER BY monetary, user_id) AS m
+  FROM per
+)
+SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+         AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(AVG(recency_days) AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS avg_recency_days,
+       CAST(ROUND(CAST(AVG(freq) AS DECIMAL(38,9)), 2) AS DOUBLE)
+         AS avg_freq,
+       CAST(ROUND(CAST(AVG(monetary) AS DECIMAL(38,9)), 2) AS DOUBLE)
+         AS avg_monetary
+FROM scored GROUP BY 1
+"""
+
+
 # --- conversion latency (time-to-convert distribution) -------------------------
 
 
@@ -2455,4 +2546,9 @@ QUERIES: list[Query] = [
           "time-to-convert distribution: one LOCF window carries the "
           "running first-view ts, per-user earliest conversion, "
           "percentiles over |users| aggregated rows"),
+    Query("rfm_segments", rfm_segments, RFM_SEGMENTS_SQL,
+          ("per_node_stats",),
+          "RFM quartile segmentation: one scan to per-user stats, "
+          "NTILE windows over AGGREGATED rows with total order, "
+          "<=64-segment rollup"),
 ]

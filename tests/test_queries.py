@@ -701,3 +701,28 @@ def test_conversion_latency_matches_brute_force(spark, sf_dir):
     assert got.min_sec == min(lat.values())
     assert got.max_sec == max(lat.values())
     assert abs(got.avg_sec - statistics.fmean(lat.values())) < 0.01
+
+
+def test_rfm_segments_partition_users_into_quartiles(spark, sf_dir):
+    """Segments partition the user base (counts sum to |users|), tiles
+    cover 1..4 on every axis, and quartile sizes are NTILE-balanced
+    (each frequency tile holds n/4 rounded users)."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    rows = REGISTRY["rfm_segments"].builder(spark, sf_dir).collect()
+    assert sum(r0.n_users for r0 in rows) == n_users
+    tiles = {(int(r0.rfm_segment[0]), int(r0.rfm_segment[1]), int(r0.rfm_segment[2]))
+             for r0 in rows}
+    for axis in range(3):
+        vals = {t[axis] for t in tiles}
+        assert vals <= {1, 2, 3, 4} and len(vals) >= 2, (axis, vals)
+    f_counts: dict = {}
+    for r0 in rows:
+        f = int(r0.rfm_segment[1])
+        f_counts[f] = f_counts.get(f, 0) + r0.n_users
+    lo, hi = n_users // 4, -(-n_users // 4)
+    for f, c in f_counts.items():
+        assert lo <= c <= hi, (f, c)
