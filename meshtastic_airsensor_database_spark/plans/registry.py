@@ -119,7 +119,8 @@ _DRIVER_WINDOW = [
 # linear_attribution, dau_wau_stickiness, pareto_user_share,
 # type_hour_chi2, mannwhitney_value_test, nearest_centroid_confusion,
 # top_session_paths, embedding_corr_pairs, corpus_data_card,
-# conversion_latency_stats, rfm_segments, rolling_fingerprints (upgraded to an
+# conversion_latency_stats, rfm_segments, incremental_cms_users,
+# rolling_fingerprints (upgraded to an
 # exact md5-basis twin - was the one no_oracle row through r3)
 # (added after the r4 window filled).
 # The eight slots for the round-4 new queries came from

@@ -469,6 +469,78 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def _maintained_cms_path(spark: SparkSession, sf_dir: str) -> str:
+    """Maintain a CMS counter matrix of user_id frequencies across the
+    same adversarial 4-slice out-of-order arrival order the rollup
+    uses: counters from disjoint slices add element-wise, so each pass
+    is read-stored + union + re-sum + overwrite of a depth×width-row
+    parquet (O(1) in corpus size)."""
+    from ..operators.sketch import cms_counters
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cms_users")
+    path = _ROLLUP_CACHE.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = os.path.join(tempfile.mkdtemp(prefix="rollup_maint_"), "cms_users")
+    ev = load(spark, sf_dir, "events")
+    for i in range(ROLLUP_SLICES):
+        part = cms_counters(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(ROLLUP_SLICES)) == i),
+            "user_id",
+        )
+        if os.path.isdir(path):
+            merged = (
+                spark.read.parquet(path)
+                .unionByName(part)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        else:
+            merged = part
+        # pin before overwriting the path the plan reads from
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    _ROLLUP_CACHE[key] = path
+    return path
+
+
+def incremental_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS counter matrix read from MATERIALIZED sketch state
+    maintained incrementally over 4 out-of-order slices — the
+    frequency-sketch twin of ``incremental_distinct_hourly`` (HLL
+    answers distinct, CMS answers frequency; both must merge
+    associatively for a streaming rollup to exist). The oracle builds
+    the same counters from the full raw table in one pass, so the hash
+    match proves element-wise counter addition == batch sketch, i.e.
+    slice-order-independent maintenance of the frequency artifact.
+    """
+    path = _maintained_cms_path(spark, sf_dir)
+    return spark.read.parquet(path).select(
+        F.col("j").cast("int").alias("j"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("c").cast("long").alias("c"),
+    )
+
+
+def _incremental_cms_sql() -> str:
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+WITH rows_j AS (SELECT UNNEST({list(range(CMS_DEPTH))}) AS j),
+h AS (
+  SELECT j.j,
+         CAST(concat('0x', substr(md5(j.j || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM events e, rows_j j
+)
+SELECT CAST(j AS INTEGER) AS j, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM h GROUP BY j, bucket
+"""
+
+
+INCREMENTAL_CMS_USERS_SQL = _incremental_cms_sql()
+
+
 def incremental_distinct_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly distinct users per event type read from the SAME
     materialized-rollup machinery, exercising the sketch column:
@@ -2431,6 +2503,11 @@ QUERIES: list[Query] = [
           ("continuous_aggregate", "per_node_stats"),
           "materialized hourly rollup maintained from out-of-order "
           "micro-batches == full recompute"),
+    Query("incremental_cms_users", incremental_cms_users,
+          INCREMENTAL_CMS_USERS_SQL,
+          ("continuous_aggregate", "approx_distinct_nodes"),
+          "CMS frequency counters maintained across out-of-order "
+          "slices == batch sketch (element-wise mergeable artifact)"),
     Query("daily_rollup_from_hourly", daily_rollup_from_hourly,
           DAILY_ROLLUP_FROM_HOURLY_SQL,
           ("continuous_aggregate", "per_node_stats"),

@@ -726,3 +726,26 @@ def test_rfm_segments_partition_users_into_quartiles(spark, sf_dir):
     lo, hi = n_users // 4, -(-n_users // 4)
     for f, c in f_counts.items():
         assert lo <= c <= hi, (f, c)
+
+
+def test_incremental_cms_equals_batch_sketch(spark, sf_dir):
+    """Counters maintained across the 4 out-of-order slices must equal
+    the one-shot batch sketch cell-for-cell, and total mass must equal
+    depth x |events|."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_counters,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    batch = {
+        (r0.j, r0.bucket): r0.c
+        for r0 in cms_counters(ev, "user_id").collect()
+    }
+    inc = {
+        (r0.j, r0.bucket): r0.c
+        for r0 in REGISTRY["incremental_cms_users"].builder(spark, sf_dir).collect()
+    }
+    assert inc == batch
+    assert sum(inc.values()) == CMS_DEPTH * ev.count()
