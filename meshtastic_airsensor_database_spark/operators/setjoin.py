@@ -83,6 +83,85 @@ def prefix_tokens(
     )
 
 
+def hashed_tf_cosine_pairs(
+    feats: DataFrame,
+    id_col: str,
+    feat_col,
+    dim: int = 262144,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Sparse-cosine similarity self-join over hashing-trick TF vectors
+    — the inverted-index formulation: docs never pair on anything but
+    SHARED feature buckets, and the dot product accumulates bucket by
+    bucket in a hash aggregate. ``feat_col`` is any array<string>
+    feature expression (word shingles for near-dup text; unigrams for
+    topic-ish similarity).
+
+    Pipeline: features hash into ``dim`` buckets (cross-engine md5
+    bucket, so the oracle reproduces every vector exactly) → per-doc
+    (bucket, tf) rows + L2 norms → buckets with document frequency >
+    ``df_cap`` are DROPPED (stop-bucket pruning: a bucket shared by
+    every doc would pair everything with everything — the cap bounds
+    candidate fan-out exactly like the LSH MAX_BUCKET cap, and high-df
+    features carry no similarity signal anyway) → bucket-keyed self
+    equi-join accumulates sum(tf_a·tf_b) per (a, b) → normalize by the
+    precomputed norms (computed BEFORE pruning, so cosine stays a true
+    underestimate of the full-vector cosine) and threshold.
+
+    Scale shape: one feature pass + two bounded hash aggs build the
+    sparse matrix; the only join is bucket-keyed with per-bucket
+    fan-out ≤ df_cap²; no all-pairs anywhere. The threshold compare is
+    bit-identical cross-engine: integer dot, IEEE sqrt of integer
+    norms, same multiplication order. Returns (id_a, id_b, dot,
+    norm_a, norm_b) with id_a < id_b — the query layer applies its own
+    rounded cosine so parity rounding stays in one place.
+    """
+    from ..io_utils import materialize
+
+    toks = feats.select(
+        F.col(id_col).alias("_id"), F.explode(feat_col).alias("_t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+        % dim
+    )
+    tf = materialize(
+        toks.select("_id", bucket.alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    norms = tf.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_tf") * F.col("_tf"))).alias("_norm")
+    )
+    df_counts = tf.groupBy("_b").agg(F.count(F.lit(1)).alias("_df"))
+    kept = tf.join(
+        F.broadcast(df_counts.filter(F.col("_df") <= df_cap)), "_b"
+    )
+    a = kept.select(
+        F.col("_b").alias("b"), F.col("_id").alias("id_a"), F.col("_tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("_b").alias("b"), F.col("_id").alias("id_b"), F.col("_tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_norm").alias("norm_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.col("dot")
+            >= F.lit(threshold) * F.col("norm_a") * F.col("norm_b")
+        )
+    )
+
+
 def prefix_filtered_jaccard_pairs(
     sets_df: DataFrame,
     id_col: str,

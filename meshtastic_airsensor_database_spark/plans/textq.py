@@ -24,7 +24,10 @@ from ..functions.text import (
     word_shingles,
 )
 from ..io_utils import fan_out, load
-from ..operators.setjoin import prefix_filtered_jaccard_pairs
+from ..operators.setjoin import (
+    hashed_tf_cosine_pairs,
+    prefix_filtered_jaccard_pairs,
+)
 from ..operators.textops import (
     bounded_pair_counts,
     build_vocab,
@@ -1394,6 +1397,69 @@ _SHINGLE_LIST_SQL = f"""CASE WHEN len(string_split_regex(trim(lower(text)), '\\s
          END"""
 
 
+SPARSE_COS_DIM = 262144
+SPARSE_COS_THRESHOLD = 0.5
+SPARSE_COS_DF_CAP = 50
+
+
+def sparse_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SPARSE cosine over hashing-trick shingle-TF
+    vectors — the inverted-index similarity join (docs only ever meet
+    on shared feature buckets; the dot product accumulates in a hash
+    agg). The third exact near-dup formulation next to set-Jaccard
+    (prefix filter) and dense-embedding cosine: no signatures, no
+    vectors shipped, candidate fan-out bounded by the stop-bucket
+    df-cap (operators/setjoin.py::hashed_tf_cosine_pairs).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
+    pairs = hashed_tf_cosine_pairs(
+        sh,
+        "doc_id",
+        F.col("sh"),
+        dim=SPARSE_COS_DIM,
+        threshold=SPARSE_COS_THRESHOLD,
+        df_cap=SPARSE_COS_DF_CAP,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        r(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4).alias(
+            "cosine"
+        ),
+    )
+
+
+SPARSE_TF_COSINE_PAIRS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_SHINGLE_LIST_SQL} AS sh FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+           % {SPARSE_COS_DIM} AS b,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM s, UNNEST(s.sh) AS u(t)
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM tf GROUP BY 1),
+dfc AS (SELECT b FROM tf GROUP BY b HAVING COUNT(*) <= {SPARSE_COS_DF_CAP}),
+kept AS (SELECT tf.* FROM tf JOIN dfc USING (b)),
+dots AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, SUM(a.tf * b2.tf) AS dot
+  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(38,9)), 4)
+            AS DOUBLE) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE dot >= {SPARSE_COS_THRESHOLD} * na.nrm * nb.nrm
+"""
+
+
 def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: the share of a document's distinct word-
     3-gram shingles that occur in NO other document. The inter-document
@@ -1632,6 +1698,12 @@ QUERIES: list[Query] = [
           "lexicon sentiment rollup per source (the SURVEY §2.11 "
           "'sentiment-score text payloads' bullet; integer hit-count "
           "doc polarity, no float compares)"),
+    Query("sparse_tf_cosine_pairs", sparse_tf_cosine_pairs,
+          SPARSE_TF_COSINE_PAIRS_SQL,
+          ("near_dedup", "text_analysis"),
+          "inverted-index sparse cosine over hashed shingle-TF "
+          "vectors: bucket-keyed dot-product accumulation, stop-bucket "
+          "df-cap bounds fan-out"),
     Query("rolling_fingerprints", rolling_fingerprints,
           ROLLING_FINGERPRINTS_SQL,
           ("text_analysis", "exact_dedup"),

@@ -749,3 +749,72 @@ def test_incremental_cms_equals_batch_sketch(spark, sf_dir):
     }
     assert inc == batch
     assert sum(inc.values()) == CMS_DEPTH * ev.count()
+
+
+def test_sparse_cosine_matches_python_inverted_index(spark, sf_dir):
+    """The distributed bucket-accumulated dot products must reproduce a
+    plain-Python recompute of the same hashed TF vectors exactly (pair
+    set AND cosines), and every >=0.8-Jaccard planted near-dup must
+    clear the 0.5 sparse-cosine threshold."""
+    import hashlib
+    import math
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        SHINGLE_N,
+        SPARSE_COS_DF_CAP,
+        SPARSE_COS_DIM,
+        SPARSE_COS_THRESHOLD,
+        jaccard_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf: dict = {}
+    for d in docs:
+        ts = d.text.strip().lower().split()
+        if len(ts) >= SHINGLE_N:
+            sh = {" ".join(ts[i:i + SHINGLE_N]) for i in range(len(ts) - SHINGLE_N + 1)}
+        else:
+            sh = {" ".join(ts)}
+        v: dict = {}
+        for t in sh:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % SPARSE_COS_DIM
+            v[b] = v.get(b, 0) + 1
+        tf[d.doc_id] = v
+    norms = {i: math.sqrt(sum(w * w for w in v.values())) for i, v in tf.items()}
+    df: dict = {}
+    for v in tf.values():
+        for b in v:
+            df[b] = df.get(b, 0) + 1
+    inv: dict = {}
+    for i, v in tf.items():
+        for b, w in v.items():
+            if df[b] <= SPARSE_COS_DF_CAP:
+                inv.setdefault(b, []).append((i, w))
+    dots: dict = {}
+    for b, posts in inv.items():
+        for x in range(len(posts)):
+            for y in range(x + 1, len(posts)):
+                (ia, wa), (ib, wb) = posts[x], posts[y]
+                if ia > ib:
+                    ia, ib, wa, wb = ib, ia, wb, wa
+                dots[(ia, ib)] = dots.get((ia, ib), 0) + wa * wb
+    expected = {
+        p: d / (norms[p[0]] * norms[p[1]])
+        for p, d in dots.items()
+        if d >= SPARSE_COS_THRESHOLD * norms[p[0]] * norms[p[1]]
+    }
+    got = {
+        (r0.id_a, r0.id_b): r0.cosine
+        for r0 in REGISTRY["sparse_tf_cosine_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for p, c in got.items():
+        assert abs(c - expected[p]) < 1e-4, (p, c, expected[p])
+
+    planted = {
+        (r0.doc_a, r0.doc_b)
+        for r0 in jaccard_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert planted, "fixture should contain planted near-dups"
+    assert planted <= set(got), planted - set(got)
