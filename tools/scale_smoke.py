@@ -259,6 +259,22 @@ def main() -> None:
     sh = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
     timed(spark, "prefix_jaccard_pairs",
           prefix_filtered_jaccard_pairs(sh, "doc_id", "sh", 0.8, _jac), out)
+    # Inverted-index sparse cosine at factor-x: the bucket-keyed dot
+    # accumulation must stay linear — super-linear time means the
+    # df-cap stopped bounding per-bucket fan-out (replicated docs share
+    # every shingle, so the cap is doing real work here).
+    from meshtastic_airsensor_database_spark.operators.setjoin import (
+        hashed_tf_cosine_pairs,
+    )
+
+    # dim scales with the corpus (standard hashing-trick sizing: keep
+    # bucket occupancy ~constant) — at FIXED dim the spurious co-bucket
+    # pair count grows as instances^2/dim, which is a property of the
+    # sketch, not the join.
+    timed(spark, "sparse_tf_cosine",
+          hashed_tf_cosine_pairs(sh, "doc_id", F.col("sh"),
+                                 dim=32768 * factor, threshold=0.5,
+                                 df_cap=50), out)
     timed(spark, "ivf_topk",
           ivf_topk(emb, query_vec_id=0, k=10, n_centroids=32, n_probe=4), out)
     # SemDeDup: centroid count scales WITH the corpus (the documented
