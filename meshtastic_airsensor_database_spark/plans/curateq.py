@@ -28,9 +28,11 @@ from ..operators.curation import (
     ngram_decontaminate,
     repetition_signals,
 )
+from ..functions.text import quality_features
+from ..io_utils import materialize
 from ..operators.lmquality import DUP_SPAN_NGRAM_N, LM_SMOOTH_K
 from .base import Query, r
-from .textq import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+from .textq import _STOPLIST_SQL, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
 # Shared SQL fragments ---------------------------------------------------------
 
@@ -1109,6 +1111,94 @@ LIMIT {WQS_K}
 """
 
 
+# --- token-budget corpus selection ---------------------------------------------
+
+TOKEN_BUDGET = 15000
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed token budget with the best documents: order by
+    quality (stopword ratio, 4dp) descending and keep docs until the
+    budget is first reached, including the crossing doc — the
+    "select the top N billion tokens" step of every pretraining run.
+
+    Scale shape: the naive form is a GLOBAL cumulative sum over all
+    docs — a single-partition window. Instead: quantize the score to
+    its 4dp bucket (exact — the score IS 4dp-rounded), aggregate
+    per-bucket token totals (bounded at ≤10⁴ buckets), take the
+    bucket-level running sum over those bounded rows, keep whole
+    buckets that fit, and per-doc refine ONLY the single boundary
+    bucket (a keyed window over ~|docs|/buckets rows). Provably equal
+    to the global-window rule because the (score desc, doc_id) order
+    is (bucket desc, doc_id); the twin runs the naive global form.
+    """
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    scored = materialize(
+        docs.select(
+            "doc_id",
+            r(feats["stopword_ratio"], 4).alias("score"),
+            feats["n_tokens"].cast("long").alias("n_tokens"),
+        ).withColumn(
+            "sb", F.round(F.col("score") * 10000).cast("int")
+        )
+    )
+    buckets = scored.groupBy("sb").agg(F.sum("n_tokens").alias("tok"))
+    wb = Window.orderBy(F.desc("sb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bk = buckets.select("sb", "tok", F.sum("tok").over(wb).alias("cum"))
+    full = scored.join(
+        F.broadcast(bk.filter(F.col("cum") <= TOKEN_BUDGET).select("sb")),
+        "sb",
+    )
+    bnd = bk.filter(
+        (F.col("cum") - F.col("tok") < TOKEN_BUDGET)
+        & (F.col("cum") > TOKEN_BUDGET)
+    ).select("sb", (F.col("cum") - F.col("tok")).alias("prev"))
+    wd = (
+        Window.partitionBy("sb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    refined = (
+        scored.join(F.broadcast(bnd), "sb")
+        .withColumn("dcum", F.sum("n_tokens").over(wd))
+        .filter(
+            F.col("prev") + F.col("dcum") - F.col("n_tokens")
+            < TOKEN_BUDGET
+        )
+    )
+    cols = ["doc_id", "score", "n_tokens"]
+    return full.select(*cols).unionByName(refined.select(*cols))
+
+
+TOKEN_BUDGET_SELECTION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END) > 0
+              THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ({_STOPLIST_SQL})))::DOUBLE
+                   / len(string_split_regex(trim(lower(text)), '\\s+'))
+              ELSE 0.0 END AS DECIMAL(38,9)), 4) AS DOUBLE) AS score,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         END AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM scored
+)
+SELECT doc_id, score, n_tokens
+FROM o WHERE cum - n_tokens < {TOKEN_BUDGET}
+"""
+
+
 QUERIES: list[Query] = [
     Query("lang_quota_sample", lang_quota_sample, LANG_QUOTA_SAMPLE_SQL,
           ("text_analysis", "exact_dedup"),
@@ -1176,4 +1266,10 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "derandomized Efraimidis-Spirakis weighted sampling without "
           "replacement (quality-proportional corpus downsample)"),
+    Query("token_budget_selection", token_budget_selection,
+          TOKEN_BUDGET_SELECTION_SQL,
+          ("text_analysis",),
+          "fill a fixed token budget with the best docs: bucket-level "
+          "running sum + boundary-bucket refinement instead of a "
+          "global cumsum window"),
 ]

@@ -818,3 +818,44 @@ def test_sparse_cosine_matches_python_inverted_index(spark, sf_dir):
     }
     assert planted, "fixture should contain planted near-dups"
     assert planted <= set(got), planted - set(got)
+
+
+def test_token_budget_selection_is_the_greedy_prefix(spark, sf_dir):
+    """The selected set must equal the greedy quality-descending prefix
+    computed in plain Python: crossing doc included, nothing after it,
+    and the budget first reached exactly at the crossing doc."""
+    from meshtastic_airsensor_database_spark.plans.curateq import (
+        TOKEN_BUDGET,
+        token_budget_selection,
+    )
+
+    rows = sorted(
+        token_budget_selection(spark, sf_dir).collect(),
+        key=lambda r0: (-r0.score, r0.doc_id),
+    )
+    got_ids = [r0.doc_id for r0 in rows]
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    scored = []
+    for d in docs:
+        ts = d.text.strip().lower().split()
+        from meshtastic_airsensor_database_spark.functions.text import STOPWORDS
+
+        ratio = (
+            round(sum(1 for t in ts if t in STOPWORDS) / len(ts), 4)
+            if ts
+            else 0.0
+        )
+        scored.append((-ratio, d.doc_id, len(ts)))
+    scored.sort()
+    want, cum = [], 0
+    for negscore, did, n in scored:
+        if cum >= TOKEN_BUDGET:
+            break
+        want.append(did)
+        cum += n
+    assert got_ids == want
+    total = sum(r0.n_tokens for r0 in rows)
+    assert total >= TOKEN_BUDGET
+    assert total - rows[-1].n_tokens < TOKEN_BUDGET
