@@ -950,6 +950,69 @@ TABLE_CHECKSUM_REPORT_SQL = "\nUNION ALL\n".join([
 ])
 
 
+# --- Benford first-digit audit ---------------------------------------------------
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the classic forensic/data-quality screen for
+    fabricated or truncated monetary columns (here it correctly FLAGS
+    the synthetic generator: uniform totals are not Benford).
+
+    Scale shape: digit extraction is a narrow string expression (the
+    value routes through DECIMAL(18,2) first so both engines render
+    the identical plain decimal string — raw DOUBLE formatting
+    diverges), one 9-wide hash agg, total via a full-frame window over
+    the 9 aggregated rows, chi2 contribution as per-row algebra.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "[1-9]",
+        0,
+    ).cast("int")
+    g = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n_obs").over(w_all)
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp_n = benford * tot
+    return g.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        r(F.col("n_obs").cast("double") * 100.0 / tot, 4).alias("obs_pct"),
+        r(benford * 100.0, 4).alias("benford_pct"),
+        r(
+            (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 4
+        ).alias("chi2_contrib"),
+    )
+
+
+BENFORD_DIGIT_AUDIT_SQL = """
+WITH g AS (
+  SELECT CAST(regexp_extract(
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
+         AS INTEGER) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders GROUP BY 1
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(ROUND(CAST(CAST(n_obs AS DOUBLE) * 100.0 / SUM(n_obs) OVER ()
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS obs_pct,
+       CAST(ROUND(CAST(log10(1.0 + 1.0 / digit) * 100.0
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS benford_pct,
+       CAST(ROUND(CAST(
+         (n_obs - log10(1.0 + 1.0 / digit) * SUM(n_obs) OVER ())
+         * (n_obs - log10(1.0 + 1.0 / digit) * SUM(n_obs) OVER ())
+         / (log10(1.0 + 1.0 / digit) * SUM(n_obs) OVER ())
+       AS DECIMAL(38,9)), 4) AS DOUBLE) AS chi2_contrib
+FROM g
+"""
+
+
 # --- count-of-counts distribution (TPC-H Q13 shape) ---------------------------
 
 
@@ -1069,4 +1132,9 @@ QUERIES: list[Query] = [
           ("node_dim_enrich", "per_node_stats"),
           "TPC-H Q13 count-of-counts: aggregate-before-join left join "
           "keeping zero-order customers, then histogram re-agg"),
+    Query("benford_digit_audit", benford_digit_audit,
+          BENFORD_DIGIT_AUDIT_SQL,
+          ("per_node_stats", "numeric_coercion"),
+          "Benford first-digit forensic audit of order totals "
+          "(decimal-routed digit extraction, 9-wide agg)"),
 ]

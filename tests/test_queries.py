@@ -859,3 +859,23 @@ def test_token_budget_selection_is_the_greedy_prefix(spark, sf_dir):
     total = sum(r0.n_tokens for r0 in rows)
     assert total >= TOKEN_BUDGET
     assert total - rows[-1].n_tokens < TOKEN_BUDGET
+
+
+def test_benford_audit_digits_and_mass(spark, sf_dir):
+    """Nine digit rows covering every order exactly once; Benford
+    expectations sum to 100%; chi2 contributions are non-negative and
+    match the python recompute."""
+    import math
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    rows = REGISTRY["benford_digit_audit"].builder(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sorted(r0.digit for r0 in rows) == list(range(1, 10))
+    assert sum(r0.n_obs for r0 in rows) == n_orders
+    assert abs(sum(r0.benford_pct for r0 in rows) - 100.0) < 0.01
+    for r0 in rows:
+        exp_n = math.log10(1 + 1 / r0.digit) * n_orders
+        want = (r0.n_obs - exp_n) ** 2 / exp_n
+        assert r0.chi2_contrib >= 0
+        assert abs(r0.chi2_contrib - want) < 0.01, (r0, want)
