@@ -87,6 +87,12 @@ SHOWCASE = [
     ("nearest_centroid_confusion", "nearest-centroid eval: (label,dim)-bounded rounded-centroid agg, broadcast pack, narrow argmin, |labels|^2 confusion agg"),
     ("embedding_corr_pairs", "distributed covariance: numpy Gram partials via mapInPandas (one matmul per Arrow batch), dim^2-bounded exchange, materialized grid reused by every consumer"),
     ("corpus_data_card", "data card: one scan into a |lang|-wide agg, corpus share from a full-frame window over the aggregated rows"),
+    ("conversion_latency_stats", "time-to-convert: one LOCF window (running first-view), per-user min, one-reduce percentiles"),
+    ("rfm_segments", "RFM: per-user agg, NTILE windows over AGGREGATED rows, <=64-segment rollup"),
+    ("incremental_cms_users", "incremental CMS: depth x width counter matrix read from maintained state (scan of the tiny checkpoint, no raw rescan)"),
+    ("sparse_tf_cosine_pairs", "inverted-index sparse cosine: bucket-grouped posting lists (ONE shuffle), df-cap size filter, narrow pair expansion, (a,b) dot agg"),
+    ("token_budget_selection", "token-budget selection: bucket-level running sum over bounded rows + boundary-bucket-only per-doc refinement (no global cumsum window)"),
+    ("benford_digit_audit", "Benford audit: narrow decimal-routed digit extraction, 9-wide agg, full-frame window total"),
 ]
 
 
