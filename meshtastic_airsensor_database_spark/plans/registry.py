@@ -121,6 +121,7 @@ _DRIVER_WINDOW = [
 # top_session_paths, embedding_corr_pairs, corpus_data_card,
 # conversion_latency_stats, rfm_segments, incremental_cms_users,
 # sparse_tf_cosine_pairs, token_budget_selection, benford_digit_audit,
+# retrieval_rank_overlap,
 # rolling_fingerprints (upgraded to an
 # exact md5-basis twin - was the one no_oracle row through r3)
 # (added after the r4 window filled).

@@ -690,6 +690,147 @@ ORDER BY rrf DESC, doc_id LIMIT {HYBRID_K}
 """
 
 
+OVERLAP_KS = (5, 10, 20)
+
+
+def retrieval_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement eval: overlap@k and Jaccard@k between the
+    keyword ranking and the vector ranking for the same query — the
+    diagnostic that decides whether hybrid fusion (`hybrid_search_rrf`)
+    is worth running (disjoint rankers gain the most from RRF).
+
+    Scale shape: each ranker is scan → TakeOrdered to its pool (no
+    global sort — same shape as the hybrid query); the overlap grid is
+    a constant ×|ks| fan-out of the ≤2·pool fused rows into one tiny
+    agg.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    terms = F.array(*[F.lit(t) for t in HYBRID_TERMS])
+    tf = F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))
+    kw = (
+        docs.select("doc_id", tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "doc_id")
+        .limit(HYBRID_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+            .alias("kw_rank"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qv")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            r(cosine_similarity(F.col("embedding"), F.col("_qv")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(HYBRID_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+            .alias("vec_rank"),
+        )
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").select(
+        "kw_rank",
+        "vec_rank",
+        F.explode(F.array(*[F.lit(k) for k in OVERLAP_KS])).alias("k"),
+    )
+    g = fused.groupBy("k").agg(
+        F.count(F.when(F.col("kw_rank") <= F.col("k"), 1))
+        .cast("long")
+        .alias("n_kw"),
+        F.count(F.when(F.col("vec_rank") <= F.col("k"), 1))
+        .cast("long")
+        .alias("n_vec"),
+        F.count(
+            F.when(
+                (F.col("kw_rank") <= F.col("k"))
+                & (F.col("vec_rank") <= F.col("k")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return g.select(
+        F.col("k").cast("int").alias("k"),
+        "n_kw",
+        "n_vec",
+        "n_overlap",
+        r(
+            F.col("n_overlap").cast("double")
+            / (F.col("n_kw") + F.col("n_vec") - F.col("n_overlap")),
+            4,
+        ).alias("jaccard_at_k"),
+    )
+
+
+RETRIEVAL_RANK_OVERLAP_SQL = f"""
+WITH kw_pool AS (
+  SELECT doc_id, tf FROM (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> list_contains([{_HYBRID_TERMS_SQL}], t))) AS tf
+    FROM documents
+  ) WHERE tf > 0
+  ORDER BY tf DESC, doc_id LIMIT {HYBRID_POOL}
+),
+kw AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS kw_rank
+  FROM kw_pool
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vec_pool AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROUND(CAST(list_dot_product(embedding::DOUBLE[], qv.v)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.v, qv.v))) AS DECIMAL(38,9)), 6) AS DOUBLE)
+           AS cos
+  FROM embeddings, qv
+  ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM vec_pool
+),
+fused AS (
+  SELECT kw_rank, vec_rank, k
+  FROM kw FULL OUTER JOIN vec USING (doc_id),
+       UNNEST({list(OVERLAP_KS)}) AS rk(k)
+),
+g AS (
+  SELECT k,
+         COUNT(CASE WHEN kw_rank <= k THEN 1 END) AS n_kw,
+         COUNT(CASE WHEN vec_rank <= k THEN 1 END) AS n_vec,
+         COUNT(CASE WHEN kw_rank <= k AND vec_rank <= k THEN 1 END)
+           AS n_overlap
+  FROM fused GROUP BY 1
+)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(n_kw AS BIGINT) AS n_kw,
+       CAST(n_vec AS BIGINT) AS n_vec,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(ROUND(CAST(CAST(n_overlap AS DOUBLE)
+            / (n_kw + n_vec - n_overlap) AS DECIMAL(38,9)), 4) AS DOUBLE)
+         AS jaccard_at_k
+FROM g
+"""
+
+
 # --- approx distinct (SURVEY §2.11 approx_distinct_nodes; rows-only) ----------
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,6 +1918,11 @@ QUERIES: list[Query] = [
           "top correlated dimension pairs via numpy Gram-matrix "
           "partials (mapInPandas; shuffle bounded at dim^2 rows — the "
           "distributed-PCA input path)"),
+    Query("retrieval_rank_overlap", retrieval_rank_overlap,
+          RETRIEVAL_RANK_OVERLAP_SQL,
+          ("similarity_search_topk",),
+          "overlap@k / Jaccard@k agreement between the keyword and "
+          "vector rankers (the should-I-fuse diagnostic)"),
     Query("embedding_pca_coords", embedding_pca_coords, None,
           ("similarity_search_topk",),
           "exact distributed PCA projection: dim^2-bounded Gram grid, "

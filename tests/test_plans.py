@@ -48,6 +48,9 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            # single query-vector row crossed into the vector-ranking arm
            # of the RRF fusion
            "hybrid_search_rrf",
+           # same single query-vector broadcast in the ranker-agreement
+           # eval (plus a full-outer join of two LIMIT-bounded pools)
+           "retrieval_rank_overlap",
            # single vocabulary-size row broadcast into the LM smoothing
            # denominator (operators/lmquality.py::perplexity_scores)
            "doc_perplexity",

@@ -879,3 +879,22 @@ def test_benford_audit_digits_and_mass(spark, sf_dir):
         want = (r0.n_obs - exp_n) ** 2 / exp_n
         assert r0.chi2_contrib >= 0
         assert abs(r0.chi2_contrib - want) < 0.01, (r0, want)
+
+
+def test_rank_overlap_invariants(spark, sf_dir):
+    """Overlap grows monotonically with k, never exceeds min(n_kw,
+    n_vec), pool counts never exceed k, and Jaccard matches its own
+    definition."""
+    rows = sorted(
+        REGISTRY["retrieval_rank_overlap"].builder(spark, sf_dir).collect(),
+        key=lambda r0: r0.k,
+    )
+    assert [r0.k for r0 in rows] == [5, 10, 20]
+    prev = -1
+    for r0 in rows:
+        assert r0.n_kw <= r0.k and r0.n_vec <= r0.k
+        assert r0.n_overlap <= min(r0.n_kw, r0.n_vec)
+        assert r0.n_overlap >= prev
+        prev = r0.n_overlap
+        denom = r0.n_kw + r0.n_vec - r0.n_overlap
+        assert abs(r0.jaccard_at_k - r0.n_overlap / denom) < 1e-4
