@@ -2308,7 +2308,11 @@ WITH per AS (
 ),
 scored AS (
   SELECT user_id,
-         (MAX(last_sec) OVER () - last_sec) / 86400.0 AS recency_days,
+         -- force DOUBLE before dividing: the bare 86400.0 literal
+         -- routes DuckDB through DECIMAL arithmetic while Spark
+         -- computes long/double (the r3-ADVICE divide-literal rule)
+         CAST(MAX(last_sec) OVER () - last_sec AS DOUBLE) / 86400.0
+           AS recency_days,
          freq, monetary,
          5 - NTILE(4) OVER (ORDER BY last_sec DESC, user_id) AS r,
          NTILE(4) OVER (ORDER BY freq, user_id) AS f,
