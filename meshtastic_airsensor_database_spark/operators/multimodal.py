@@ -19,6 +19,7 @@ executors.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -353,12 +354,21 @@ def frame_sample_udtf(
                 yield media_id, i, blob[i * fb : (i + 1) * fb]
                 kept += 1
 
-    spark.udtf.register("frame_sample_udtf", _FrameSampler)
-    media.select("media_id", "content").createOrReplaceTempView("_frame_src")
-    return spark.sql(
-        "SELECT s.media_id, s.frame_idx, s.frame "
-        "FROM _frame_src m, LATERAL frame_sample_udtf(m.media_id, m.content) s"
+    # Unique per-call registration names: a fixed view/function name
+    # would let two calls with different inputs or parameters clobber
+    # each other's registrations in one session (and leak the view).
+    tag = uuid.uuid4().hex
+    fn, view = f"_frame_sample_udtf_{tag}", f"_frame_src_{tag}"
+    spark.udtf.register(fn, _FrameSampler)
+    media.select("media_id", "content").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT s.media_id, s.frame_idx, s.frame "
+        f"FROM {view} m, LATERAL {fn}(m.media_id, m.content) s"
     )
+    # The resolved logical plan no longer needs the catalog entry; drop
+    # the temp view so the per-call name does not accumulate.
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # --- perceptual image hashing + multimodal near-dup ---------------------------

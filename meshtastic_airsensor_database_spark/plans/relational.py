@@ -397,12 +397,21 @@ def line_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     line_number = broadcast_offset[pid] + local_index. No Window, no
     single-partition exchange; the only movement of the table is the one
     range shuffle of a two-column projection.
+
+    The ranged frame is materialized ONCE (``localCheckpoint(eager)``)
+    before the counts pass: ``repartitionByRange`` draws its boundaries
+    by reservoir sampling seeded from the RDD id, so re-executing the
+    shuffle for pass 2 could draw DIFFERENT boundaries and the offsets
+    would no longer describe the partitions being numbered (duplicate /
+    missing line numbers at scale). Checkpointing pins one concrete
+    partitioning that both passes read — the same discipline
+    ``mmr_rerank`` and ``erase_key`` use for their iterative frames.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     n_parts = max(int(spark.sparkContext.defaultParallelism), 1)
     ranged = docs.repartitionByRange(
         n_parts, F.col("n_chars"), F.col("doc_id")
-    ).sortWithinPartitions("n_chars", "doc_id")
+    ).sortWithinPartitions("n_chars", "doc_id").localCheckpoint(eager=True)
     # Pass 1: per-partition counts. groupBy(spark_partition_id) partials
     # to exactly one row per partition before the exchange; the collect
     # is bounded by the partition count, never the row count.
@@ -971,8 +980,14 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "[1-9]",
         0,
     ).cast("int")
-    g = orders.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_obs")
+    # A total with no digit 1-9 at all (0.00, NaN renders) yields a NULL
+    # digit — drop it on BOTH engines identically rather than let Spark
+    # carry a NULL group while DuckDB's CAST('' AS INTEGER) hard-errors.
+    g = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -992,12 +1007,14 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENFORD_DIGIT_AUDIT_SQL = """
-WITH g AS (
-  SELECT CAST(regexp_extract(
+WITH d AS (
+  SELECT TRY_CAST(regexp_extract(
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
-         AS INTEGER) AS digit,
-         COUNT(*) AS n_obs
-  FROM orders GROUP BY 1
+         AS INTEGER) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, COUNT(*) AS n_obs
+  FROM d WHERE digit IS NOT NULL GROUP BY 1
 )
 SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
        CAST(ROUND(CAST(CAST(n_obs AS DOUBLE) * 100.0 / SUM(n_obs) OVER ()

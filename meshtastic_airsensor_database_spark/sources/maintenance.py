@@ -112,8 +112,13 @@ def compact_partitions(
             .parquet(path)
         )
     finally:
+        # restore EXACTLY the prior state: a leaked 'dynamic' would
+        # silently change later unrelated overwrite-partitionBy writes
+        # from truncate-table to replace-present-partitions semantics.
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     after = _partition_file_stats(spark, path, partition_by)
     return CompactionReport(
@@ -148,6 +153,8 @@ def _overwrite_partitions(df, path: str, partition_by: str) -> None:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def _drop_partition_dirs(
@@ -180,6 +187,7 @@ def erase_key(
     rollup_keys: list[str] | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> ErasureReport:
     """Right-to-erasure over the parquet lake: delete every fact row of
     one subject (``key_col = key_value``) by rewriting ONLY the
@@ -263,11 +271,24 @@ def erase_key(
             kept_roll = roll.filter(in_dates).filter(~subject)
         else:
             rollup_mode = "rebuild"
+            # A rollup maintained with an HLL distinct sketch must be
+            # rebuilt WITH it, or the rewritten date partitions drop the
+            # column (schema drift + silently lost distinct estimates —
+            # read_rollup/serve_series_stats branch on its presence).
+            # Fail loudly when the caller cannot say which column the
+            # sketch tracks rather than write a crippled rollup.
+            if "distinct_sketch" in roll.columns and distinct_col is None:
+                raise ValueError(
+                    "erase_key: the rollup at %r carries a distinct_sketch "
+                    "column; pass distinct_col=<tracked column> so the "
+                    "rebuilt date partitions preserve it" % rollup_path
+                )
             post = spark.read.parquet(fact_path).filter(
                 F.to_date(F.col(ts_col)).cast("string").isin(touched_dates)
             )
             kept_roll = _merge(
-                _partials(post, rollup_keys, ts_col, value_col), rollup_keys
+                _partials(post, rollup_keys, ts_col, value_col, distinct_col),
+                rollup_keys,
             )
         kept_roll = kept_roll.localCheckpoint(eager=True)
         nonempty_dates = {

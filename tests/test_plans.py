@@ -452,12 +452,26 @@ def test_line_numbering_has_no_global_window(spark, sf_dir):
     range shuffle of the slim projection, narrow id arithmetic on top.
     The old Window.orderBy-over-everything plan funneled the entire
     table through a single-partition WindowExec — a 100x-scale killer
-    (the VERDICT r3 defect). Pin: no Window node, no single-partition
-    exchange, and the range partitioning IS present."""
+    (the VERDICT r3 defect). The ranged frame is localCheckpoint-pinned
+    (the r4 ADVICE defect: re-executing repartitionByRange re-samples
+    boundaries, so pass-2 partitions could drift from the pass-1 counts)
+    — the numbering plan therefore reads the one materialized RDD, with
+    no Window, no exchange of any kind, and no re-shuffle."""
     plan = plan_of(spark, "line_numbering", sf_dir)
     assert "Window" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "Exchange" not in plan, plan  # narrow arithmetic over the checkpoint
+    assert "ExistingRDD" in plan, plan  # the pinned (checkpointed) ranged frame
+
+
+def test_line_numbering_is_a_permutation(spark, sf_dir):
+    """Both passes must describe the SAME partitioning: the output is
+    exactly 0..N-1, each once (duplicate or missing numbers are the
+    signature of boundary drift between the counts and numbering pass)."""
+    from meshtastic_airsensor_database_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["line_numbering"].builder(spark, sf_dir).collect()
+    nums = sorted(r["line_number"] for r in out)
+    assert nums == list(range(len(out)))
 
 
 def test_session_window_stats_is_single_agg_no_window_function(spark, sf_dir):
