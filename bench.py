@@ -195,15 +195,36 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_sec": calibration(spark),
+    }
+    # The driver captures a bounded TAIL of stdout: in r4 the single
+    # full JSON line (84 per-query timings, ~2.6 KB) outgrew the window
+    # and its head was cut off, so the driver's parse came back null.
+    # Three outputs, redundantly: (1) the full JSON persisted to
+    # bench_out.json next to this script, (2) the full line printed
+    # early for logs, (3) a SHORT summary line printed LAST — small
+    # enough that any tail capture keeps it intact and parseable.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                "calibration_sec": calibration(spark),
+                "calibration_sec": full["calibration_sec"],
+                "n_queries": len(timings),
+                "queries_file": "bench_out.json",
             }
         )
     )

@@ -1125,8 +1125,11 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the naive form is a GLOBAL cumulative sum over all
     docs — a single-partition window. Instead: quantize the score to
     its 4dp bucket (exact — the score IS 4dp-rounded), aggregate
-    per-bucket token totals (bounded at ≤10⁴ buckets), take the
-    bucket-level running sum over those bounded rows, keep whole
+    per-bucket token totals (bounded at ≤10⁴+1 buckets by the 4dp
+    score DOMAIN, independent of corpus size), walk the bucket running
+    sum on the DRIVER (a bounded collect — the same O(partitions)
+    discipline as line_numbering's offsets; no window at all, so no
+    single-partition exchange even over the bucket rows), keep whole
     buckets that fit, and per-doc refine ONLY the single boundary
     bucket (a keyed window over ~|docs|/buckets rows). Provably equal
     to the global-window rule because the (score desc, doc_id) order
@@ -1143,33 +1146,33 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sb", F.round(F.col("score") * 10000).cast("int")
         )
     )
-    buckets = scored.groupBy("sb").agg(F.sum("n_tokens").alias("tok"))
-    wb = Window.orderBy(F.desc("sb")).rowsBetween(
-        Window.unboundedPreceding, 0
+    buckets = scored.groupBy("sb").agg(F.sum("n_tokens").alias("tok")).collect()
+    cum = 0
+    full_sbs: list[int] = []
+    boundary: tuple[int, int] | None = None  # (sb, tokens before it)
+    for row in sorted(buckets, key=lambda b: -b["sb"]):
+        prev, cum = cum, cum + int(row["tok"])
+        if cum <= TOKEN_BUDGET:
+            full_sbs.append(row["sb"])
+        elif prev < TOKEN_BUDGET:
+            boundary = (row["sb"], prev)
+    full = scored.filter(
+        F.col("sb").isin(full_sbs) if full_sbs else F.lit(False)
     )
-    bk = buckets.select("sb", "tok", F.sum("tok").over(wb).alias("cum"))
-    full = scored.join(
-        F.broadcast(bk.filter(F.col("cum") <= TOKEN_BUDGET).select("sb")),
-        "sb",
-    )
-    bnd = bk.filter(
-        (F.col("cum") - F.col("tok") < TOKEN_BUDGET)
-        & (F.col("cum") > TOKEN_BUDGET)
-    ).select("sb", (F.col("cum") - F.col("tok")).alias("prev"))
+    cols = ["doc_id", "score", "n_tokens"]
+    if boundary is None:
+        return full.select(*cols)
+    bsb, prev_tok = boundary
     wd = (
         Window.partitionBy("sb")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     refined = (
-        scored.join(F.broadcast(bnd), "sb")
+        scored.filter(F.col("sb") == bsb)
         .withColumn("dcum", F.sum("n_tokens").over(wd))
-        .filter(
-            F.col("prev") + F.col("dcum") - F.col("n_tokens")
-            < TOKEN_BUDGET
-        )
+        .filter(F.lit(prev_tok) + F.col("dcum") - F.col("n_tokens") < TOKEN_BUDGET)
     )
-    cols = ["doc_id", "score", "n_tokens"]
     return full.select(*cols).unionByName(refined.select(*cols))
 
 

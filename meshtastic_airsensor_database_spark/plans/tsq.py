@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..io_utils import fan_out, load, materialize
 from ..operators.align import sessionize
 from ..operators.intervals import bucketed_range_join
+from ..operators.ordered import global_ntile, global_rank_cumsum
 from ..operators.timegrid import gapfill
 from ..streaming.rollup import maintain_rollup, read_rollup
 from .base import Query, r
@@ -2012,38 +2013,36 @@ def pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PARETO_TARGET_PCT``% of all events, with each user's rank and
     running coverage — the who-is-80%-of-my-traffic question.
 
-    Scale shape: events collapse to per-user counts first, so the
-    global rank/cumsum window runs over |users| AGGREGATED rows (the
-    bounded-input exception to the no-global-window rule — same class
-    as the stats-family totals); the grand total is the SAME window's
-    full-frame sum (no second scan, no broadcast branch), and the
+    Scale shape: events collapse to per-user counts first; the global
+    (rank, running sum) then comes from the partition-offset prefix
+    machine (operators/ordered.py::global_rank_cumsum) — one range
+    shuffle on (n_events desc, user_id), per-partition sums prefix into
+    offsets, and a zero-shuffle Arrow pass carries the int64
+    accumulator through each partition in order. No unpartitioned
+    window: the per-user dimension grows with the data (the r4
+    verdict's de-globalization item). int64 cumsum is exact, so the
+    values are bit-identical to the serial SQL window; the grand total
+    is the last offset (a driver literal — no second scan), and the
     prefix filter uses integer arithmetic (cum×10 < total×8 keeps the
     crossing row) so no float boundary can diverge between engines.
     """
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.orderBy(F.desc("n_events"), "user_id")
-    ranked = per.select(
-        "user_id",
+    ranked, total = global_rank_cumsum(
+        per,
+        [F.col("n_events").desc(), F.col("user_id").asc()],
         "n_events",
-        F.row_number().over(w).alias("user_rank"),
-        F.sum("n_events")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum("n_events")
-        .over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
-        .alias("_total"),
+        rank_col="user_rank",
+        cum_col="cum",
     )
     return ranked.filter(
         (F.col("cum") - F.col("n_events")) * 10
-        < F.col("_total") * (PARETO_TARGET_PCT // 10)
+        < F.lit(total) * (PARETO_TARGET_PCT // 10)
     ).select(
         F.col("user_rank").cast("long").alias("user_rank"),
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
-        r(F.col("cum").cast("double") * 100.0 / F.col("_total"), 4).alias(
+        r(F.col("cum").cast("double") * 100.0 / F.lit(total), 4).alias(
             "cum_pct"
         ),
     )
@@ -2247,11 +2246,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×4×4 segment grid.
 
     Scale shape: ONE scan collapses events to per-user (last_ts, n,
-    monetary); the three NTILE windows and the recency reference (max
-    over all users) run over the |users| AGGREGATED rows — the
-    bounded-input window class — each with a total order (metric,
-    user_id) so quartile boundaries are cross-engine identical; the
-    final agg is ≤64 segments wide.
+    monetary). The three quartile assignments then use the
+    partition-offset NTILE (operators/ordered.py::global_ntile — the
+    line_numbering plan generalized): each metric costs one range
+    shuffle of the slim per-user frame and a NARROW rank projection,
+    never an unpartitioned window — the per-user dimension itself is
+    billions of rows at 100 TB, too big for one task (the r4 verdict's
+    de-globalization item). The recency reference (max last_sec over
+    all users) falls out of the first pass's per-partition aggregates
+    as a driver-side literal — no extra job, no 1-row exchange. NTILE
+    semantics are preserved exactly (tile = f(rank, total)), so the
+    oracle keeps its plain NTILE formulation; the final agg is ≤64
+    segments wide.
     """
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
@@ -2262,22 +2268,30 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("monetary"),
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # NTILE on recency: most recent = highest last_sec = tile 1 under
+    # DESC order; invert to make 4 = best.
+    t_r, rows = global_ntile(
+        per,
+        [F.col("last_sec").desc(), F.col("user_id").asc()],
+        4,
+        "_tr",
+        extra_aggs=[F.max("last_sec").alias("_mx")],
     )
-    rec_days = (F.max("last_sec").over(w_all) - F.col("last_sec")) / 86400.0
-    scored = per.select(
+    max_sec = max(row["_mx"] for row in rows)
+    t_f, _ = global_ntile(
+        t_r, [F.col("freq").asc(), F.col("user_id").asc()], 4, "f"
+    )
+    t_m, _ = global_ntile(
+        t_f, [F.col("monetary").asc(), F.col("user_id").asc()], 4, "m"
+    )
+    scored = t_m.select(
         "user_id",
-        rec_days.alias("recency_days"),
+        ((F.lit(max_sec) - F.col("last_sec")) / 86400.0).alias("recency_days"),
         "freq",
         "monetary",
-        # NTILE on recency: most recent = highest last_sec = tile 1
-        # under DESC order; invert to make 4 = best. Ordering by the
-        # raw last_sec (recency ascending == last_sec descending)
-        # avoids referencing the lateral recency_days alias.
-        (5 - F.ntile(4).over(Window.orderBy(F.desc("last_sec"), "user_id"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.col("freq"), "user_id")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary"), "user_id")).alias("m"),
+        (5 - F.col("_tr")).alias("r"),
+        "f",
+        "m",
     )
     return (
         scored.groupBy(

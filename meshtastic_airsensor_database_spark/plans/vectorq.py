@@ -297,24 +297,84 @@ SELECT query_id, rnk, vec_id, cosine FROM (
 
 def quantized_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of vec_id=0 by cosine over int8-QUANTIZED
-    vectors (functions/vectors.py::quantize_int8) — the compressed scan
-    path for 100-TB similarity: 4x less I/O and memory bandwidth than
-    float32, and cosine needs no dequantization because the per-vector
-    scale cancels. The oracle re-implements the same quantizer in
-    DuckDB list lambdas, so the hash match pins the quantization math
-    itself (scale, half-up rounding, zero-vector guard), not just the
-    ranking."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantize_int8(F.col("embedding")).alias("q")
+    vectors (functions/vectors.py::quantize_int8 semantics) — the
+    compressed scan path for 100-TB similarity: 4x less I/O and memory
+    bandwidth than float32, and cosine needs no dequantization because
+    the per-vector scale cancels. The oracle re-implements the same
+    quantizer in DuckDB list lambdas, so the hash match pins the
+    quantization math itself (scale, half-up rounding, zero-vector
+    guard), not just the ranking.
+
+    Quantize + score run as ONE Arrow batch kernel (the
+    ``_batch_scores_arrow`` / ``assign_ivf_clusters_arrow`` pattern):
+    the HOF formulation evaluated ``quantize_int8`` + the cosine fold
+    interpreted per element, making the int8 tier 2.4x SLOWER than the
+    float path it exists to beat (the r4 verdict's top perf finding).
+    Bit-parity with the oracle is preserved exactly, not approximately:
+    every quantized value is an integer, so dots and squared norms are
+    EXACT in float64 regardless of summation order — the only inexact
+    steps (x/s + 0.5 per element; the final dot/(|a||b|) with the same
+    multiply-then-divide shape) are single IEEE operations identical in
+    numpy, Spark expressions, and DuckDB. Zero vectors quantize to all
+    zeros and score NULL (never NaN — NaN sorts ABOVE every real double
+    in Spark's descending order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_emb = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    )[0]["embedding"]
+    qv = np.asarray(q_emb, dtype=np.float64)
+
+    def _quantize(m: "np.ndarray") -> "np.ndarray":
+        # rows x dim float64 -> rows x dim float64 holding EXACT int8
+        # values: scale = max|v|/127, q = floor(x/scale + 0.5),
+        # all-zero rows stay all-zero (mirrors quantize_int8 / the
+        # DuckDB lambda twin operation-for-operation).
+        s = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(s > 0, s, 1.0)
+        q = np.floor(m / safe[:, None] + 0.5)
+        q[s == 0] = 0.0
+        return q
+
+    qq = _quantize(qv[None, :])[0]
+    qn = float(np.sqrt(np.dot(qq, qq)))  # exact int sum -> correctly rounded
+
+    def op(batches):
+        # mapInArrow, not mapInPandas: the embedding column arrives as
+        # one Arrow ListArray whose flat values buffer reshapes into the
+        # (B, dim) matrix without any per-row object conversion.
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column(b.schema.get_field_index("embedding"))
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.float64, copy=False).reshape(len(col), -1)
+            q = _quantize(m)
+            dots = q @ qq
+            norms = np.sqrt(np.einsum("ij,ij->i", q, q))
+            denom = norms * qn
+            raw = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), pa.array(raw, type=pa.float64())],
+                names=["vec_id", "label", "_raw"],
+            )
+
+    # No fan_out here, deliberately: the batched kernel makes per-row
+    # cost trivial (one fused matvec), so the stage is bandwidth-bound —
+    # a forced exchange would move every vector once more to feed Python
+    # workers whose compute is ~ms. Parallelism comes from the scan
+    # splits, which at 100 TB number in the thousands.
+    scored = emb.select("vec_id", "label", "embedding").mapInArrow(
+        op, "vec_id long, label int, _raw double"
     )
-    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("q").alias("qq"))
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(qv))
+        scored.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select(
             "vec_id",
             "label",
-            r(cosine_similarity(F.col("q"), F.col("qq")), 4).alias("cosine_q"),
+            r(F.when(~F.isnan("_raw"), F.col("_raw")), 4).alias("cosine_q"),
         )
         .orderBy(F.col("cosine_q").desc(), F.col("vec_id"))
         .limit(TOP_K)

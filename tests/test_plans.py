@@ -415,6 +415,20 @@ def test_stats_windows_are_keyed_not_global(spark, sf_dir):
         assert "CartesianProduct" not in plan, (name, plan)
 
 
+def test_per_user_rank_queries_have_no_global_window(spark, sf_dir):
+    """The r4-verdict de-globalization item: rfm_segments (3x NTILE),
+    pareto_user_share (rank + running sum) and token_budget_selection
+    (bucket prefix) must not funnel the per-user/per-doc dimension
+    through one task — no unpartitioned WindowExec, which Spark plans
+    as Exchange SinglePartition. The quartiles/rank/cumsum come from
+    the partition-offset machinery in operators/ordered.py instead;
+    token_budget walks its ≤10^4+1 bounded bucket table on the driver."""
+    for name in ("rfm_segments", "pareto_user_share",
+                 "token_budget_selection"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_corr_matrix_self_join_is_equi_on_hour(spark, sf_dir):
     """The pair generator must key on the hour (equi-join with the
     type inequality as a residual filter), never a nested loop over
