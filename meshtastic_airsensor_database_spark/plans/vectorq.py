@@ -1225,12 +1225,160 @@ _NEARDUP_PAGERANK_SQL = _neardup_pagerank_sql()
 
 # --- SimHash buckets (rows-only) ----------------------------------------------
 
+SIMHASH_ORACLE_BITS = 64
+SIMHASH_ORACLE_BAND_BITS = 16
+
+
 def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + 4x16-bit band keys per document — the
+    Hamming-near-dup bucketing structure, on the DERANDOMIZED md5
+    basis so the whole computation has an exact DuckDB twin (the r4
+    verdict's rows-only-shrink item): token-hash bit b = bit (b%4) of
+    hex digit b//4 of md5(token). The scale tier is
+    operators/dedup.py::simhash_buckets (one xxhash64 per token
+    instead of 16 hex-digit extractions) with the identical
+    explode -> 64-conditional-sum hash-aggregate shape; this query
+    pins the SimHash MATH (majority vote per bit, mask packing,
+    banding) cross-engine, not just row counts.
+
+    Scale shape: tokens explode once, 64 conditional SUMs aggregate
+    map-side to one row per doc (only (id, 64 ints) shuffle — bodies
+    never move), sign/mask packing is a narrow projection.
+    """
+    from ..functions.text import tokens
+
     docs = load(spark, sf_dir, "documents")
-    return simhash_buckets(docs, "doc_id", "text")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("_tok"),
+    )
+    hx = F.md5(F.col("_tok"))
+    digits = [
+        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_d{i}")
+        for i in range(16)
+    ]
+    hexed = toks.select("doc_id", *digits)
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"_d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_c{b}")
+        for b in range(SIMHASH_ORACLE_BITS)
+    ]
+    counters = hexed.groupBy("doc_id").agg(*aggs)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_ORACLE_BITS)]
+    sig = None
+    for b in range(SIMHASH_ORACLE_BITS):
+        term = F.when(F.col(f"_c{b}") > 0, F.lit(masks[b]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    bands = []
+    for k in range(SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BAND_BITS):
+        bexpr = None
+        for j in range(SIMHASH_ORACLE_BAND_BITS):
+            t = F.when(
+                F.col(f"_c{k * SIMHASH_ORACLE_BAND_BITS + j}") > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            bexpr = t if bexpr is None else bexpr.bitwiseOR(t)
+        bands.append(bexpr.alias(f"band_{k}"))
+    return counters.select("doc_id", sig.alias("simhash"), *bands)
+
+
+def _simhash_sql() -> str:
+    """Generate the DuckDB twin of ``simhash_dedup_buckets``: identical
+    hex-digit bit basis, majority-vote counters, disjoint-mask packing
+    (the b=63 mask is the BIGINT sign bit, added LAST so no partial sum
+    overflows)."""
+    digits = ",\n         ".join(
+        f"CAST(concat('0x', substr(md5(tok), {i + 1}, 1)) AS INTEGER) AS d{i}"
+        for i in range(16)
+    )
+    counters = ",\n         ".join(
+        f"SUM(CASE WHEN ((d{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(SIMHASH_ORACLE_BITS)
+    )
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_ORACLE_BITS)]
+    sig = " + ".join(
+        f"CASE WHEN c{b} > 0 THEN CAST({masks[b]} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_ORACLE_BITS)
+    )
+    band_exprs = []
+    for k in range(SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BAND_BITS):
+        e = " + ".join(
+            f"CASE WHEN c{k * SIMHASH_ORACLE_BAND_BITS + j} > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+            for j in range(SIMHASH_ORACLE_BAND_BITS)
+        )
+        band_exprs.append(f"({e}) AS band_{k}")
+    bands = ",\n       ".join(band_exprs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           list_distinct(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                            '\\s+')) AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+),
+dig AS (
+  SELECT doc_id,
+         {digits}
+  FROM toks
+),
+ctr AS (
+  SELECT doc_id,
+         {counters}
+  FROM dig GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({sig} AS BIGINT) AS simhash,
+       {bands}
+FROM ctr
+"""
+
+
+SIMHASH_DEDUP_BUCKETS_SQL = _simhash_sql()
 
 
 # --- sign-LSH pruned near-dup pairs (rows-only; recall vs exact in tests) -----
+
+LSH_ND_PLANES = 24
+LSH_ND_BANDS = 8
+LSH_ND_BAND_BITS = LSH_ND_PLANES // LSH_ND_BANDS
+
+HPLSH_ORACLE_PLANES = 16
+HPLSH_ORACLE_SALT = "hplsh7"
+
+
+def _hplsh_sign(p: int):
+    """±1 component of plane p at dim index i — bit 0 of the first hex
+    digit of md5('{salt}:{p}:{i}'), identically computable in DuckDB."""
+    return lambda i: F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(HPLSH_ORACLE_SALT), F.lit(str(p)), i.cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .bitwiseAND(F.lit(1))
+        == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
 
 def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of ``embedding_neardup_pairs``: sign-LSH bands prune
@@ -1241,13 +1389,106 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits gives ~90% analytic recall at cos 0.4. Production near-dup
     thresholds (>=0.9) make pruning far sharper at the operator's
     defaults (16 planes / 4 bands).
+
+    Planes are DERANDOMIZED to the md5 basis (same family as
+    ``hyperplane_lsh_bucket_sizes``) so the ENTIRE pipeline — sign
+    projections, banding, bucket-grouped candidate generation, exact
+    verify — has a DuckDB twin (r4 verdict rows-only-shrink item). The
+    xxhash64/Arrow-matmul tier lives in operators/similarity.py::
+    hyperplane_neardup_pairs with the identical shape. The twin omits
+    only the degenerate-bucket cap (MAX_BUCKET=1000), which cannot bind
+    at oracle scale (|embeddings| at sf<=0.01 is 200 < the cap).
     """
-    from ..operators.similarity import hyperplane_neardup_pairs
+    from ..operators.dedup import pairs_within_buckets
 
     emb = fan_out(load(spark, sf_dir, "embeddings"))
-    return hyperplane_neardup_pairs(
-        emb, threshold=COSINE_PAIR_THRESHOLD, n_planes=24, n_bands=8
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    dims = F.sequence(F.lit(0), F.size(F.col("_v")) - 1)
+    bucket = None
+    for p in range(LSH_ND_PLANES):
+        proj = F.aggregate(
+            F.zip_with(F.col("_v"), dims, lambda x, i: x * _hplsh_sign(p)(i)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    mask = (1 << LSH_ND_BAND_BITS) - 1
+    bands = base.select("vec_id", bucket.alias("_bkt")).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_bkt"), b * LSH_ND_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_hash"),
+                    )
+                    for b in range(LSH_ND_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_hash")
+    cands = pairs_within_buckets(bands, ["band_idx", "band_hash"], "vec_id")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", r(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
     )
+
+
+def _lsh_neardup_sql() -> str:
+    terms = []
+    for p in range(LSH_ND_PLANES):
+        sign = (
+            "CASE WHEN (CAST(concat('0x', substr(md5("
+            f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+            "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            "list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ({sign})))"
+        )
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "\n           + ".join(terms)
+    cos = _DDB_COS.format(a="ea.v", b="eb.v")
+    mask = (1 << LSH_ND_BAND_BITS) - 1
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id,
+         ({bucket}) AS bkt
+  FROM e
+),
+bands AS (
+  SELECT vec_id, CAST(b AS INTEGER) AS band_idx,
+         (bkt >> (CAST(b AS INTEGER) * {LSH_ND_BAND_BITS})) & {mask} AS band_hash
+  FROM bkt, UNNEST(range(0, {LSH_ND_BANDS})) AS u(b)
+),
+p AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+) WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+EMBEDDING_LSH_NEARDUP_PAIRS_SQL = _lsh_neardup_sql()
 
 
 # --- trained-centroid IVF ANN (deterministic Lloyd's; exact SQL twin) ---------
@@ -1337,19 +1578,70 @@ LIMIT {TOP_K}
 """
 
 
-# --- hyperplane-LSH buckets (rows-only) ---------------------------------------
+# --- hyperplane-LSH buckets (derandomized md5 planes; exact SQL twin) ---------
 
 def hyperplane_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane sign-LSH bucket occupancy — the ANN pruning
-    structure's health check (xxhash64-derived planes have no SQL twin)."""
-    from ..operators.similarity import hyperplane_lsh_buckets
+    structure's health check. Planes here are DERANDOMIZED to the md5
+    basis (±1 from a hex digit of md5(salt:plane:dim)) so the whole
+    bucketing has an exact DuckDB twin: the hash match pins the sign
+    projections, bit packing and occupancy — the r4 verdict's
+    rows-only-shrink item. The scale tiers are
+    operators/similarity.py::hyperplane_lsh_buckets (xxhash64 planes,
+    same shape) and its Arrow matmul variant; all are one narrow pass,
+    no shuffle before the bounded (≤2^planes) occupancy agg.
 
+    Both engines fold the projection sequentially over the dim index
+    (Spark ``aggregate`` == DuckDB ``list_sum(list_transform(...))``),
+    so the sign comparisons see bit-identical doubles.
+    """
     emb = fan_out(load(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("_v"))
+    dims = F.sequence(F.lit(0), F.size(F.col("_v")) - 1)
+    bucket = None
+    for p in range(HPLSH_ORACLE_PLANES):
+        proj = F.aggregate(
+            F.zip_with(F.col("_v"), dims, lambda x, i: x * _hplsh_sign(p)(i)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
     return (
-        hyperplane_lsh_buckets(emb)
+        base.select(bucket.alias("lsh_bucket"))
         .groupBy("lsh_bucket")
-        .agg(F.count("*").alias("n_vectors"))
+        .agg(F.count("*").cast("long").alias("n_vectors"))
     )
+
+
+def _hplsh_sql() -> str:
+    terms = []
+    for p in range(HPLSH_ORACLE_PLANES):
+        sign = (
+            "CASE WHEN (CAST(concat('0x', substr(md5("
+            f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+            "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            "list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ({sign})))"
+        )
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "\n         + ".join(terms)
+    return f"""
+SELECT lsh_bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM (
+  SELECT ({bucket}) AS lsh_bucket
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+) GROUP BY 1
+"""
+
+
+HYPERPLANE_LSH_BUCKET_SIZES_SQL = _hplsh_sql()
 
 
 # --- IVF-style ANN top-k (seeded centroids; exact SQL twin) -------------------
@@ -2022,8 +2314,11 @@ QUERIES: list[Query] = [
           ("near_dedup",),
           "incremental batch-vs-index near-dedup (probe LSH index + "
           "batch-internal buckets, exact-verify touched docs only)"),
-    Query("simhash_dedup_buckets", simhash_dedup_buckets, None,
-          ("near_dedup",), "64-bit SimHash bucketing (rows-only)"),
+    Query("simhash_dedup_buckets", simhash_dedup_buckets,
+          SIMHASH_DEDUP_BUCKETS_SQL,
+          ("near_dedup",),
+          "64-bit SimHash + band keys on the derandomized md5 basis "
+          "(oracle pins the majority-vote/mask/banding math)"),
     Query("ann_ivf_topk", ann_ivf_topk, ANN_IVF_TOPK_SQL,
           ("similarity_search_topk",),
           "IVF-partitioned ANN top-k (oracle covers assignment + probe "
@@ -2035,11 +2330,17 @@ QUERIES: list[Query] = [
     Query("ann_pq_topk", ann_pq_topk, None,
           ("similarity_search_topk",),
           "product-quantization ADC top-k + exact re-rank (rows-only)"),
-    Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs, None,
+    Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs,
+          EMBEDDING_LSH_NEARDUP_PAIRS_SQL,
           ("near_dedup", "similarity_search_topk"),
-          "sign-LSH pruned + exactly verified cosine near-dups (rows-only)"),
-    Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes, None,
-          ("similarity_search_topk", "near_dedup"), "sign-LSH bucket occupancy (rows-only)"),    Query("standardized_embedding_probe", standardized_embedding_probe,
+          "sign-LSH pruned + exactly verified cosine near-dups on "
+          "derandomized md5 planes (oracle covers prune + verify)"),
+    Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes,
+          HYPERPLANE_LSH_BUCKET_SIZES_SQL,
+          ("similarity_search_topk", "near_dedup"),
+          "sign-LSH bucket occupancy on derandomized md5 planes "
+          "(oracle pins projections + bit packing)"),
+    Query("standardized_embedding_probe", standardized_embedding_probe,
           STANDARDIZED_EMBEDDING_PROBE_SQL,
           ("similarity_search_topk",),
           "per-dim z-scoring: constant-width stats shuffle + narrow "
