@@ -127,6 +127,16 @@ BENCH_QUERIES = [
     # RFM segmentation + conversion latency (product analytics)
     "rfm_segments",
     "conversion_latency_stats",
+    # r5 additions: partition-offset global rank/cumsum machinery
+    # (pareto + budget selection + line numbering now run eager
+    # builder-time passes — the timed region includes them), MinHash
+    # estimator calibration, per-key debounce, tokenizer OOV coverage
+    "pareto_user_share",
+    "token_budget_selection",
+    "line_numbering",
+    "minhash_jaccard_calibration",
+    "debounced_events",
+    "oov_rate_by_source",
 ]
 
 
@@ -151,15 +161,29 @@ def calibration(spark) -> float:
     return round(best, 3)
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
+def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     # GC fence: collect garbage from the previous query outside the
     # timed region so one query's allocation debt doesn't land as a
     # pause inside another's timing.
     spark._jvm.System.gc()
-    df = REGISTRY[name].builder(spark, sf_dir)
+    # TWO clocks (changed in r5). The headline per-query number is
+    # END-TO-END: builder + action. Several builders legitimately do
+    # eager work — partition-offset counts passes, localCheckpoint
+    # materializations, Lloyd's training rounds, bounded driver
+    # collects (line_numbering, rfm_segments, pareto_user_share,
+    # token_budget_selection, ann_kmeans_ivf_topk, mmr_diversified_topk,
+    # user_copresence_triangles) — and timing only the final action
+    # under-reports exactly the queries whose scale-safe plans moved
+    # work into those passes (measured: triangles 0.37 s action vs
+    # 4.8 s end-to-end). The action-only clock is ALSO reported
+    # (queries_action) for like-for-like comparison against r1-r4
+    # benches, which timed only the action.
     t0 = time.time()
+    df = REGISTRY[name].builder(spark, sf_dir)
+    t1 = time.time()
     df.write.mode("overwrite").format("noop").save()
-    return time.time() - t0
+    t2 = time.time()
+    return t2 - t0, t2 - t1
 
 
 def main() -> None:
@@ -187,12 +211,16 @@ def main() -> None:
     # one query share the same burst — sweeping decorrelates the noise
     # each min() sees at identical total cost.
     timings: dict[str, float] = {}
+    action: dict[str, float] = {}
     for _ in range(3):
         for name in BENCH_QUERIES:
-            t = run_query(spark, name, sf_dir)
+            t, ta = run_query(spark, name, sf_dir)
             if name not in timings or t < timings[name]:
                 timings[name] = t
+            if name not in action or ta < action[name]:
+                action[name] = ta
     timings = {name: round(t, 3) for name, t in timings.items()}
+    action = {name: round(t, 3) for name, t in action.items()}
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -200,6 +228,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_action": action,  # action-only clock, the r1-r4 basis
+        "action_total": round(sum(action.values()), 3),
         "sf": sf,
         "calibration_sec": calibration(spark),
     }
@@ -224,6 +254,7 @@ def main() -> None:
                 "sf": sf,
                 "calibration_sec": full["calibration_sec"],
                 "n_queries": len(timings),
+                "action_total": full["action_total"],
                 "queries_file": "bench_out.json",
             }
         )

@@ -30,7 +30,77 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
-_DRIVER_WINDOW = [
+_DRIVER_WINDOW_R5 = [
+    # -- the 22 oracle-green queries that have NEVER had a driver row
+    # (the r4 verdict's top ask: after r5 records green, every
+    # registered query has driver evidence at least once).
+    "sentiment_by_source",
+    "span_deduped_docs",
+    "ab_welch_test",
+    "bootstrap_value_ci",
+    "orders_per_customer_histogram",
+    "linear_attribution",
+    "dau_wau_stickiness",
+    "pareto_user_share",
+    "type_hour_chi2",
+    "mannwhitney_value_test",
+    "nearest_centroid_confusion",
+    "top_session_paths",
+    "embedding_corr_pairs",
+    "corpus_data_card",
+    "conversion_latency_stats",
+    "rfm_segments",
+    "incremental_cms_users",
+    "sparse_tf_cosine_pairs",
+    "token_budget_selection",
+    "benford_digit_audit",
+    "retrieval_rank_overlap",
+    "rolling_fingerprints",
+    # -- r5 upgrades: four queries converted from rows-only to exact
+    # twins (derandomized md5 simhash / LSH planes, recursive-CTE FFD
+    # replay) — their first oracle-checked driver rows.
+    "simhash_dedup_buckets",
+    "hyperplane_lsh_bucket_sizes",
+    "embedding_lsh_neardup_pairs",
+    "ffd_bin_packing",
+    # -- r5 NEW queries (MinHash estimator calibration on the md5
+    # basis, per-key time-window debounce, tokenizer OOV coverage).
+    "minhash_jaccard_calibration",
+    "debounced_events",
+    "oov_rate_by_source",
+    # -- re-record under CHANGED r5 plans: line_numbering's ranged
+    # frame is now localCheckpoint-pinned (the r4 ADVICE boundary-drift
+    # fix); quantized_topk_cosine moved to the mapInArrow kernel.
+    "line_numbering",
+    "quantized_topk_cosine",
+    # -- long-green family representatives (same five as r4: streaming
+    # replay + watermark late data + SCD2, LSH verify, multimodal,
+    # entity resolution) ...
+    "replay_late_dedup",
+    "replay_dim_history",
+    "minhash_verified_neardups",
+    "multimodal_binary_meta",
+    "fuzzy_name_matches",
+    # -- ... plus one r4-green rep per remaining family so every SURVEY
+    # §2 family keeps a fresh row: quarantine, rollup routing, sketch,
+    # retrieval (x2), trained ANN, session windows, dedup survivor,
+    # CDC, set join, downsample, product analytics, text stats.
+    "replay_quarantine_counts",
+    "daily_rollup_from_hourly",
+    "incremental_distinct_hourly",
+    "bm25_topk_docs",
+    "tfidf_top_terms",
+    "ann_kmeans_ivf_topk",
+    "session_window_stats",
+    "quality_survivor_docs",
+    "snapshot_diff_customers",
+    "prefix_jaccard_neardups",
+    "m4_downsample",
+    "cohort_retention",
+    "source_overlap_jaccard",
+    "cms_heavy_hitters",
+]
+_DRIVER_WINDOW_R4 = [
     # -- round-4 first: every oracle-backed query that has NEVER had a
     # driver-recorded row (the r3 verdict's top ask — after this round
     # records green, all 127 oracle-backed queries will have driver
@@ -113,40 +183,18 @@ _DRIVER_WINDOW = [
     "multimodal_binary_meta",
     "fuzzy_name_matches",
 ]
-# Rotation queue for r5 (oracle-green, not yet in a window):
-# sentiment_by_source, span_deduped_docs, ab_welch_test,
-# bootstrap_value_ci, orders_per_customer_histogram,
-# linear_attribution, dau_wau_stickiness, pareto_user_share,
-# type_hour_chi2, mannwhitney_value_test, nearest_centroid_confusion,
-# top_session_paths, embedding_corr_pairs, corpus_data_card,
-# conversion_latency_stats, rfm_segments, incremental_cms_users,
-# sparse_tf_cosine_pairs, token_budget_selection, benford_digit_audit,
-# retrieval_rank_overlap,
-# rolling_fingerprints (upgraded to an
-# exact md5-basis twin - was the one no_oracle row through r3)
-# (added after the r4 window filled).
-# The eight slots for the round-4 new queries came from
-# replay_stream_join, semantic_dedup_pairs, hybrid_search_rrf,
-# sliding_hourly_load, chunk_pack_spans, dsir_sampled_docs,
-# interval_event_stats, hll_distinct_users_rollup,
-# incremental_rollup_hourly and bpe_merge_candidates — all r3
-# driver-green (intervals and the rollup stay visible via bench
-# entries; the sketch/rollup families keep the never-checked
-# incremental_distinct_hourly and daily_rollup_from_hourly in-window),
-# and
-# their families stay covered (replay via replay_late_dedup/
-# replay_dim_history/replay_quarantine_counts, vectors via the ann_*
-# pair + embedding_neardup_pairs + standardized_embedding_probe,
-# retrieval via bm25_topk_docs, windowed_ingest via the never-checked
-# session_window_stats itself plus hourly_avg_by_node, packing via
-# chunk_pack_spans' r3 driver record).
-# Demoted from the r3 window now that CORRECTNESS_r03 recorded them
-# green (all stay registered + swept by tools/check_correctness.py):
-# semantic/replay/curation/vector reps that r3 proved, in favor of the
-# 28 never-checked entries above. After r4 records green, every
-# oracle-backed query in the registry will have at least one driver
-# row; subsequent rounds only need to re-record new work and keep one
-# rep per family in-window.
+# r5 rotation rationale: CORRECTNESS_r04 recorded the whole r4 window
+# green, so its never-checked entries are banked and their slots go to
+# (a) the 22 oracle-green never-driver-checked queries listed in the r4
+# verdict, (b) the 4 rows-only->exact-twin upgrades and 3 new queries
+# from this round, (c) two re-records whose PLANS changed this round,
+# and (d) 18 long-green family representatives. After r5 records green,
+# EVERY registered query has at least one driver row; from r6 on the
+# window only needs new work + one rep per family.
+# Rotation queue for r6 (oracle-green, banked driver rows, candidates
+# to rotate back in if their builders change): everything in
+# _DRIVER_WINDOW_R4 that is not in _DRIVER_WINDOW_R5.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R5
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

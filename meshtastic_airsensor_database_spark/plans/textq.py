@@ -1665,6 +1665,98 @@ FROM sc GROUP BY source
 SENTIMENT_BY_SOURCE_SQL = _sentiment_sql()
 
 
+# --- tokenizer vocabulary coverage (OOV rate per source) -----------------------
+
+# vocab = tokens appearing in >= 1% of documents (integer doc-frequency
+# test: df * 100 >= n_docs) — the "does my tokenizer's vocab cover this
+# source" screen run before committing a training mix.
+OOV_DF_PCT = 1
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a corpus-derived
+    vocabulary (tokens with document frequency >= {pct}% of docs).
+    High OOV for one source = the tokenizer will shred it into bytes —
+    the per-source coverage report every multilingual mix needs.
+
+    Scale shape: ONE explode feeds both sides — token instances
+    aggregate to (token, n_instances, df) map-side (bounded by the
+    vocab, not the corpus); the doc total rides in via a broadcast
+    1-row cross join (the skew_key_report pattern); per-source OOV is
+    then a hash join of per-(source, token) instance counts against
+    the vocab on the token key + one final per-source agg. No window,
+    no driver-side vocab list.
+    """
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    inst = fan_out(docs).select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    per_tok_src = inst.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.count_distinct("doc_id").alias("_df_part"),
+    )
+    tok_df = per_tok_src.groupBy("tok").agg(
+        F.sum("_df_part").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        tok_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 >= F.col("n_docs") * OOV_DF_PCT)
+        .select("tok")
+    )
+    joined = per_tok_src.join(
+        vocab.withColumn("_in_vocab", F.lit(1)), "tok", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.sum("n_inst").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), F.col("n_inst")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        r(
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("n_inst")).otherwise(0)
+            ).cast("double")
+            * 100.0
+            / F.sum("n_inst"),
+            4,
+        ).alias("oov_pct"),
+    )
+
+
+OOV_RATE_BY_SOURCE_SQL = f"""
+WITH inst AS (
+  SELECT doc_id, source, tok
+  FROM (
+    SELECT doc_id, source,
+           string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+') AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+),
+pts AS (
+  SELECT source, tok, COUNT(*) AS n_inst, COUNT(DISTINCT doc_id) AS df_part
+  FROM inst GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, SUM(df_part) AS df FROM pts GROUP BY 1),
+       (SELECT COUNT(*) AS n_docs FROM documents)
+  WHERE df * 100 >= n_docs * {OOV_DF_PCT}
+)
+SELECT source,
+       CAST(SUM(n_inst) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN n_inst ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(ROUND(CAST(
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN n_inst ELSE 0 END) AS DOUBLE)
+         * 100.0 / SUM(n_inst) AS DECIMAL(38,9)), 4) AS DOUBLE) AS oov_pct
+FROM pts p LEFT JOIN vocab v ON p.tok = v.tok
+GROUP BY source
+"""
+
+
 QUERIES: list[Query] = [
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
@@ -1703,6 +1795,10 @@ QUERIES: list[Query] = [
           ("text_analysis", "near_dedup"),
           "cross-source shingle-set Jaccard matrix (which feeds "
           "duplicate each other, pre-dedup)"),
+    Query("oov_rate_by_source", oov_rate_by_source, OOV_RATE_BY_SOURCE_SQL,
+          ("text_analysis",),
+          "tokenizer vocabulary coverage: OOV instance rate per source "
+          "vs a corpus-derived df>=1% vocab"),
     Query("sentiment_by_source", sentiment_by_source,
           SENTIMENT_BY_SOURCE_SQL,
           ("text_analysis",),

@@ -2498,6 +2498,55 @@ LIMIT {PATH_TOPK}
 """
 
 
+# --- per-key time-window debounce ------------------------------------------------
+
+DEBOUNCE_GAP_S = 60
+
+
+def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event arriving within {gap}s of the PREVIOUS
+    event of the same (user, type) — the standard duplicate-burst
+    filter for chatty telemetry (a stuck sensor re-sending, a UI
+    double-fire). Returns the kept rows.
+
+    Scale shape: one keyed window (user_id, event_type) carries the
+    lag timestamp — a single exchange on the debounce key, then a
+    narrow integer-seconds filter; ties at identical timestamps break
+    on event_id so both engines keep the identical row.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_sec = F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            prev_sec.alias("_prev"),
+        )
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("ts").cast("long") - F.col("_prev") >= DEBOUNCE_GAP_S)
+        )
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+DEBOUNCED_EVENTS_SQL = f"""
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         LAG(FLOOR(epoch(ts))) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_sec
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts, value
+FROM l
+WHERE prev_sec IS NULL OR FLOOR(epoch(ts)) - prev_sec >= {DEBOUNCE_GAP_S}
+"""
+
+
 QUERIES: list[Query] = [
     Query("gapfill_value_grid", gapfill_value_grid, GAPFILL_VALUE_GRID_SQL,
           ("time_gapfill", "timeseries_align"),
@@ -2631,6 +2680,10 @@ QUERIES: list[Query] = [
           MANNWHITNEY_VALUE_TEST_SQL, ("per_node_stats",),
           "Mann-Whitney U / rank-sum A/B readout with midrank ties, "
           "keyed per-type rank windows"),
+    Query("debounced_events", debounced_events, DEBOUNCED_EVENTS_SQL,
+          ("timeseries_align", "exact_dedup"),
+          "per-(user,type) time-window debounce: drop events within "
+          "60s of the previous one (keyed lag window)"),
     Query("top_session_paths", top_session_paths, TOP_SESSION_PATHS_SQL,
           ("windowed_ingest", "time_sort"),
           "top first-3-event session journeys: one user-keyed sort "

@@ -2215,6 +2215,155 @@ FROM s GROUP BY label
 """
 
 
+# --- MinHash estimate vs exact Jaccard calibration -----------------------------
+
+MHJ_PERMS = 16  # 4 md5 digests x 4 u32 windows per token
+MHJ_SALTS = [f"mhj{g}" for g in range(MHJ_PERMS // 4)]
+MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
+MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
+
+
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATE vs exact Jaccard per document pair —
+    the calibration report that justifies trusting the sketch at scale
+    (|est - exact| concentrates as O(1/sqrt(k))). Hash functions are
+    DERANDOMIZED to the md5 basis — one digest per (salt, token) yields
+    four independent u32 draws (substr windows 1/9/17/25, len 8), so 16
+    permutations cost 4 md5s — giving the whole sketch an exact DuckDB
+    twin: the hash match pins the per-permutation minima, the
+    estimator, and the exact-Jaccard reference together. The scale tier
+    (xxhash64 permutations + LSH banding, never all-pairs) is
+    operators/dedup.py; the registered pair stage here is an
+    oracle-budget all-pairs sample (doc_id < {max_id}), the same
+    convention as ``jaccard_neardup_pairs``.
+
+    Scale shape of the sketch itself: tokens materialize once, the 4
+    digest arrays materialize as columns (HOF lambdas capture only
+    bare attributes — the zipped_ngrams discipline), and each of the
+    16 minima is one array_min — narrow, no shuffle.
+    """
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MHJ_SAMPLE_MAX_ID
+    )
+    toks = F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
+    base = fan_out(docs).select("doc_id", toks.alias("_toks"))
+
+    # factories, not default-arg lambdas: F.transform dispatches on the
+    # callable's arity, so a (t, s=salt) lambda would be invoked as the
+    # two-arg (element, index) form and receive the INDEX as s
+    def _dig(salt: str):
+        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
+
+    def _u32(off: int):
+        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
+
+    for g, salt in enumerate(MHJ_SALTS):
+        base = base.withColumn(
+            f"_dig{g}", F.transform(F.col("_toks"), _dig(salt))
+        )
+    mh_cols = []
+    for g in range(len(MHJ_SALTS)):
+        for w in range(4):
+            mh_cols.append(
+                F.array_min(
+                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
+                ).alias(f"mh{4 * g + w}")
+            )
+    sk = base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
+    a = sk.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("ta"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MHJ_PERMS)],
+    )
+    b = sk.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("tb"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MHJ_PERMS)],
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    matches = None
+    for k in range(MHJ_PERMS):
+        m = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .filter(F.col("_inter") * 20 >= F.col("_union") * MHJ_MIN_INTER_X20)
+        .withColumn("_matches", matches)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("_matches").cast("long").alias("mh_matches"),
+        r(F.col("_matches").cast("double") / MHJ_PERMS, 4).alias("est_jaccard"),
+        r(F.col("_inter").cast("double") / F.col("_union"), 4).alias("exact_jaccard"),
+        r(
+            F.abs(
+                F.col("_matches").cast("double") / MHJ_PERMS
+                - F.col("_inter").cast("double") / F.col("_union")
+            ),
+            4,
+        ).alias("abs_err"),
+    )
+
+
+def _mhj_sql() -> str:
+    digs = ",\n         ".join(
+        f"list_transform(toks, t -> md5('{salt}:' || t)) AS dig{g}"
+        for g, salt in enumerate(MHJ_SALTS)
+    )
+    mins = ",\n         ".join(
+        f"list_min(list_transform(dig{k // 4}, d -> CAST(concat('0x', "
+        f"substr(d, {1 + 8 * (k % 4)}, 8)) AS BIGINT))) AS mh{k}"
+        for k in range(MHJ_PERMS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(MHJ_PERMS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                          '\\s+')) AS toks
+  FROM documents WHERE doc_id < {MHJ_SAMPLE_MAX_ID}
+),
+dig AS (
+  SELECT doc_id, toks,
+         {digs}
+  FROM base
+),
+sk AS (
+  SELECT doc_id, toks,
+         {mins}
+  FROM dig
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS un,
+         ({matches}) AS matches
+  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(matches AS BIGINT) AS mh_matches,
+       CAST(ROUND(CAST(CAST(matches AS DOUBLE) / {MHJ_PERMS}
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS est_jaccard,
+       CAST(ROUND(CAST(CAST(inter AS DOUBLE) / un
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS exact_jaccard,
+       CAST(ROUND(CAST(abs(CAST(matches AS DOUBLE) / {MHJ_PERMS}
+            - CAST(inter AS DOUBLE) / un)
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS abs_err
+FROM p WHERE inter * 20 >= un * {MHJ_MIN_INTER_X20}
+"""
+
+
+MINHASH_JACCARD_CALIBRATION_SQL = _mhj_sql()
+
+
 QUERIES: list[Query] = [
     Query("embedding_norms", embedding_norms, EMBEDDING_NORMS_SQL,
           ("similarity_search_topk",), "L2 norms via zip_with/aggregate"),
@@ -2299,6 +2448,11 @@ QUERIES: list[Query] = [
           "LSH candidates + exact Jaccard verify (oracle: exact all-pairs on sample)"),
     Query("ml_minhash_neardups", ml_minhash_neardups, None,
           ("near_dedup",), "Spark ML MinHashLSH approxSimilarityJoin (rows-only)"),
+    Query("minhash_jaccard_calibration", minhash_jaccard_calibration,
+          MINHASH_JACCARD_CALIBRATION_SQL,
+          ("near_dedup",),
+          "MinHash estimate vs exact Jaccard per pair on the "
+          "derandomized md5 basis (oracle pins minima + estimator)"),
     Query("neardup_pagerank", neardup_pagerank_q, _NEARDUP_PAGERANK_SQL,
           ("near_dedup",),
           "fixed-3-iteration PageRank centrality over the near-dup graph"),

@@ -28,7 +28,8 @@ def plan_of(spark, name: str, sf_dir: str) -> str:
 # Queries whose pair-enumeration is intentionally all-pairs (the exact
 # oracle-checkable formulations; their scale path is the LSH variants).
 ALL_PAIRS_OK = {"jaccard_neardup_pairs", "embedding_neardup_pairs",
-                "char_jaccard_neardup_pairs"}
+                "char_jaccard_neardup_pairs",
+                "minhash_jaccard_calibration"}
 
 # Single-row / tiny build sides legitimately use a nested-loop
 # broadcast (e.g. one query vector — or one packed row of query
@@ -82,7 +83,13 @@ BNLJ_OK = {"embedding_topk_cosine", "embedding_batch_topk",
            "type_hour_chi2",
            # single packed-centroid row (labels x dim) crossed into the
            # narrow per-vector argmin projection
-           "nearest_centroid_confusion"}
+           "nearest_centroid_confusion",
+           # oracle-budget all-pairs sample (id_a < id_b range join)
+           # over the <=250-doc MinHash calibration frame
+           "minhash_jaccard_calibration",
+           # single doc-count row broadcast into the vocabulary
+           # df-threshold filter
+           "oov_rate_by_source"}
 
 
 def test_no_cartesian_products(spark, sf_dir):
