@@ -32,7 +32,7 @@ SHOWCASE = [
     ("contaminated_eval_docs", "train/eval n-gram join on 8-byte hashed keys, two-level partial agg"),
     ("chunk_pack_spans", "sequence packing cumsum window SHARDED (never SinglePartition)"),
     ("salted_brand_quantities", "skew-salted equi-join; at this SF the replicated build side still broadcasts (salting inert but harmless) - the (key, _salt) exchange shape with broadcast off is pinned by test_skew.py"),
-    ("quantized_topk_cosine", "int8-quantized cosine scan (scale cancels; 4x narrower vectors)"),
+    ("quantized_topk_cosine", "int8-quantized cosine scan as ONE mapInArrow kernel (zero-copy list-buffer reshape; exact int arithmetic keeps oracle bit-parity) (r5)"),
     ("incremental_rollup_hourly", "finalize read over the materialized rollup (partition-pruned scan, no raw-fact rescan)"),
     ("curation_funnel", "whole curation pipeline as one lineage: fingerprint agg + hashed-key gram join, map-side counts"),
     ("semantic_dedup_pairs", "SemDeDup: zero-shuffle centroid assignment, one bucket-grouping shuffle for in-cluster pairs, exact verify"),
@@ -80,7 +80,7 @@ SHOWCASE = [
     ("mannwhitney_value_test", "Mann-Whitney U: midranks via KEYED per-type rank windows, one hash agg after"),
     ("top_session_paths", "session journeys: sessionize + in-session rank + path agg all inside ONE user-keyed exchange (WindowGroupLimit caps rn<=3 before the sort output), TakeOrdered top-k"),
     ("dau_wau_stickiness", "rolling COUNT DISTINCT: single scan, x7 day fan-out collapsed map-side by the (day,user) agg, DAU/WAU from one final day agg — no join, no window"),
-    ("pareto_user_share", "Pareto coverage: rank/cumsum/total in ONE bounded window over aggregated user counts (single scan)"),
+    ("pareto_user_share", "Pareto coverage: partition-offset prefix machine — one range shuffle + zero-shuffle Arrow cumsum, NO unpartitioned window (r5 de-globalization)"),
     ("type_hour_chi2", "chi-squared test: materialized contingency grid (one fact scan), broadcast marginal joins over <= types x 24 rows"),
     ("linear_attribution", "multi-touch attribution: user-keyed equi-join with the lookback as residual, per-purchase window count, |touch_type| agg"),
     ("orders_per_customer_histogram", "TPC-H Q13: aggregate-before-join left join (exchange carries per-customer counts, never raw orders), zero-bucket preserved"),
@@ -88,11 +88,14 @@ SHOWCASE = [
     ("embedding_corr_pairs", "distributed covariance: numpy Gram partials via mapInPandas (one matmul per Arrow batch), dim^2-bounded exchange, materialized grid reused by every consumer"),
     ("corpus_data_card", "data card: one scan into a |lang|-wide agg, corpus share from a full-frame window over the aggregated rows"),
     ("conversion_latency_stats", "time-to-convert: one LOCF window (running first-view), per-user min, one-reduce percentiles"),
-    ("rfm_segments", "RFM: per-user agg, NTILE windows over AGGREGATED rows, <=64-segment rollup"),
+    ("rfm_segments", "RFM: exact NTILE from partition-offset global ranks (3 range shuffles, narrow tile arithmetic), recency max as a pass-1 driver literal — no unpartitioned window (r5)"),
     ("incremental_cms_users", "incremental CMS: depth x width counter matrix read from maintained state (scan of the tiny checkpoint, no raw rescan)"),
     ("sparse_tf_cosine_pairs", "inverted-index sparse cosine: bucket-grouped posting lists (ONE shuffle), df-cap size filter, narrow pair expansion, (a,b) dot agg"),
-    ("token_budget_selection", "token-budget selection: bucket-level running sum over bounded rows + boundary-bucket-only per-doc refinement (no global cumsum window)"),
+    ("token_budget_selection", "token-budget selection: driver-side walk of the <=10^4+1 bounded bucket table + boundary-bucket-only per-doc refinement — no window at all (r5)"),
     ("benford_digit_audit", "Benford audit: narrow decimal-routed digit extraction, 9-wide agg, full-frame window total"),
+    ("minhash_jaccard_calibration", "MinHash calibration: 4 md5 digests -> 16 u32 minima as narrow array ops, oracle-budget all-pairs sample, estimator + exact Jaccard side by side"),
+    ("debounced_events", "debounce: ONE keyed lag window on the (user,type) debounce key, integer-seconds filter"),
+    ("oov_rate_by_source", "OOV coverage: one explode feeds instance+df partials (vocab-bounded agg), broadcast 1-row doc total, token-keyed vocab join"),
 ]
 
 
