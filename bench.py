@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "minhash_jaccard_calibration",
     "debounced_events",
     "oov_rate_by_source",
+    "pii_redacted_docs",
+    "pseudonymized_events",
 ]
 
 

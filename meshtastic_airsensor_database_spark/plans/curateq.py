@@ -253,6 +253,93 @@ SELECT doc_id, shard, n_tokens, bin_id FROM rec WHERE rn > 0
 FFD_BIN_PACKING_SQL = _ffd_sql()
 
 
+# --- PII detection + redaction --------------------------------------------------
+
+# Planted-PII harness: the synthetic corpus contains no emails / IPs /
+# phone numbers, so every 10th document gets a deterministic PII suffix
+# derived from its id INSIDE the query (both engines plant the exact
+# same bytes). The oracle therefore pins the detection counts AND the
+# redacted text on inputs with real matches — the same
+# golden-fixture-through-the-real-operator discipline as the replay_*
+# family. Patterns use only constructs Java regex and RE2 evaluate
+# identically (character classes, bounded repetition; no lookaround).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4 addresses / phone
+    numbers per document — the compliance gate every pretraining
+    pipeline runs before a corpus ships. Redaction order matters
+    (emails first: an email's host part must not be half-eaten by the
+    IP pattern) and is identical on both engines.
+
+    Scale shape: pure narrow string expressions — three regexp counts
+    + three chained regexp_replace per row, no shuffle at all; the
+    final projection carries an md5 of the redacted text so the hash
+    compare pins every redacted byte without shipping full bodies.
+    """
+    docs = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(planted, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+PII_REDACTED_DOCS_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-4567'
+              ELSE text END AS planted
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(planted, '{PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(planted, '{PII_IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(planted, '{PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(planted,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(planted,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+FROM p
+"""
+
+
 # --- per-language quota sampling ----------------------------------------------
 
 # Language rebalancing for a training mix: keep 100% of the rarest
@@ -1275,6 +1362,10 @@ QUERIES: list[Query] = [
     Query("chunk_pack_spans", chunk_pack_spans, CHUNK_PACK_SPANS_SQL,
           ("text_analysis",),
           "concat-and-chunk sequence packing spans (sharded)"),
+    Query("pii_redacted_docs", pii_redacted_docs, PII_REDACTED_DOCS_SQL,
+          ("text_analysis",),
+          "PII detection + redaction (emails/IPv4/phones) with a "
+          "planted-PII harness; oracle pins counts and redacted bytes"),
     Query("ffd_bin_packing", ffd_bin_packing, FFD_BIN_PACKING_SQL,
           ("text_analysis",),
           "greedy FFD token bin packing per shard (oracle: recursive "

@@ -1055,6 +1055,47 @@ SELECT 'props' AS col_name, n_rows, null_props AS n_null, dist_props AS n_distin
 """
 
 
+# --- consistent pseudonymization (GDPR-adjacent re-keying) ---------------------
+
+PSEUDO_SALT = "pseudo-v1:"
+
+
+def pseudonymized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent salted-hash pseudonymization of the user key: every
+    occurrence of a user_id maps to the same 16-hex-char pseudonym, so
+    joins / sessionization / per-user aggregation still work on the
+    shared dataset while the raw identifier never leaves the lake —
+    the anonymize dual of ``erase_key`` (which removes a subject; this
+    de-identifies all of them). Salted so the pseudonym space is
+    unlinkable across releases (rotate the salt per release).
+
+    Scale shape: a pure narrow projection — one sha2 per row, no
+    shuffle, no lookup table to build, distribute, or leak.
+    """
+    ev = load(spark, sf_dir, "events")
+    pseudo = F.substring(
+        F.sha2(F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    return ev.select(
+        "event_id",
+        pseudo.alias("pseudo_user"),
+        "event_type",
+        "ts",
+        "value",
+    )
+
+
+PSEUDONYMIZED_EVENTS_SQL = f"""
+SELECT event_id,
+       substr(sha256('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS pseudo_user,
+       event_type, ts, value
+FROM events
+"""
+
+
 QUERIES: list[Query] = [
     Query("hourly_avg_by_node", hourly_avg_by_node, HOURLY_AVG_BY_NODE_SQL,
           ("per_node_stats", "windowed_ingest"), "flagship per-node hourly stats"),
@@ -1124,6 +1165,11 @@ QUERIES: list[Query] = [
           ("per_node_stats", "approx_distinct_nodes"),
           "exact heavy hitters (integer-arithmetic support threshold); "
           "hash-checkable twin of the freqItems sketch"),
+    Query("pseudonymized_events", pseudonymized_events,
+          PSEUDONYMIZED_EVENTS_SQL,
+          ("column_projection",),
+          "consistent salted-hash pseudonymization of the user key "
+          "(narrow sha2 projection; the anonymize dual of erase_key)"),
     Query("events_column_profile", events_column_profile,
           EVENTS_COLUMN_PROFILE_SQL,
           ("per_node_stats", "approx_distinct_nodes"),

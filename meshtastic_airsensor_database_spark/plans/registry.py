@@ -64,10 +64,15 @@ _DRIVER_WINDOW_R5 = [
     "embedding_lsh_neardup_pairs",
     "ffd_bin_packing",
     # -- r5 NEW queries (MinHash estimator calibration on the md5
-    # basis, per-key time-window debounce, tokenizer OOV coverage).
+    # basis, per-key time-window debounce, tokenizer OOV coverage,
+    # planted-PII redaction, salted pseudonymization) and the md5-basis
+    # candidates upgrade.
     "minhash_jaccard_calibration",
     "debounced_events",
     "oov_rate_by_source",
+    "pii_redacted_docs",
+    "pseudonymized_events",
+    "minhash_neardup_candidates",
     # -- re-record under CHANGED r5 plans: line_numbering's ranged
     # frame is now localCheckpoint-pinned (the r4 ADVICE boundary-drift
     # fix); quantized_topk_cosine moved to the mapInArrow kernel.
@@ -95,10 +100,7 @@ _DRIVER_WINDOW_R5 = [
     "quality_survivor_docs",
     "snapshot_diff_customers",
     "prefix_jaccard_neardups",
-    "m4_downsample",
-    "cohort_retention",
     "source_overlap_jaccard",
-    "cms_heavy_hitters",
 ]
 _DRIVER_WINDOW_R4 = [
     # -- round-4 first: every oracle-backed query that has NEVER had a

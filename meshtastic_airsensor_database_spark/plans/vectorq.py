@@ -928,9 +928,145 @@ def frequent_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash-LSH near-dup candidates (rows-only; verified vs exact in tests) --
 
+# --- derandomized md5 MinHash sketch (shared by candidates + calibration) -----
+
+MHJ_PERMS = 16  # 4 md5 digests x 4 u32 windows per token
+MHJ_SALTS = [f"mhj{g}" for g in range(MHJ_PERMS // 4)]
+MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
+MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
+MH_CAND_BANDS = 4  # 16 permutations -> 4 bands of 4 minima
+
+
+def _md5_minhash_sketch(docs: DataFrame, basis: str = "tokens") -> DataFrame:
+    """(doc_id, toks, mh0..mh15): the derandomized-md5 MinHash sketch —
+    one digest per (salt, element) yields four independent u32 draws,
+    so 16 permutations cost 4 md5s. The set basis is ``tokens``
+    (calibration: duplicate-heavy sets give the estimator a full
+    similarity spread) or 3-word ``shingles`` (candidates: near-unique
+    per doc, so banding is selective — the same basis the xxhash64
+    scale tier uses). Elements materialize once; every HOF lambda
+    captures only bare attributes (the zipped_ngrams discipline)."""
+    from ..functions.text import tokens, word_shingles
+
+    if basis == "shingles":
+        elems = word_shingles(F.col("text"), 3)
+    else:
+        elems = F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
+    base = fan_out(docs).select("doc_id", elems.alias("_toks"))
+
+    # factories, not default-arg lambdas: F.transform dispatches on the
+    # callable's arity, so a (t, s=salt) lambda would be invoked as the
+    # two-arg (element, index) form and receive the INDEX as s
+    def _dig(salt: str):
+        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
+
+    def _u32(off: int):
+        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
+
+    for g, salt in enumerate(MHJ_SALTS):
+        base = base.withColumn(f"_dig{g}", F.transform(F.col("_toks"), _dig(salt)))
+    mh_cols = []
+    for g in range(len(MHJ_SALTS)):
+        for w in range(4):
+            mh_cols.append(
+                F.array_min(
+                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
+                ).alias(f"mh{4 * g + w}")
+            )
+    return base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
+
+
+# shared SQL fragments of the sketch twin
+_MHJ_DIGS_SQL = ",\n         ".join(
+    f"list_transform(toks, t -> md5('{salt}:' || t)) AS dig{g}"
+    for g, salt in enumerate(MHJ_SALTS)
+)
+_MHJ_MINS_SQL = ",\n         ".join(
+    f"list_min(list_transform(dig{k // 4}, d -> CAST(concat('0x', "
+    f"substr(d, {1 + 8 * (k % 4)}, 8)) AS BIGINT))) AS mh{k}"
+    for k in range(MHJ_PERMS)
+)
+
+
 def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs on the DERANDOMIZED md5
+    sketch over 3-word SHINGLES (_md5_minhash_sketch — the same 16
+    permutations the calibration query pins, on the selective basis the
+    xxhash64 scale tier uses: token sets saturate on a 31-word vocab,
+    shingles are near-unique per doc): 4 bands of 4 minima; docs
+    agreeing on all four minima of any band are candidates. The twin
+    re-derives the sketch, the banding, and the distinct-pair
+    generation, so the hash match covers the LSH structure itself. The
+    xxhash64 scale tier is operators/dedup.py::minhash_lsh_candidates
+    with the identical bucket-grouping plan shape (one shuffle on the
+    band key, no self-join of the signature pipeline,
+    degenerate-bucket cap) — the cap cannot bind at oracle scale
+    (|documents| at sf<=0.01 is 500 < MAX_BUCKET).
+    """
+    from ..operators.dedup import pairs_within_buckets
+
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, "doc_id", "text")
+    sk = _md5_minhash_sketch(docs, basis="shingles")
+    bands = sk.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"mh{4 * b + j}").cast("string")
+                                for j in range(4)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MH_CAND_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    return pairs_within_buckets(bands, ["band_idx", "band_hash"], "doc_id")
+
+
+def _mh_cand_sql() -> str:
+    from .textq import _SHINGLE_LIST_SQL
+
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, "
+        f"{b} AS band_idx, "
+        + " || ':' || ".join(f"CAST(mh{4 * b + j} AS VARCHAR)" for j in range(4))
+        + " AS band_hash FROM sk"
+        for b in range(MH_CAND_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {_SHINGLE_LIST_SQL} AS toks
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, toks,
+         {_MHJ_DIGS_SQL}
+  FROM base
+),
+sk AS (
+  SELECT doc_id,
+         {_MHJ_MINS_SQL}
+  FROM dig
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+MINHASH_NEARDUP_CANDIDATES_SQL = _mh_cand_sql()
 
 
 def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2217,12 +2353,6 @@ FROM s GROUP BY label
 
 # --- MinHash estimate vs exact Jaccard calibration -----------------------------
 
-MHJ_PERMS = 16  # 4 md5 digests x 4 u32 windows per token
-MHJ_SALTS = [f"mhj{g}" for g in range(MHJ_PERMS // 4)]
-MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
-MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
-
-
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash similarity ESTIMATE vs exact Jaccard per document pair —
     the calibration report that justifies trusting the sketch at scale
@@ -2242,36 +2372,10 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare attributes — the zipped_ngrams discipline), and each of the
     16 minima is one array_min — narrow, no shuffle.
     """
-    from ..functions.text import tokens
-
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < MHJ_SAMPLE_MAX_ID
     )
-    toks = F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
-    base = fan_out(docs).select("doc_id", toks.alias("_toks"))
-
-    # factories, not default-arg lambdas: F.transform dispatches on the
-    # callable's arity, so a (t, s=salt) lambda would be invoked as the
-    # two-arg (element, index) form and receive the INDEX as s
-    def _dig(salt: str):
-        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
-
-    def _u32(off: int):
-        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
-
-    for g, salt in enumerate(MHJ_SALTS):
-        base = base.withColumn(
-            f"_dig{g}", F.transform(F.col("_toks"), _dig(salt))
-        )
-    mh_cols = []
-    for g in range(len(MHJ_SALTS)):
-        for w in range(4):
-            mh_cols.append(
-                F.array_min(
-                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
-                ).alias(f"mh{4 * g + w}")
-            )
-    sk = base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
+    sk = _md5_minhash_sketch(docs)
     a = sk.select(
         F.col("doc_id").alias("id_a"),
         F.col("toks").alias("ta"),
@@ -2312,15 +2416,8 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mhj_sql() -> str:
-    digs = ",\n         ".join(
-        f"list_transform(toks, t -> md5('{salt}:' || t)) AS dig{g}"
-        for g, salt in enumerate(MHJ_SALTS)
-    )
-    mins = ",\n         ".join(
-        f"list_min(list_transform(dig{k // 4}, d -> CAST(concat('0x', "
-        f"substr(d, {1 + 8 * (k % 4)}, 8)) AS BIGINT))) AS mh{k}"
-        for k in range(MHJ_PERMS)
-    )
+    digs = _MHJ_DIGS_SQL
+    mins = _MHJ_MINS_SQL
     matches = " + ".join(
         f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(MHJ_PERMS)
     )
@@ -2440,8 +2537,11 @@ QUERIES: list[Query] = [
           "GK-sketch approx percentiles (rows-only)"),
     Query("frequent_event_props", frequent_event_props, None,
           ("approx_distinct_nodes",), "freqItems heavy hitters (rows-only)"),
-    Query("minhash_neardup_candidates", minhash_neardup_candidates, None,
-          ("near_dedup",), "MinHash-LSH banded candidates (rows-only)"),
+    Query("minhash_neardup_candidates", minhash_neardup_candidates,
+          MINHASH_NEARDUP_CANDIDATES_SQL,
+          ("near_dedup",),
+          "MinHash-LSH banded candidates on the derandomized md5 "
+          "sketch (oracle pins sketch + banding + pair generation)"),
     Query("minhash_verified_neardups", minhash_verified_neardups,
           _MINHASH_VERIFIED_SQL,
           ("near_dedup",),
