@@ -99,6 +99,14 @@ def test_no_cartesian_products(spark, sf_dir):
             assert "CartesianProduct" not in plan, name
         if name not in BNLJ_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+        # No query may funnel its input through ONE task: global
+        # windows/sorts plan as Exchange SinglePartition. Global
+        # one-ROW aggregates ride broadcast cross joins or driver
+        # literals instead (skew_key_report / ordered.py patterns), so
+        # the whole registry holds this with NO allowlist (verified
+        # r5: 0/188 plans; rfm/pareto/token_budget were the last three,
+        # de-globalized via operators/ordered.py).
+        assert "Exchange SinglePartition" not in plan, name
 
 
 @pytest.mark.parametrize(
