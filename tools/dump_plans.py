@@ -96,6 +96,9 @@ SHOWCASE = [
     ("minhash_jaccard_calibration", "MinHash calibration: 4 md5 digests -> 16 u32 minima as narrow array ops, oracle-budget all-pairs sample, estimator + exact Jaccard side by side"),
     ("debounced_events", "debounce: ONE keyed lag window on the (user,type) debounce key, integer-seconds filter"),
     ("oov_rate_by_source", "OOV coverage: one explode feeds instance+df partials (vocab-bounded agg), broadcast 1-row doc total, token-keyed vocab join"),
+    ("pii_redacted_docs", "PII scrub: three regex counts + chained redactions as pure narrow string expressions — zero shuffles"),
+    ("pseudonymized_events", "pseudonymization: salted sha2 re-key as a narrow projection — no lookup table, no shuffle"),
+    ("minhash_neardup_candidates", "MinHash-LSH candidates on the derandomized md5 shingle sketch: 4 digests -> 16 minima narrow, ONE band-key shuffle, no self-join"),
 ]
 
 

@@ -392,6 +392,33 @@ def main() -> None:
         .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     )
     timed(spark, "session_paths", paths, out)
+    # Partition-offset global ordered stats (r5 — replaced the
+    # unpartitioned windows in rfm/pareto/token-budget): exact NTILE
+    # and rank+running-sum over a factor-x per-user frame. Cost must
+    # track the frame linearly; the structure guarantees no
+    # single-partition stage (one range shuffle + narrow numbering /
+    # zero-shuffle Arrow prefix pass). The eager passes run inside the
+    # builder, so the clock wraps the whole call.
+    from meshtastic_airsensor_database_spark.operators.ordered import (
+        global_ntile,
+        global_rank_cumsum,
+    )
+
+    per_user = big_ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    spark._jvm.System.gc()
+    t0 = time.time()
+    tiled, _ = global_ntile(
+        per_user, [F.col("n_events").asc(), F.col("user_id").asc()], 4, "q"
+    )
+    n_tiled = tiled.count()
+    out["global_ntile"] = {"sec": round(time.time() - t0, 2), "rows": n_tiled}
+    spark._jvm.System.gc()
+    t0 = time.time()
+    ranked, _ = global_rank_cumsum(
+        per_user, [F.col("n_events").desc(), F.col("user_id").asc()], "n_events"
+    )
+    n_ranked = ranked.count()
+    out["global_rank_cumsum"] = {"sec": round(time.time() - t0, 2), "rows": n_ranked}
     # Distributed-covariance Gram partials over the factor-x embedding
     # corpus: one numpy matmul per Arrow batch, shuffle bounded at dim^2
     # rows regardless of corpus size. Super-linear time means the
