@@ -218,6 +218,23 @@ def erase_key(
     """
     from ..streaming.rollup import ROLLUP_PARTITION_COL, _merge, _partials
 
+    # Validate BEFORE any mutation: a rollup maintained with an HLL
+    # distinct sketch must be rebuilt WITH it (rollup 'rebuild' regime),
+    # and discovering that after the fact rows are already rewritten
+    # would leave a half-done erasure. Fail loudly up front instead.
+    if (
+        rollup_path is not None
+        and rollup_keys is not None
+        and key_col not in rollup_keys
+        and distinct_col is None
+        and "distinct_sketch" in spark.read.parquet(rollup_path).columns
+    ):
+        raise ValueError(
+            "erase_key: the rollup at %r carries a distinct_sketch "
+            "column; pass distinct_col=<tracked column> so the "
+            "rebuilt date partitions preserve it" % rollup_path
+        )
+
     facts = spark.read.parquet(fact_path)
     subject = F.col(key_col).eqNullSafe(F.lit(key_value))
     located = (
@@ -271,18 +288,9 @@ def erase_key(
             kept_roll = roll.filter(in_dates).filter(~subject)
         else:
             rollup_mode = "rebuild"
-            # A rollup maintained with an HLL distinct sketch must be
-            # rebuilt WITH it, or the rewritten date partitions drop the
-            # column (schema drift + silently lost distinct estimates —
-            # read_rollup/serve_series_stats branch on its presence).
-            # Fail loudly when the caller cannot say which column the
-            # sketch tracks rather than write a crippled rollup.
-            if "distinct_sketch" in roll.columns and distinct_col is None:
-                raise ValueError(
-                    "erase_key: the rollup at %r carries a distinct_sketch "
-                    "column; pass distinct_col=<tracked column> so the "
-                    "rebuilt date partitions preserve it" % rollup_path
-                )
+            # distinct_col validity was checked BEFORE phase 2 (a
+            # rollup carrying distinct_sketch without a declared
+            # distinct_col fails up front, not after the fact rewrite).
             post = spark.read.parquet(fact_path).filter(
                 F.to_date(F.col(ts_col)).cast("string").isin(touched_dates)
             )

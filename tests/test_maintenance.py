@@ -182,3 +182,71 @@ def test_erase_key_rebuild_mode_and_idempotency(spark, tmp_path):
     )
     assert rep2.rows_deleted == 0 and rep2.fact_partitions_rewritten == 0
     assert rep2.rollup_mode == "none"
+
+
+def test_erase_key_rebuild_preserves_distinct_sketch(spark, tmp_path):
+    """r4-ADVICE fix: a rollup maintained WITH an HLL distinct sketch
+    must be rebuilt WITH it — erase_key threads distinct_col through to
+    the rebuild partials, and fails loudly when the caller omits it."""
+    import pytest
+
+    from meshtastic_airsensor_database_spark.sources.maintenance import erase_key
+    from meshtastic_airsensor_database_spark.streaming.rollup import maintain_rollup
+
+    fact_path, _ = _erasure_fixture(spark, tmp_path)
+    rollup_path = str(tmp_path / "rollup_sketch")
+    maintain_rollup(
+        spark.read.parquet(fact_path), rollup_path, keys=[],
+        distinct_col="user_id",
+    )
+    assert "distinct_sketch" in spark.read.parquet(rollup_path).columns
+
+    # omitting distinct_col must refuse rather than silently drop it
+    with pytest.raises(ValueError, match="distinct_sketch"):
+        erase_key(
+            spark, fact_path, "event_date", "user_id", 7,
+            rollup_path=rollup_path, rollup_keys=[],
+        )
+
+    rep = erase_key(
+        spark, fact_path, "event_date", "user_id", 7,
+        rollup_path=rollup_path, rollup_keys=[],
+        distinct_col="user_id",
+    )
+    assert rep.rollup_mode == "rebuild"
+    roll = spark.read.parquet(rollup_path)
+    # no schema drift: every rewritten date partition still carries the
+    # sketch column, with no NULL sketches anywhere
+    assert "distinct_sketch" in roll.columns
+    assert roll.filter(F.col("distinct_sketch").isNull()).count() == 0
+    # the rebuilt estimate excludes the erased subject: the wholly-owned
+    # 2024-01-03 date vanished; mixed dates estimate only users 8/9
+    est = roll.select(
+        F.col("hour_ts"),
+        F.hll_sketch_estimate("distinct_sketch").alias("est"),
+    )
+    assert est.filter(F.col("est") <= 0).count() == 0
+    assert est.agg(F.max("est")).collect()[0][0] <= 2  # user 7 is gone
+
+
+def test_overwrite_partitions_restores_unset_conf(spark, tmp_path):
+    """r4-ADVICE fix: when partitionOverwriteMode was UNSET before the
+    dynamic-overwrite write, it must be unset again afterwards — a
+    leaked 'dynamic' changes later unrelated overwrite semantics."""
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        _overwrite_partitions,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.unset(key)
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    _overwrite_partitions(df, str(tmp_path / "t"), "p")
+    assert spark.conf.get(key, None) is None
+
+    # and when it WAS set, the prior value is restored
+    spark.conf.set(key, "static")
+    _overwrite_partitions(df, str(tmp_path / "t2"), "p")
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)

@@ -210,6 +210,36 @@ def test_frame_sample_udtf_matches_mapinpandas(spark):
     assert a == b and len(a) == 4
 
 
+def test_frame_sample_udtf_calls_do_not_clobber_each_other(spark):
+    """r4-ADVICE fix: per-call unique view/function names — two UDTF
+    invocations with different inputs/parameters in one session must
+    each keep their own results (a fixed registration name let the
+    second call clobber the first's unresolved plan), and the temp
+    view must not linger in the catalog."""
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        FRAME_BYTES,
+        frame_sample_udtf,
+    )
+
+    m1 = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10)], ["media_id", "content"]
+    )
+    m2 = spark.createDataFrame(
+        [(2, b"y" * (FRAME_BYTES * 4))], ["media_id", "content"]
+    )
+    df1 = frame_sample_udtf(m1, every_n=2, max_frames=3)
+    df2 = frame_sample_udtf(m2, every_n=1, max_frames=2)  # different params
+    r1 = df1.collect()
+    r2 = df2.collect()
+    assert {r.media_id for r in r1} == {1} and len(r1) == 3
+    assert {r.media_id for r in r2} == {2} and len(r2) == 2
+    # both plans stay independently re-executable after the other ran
+    assert df1.count() == 3 and df2.count() == 2
+    leftover = [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("_frame_src")]
+    assert leftover == []
+
+
 def test_resize_media_skips_null_meta_rows(spark):
     from meshtastic_airsensor_database_spark.operators.multimodal import (
         MEDIA_SCHEMA,
