@@ -63,6 +63,7 @@ _DRIVER_WINDOW_R5 = [
     "hyperplane_lsh_bucket_sizes",
     "embedding_lsh_neardup_pairs",
     "ffd_bin_packing",
+    "ann_pq_topk",
     # -- r5 NEW queries (MinHash estimator calibration on the md5
     # basis, per-key time-window debounce, tokenizer OOV coverage,
     # planted-PII redaction, salted pseudonymization) and the md5-basis
@@ -94,7 +95,6 @@ _DRIVER_WINDOW_R5 = [
     "daily_rollup_from_hourly",
     "incremental_distinct_hourly",
     "bm25_topk_docs",
-    "tfidf_top_terms",
     "ann_kmeans_ivf_topk",
     "session_window_stats",
     "quality_survivor_docs",

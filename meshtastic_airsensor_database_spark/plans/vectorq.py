@@ -1826,15 +1826,189 @@ LIMIT {TOP_K}
 """
 
 
+# Derandomized-PQ parameters (oracle tier): 4 subspaces x 8 codes,
+# 2 deterministic Lloyd rounds per subspace, 20 ADC candidates into the
+# exact re-rank. The production tier (operators/pq.py: Spark-ML-trained
+# codebooks, 8x16, Arrow-batched encode/ADC) stays pytest-verified.
+PQD_M = 4
+PQD_K = 8
+PQD_ITERS = 2
+PQD_CAND = 20
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k with exact re-rank (rows-only;
-    recall vs brute force + code bounds asserted in tests). The scan
-    path reads M-byte codes, not float vectors — the 100-TB memory-
-    bandwidth lever (operators/pq.py)."""
-    from ..operators.pq import pq_topk
+    """Product-quantization ADC top-k with exact re-rank, fully
+    DERANDOMIZED so the ENTIRE pipeline has a DuckDB twin (closing the
+    last plausibly-twinnable rows-only row): unit-normalize, slice into
+    {m} subspaces, train each subspace's {k}-centroid codebook with the
+    deterministic Lloyd loop (first-K init, decimal-rounded means —
+    operators/similarity.py::lloyd_kmeans_centroids, the same machinery
+    the ann_kmeans twin pins), encode by per-subspace argmin, score by
+    ADC (sum of per-subspace query-to-assigned-centroid squared L2, a
+    left-assoc 4-term sum both engines evaluate identically), keep the
+    {cand} best candidates, exact-cosine re-rank on the raw floats.
+
+    Scale shape: training state is O(M x K x dim) (broadcast packs);
+    encoding is the narrow argmin projection per subspace; ADC attaches
+    via K-row joins; only the {cand}-row candidate set touches float
+    vectors again. The production tier (operators/pq.py) is the same
+    pipeline with ML-trained codebooks and Arrow-batched kernels; this
+    query pins the PQ MATH (training, encoding, ADC, re-rank order)
+    cross-engine."""
+    from functools import reduce
+
+    from ..operators.similarity import (
+        assign_to_centroids_euclidean,
+        lloyd_kmeans_centroids,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    return pq_topk(emb, query_vec_id=QUERY_VEC_ID, k=TOP_K)
+    dim = len(emb.select("embedding").first()[0])
+    assert dim % PQD_M == 0, (dim, PQD_M)
+    w = dim // PQD_M
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    base = base.withColumn("_n", F.sqrt(dot_raw(F.col("_v"), F.col("_v"))))
+    base = materialize(
+        base.withColumn(
+            "_vn",
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_v"), lambda x: x / F.col("_n")),
+            ).otherwise(F.col("_v")),
+        ).select("vec_id", "_vn")
+    )
+    dists = []
+    for s in range(PQD_M):
+        sub = base.select(
+            "vec_id", F.slice("_vn", s * w + 1, w).alias("embedding")
+        )
+        cents = lloyd_kmeans_centroids(sub, PQD_K, PQD_ITERS)
+        code = assign_to_centroids_euclidean(sub, cents).select(
+            "vec_id", "cluster", F.col("embedding").alias("_sv")
+        )
+        qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").cast("array<double>").alias("_qs")
+        )
+        dists.append(
+            code.join(
+                F.broadcast(cents.select(F.col("cid").alias("cluster"), "cv")),
+                "cluster",
+            )
+            .crossJoin(F.broadcast(qsub))
+            .select("vec_id", dist2_raw(F.col("_qs"), F.col("cv")).alias(f"_d{s}"))
+        )
+    adc = reduce(lambda a, b: a.join(b, "vec_id"), dists)
+    approx = None
+    for s in range(PQD_M):  # left-assoc sum, mirrored in the twin
+        approx = F.col(f"_d{s}") if approx is None else approx + F.col(f"_d{s}")
+    cand = (
+        adc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", approx.alias("_approx"))
+        .orderBy(F.col("_approx").asc(), "vec_id")
+        .limit(PQD_CAND)
+    )
+    qfull = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("_qv")
+    )
+    return (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            "vec_id",
+            r(F.col("_approx"), 6).alias("adc_d2"),
+            r(cosine_similarity(F.col("embedding"), F.col("_qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _pq_assign_sql(base: str, cents: str, out: str) -> str:
+    d2 = _DDB_D2.format(a=f"{base}.v", b=f"{cents}.cv")
+    return f"""
+{out} AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT {base}.vec_id, {base}.v, {cents}.cid,
+           row_number() OVER (
+             PARTITION BY {base}.vec_id ORDER BY {d2} ASC, {cents}.cid
+           ) AS rn
+    FROM {base}, {cents}
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_iter_sql(asg: str, cents_out: str, means: str) -> str:
+    return f"""
+{means} AS (
+  SELECT cluster, dim - 1 AS dim,
+         CAST(ROUND(CAST(AVG(v[dim]) AS DECIMAL(38,9)), 6) AS DOUBLE) AS m
+  FROM {asg}, unnest(range(1, len(v) + 1)) AS t(dim)
+  GROUP BY cluster, dim
+),
+{cents_out} AS (
+  SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM {means} GROUP BY cluster
+)"""
+
+
+def _ann_pq_sql(dim: int = 64) -> str:
+    w = dim // PQD_M
+    parts = []
+    d_exprs = []
+    for s in range(PQD_M):
+        lo, hi = s * w + 1, (s + 1) * w
+        blocks = [
+            f"s{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vn)",
+            f"s{s}c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM s{s} "
+            f"WHERE vec_id < {PQD_K})",
+            _pq_assign_sql(f"s{s}", f"s{s}c0", f"s{s}a1"),
+            _pq_iter_sql(f"s{s}a1", f"s{s}c1", f"s{s}m1"),
+            _pq_assign_sql(f"s{s}", f"s{s}c1", f"s{s}a2"),
+            _pq_iter_sql(f"s{s}a2", f"s{s}c2", f"s{s}m2"),
+            _pq_assign_sql(f"s{s}", f"s{s}c2", f"s{s}af"),
+            f"qs{s} AS (SELECT v AS qv FROM s{s} WHERE vec_id = {QUERY_VEC_ID})",
+            f"""d{s} AS (
+  SELECT af.vec_id,
+         {_DDB_D2.format(a="qs.qv", b="c.cv")} AS d
+  FROM s{s}af af JOIN s{s}c2 c ON af.cluster = c.cid, qs{s} qs
+)""",
+        ]
+        parts.extend(blocks)
+        d_exprs.append(f"d{s}.d")
+    joins = " ".join(f"JOIN d{s} USING (vec_id)" for s in range(1, PQD_M))
+    approx = " + ".join(d_exprs)
+    cos = _DDB_COS.format(a="e.raw", b="qf.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+nrm AS (SELECT vec_id, raw, sqrt(list_dot_product(raw, raw)) AS nm FROM e),
+vn AS (
+  SELECT vec_id,
+         CASE WHEN nm > 0 THEN list_transform(raw, x -> x / nm)
+              ELSE raw END AS v
+  FROM nrm
+),
+{",".join(parts)},
+adc AS (
+  SELECT d0.vec_id, {approx} AS approx
+  FROM d0 {joins}
+),
+cand AS (
+  SELECT vec_id, approx FROM adc
+  WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY approx ASC, vec_id
+  LIMIT {PQD_CAND}
+),
+qf AS (SELECT raw AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT cand.vec_id,
+       CAST(ROUND(CAST(cand.approx AS DECIMAL(38,9)), 6) AS DOUBLE) AS adc_d2,
+       CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+FROM cand JOIN e ON e.vec_id = cand.vec_id, qf
+ORDER BY cosine DESC, cand.vec_id
+LIMIT {TOP_K}
+"""
+
+
+ANN_PQ_TOPK_SQL = _ann_pq_sql()
 
 
 # --- per-dimension standardization (feature whitening for ANN/clustering) -----
@@ -2581,9 +2755,10 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",),
           "trained-centroid IVF top-k (oracle unrolls the deterministic "
           "Lloyd's training loop)"),
-    Query("ann_pq_topk", ann_pq_topk, None,
+    Query("ann_pq_topk", ann_pq_topk, ANN_PQ_TOPK_SQL,
           ("similarity_search_topk",),
-          "product-quantization ADC top-k + exact re-rank (rows-only)"),
+          "derandomized product-quantization ADC top-k + exact re-rank "
+          "(oracle unrolls 4 subspace Lloyd codebooks, encoding, ADC)"),
     Query("embedding_lsh_neardup_pairs", embedding_lsh_neardup_pairs,
           EMBEDDING_LSH_NEARDUP_PAIRS_SQL,
           ("near_dedup", "similarity_search_topk"),

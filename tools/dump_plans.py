@@ -36,7 +36,7 @@ SHOWCASE = [
     ("incremental_rollup_hourly", "finalize read over the materialized rollup (partition-pruned scan, no raw-fact rescan)"),
     ("curation_funnel", "whole curation pipeline as one lineage: fingerprint agg + hashed-key gram join, map-side counts"),
     ("semantic_dedup_pairs", "SemDeDup: zero-shuffle centroid assignment, one bucket-grouping shuffle for in-cluster pairs, exact verify"),
-    ("ann_pq_topk", "PQ ADC: code-column scan + closure lookup table, single-row broadcast only for the exact re-rank"),
+    ("ann_pq_topk", "derandomized PQ: 4 subspace Lloyd codebooks (broadcast packs), narrow argmin encode, K-row ADC joins, 20-candidate exact re-rank — oracle-proven end to end (r5)"),
     ("rag_chunk_spans", "overlapping chunker: narrow per-row explode with bounded fan-out, no shuffle"),
     ("value_histogram", "fixed-bin histogram: map-side partial agg, one exchange on (type, bin)"),
     ("ewma_value_smooth", "truncated EWMA: K lags through ONE per-key window sort, no recurrence"),
