@@ -1849,19 +1849,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {cand} best candidates, exact-cosine re-rank on the raw floats.
 
     Scale shape: training state is O(M x K x dim) (broadcast packs);
-    encoding is the narrow argmin projection per subspace; ADC attaches
-    via K-row joins; only the {cand}-row candidate set touches float
-    vectors again. The production tier (operators/pq.py) is the same
-    pipeline with ML-trained codebooks and Arrow-batched kernels; this
-    query pins the PQ MATH (training, encoding, ADC, re-rank order)
-    cross-engine."""
-    from functools import reduce
-
-    from ..operators.similarity import (
-        assign_to_centroids_euclidean,
-        lloyd_kmeans_centroids,
-    )
-
+    all M codebooks train in ONE grouped Lloyd loop over
+    subspace-tagged rows (the centroid pack is a broadcast map
+    s -> [(cid, cv)], the argmin stays a narrow transform/array_max
+    projection, and each round is ONE mean-update aggregate over
+    (s, cluster, dim) — 2 lineage checkpoints total instead of 2 per
+    subspace); encoding falls out of the final assignment; ADC attaches
+    via (s, cluster)-keyed joins; only the {cand}-row candidate set
+    touches float vectors again. The production tier (operators/pq.py)
+    is the same pipeline with ML-trained codebooks and Arrow-batched
+    kernels; this query pins the PQ MATH (training, encoding, ADC,
+    re-rank order) cross-engine."""
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     assert dim % PQD_M == 0, (dim, PQD_M)
@@ -1878,27 +1876,98 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("_v")),
         ).select("vec_id", "_vn")
     )
-    dists = []
-    for s in range(PQD_M):
-        sub = base.select(
-            "vec_id", F.slice("_vn", s * w + 1, w).alias("embedding")
-        )
-        cents = lloyd_kmeans_centroids(sub, PQD_K, PQD_ITERS)
-        code = assign_to_centroids_euclidean(sub, cents).select(
-            "vec_id", "cluster", F.col("embedding").alias("_sv")
-        )
-        qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").cast("array<double>").alias("_qs")
-        )
-        dists.append(
-            code.join(
-                F.broadcast(cents.select(F.col("cid").alias("cluster"), "cv")),
-                "cluster",
+    # subspace-tagged rows: (vec_id, s, v) — one frame trains all M
+    # codebooks together; values are identical to M independent loops
+    # because every aggregate and argmin is keyed by s.
+    sub = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("_vn", s * w + 1, w).alias("v"),
+                    )
+                    for s in range(PQD_M)
+                ]
             )
-            .crossJoin(F.broadcast(qsub))
-            .select("vec_id", dist2_raw(F.col("_qs"), F.col("cv")).alias(f"_d{s}"))
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.v")
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        pack = (
+            cents.groupBy("s")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+                ).alias("lst")
+            )
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("s", "lst"))
+                ).alias("_cm")
+            )
         )
-    adc = reduce(lambda a, b: a.join(b, "vec_id"), dists)
+        scored = F.transform(
+            F.element_at(F.col("_cm"), F.col("s")),
+            lambda c: F.struct(
+                (-dist2_raw(F.col("v"), c["cv"])).alias("d"),
+                (-c["cid"]).alias("t"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return sub.crossJoin(F.broadcast(pack)).select(
+            "vec_id", "s", "v", F.array_max(scored)["cid"].alias("cluster")
+        )
+
+    cents = sub.filter(F.col("vec_id") < PQD_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(PQD_ITERS):
+        asg = _assign(cents)
+        means = (
+            asg.select("s", "cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("s", "cluster", "dim")
+            .agg(
+                F.round(F.avg("val").cast("decimal(38,9)"), 6)
+                .cast("double")
+                .alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("s", "cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+            .select("s", F.col("cluster").alias("cid"), "cv")
+            .localCheckpoint(eager=True)  # M x K rows; truncates lineage
+        )
+    codes = _assign(cents).select("vec_id", "s", "cluster")
+    qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("s").alias("_qs_s"), F.col("v").alias("_qs")
+    )
+    d = (
+        codes.join(
+            F.broadcast(
+                cents.select("s", F.col("cid").alias("cluster"), "cv")
+            ),
+            ["s", "cluster"],
+        )
+        .join(F.broadcast(qsub), F.col("s") == F.col("_qs_s"))
+        .select("vec_id", "s", dist2_raw(F.col("_qs"), F.col("cv")).alias("d"))
+    )
+    # one row per (vec, s): conditional sums pick each subspace's term,
+    # then a FIXED-ORDER left-assoc add mirrors the twin exactly (a
+    # plain SUM over doubles would add in nondeterministic order)
+    adc = d.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("d"))).alias(f"_d{s}")
+            for s in range(PQD_M)
+        ]
+    )
     approx = None
     for s in range(PQD_M):  # left-assoc sum, mirrored in the twin
         approx = F.col(f"_d{s}") if approx is None else approx + F.col(f"_d{s}")
