@@ -92,3 +92,48 @@ def test_global_rank_cumsum_rejects_float_sum_col(spark):
 
     with pytest.raises(ValueError, match="integral"):
         global_rank_cumsum(df, [F.col("k").asc()], "v")
+
+
+def test_ordered_machinery_property(spark):
+    """Property check across adversarial shapes: heavy duplicates, tiny
+    frames, n < tiles, and partition counts that don't divide the data
+    — rank, NTILE and running sums must match the window functions on
+    every one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        mod=st.integers(min_value=1, max_value=9),
+        parts=st.integers(min_value=1, max_value=7),
+        tiles=st.integers(min_value=1, max_value=5),
+    )
+    def check(n, mod, parts, tiles):
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+                .cast("long")
+                % mod
+            ).alias("metric"),
+        ).repartition(parts)
+        order = [F.col("metric").desc(), F.col("k").asc()]
+        w = Window.orderBy(F.desc("metric"), "k")
+        got_t, _ = global_ntile(df, order, tiles, "t")
+        want_t = df.select("k", F.ntile(tiles).over(w).alias("t"))
+        assert got_t.select("k", "t").subtract(want_t).count() == 0
+        got_rc, total = global_rank_cumsum(df, order, "metric")
+        want_rc = df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.sum("metric").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        )
+        assert got_rc.select("k", "rank", "cum").subtract(want_rc).count() == 0
+        assert total == (df.agg(F.sum("metric")).collect()[0][0] or 0)
+
+    check()
