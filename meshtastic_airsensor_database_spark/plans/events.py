@@ -777,20 +777,37 @@ FROM nodes GROUP BY user_id
 # --- mergeable-sketch distinct rollup -----------------------------------------
 
 
+# A SINGLE default (lgConfigK=12) HLL sketch is exact through 512
+# distinct values, but the UNION of daily partials promotes to the
+# estimating HLL mode earlier (measured: merged 30-day sketches exact
+# through 350 distincts, estimating at 400). 256 keeps the bounded
+# subject safely inside the merged-path exact regime at every scale
+# factor.
+HLL_EXACT_USER_BOUND = 256
+
+
 def hll_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type computed the INCREMENTAL way: one
     HLL sketch per (event_type, day) partial — the artifact a pipeline
     materializes once per ingest day — merged and estimated at query
-    time (operators/sketch.py). At oracle scale the sketches sit in
-    HLL's exact sparse regime, so the estimate equals DuckDB's exact
-    COUNT(DISTINCT) and the hash match proves the whole
-    partial->merge->estimate path; beyond the sparse threshold the
-    same plan degrades gracefully to ~1.6% rse estimates
-    (tolerance-tested in tests/test_sketch.py, where mergeability
+    time (operators/sketch.py).
+
+    The sketched SUBJECT is bounded to user_id < {bound} on both
+    engines (the declared-sample convention of the all-pairs family):
+    per-type cardinality then stays inside the MERGED sketch's exact
+    list/set regime (measured: a single lgConfigK=12 sketch is exact
+    through 512 distincts but the union of 30 daily partials promotes
+    to estimation at ~400), so the estimate equals DuckDB's
+    exact COUNT(DISTINCT) at EVERY scale factor and the hash match
+    proves the whole partial->merge->estimate path — an unbounded
+    subject made the twin silently scale-fragile: green at sf0.01,
+    1488-vs-1500 at sf0.1 (caught by the r5 full-sf0.1 sweep). The
+    unbounded production path degrades gracefully to ~1.6% rse and is
+    tolerance-tested in tests/test_sketch.py, where mergeability
     itself — union of partials == single-pass sketch — is asserted
-    exactly at any size).
+    exactly at any size.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < HLL_EXACT_USER_BOUND)
     partials = hll_partial_sketches(
         ev, ["event_type"], "user_id", F.to_date("ts"), "day"
     )
@@ -803,12 +820,13 @@ def hll_distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_DISTINCT_USERS_ROLLUP_SQL = """
+HLL_DISTINCT_USERS_ROLLUP_SQL = f"""
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_buckets
 FROM events
+WHERE user_id < {HLL_EXACT_USER_BOUND}
 GROUP BY event_type
 """
 
