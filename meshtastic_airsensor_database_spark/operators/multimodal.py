@@ -365,9 +365,11 @@ def frame_sample_udtf(
         f"SELECT s.media_id, s.frame_idx, s.frame "
         f"FROM {view} m, LATERAL {fn}(m.media_id, m.content) s"
     )
-    # The resolved logical plan no longer needs the catalog entry; drop
-    # the temp view so the per-call name does not accumulate.
+    # The resolved logical plan no longer needs either catalog entry;
+    # drop BOTH the temp view and the temp function so the per-call
+    # names do not accumulate in long-lived sessions.
     spark.catalog.dropTempView(view)
+    spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn}")
     return out
 
 

@@ -42,7 +42,16 @@ def ranged_frame(
     df: DataFrame, order_exprs: list[Column], n_parts: int | None = None
 ) -> DataFrame:
     """One range shuffle on the total order, sorted within partitions,
-    materialized so every downstream pass reads the SAME partitioning."""
+    materialized so every downstream pass reads the SAME partitioning.
+
+    Reliability note: ``localCheckpoint`` blocks live only on executors
+    — losing an executor mid-query makes the pinned RDD unrecoverable
+    and FAILS the job (it cannot silently recompute into a different
+    partitioning, which is exactly the property the two-pass plan
+    needs, but it costs retry-from-scratch on executor loss). For
+    long-running production jobs on preemptible nodes, swap in a
+    reliable ``df.checkpoint()`` against a durable checkpoint dir; the
+    two passes only require that both read ONE materialized layout."""
     spark = df.sparkSession
     p = n_parts or max(int(spark.sparkContext.defaultParallelism), 1)
     return (
@@ -137,7 +146,11 @@ def global_rank_cumsum(
     through each partition's batches (they arrive in order). Returns
     (frame + rank + cum, grand total). ``sum_col`` must be integral —
     int64 cumsum is exact regardless of accumulation grouping, so the
-    result is bit-identical to the serial SQL window."""
+    result is bit-identical to the serial SQL window. NULLs in
+    ``sum_col`` count as 0 in BOTH passes (the offsets aggregate sums
+    NULL-skipping like SQL; the Arrow kernel fills nulls with 0 before
+    the int64 cast — a null-bearing int column otherwise arrives as
+    float64 with NaN, whose int64 cast is undefined)."""
     import numpy as np
     import pyarrow as pa
 
@@ -170,7 +183,10 @@ def global_rank_cumsum(
             if r_base is None:  # one partition per op() invocation
                 pid = b.column(pid_idx)[0].as_py()
                 r_base, c_base = rank_offsets[pid], cum_off[pid]
-            vals = b.column(sum_idx).to_numpy(zero_copy_only=False).astype(np.int64)
+            s_col = b.column(sum_idx)
+            if s_col.null_count:  # NULL counts as 0, matching the offsets pass
+                s_col = s_col.fill_null(0)
+            vals = s_col.to_numpy(zero_copy_only=False).astype(np.int64)
             cums = np.cumsum(vals) + c_base
             ranks = np.arange(1, len(vals) + 1, dtype=np.int64) + r_base
             c_base = int(cums[-1])

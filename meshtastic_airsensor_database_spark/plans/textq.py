@@ -1699,6 +1699,12 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_inst"),
         F.count_distinct("doc_id").alias("_df_part"),
     )
+    # df = SUM of per-source distinct-doc counts — exact ONLY under the
+    # one-source-per-doc contract (documents.source is a scalar column,
+    # so a doc_id occurs under exactly one source; asserted in
+    # tests/test_text.py). A future multi-source schema would
+    # double-count df here and must switch to count_distinct over
+    # (tok, doc_id) directly.
     tok_df = per_tok_src.groupBy("tok").agg(
         F.sum("_df_part").alias("df")
     )

@@ -1000,8 +1000,9 @@ def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 scale tier is operators/dedup.py::minhash_lsh_candidates
     with the identical bucket-grouping plan shape (one shuffle on the
     band key, no self-join of the signature pipeline,
-    degenerate-bucket cap) — the cap cannot bind at oracle scale
-    (|documents| at sf<=0.01 is 500 < MAX_BUCKET).
+    degenerate-bucket cap) — and the twin mirrors the cap via QUALIFY,
+    so parity holds at every scale factor (at sf<=0.01 it cannot bind:
+    |documents| = 500 < MAX_BUCKET).
     """
     from ..operators.dedup import pairs_within_buckets
 
@@ -1056,8 +1057,15 @@ sk AS (
          {_MHJ_MINS_SQL}
   FROM dig
 ),
-bands AS (
+bands_raw AS (
 {band_rows}
+),
+-- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET=1000):
+-- Spark drops whole buckets above the cap, so the twin must too or a
+-- degenerate band key at larger SF makes Spark drop pairs the oracle keeps
+bands AS (
+  SELECT * FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
@@ -1531,9 +1539,10 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections, banding, bucket-grouped candidate generation, exact
     verify — has a DuckDB twin (r4 verdict rows-only-shrink item). The
     xxhash64/Arrow-matmul tier lives in operators/similarity.py::
-    hyperplane_neardup_pairs with the identical shape. The twin omits
-    only the degenerate-bucket cap (MAX_BUCKET=1000), which cannot bind
-    at oracle scale (|embeddings| at sf<=0.01 is 200 < the cap).
+    hyperplane_neardup_pairs with the identical shape. The twin also
+    mirrors the degenerate-bucket cap (MAX_BUCKET=1000) via QUALIFY, so
+    parity holds at EVERY scale factor, not just the sf<=0.01 corpus
+    where the cap cannot bind.
     """
     from ..operators.dedup import pairs_within_buckets
 
@@ -1605,10 +1614,16 @@ bkt AS (
          ({bucket}) AS bkt
   FROM e
 ),
-bands AS (
+bands_raw AS (
   SELECT vec_id, CAST(b AS INTEGER) AS band_idx,
          (bkt >> (CAST(b AS INTEGER) * {LSH_ND_BAND_BITS})) & {mask} AS band_hash
   FROM bkt, UNNEST(range(0, {LSH_ND_BANDS})) AS u(b)
+),
+-- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET=1000)
+-- so the parity claim holds at every scale factor, not just sf<=0.01
+bands AS (
+  SELECT * FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
 ),
 p AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

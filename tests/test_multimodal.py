@@ -238,6 +238,11 @@ def test_frame_sample_udtf_calls_do_not_clobber_each_other(spark):
     leftover = [t.name for t in spark.catalog.listTables()
                 if t.name.startswith("_frame_src")]
     assert leftover == []
+    # r5-ADVICE fix: the per-call FUNCTION registration must be dropped
+    # too, or long-lived sessions accumulate catalog entries unboundedly
+    leftover_fns = [f.name for f in spark.catalog.listFunctions()
+                    if f.name.startswith("_frame_sample_udtf")]
+    assert leftover_fns == []
 
 
 def test_resize_media_skips_null_meta_rows(spark):

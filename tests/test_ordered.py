@@ -86,6 +86,29 @@ def test_global_rank_cumsum_matches_window(spark):
     assert want.subtract(got.select("k", "rnk", "cum")).count() == 0
 
 
+def test_global_rank_cumsum_null_sum_counts_as_zero(spark):
+    """A NULL-bearing integral sum_col must NOT corrupt the running sum:
+    nulls arrive in the Arrow pass as a float64 NaN array whose int64
+    cast is undefined — the kernel fills nulls with 0, matching the
+    NULL-skipping F.sum in the offsets pass (and SQL window SUM)."""
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.col("id") % 13).cast("long").alias("metric"),
+    )
+    got, total = global_rank_cumsum(df, [F.col("k").asc()], "metric")
+    w = Window.orderBy("k")
+    want = df.select(
+        "k",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum(F.coalesce("metric", F.lit(0)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    assert total == df.agg(F.sum("metric")).collect()[0][0]
+    assert got.select("k", "rank", "cum").subtract(want).count() == 0
+    assert want.subtract(got.select("k", "rank", "cum")).count() == 0
+
+
 def test_global_rank_cumsum_rejects_float_sum_col(spark):
     df = spark.range(10).select(F.col("id").alias("k"), F.rand(7).alias("v"))
     import pytest

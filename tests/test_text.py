@@ -290,3 +290,19 @@ def test_sentiment_score_known_values(spark):
     assert got[3] == 0.0            # no lexicon hits
     assert got[4] == 0.0            # empty text guard
     assert abs(got[5] - (2 - 1) / 3) < 1e-12  # case-insensitive
+
+
+def test_documents_one_source_per_doc_contract(spark, sf_dir):
+    """oov_rate_by_source computes token document-frequency as the SUM
+    of per-source distinct-doc counts (plans/textq.py) — exact only
+    while each doc_id carries exactly one source. Pin that contract on
+    the fixture schema so a future multi-source layout fails loudly
+    here instead of silently overcounting df."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    docs = load(spark, sf_dir, "documents")
+    assert dict(docs.dtypes)["source"] == "string"  # scalar, not array
+    n, nd = docs.agg(
+        F.count(F.lit(1)), F.count_distinct("doc_id")
+    ).collect()[0]
+    assert n == nd  # unique doc_id => one (doc_id, source) pair per doc
