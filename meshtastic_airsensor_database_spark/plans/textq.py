@@ -842,15 +842,19 @@ LIMIT {BM25_TOPK}
 # --- iterative BPE training (the full loop; one round = bpe_merge_candidates) -
 
 BPE_TRAIN_ROUNDS = 8
+BPE_MIN_PAIR_COUNT = 2  # train_bpe_merges' default early-stop threshold
 
 
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ordered merge list a BPE tokenizer learns on the corpus:
     ``BPE_TRAIN_ROUNDS`` rounds of count-argmax-merge over the word
     vocabulary (operators/bpetrain.py). Iterative with a 1-row driver
-    collect per round — not SQL-expressible, so rows-only here; the
-    exactness contract is tests/test_bpetrain.py, which reproduces a
-    serial pure-Python trainer merge-for-merge.
+    collect per round — but DETERMINISTIC (count desc, left, right
+    tie-break), so the twin unrolls the loop as chained CTEs, one
+    (pair-count, argmax, greedy-fold-merge) block per round — the same
+    unroll discipline that twinned Lloyd's k-means and PQ. Serial
+    pure-Python trainer parity additionally pinned merge-for-merge in
+    tests/test_bpetrain.py.
     """
     from ..operators.bpetrain import bpe_merges_df
 
@@ -862,13 +866,94 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE on the corpus, encode its vocabulary with the learned
     merges, and report corpus-weighted compression (symbols per char) —
     the end-to-end tokenizer lifecycle (train -> encode -> measure).
-    Rows-only (the merge list comes from the iterative loop); encode
-    exactness vs a serial reference is pinned in tests/test_bpetrain.py.
+    The twin reuses the unrolled training CTEs: the vocabulary after
+    round N of progressive training IS the encode of the initial
+    vocabulary under the learned merge list (both apply merges 1..N in
+    rank order), so the final-round frame aggregates directly.
     """
     from ..operators.bpetrain import bpe_encode_stats
 
     docs = load(spark, sf_dir, "documents")
     return bpe_encode_stats(docs, "text", n_merges=BPE_TRAIN_ROUNDS)
+
+
+def _bpe_twin_sql(final: str) -> str:
+    """Unrolled-loop DuckDB twin of operators/bpetrain.py: round k =
+    adjacent-pair count over v{k-1} (GROUP BY + wc-weighted SUM), the
+    deterministic argmax (n DESC, a, b — exactly train_bpe_merges' tie
+    break, with the min-pair-count early stop: an empty m{k} leaves the
+    vocab unchanged via LEFT JOIN, so later rounds stay empty too, just
+    like the loop's break), then the greedy left-to-right fold applied
+    to every word: list_reduce over single-symbol lists with an
+    explicit []-init (list_prepend), merging when the accumulator's
+    tail equals `left` and the incoming symbol equals `right` — the
+    bit-identical mirror of apply_merge's F.aggregate lambda.
+    ``final`` is a format string receiving {merges} (the 8-round UNION
+    ALL of argmax rows) and {vfinal} (the fully-merged vocab CTE)."""
+    parts = [
+        """
+words AS (
+  SELECT tok AS w FROM (
+    SELECT string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+') AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+  WHERE length(tok) >= 2
+),
+v0 AS (
+  SELECT list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms,
+         CAST(COUNT(*) AS BIGINT) AS wc
+  FROM words GROUP BY w
+)"""
+    ]
+    merge_rows = []
+    prev = "v0"
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(
+            f"""
+p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS n
+  FROM {prev}, UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT a, b, n FROM p{k} WHERE n >= {BPE_MIN_PAIR_COUNT}
+  ORDER BY n DESC, a, b LIMIT 1
+),
+v{k} AS (
+  SELECT CASE WHEN m.a IS NULL THEN v.syms ELSE
+    list_reduce(
+      list_prepend(CAST([] AS VARCHAR[]), list_transform(v.syms, s -> [s])),
+      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.a AND x[1] = m.b
+                  THEN list_append(list_slice(acc, 1, len(acc) - 1), m.a || m.b)
+                  ELSE list_append(acc, x[1]) END
+    ) END AS syms, v.wc
+  FROM {prev} v LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+        merge_rows.append(
+            f'SELECT CAST({k} AS BIGINT) AS "rank", a AS "left",'
+            f' b AS "right", n FROM m{k}'
+        )
+        prev = f"v{k}"
+    return "WITH " + ",".join(parts) + final.format(
+        merges="\nUNION ALL\n".join(merge_rows), vfinal=prev
+    )
+
+
+BPE_LEARNED_MERGES_SQL = _bpe_twin_sql("\n{merges}")
+
+BPE_ENCODE_COMPRESSION_SQL = _bpe_twin_sql(
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+       CAST(SUM(list_sum(list_transform(syms, s -> length(s))) * wc) AS BIGINT)
+         AS chars_weighted,
+       CAST(SUM(len(syms) * wc) AS BIGINT) AS symbols_weighted,
+       CAST(ROUND(CAST(CAST(SUM(len(syms) * wc) AS DOUBLE)
+         / CAST(SUM(list_sum(list_transform(syms, s -> length(s))) * wc) AS DOUBLE)
+         AS DECIMAL(38,9)), 4) AS DOUBLE) AS compression_ratio
+FROM {vfinal}"""
+)
 
 
 # --- RAG chunking: overlapping fixed-size token windows -----------------------
@@ -1840,11 +1925,13 @@ QUERIES: list[Query] = [
           ("text_analysis",),
           "BPE tokenizer-training round: adjacent char-pair counts over "
           "the vocabulary, word-frequency weighted"),
-    Query("bpe_learned_merges", bpe_learned_merges, None,
+    Query("bpe_learned_merges", bpe_learned_merges, BPE_LEARNED_MERGES_SQL,
           ("text_analysis",),
           "full iterative BPE training loop (count-argmax-merge x8, "
-          "O(vocab) per round; serial-trainer parity in pytest)"),
-    Query("bpe_encode_compression", bpe_encode_compression, None,
+          "O(vocab) per round; unrolled-CTE exact twin + serial-trainer "
+          "parity in pytest)"),
+    Query("bpe_encode_compression", bpe_encode_compression,
+          BPE_ENCODE_COMPRESSION_SQL,
           ("text_analysis",),
           "end-to-end tokenizer lifecycle: train BPE, encode the "
           "vocabulary, report corpus-weighted compression"),
