@@ -188,6 +188,179 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     return t2 - t0, t2 - t1
 
 
+def gen_packets(n: int, seed_ts: int = 1760748000) -> list[str]:
+    """Deterministic synthetic packet stream shaped like the golden
+    fixtures (tests/fixtures.py): an 8-node fleet emitting v0 env
+    telemetry (55%), battery telemetry (15%), v1 CSV-text payloads
+    (15%), nodeinfo dim updates (5%), unknown types routed to
+    quarantine (3%), mesh re-broadcast duplicates (~7%), and a sprinkle
+    of corrupt JSON — every route of process_packet_batch carries
+    load. Pure index arithmetic, no RNG: reruns are bit-identical."""
+    nodes = [
+        (3127201152, "!ba654d80"), (2102560288, "!7d54e620"),
+        (3127248732, "!ba660b5c"), (1129728980, "!43579bd4"),
+        (912345678, "!3661ae4e"), (2345678901, "!8bd03735"),
+        (3456789012, "!ce0a3a14"), (1234567890, "!499602d2"),
+    ]
+    lines: list[str] = []
+    last_good = ""
+    for i in range(n):
+        frm, sender = nodes[i % len(nodes)]
+        base = {
+            "channel": 0, "from": frm, "sender": sender,
+            "to": 4294967295, "id": 10_000 + i,
+            "timestamp": seed_ts + (i // len(nodes)) * 30,
+        }
+        # 37 is coprime with 100: every residue class appears once per
+        # 100 packets (same mix proportions), but classes INTERLEAVE —
+        # so re-broadcast dupes copy a varied last_good (env, battery,
+        # text, nodeinfo), not always the same neighbor class.
+        m = (i * 37) % 100
+        if m < 55:
+            base["type"] = "telemetry"
+            base["payload"] = {
+                "temperature": 15.0 + (i % 200) / 10.0,
+                "relative_humidity": 30.0 + (i % 500) / 10.0,
+                "barometric_pressure": 990.0 + (i % 300) / 10.0,
+                "gas_resistance": 100.0 + (i % 90),
+                "iaq": 20 + (i % 150),
+            }
+        elif m < 70:
+            base["type"] = "telemetry"
+            base["payload"] = {
+                "battery_level": float(i % 101),
+                "voltage": 3.2 + (i % 10) / 10.0,
+                "uptime_seconds": i,
+            }
+        elif m < 85:
+            base["type"] = "text"
+            vals = [
+                15.0 + (i % 200) / 10.0, 30.0 + (i % 500) / 10.0,
+                990.0 + (i % 300) / 10.0, 50.0 + (i % 90), 1.0,
+                2.5, 10.0, 4.9, 100.0 + (i % 50),
+            ]
+            base["payload"] = {"text": ",".join(f"{v:.1f}" for v in vals) + "\n"}
+        elif m < 90:
+            base["type"] = "nodeinfo"
+            base["payload"] = {
+                "id": sender,
+                "longname": f"Node{i % len(nodes)}",
+                "shortname": f"N{i % len(nodes)}",
+            }
+        elif m < 93:
+            base["type"] = "position"  # unknown type -> quarantine route
+            base["payload"] = {}
+        elif m < 94:
+            lines.append('{"from": 123, "type": "telemetry", ')  # corrupt
+            continue
+        else:
+            # mesh re-broadcast: duplicate the last PARSEABLE line
+            # verbatim (same composite [from, id] key -> real load on
+            # the dedup operator, not another corrupt-JSON copy)
+            lines.append(last_good or json.dumps(base))
+            continue
+        last_good = json.dumps(base)
+        lines.append(last_good)
+    return lines
+
+
+def streaming_main() -> None:
+    """`bench.py --streaming`: replay synthetic packet volumes through
+    the REAL ingest stream (packet_stream_source -> watermarked
+    cross-batch dedup -> route/enrich -> partitioned parquet facts +
+    rollup maintenance + quarantine) and report rows/s plus per-micro-
+    batch latency at each volume. Deterministic input (gen_packets);
+    processAllAvailable bounds the run. Writes bench_stream.json."""
+    import shutil
+    import tempfile
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        IngestPaths,
+        run_ingest_stream,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        write_packet_fixture,
+    )
+
+    spark = get_spark("bench-stream")
+    vols = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_STREAM_VOLS", "20000,80000").split(",")
+    ]
+    n_files, mfpt = 24, 4  # 24 landing files, 4 per trigger -> 6 micro-batches
+    runs = []
+    for vol in vols:
+        root = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            paths = IngestPaths(
+                os.path.join(root, "landing"), os.path.join(root, "out")
+            )
+            lines = gen_packets(vol)
+            per = (len(lines) + n_files - 1) // n_files
+            base_t = time.time() - 2 * n_files
+            for fi in range(n_files):
+                chunk = lines[fi * per : (fi + 1) * per]
+                if chunk:
+                    p = write_packet_fixture(
+                        paths.landing_dir, chunk, f"b{fi:03d}.jsonl"
+                    )
+                    # Space file mtimes 2s apart (the bridge's real
+                    # file-rolling cadence): the file source orders by
+                    # ms-granular mtime, and 24 back-to-back writes tie,
+                    # scrambling order — event time then regresses
+                    # across micro-batches and the watermark drops the
+                    # "late" rows, making throughput/row counts
+                    # nondeterministic.
+                    os.utime(p, (base_t + 2 * fi, base_t + 2 * fi))
+            t0 = time.time()
+            q = run_ingest_stream(
+                spark,
+                paths,
+                max_files_per_trigger=mfpt,
+                dedup_within_watermark=True,
+            )
+            q.processAllAvailable()
+            wall = time.time() - t0
+            prog = [
+                p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
+            ]
+            q.stop()
+            batch_ms = sorted(
+                p["durationMs"]["triggerExecution"] for p in prog
+            )
+            fact_rows = {
+                t: spark.read.parquet(paths.table(t)).count()
+                for t in ("airwise_data", "battery_data", "airwise_datav1")
+            }
+            runs.append(
+                {
+                    "packets": len(lines),
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": round(len(lines) / wall, 1),
+                    "micro_batches": len(batch_ms),
+                    "batch_ms_p50": batch_ms[len(batch_ms) // 2] if batch_ms else None,
+                    "batch_ms_max": batch_ms[-1] if batch_ms else None,
+                    "fact_rows": fact_rows,
+                }
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    full = {
+        "metric": "streaming_ingest_rows_per_sec",
+        "value": runs[-1]["rows_per_sec"] if runs else None,
+        "unit": "rows/sec",
+        "runs": runs,
+        "calibration_sec": calibration(spark),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_stream.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    print(json.dumps(full))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -264,4 +437,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--streaming" in sys.argv:
+        streaming_main()
+    else:
+        main()
