@@ -1389,9 +1389,16 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to one row per doc (only (id, 64 ints) shuffle — bodies
     never move), sign/mask packing is a narrow projection.
     """
+    docs = load(spark, sf_dir, "documents")
+    return md5_simhash_buckets(docs)
+
+
+def md5_simhash_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band_0..3) on the md5 hex-digit bit basis —
+    the reusable core of ``simhash_dedup_buckets`` (property-tested
+    against a pure-Python model in tests/test_sketch_property.py)."""
     from ..functions.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         "doc_id",
         F.explode_outer(
