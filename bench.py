@@ -385,17 +385,22 @@ def main() -> None:
     # query): machine-load bursts last seconds, so consecutive runs of
     # one query share the same burst — sweeping decorrelates the noise
     # each min() sees at identical total cost.
-    timings: dict[str, float] = {}
-    action: dict[str, float] = {}
-    for _ in range(3):
-        for name in BENCH_QUERIES:
-            t, ta = run_query(spark, name, sf_dir)
-            if name not in timings or t < timings[name]:
-                timings[name] = t
-            if name not in action or ta < action[name]:
-                action[name] = ta
-    timings = {name: round(t, 3) for name, t in timings.items()}
-    action = {name: round(t, 3) for name, t in action.items()}
+    def min_of_sweeps() -> tuple[dict[str, float], dict[str, float]]:
+        timings: dict[str, float] = {}
+        action: dict[str, float] = {}
+        for _ in range(3):
+            for name in BENCH_QUERIES:
+                t, ta = run_query(spark, name, sf_dir)
+                if name not in timings or t < timings[name]:
+                    timings[name] = t
+                if name not in action or ta < action[name]:
+                    action[name] = ta
+        return (
+            {name: round(t, 3) for name, t in timings.items()},
+            {name: round(t, 3) for name, t in action.items()},
+        )
+
+    timings, action = min_of_sweeps()
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -408,6 +413,24 @@ def main() -> None:
         "sf": sf,
         "calibration_sec": calibration(spark),
     }
+    # SPARK_GRAFT_BENCH_JITTER=1: a SECOND independent min-of-3 block in
+    # the same session, reporting per-query relative spread between the
+    # two minima — the number that adjudicates whether a round-over-
+    # round move is a plan change or the host-noise envelope. (Not run
+    # by the driver: doubles bench cost; run locally when a regression
+    # needs a verdict.)
+    if os.environ.get("SPARK_GRAFT_BENCH_JITTER"):
+        t2, a2 = min_of_sweeps()
+        jitter = {
+            n: round(abs(t2[n] - timings[n]) / max(min(t2[n], timings[n]), 1e-9), 4)
+            for n in timings
+        }
+        js = sorted(jitter.values())
+        full["queries_repeat"] = t2
+        full["queries_action_repeat"] = a2
+        full["jitter_rel"] = jitter
+        full["jitter_rel_median"] = js[len(js) // 2]
+        full["jitter_rel_p90"] = js[int(len(js) * 0.9)]
     # The driver captures a bounded TAIL of stdout: in r4 the single
     # full JSON line (84 per-query timings, ~2.6 KB) outgrew the window
     # and its head was cut off, so the driver's parse came back null.

@@ -30,6 +30,79 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R6 = [
+    # Standing policy (r5 verdict): window = {queries new or changed
+    # this round} ∪ {queries whose plan changed since their last driver
+    # row} ∪ one long-green representative per SURVEY §2 family.
+    # -- r6 new/changed oracles: the BPE loop twinned via unrolled
+    # recursive-style CTEs (rows-only -> exact), and the two LSH twins
+    # that now mirror the MAX_BUCKET degenerate-bucket cap; simhash's
+    # builder was refactored into a reusable frame function.
+    "bpe_learned_merges",
+    "bpe_encode_compression",
+    "minhash_neardup_candidates",
+    "embedding_lsh_neardup_pairs",
+    "simhash_dedup_buckets",
+    # -- ordered-stats consumers: the Arrow cumsum kernel gained the
+    # null-fill fix this round (operators/ordered.py), so every query
+    # planning through it re-records under the current kernel.
+    "pareto_user_share",
+    "token_budget_selection",
+    "rfm_segments",
+    "line_numbering",
+    # -- r5-changed-but-unwindowed (the whole vectorq/curateq/tsq blast
+    # radius the r5 verdict re-swept locally): their LATEST code gets a
+    # driver row, not just the r3/r4 snapshot of it.
+    "embedding_topk_cosine",
+    "embedding_batch_topk",
+    "semantic_dedup_pairs",
+    "hybrid_search_rrf",
+    "hard_negatives_topk",
+    "standardized_embedding_probe",
+    "embedding_neardup_pairs",
+    "hll_distinct_users_rollup",
+    "ccnet_perplexity_buckets",
+    "dsir_sampled_docs",
+    "split_leakage_report",
+    "weighted_quality_sample",
+    "length_grouped_batches",
+    "ann_ivf_topk",
+    "mmr_diversified_topk",
+    "pricing_summary",
+    "value_equidepth_bins",
+    "doc_novelty_scores",
+    "tfidf_top_terms",
+    # (hourly_avg_by_node also changed in r5 but is the flagship: the
+    # driver smoke-checks entry() separately every round.)
+    # -- long-green family representatives (same core as r4/r5:
+    # streaming replay + late data + SCD2, LSH verify, multimodal,
+    # entity resolution, quarantine, rollup routing, sketch, retrieval,
+    # trained ANN, session windows, dedup survivor, CDC, set join).
+    "replay_late_dedup",
+    "replay_dim_history",
+    "minhash_verified_neardups",
+    "multimodal_binary_meta",
+    "fuzzy_name_matches",
+    "replay_quarantine_counts",
+    "daily_rollup_from_hourly",
+    "incremental_distinct_hourly",
+    "bm25_topk_docs",
+    "ann_kmeans_ivf_topk",
+    "session_window_stats",
+    "quality_survivor_docs",
+    "snapshot_diff_customers",
+    "prefix_jaccard_neardups",
+    "source_overlap_jaccard",
+    # -- evidence refresh: oldest banked rows (last driver-checked r4),
+    # one per family, so no green row goes stale beyond two rounds.
+    "cohort_retention",
+    "m4_downsample",
+    "token_drift_psi",
+    "zipf_token_slope",
+    "last_touch_attribution",
+    "value_ks_drift",
+    "time_weighted_avg",
+]
 _DRIVER_WINDOW_R5 = [
     # -- the 22 oracle-green queries that have NEVER had a driver row
     # (the r4 verdict's top ask: after r5 records green, every
@@ -185,18 +258,14 @@ _DRIVER_WINDOW_R4 = [
     "multimodal_binary_meta",
     "fuzzy_name_matches",
 ]
-# r5 rotation rationale: CORRECTNESS_r04 recorded the whole r4 window
-# green, so its never-checked entries are banked and their slots go to
-# (a) the 22 oracle-green never-driver-checked queries listed in the r4
-# verdict, (b) the 4 rows-only->exact-twin upgrades and 3 new queries
-# from this round, (c) two re-records whose PLANS changed this round,
-# and (d) 18 long-green family representatives. After r5 records green,
-# EVERY registered query has at least one driver row; from r6 on the
-# window only needs new work + one rep per family.
-# Rotation queue for r6 (oracle-green, banked driver rows, candidates
-# to rotate back in if their builders change): everything in
-# _DRIVER_WINDOW_R4 that is not in _DRIVER_WINDOW_R5.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R5
+# r6 rotation rationale: CORRECTNESS_r05 recorded the whole r5 window
+# green (50/50), closing the evidence ledger — every registered query
+# now has at least one green driver row. From r6 the standing policy
+# applies: window = {new/changed this round} ∪ {changed since last
+# driver row} ∪ family reps ∪ the oldest banked rows as refresh.
+# Rotation pool (green, banked, rotate back in when their plans
+# change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R6
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -2258,6 +2258,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are preserved exactly (tile = f(rank, total)), so the
     oracle keeps its plain NTILE formulation; the final agg is ≤64
     segments wide.
+
+    The three chained passes each pin their OWN localCheckpoint — this
+    is irreducible, not waste: NTILE needs a total order, and the three
+    orders (recency, frequency, monetary) range-partition differently,
+    so no ranged layout can serve two of them. Each materialization is
+    the slim per-user frame (≤7 narrow columns), never the event scan;
+    see ranged_frame's docstring for the executor-loss trade-off of
+    localCheckpoint vs a reliable checkpoint dir in production.
     """
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(

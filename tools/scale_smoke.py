@@ -402,6 +402,7 @@ def main() -> None:
     from meshtastic_airsensor_database_spark.operators.ordered import (
         global_ntile,
         global_rank_cumsum,
+        global_row_number,
     )
 
     per_user = big_ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
@@ -414,11 +415,40 @@ def main() -> None:
     out["global_ntile"] = {"sec": round(time.time() - t0, 2), "rows": n_tiled}
     spark._jvm.System.gc()
     t0 = time.time()
-    ranked, _ = global_rank_cumsum(
+    ranked, total_rc = global_rank_cumsum(
         per_user, [F.col("n_events").desc(), F.col("user_id").asc()], "n_events"
     )
-    n_ranked = ranked.count()
-    out["global_rank_cumsum"] = {"sec": round(time.time() - t0, 2), "rows": n_ranked}
+    # Bijectivity at smoke scale — the r5 ADVICE regression class (a
+    # re-executed range shuffle re-samples its boundaries, leaving
+    # duplicate/missing ranks that NO small-SF oracle can see): every
+    # rank 1..n exactly once, and the final running sum equals the
+    # grand total. The agg IS the action, so this also times the op.
+    rs = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rank").alias("nd"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+        F.max("cum").alias("cum_last"),
+    ).collect()[0]
+    assert rs["n"] == rs["nd"] == rs["mx"] and rs["mn"] == 1, rs
+    assert rs["cum_last"] == total_rc, (rs["cum_last"], total_rc)
+    out["global_rank_cumsum"] = {"sec": round(time.time() - t0, 2), "rows": rs["n"]}
+    # global_row_number over the EVENT-level frame (millions of rows,
+    # ~100x the per-user frame): dense 0-based/1-based numbering at
+    # corpus scale is the reference's QuerryGenerator.py:11-16 semantics.
+    spark._jvm.System.gc()
+    t0 = time.time()
+    numbered, total_rn, _ = global_row_number(
+        big_ev, [F.col("ts").asc(), F.col("event_id").asc()], "rn"
+    )
+    ns = numbered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rn").alias("nd"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+    ).collect()[0]
+    assert ns["n"] == total_rn == ns["nd"] == ns["mx"] and ns["mn"] == 1, ns
+    out["global_row_number"] = {"sec": round(time.time() - t0, 2), "rows": ns["n"]}
     # Distributed-covariance Gram partials over the factor-x embedding
     # corpus: one numpy matmul per Arrow batch, shuffle bounded at dim^2
     # rows regardless of corpus size. Super-linear time means the
