@@ -435,6 +435,7 @@ def image_neardup_pairs(
     media: DataFrame,
     max_hamming: int = 6,
     n_bands: int = 4,
+    hasher=None,
 ) -> DataFrame:
     """Image near-dup pairs via banded aHash: split the 64-bit hash into
     ``n_bands`` 16-bit bands — pairs within hamming distance
@@ -446,10 +447,12 @@ def image_neardup_pairs(
     reuses the text machinery on perceptual bits. The pair id is the
     (media_id, ahash) STRUCT, so the exact hamming verify reads both
     hashes straight off the pair — the phash decode pipeline runs
-    exactly once and nothing joins back to it."""
+    exactly once and nothing joins back to it. ``hasher`` swaps the
+    float-mean ``image_phash`` for the integer-exact ``image_ahash_int``
+    (the oracle basis) — same contract: media -> (media_id, ahash)."""
     from .dedup import pairs_within_buckets
 
-    hashes = image_phash(media)
+    hashes = (hasher or image_phash)(media)
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     bands = hashes.select(
@@ -477,3 +480,63 @@ def image_neardup_pairs(
         F.col("id_b.media_id").alias("id_b"),
         hamming.alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+AHASH_INT_SIDE = 8  # 8x8 grid -> 64-bit hash, like ahash_bytes
+
+
+def image_ahash_int(media: DataFrame) -> DataFrame:
+    """INTEGER-exact aHash variant: decode the PPM, take the
+    nearest-neighbor 8x8 grid (``resize_nearest``'s index math:
+    source pixel (y*H//8, x*W//8)), cell = r+g+b (integer gray sum),
+    bit y*8+x set iff cell*64 >= sum(cells) — the float mean threshold
+    of ``ahash_bytes`` re-expressed as an all-integer comparison, so
+    the hash is bit-identical in ANY engine. That is what lets the
+    banded image near-dup pipeline carry an exact DuckDB twin
+    (plans/vectorq.py::image_neardup_pairs_exact): the twin re-derives
+    the same cells from the pixel bytes and must reproduce hash, bands
+    and pairs exactly — if decode_ppm mis-parsed the header, stride or
+    channel order, the cross-engine hashes diverge and the driver row
+    goes red. Returns (media_id, ahash); undecodable rows are dropped
+    (malformed_row_skip)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import CodecError, decode_ppm
+
+        s = AHASH_INT_SIDE
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    px = decode_ppm(bytes(content))
+                except CodecError:
+                    continue
+                h_src, w_src = px.shape[:2]
+                ri = (np.arange(s) * h_src // s).clip(0, h_src - 1)
+                ci = (np.arange(s) * w_src // s).clip(0, w_src - 1)
+                cells = px[ri[:, None], ci[None, :]].astype(np.int64).sum(axis=2)
+                total = int(cells.sum())
+                bits = cells.ravel() * (s * s) >= total
+                h = 0
+                for i in range(s * s):
+                    if bits[i]:
+                        h |= 1 << i
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "ahash": h - (1 << 64) if h >= (1 << 63) else h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "content").mapInPandas(op, schema)

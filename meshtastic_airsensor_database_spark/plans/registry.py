@@ -101,7 +101,9 @@ _DRIVER_WINDOW_R6 = [
     "zipf_token_slope",
     "last_touch_attribution",
     "value_ks_drift",
-    "time_weighted_avg",
+    # -- r6 NEW query: the oracle-exact image near-dup (md5 pixels +
+    # integer aHash; PPM roundtrip hash-pinned cross-engine).
+    "image_neardup_pairs_exact",
 ]
 _DRIVER_WINDOW_R5 = [
     # -- the 22 oracle-green queries that have NEVER had a driver row

@@ -574,12 +574,157 @@ def image_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def image_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-aHash image near-dup pairs (rows-only: DuckDB cannot
-    decode PPM; invariants + exact hamming verified in
-    test_multimodal.py). Same one-shuffle banding plan as SimHash."""
+    """Banded-aHash image near-dup pairs (rows-only: the media pixels
+    come from numpy's RandomState, which no SQL engine can replay;
+    invariants + exact hamming verified in test_multimodal.py). Same
+    one-shuffle banding plan as SimHash. The ORACLE-EXACT variant of
+    this whole pipeline is ``image_neardup_pairs_exact`` below."""
     from ..operators.multimodal import image_neardup_pairs
 
     return image_neardup_pairs(image_neardup_media(spark, sf_dir))
+
+
+# --- oracle-exact image near-dup: md5 pixels + integer aHash ------------------
+
+IMG_X_BASES = 40  # docs sharing doc_id % 40 share a base image
+IMG_X_SIDE = 16  # 16x16x3 = 768 bytes = 48 md5 digests of 16 bytes
+IMG_X_DIGESTS = (IMG_X_SIDE * IMG_X_SIDE * 3) // 16
+IMG_X_SALT = "img"
+IMG_X_HAM = 6
+
+
+def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPM media table whose pixels a SQL engine can
+    re-derive: pixel byte k of base image b = byte k%16 of
+    md5('img:{b}:{k//16}') — hashlib bytes Spark-side == hex-pair
+    extraction of DuckDB's md5() string. Pixel (0,0) then takes the
+    per-doc edit (doc_id*37)%256 on all three channels: docs sharing a
+    base are planted near-dups, exactly like image_neardup_media, but
+    on a basis the oracle can replay."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import encode_ppm
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    side, nd = IMG_X_SIDE, IMG_X_DIGESTS
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                base = did % IMG_X_BASES
+                raw = b"".join(
+                    hashlib.md5(f"{IMG_X_SALT}:{base}:{j}".encode()).digest()
+                    for j in range(nd)
+                )
+                px = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .copy()
+                    .reshape(side, side, 3)
+                )
+                px[0, 0] = (did * 37) % 256
+                rows.append({"media_id": did, "content": encode_ppm(px)})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.mapInPandas(synth, "media_id long, content binary")
+
+
+def image_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal near-dup pipeline with an EXACT DuckDB twin
+    (refutes the r5 'no SQL PPM decoder' rows-only justification): md5
+    pixels -> encode_ppm -> decode_ppm -> integer aHash (all-integer
+    threshold, operators/multimodal.py::image_ahash_int) -> 4x16-bit
+    banding -> bucket-grouped candidates -> exact hamming <= {ham}.
+    The twin never touches PPM bytes — it re-derives the same pixels
+    straight from the md5 basis — so a decode_ppm header/stride/channel
+    bug makes Spark's hash diverge from the oracle's: the encode/decode
+    ROUNDTRIP itself is hash-pinned. Scale shape: two narrow
+    mapInPandas passes, one band-key shuffle (degenerate-bucket cap),
+    ids-only pair join; the xxhash-era float tier stays
+    ``image_neardup_pairs``."""
+    from ..operators.multimodal import image_ahash_int, image_neardup_pairs
+
+    media = _md5_image_media(spark, sf_dir)
+    return image_neardup_pairs(
+        media, max_hamming=IMG_X_HAM, hasher=image_ahash_int
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _img_exact_sql() -> str:
+    # flat pixel index of cell ci's channel c: y=ci//8, x=ci%8 map to
+    # source pixel (2y, 2x) [resize_nearest: y*16//8], so
+    # k = ((ci//8)*2*16 + (ci%8)*2)*3 + c; k<=2 is pixel (0,0) = edit.
+    k = "(((ci // 8) * 32 + (ci % 8) * 2) * 3 + c)"
+    byte = (
+        f"CASE WHEN {k} <= 2 THEN edit ELSE "
+        f"CAST(concat('0x', substr(d[{k} // 16 + 1], ({k} % 16) * 2 + 1, 2)) "
+        "AS INTEGER) END"
+    )
+    sign_min = -(1 << 63)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % {IMG_X_BASES} AS base,
+         (doc_id * 37) % 256 AS edit
+  FROM documents
+),
+dg AS (
+  SELECT media_id, edit,
+         list_transform(range(0, {IMG_X_DIGESTS}),
+           j -> md5('{IMG_X_SALT}:' || CAST(base AS VARCHAR) || ':' ||
+                    CAST(j AS VARCHAR))) AS d
+  FROM m
+),
+cl AS (
+  SELECT media_id,
+         list_transform(range(0, 64), ci ->
+           CAST(list_sum(list_transform(range(0, 3), c -> {byte})) AS BIGINT)
+         ) AS cells
+  FROM dg
+),
+h AS (
+  SELECT media_id, cells, list_sum(cells) AS total FROM cl
+),
+sig AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 63),
+           i -> CASE WHEN cells[i + 1] * 64 >= total
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT)
+         + CASE WHEN cells[64] * 64 >= total
+                THEN CAST({sign_min} AS BIGINT) ELSE 0 END AS ahash,
+         list_transform(range(0, 4), k ->
+           CAST(list_sum(list_transform(range(0, 16),
+             j -> CASE WHEN cells[CAST(k AS INTEGER) * 16 + j + 1] * 64 >= total
+                  THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT)) AS bands
+  FROM h
+),
+bands_raw AS (
+  SELECT media_id, CAST(b AS INTEGER) AS band_idx, bands[b + 1] AS band_hash
+  FROM sig, UNNEST(range(0, 4)) AS u(b)
+),
+-- mirror pairs_within_buckets' MAX_BUCKET=1000 degenerate-bucket cap
+bands AS (
+  SELECT * FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+),
+p AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
+  FROM p JOIN sig ha ON ha.media_id = id_a JOIN sig hb ON hb.media_id = id_b
+) WHERE hamming <= {IMG_X_HAM}
+"""
+
+
+IMAGE_NEARDUP_PAIRS_EXACT_SQL = _img_exact_sql()
 
 
 # --- contrastive hard-negative mining -----------------------------------------
@@ -2751,7 +2896,13 @@ QUERIES: list[Query] = [
     Query("image_neardup_pairs", image_neardup_pairs_q, None,
           ("multimodal_columns", "near_dedup"),
           "perceptual-hash (banded aHash) image near-dup pairs over real "
-          "PPM decode (rows-only)"),
+          "PPM decode (rows-only: numpy-RNG pixels)"),
+    Query("image_neardup_pairs_exact", image_neardup_pairs_exact,
+          IMAGE_NEARDUP_PAIRS_EXACT_SQL,
+          ("multimodal_columns", "near_dedup"),
+          "the same pipeline on md5 pixels + integer aHash: PPM "
+          "encode/decode roundtrip, banding and hamming verify all "
+          "hash-pinned by an exact DuckDB twin"),
     Query("hybrid_search_rrf", hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL,
           ("similarity_search_topk", "text_analysis"),
           "hybrid retrieval: keyword tf + vector cosine fused by "

@@ -368,3 +368,41 @@ def test_image_neardup_pairs_end_to_end(spark):
     ).count("1")
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == want_h
+
+
+def test_image_ahash_int_matches_python_model(spark):
+    """The integer-exact aHash (oracle basis of
+    image_neardup_pairs_exact) must equal an independent pure-Python
+    model — nearest-neighbor 8x8 grid, integer gray sums, all-integer
+    threshold, signed-64 packing — and drop undecodable rows."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.functions.codecs import encode_ppm
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        image_ahash_int,
+    )
+
+    def model(px):
+        ri = (np.arange(8) * px.shape[0] // 8).clip(0, px.shape[0] - 1)
+        ci = (np.arange(8) * px.shape[1] // 8).clip(0, px.shape[1] - 1)
+        cells = px[ri[:, None], ci[None, :]].astype(np.int64).sum(axis=2)
+        total = int(cells.sum())
+        h = sum(1 << i for i in range(64) if cells.ravel()[i] * 64 >= total)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rng = np.random.RandomState(7)
+    imgs = {
+        1: rng.randint(0, 256, size=(16, 16, 3)).astype("uint8"),
+        2: rng.randint(0, 256, size=(9, 13, 3)).astype("uint8"),  # odd dims
+        3: np.zeros((8, 8, 3), dtype="uint8"),  # all-equal cells: every
+        # bit set (0*64 >= 0), the tie semantics the twin mirrors
+    }
+    rows = [(k, encode_ppm(v)) for k, v in imgs.items()]
+    rows.append((4, b"not a ppm"))  # malformed -> dropped
+    rows.append((5, None))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["ahash"] for r in image_ahash_int(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for k, px in imgs.items():
+        assert got[k] == model(px), k
+    assert got[3] == -1  # all 64 bits set, signed
