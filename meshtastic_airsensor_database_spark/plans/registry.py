@@ -100,10 +100,11 @@ _DRIVER_WINDOW_R6 = [
     "token_drift_psi",
     "zipf_token_slope",
     "last_touch_attribution",
-    "value_ks_drift",
-    # -- r6 NEW query: the oracle-exact image near-dup (md5 pixels +
-    # integer aHash; PPM roundtrip hash-pinned cross-engine).
+    # -- r6 NEW queries: the oracle-exact image near-dup (md5 pixels +
+    # integer aHash; PPM roundtrip hash-pinned cross-engine) and the
+    # power-iteration PCA twin (derandomized sibling of the eigh tier).
     "image_neardup_pairs_exact",
+    "pca_power_component",
 ]
 _DRIVER_WINDOW_R5 = [
     # -- the 22 oracle-green queries that have NEVER had a driver row

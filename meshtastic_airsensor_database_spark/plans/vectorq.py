@@ -2635,6 +2635,195 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_PI_ITERS = 24
+PCA_PI_SQUARINGS = 5  # iterate on C^32: the synthetic embedding
+# spectrum is near-flat (lambda2/lambda1 ~ 0.99), so plain power
+# iteration needs hundreds of rounds; 5 mirrored matrix squarings give
+# 32x the effective power per iteration (768 total) at O(dim^3) cost
+
+
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component via POWER ITERATION on the rounded
+    covariance grid — the derandomized oracle-basis sibling of the eigh
+    tier (``embedding_pca_coords`` / ``pca_explained_variance`` stay
+    rows-only: LAPACK's eigensolver has no SQL twin, but the power
+    method is just repeated mat-vec + normalize, every op a mirrorable
+    IEEE primitive). Basis: cov(i,j) rounded to 6 decimals via the
+    decimal route (the same cross-engine-identical grid
+    ``embedding_corr_pairs`` is green on at every SF); from there BOTH
+    engines run the SAME exact float64 arithmetic in the SAME fold
+    order — 5 matrix squarings (B = C^32, ascending-k left folds), then
+    24 iterations of u = Bv (ascending-j left fold per row), norm =
+    sqrt(left fold of squares), divide — so no intermediate rounding is
+    needed: the trajectories are bit-identical by construction, and
+    only the OUTPUT rounds. Eigenvalue = Rayleigh quotient v·Cv of the
+    final iterate against the ORIGINAL C; explained ratio = lambda /
+    trace(cov).
+
+    Scale shape: the corpus-touching work is one gram_moments pass
+    (one numpy matmul per Arrow batch, dim²-bounded shuffle); the
+    driver holds only the dim² rounded grid (the documented
+    bounded-collect pattern shared with PQ/Lloyd training) and the
+    iteration is O(iters * dim²) driver arithmetic — O(1) in corpus
+    size. test_queries.py additionally pins the component against
+    numpy eigh (cosine > 0.999), so the derandomization is converging
+    to the true PC1, not just reproducing itself.
+    """
+    import math
+
+    partials = materialize(gram_moments(load(spark, sf_dir, "embeddings")))
+    cells = partials.filter(F.col("j") >= 0)
+    sums = partials.filter(F.col("j") == -1)
+    si = sums.select(F.col("i"), F.col("sxy").alias("si"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sxy").alias("sj"))
+    cov = (
+        cells.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            r(
+                (F.col("sxy") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    rows = cov.collect()  # bounded: dim²/2 + dim aggregated cells
+    dim = max(row["j"] for row in rows) + 1
+    C = [[0.0] * dim for _ in range(dim)]
+    for row in rows:  # upper triangle in; mirror to full symmetric
+        C[row["i"]][row["j"]] = row["cov"]
+        C[row["j"]][row["i"]] = row["cov"]
+
+    B = C
+    for _ in range(PCA_PI_SQUARINGS):  # B <- B @ B, ascending-k left fold
+        B = [
+            [
+                _dotfold([B[i][k] for k in range(dim)], [B[k][j] for k in range(dim)])
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+
+    v = [1.0] * dim
+    for _ in range(PCA_PI_ITERS):
+        u = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):  # ascending-j left fold == list_sum
+                acc += B[i][j] * v[j]
+            u.append(acc)
+        nrm = 0.0
+        for x in u:
+            nrm += x * x
+        nrm = math.sqrt(nrm)
+        v = [x / nrm for x in u]
+    w = []
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc += C[i][j] * v[j]
+        w.append(acc)
+    lam = 0.0
+    for i in range(dim):
+        lam += w[i] * v[i]
+    tr = 0.0
+    for i in range(dim):
+        tr += C[i][i]
+
+    out = spark.createDataFrame(
+        [(i, v[i]) for i in range(dim)], "dim_idx long, loading double"
+    )
+    # round IN-ENGINE (exact raw doubles in, r() both sides) — never in
+    # Python, whose round() is banker's, not the decimal route
+    return out.select(
+        "dim_idx",
+        r(F.col("loading"), 6).alias("loading"),
+        r(F.lit(lam), 6).alias("eigenvalue"),
+        r(F.lit(lam) / F.lit(tr), 6).alias("explained_ratio"),
+    )
+
+
+def _dotfold(a: list, b: list) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):  # ascending left fold == DuckDB list_sum
+        acc += x * y
+    return acc
+
+
+def _pca_power_sql() -> str:
+    # 5 matrix squarings: pw{s} carries flat (the original C, for the
+    # Rayleigh step) and pmat (C^(2^s)) as a flat row-major list
+    sq = "list_transform(range(0, d * d), p -> list_sum(list_transform(" \
+         "range(0, d), k -> pmat[(p // d) * d + k + 1] * pmat[k * d + (p % d) + 1])))"
+    its = ["pw0 AS (SELECT flat, d, flat AS pmat FROM m)"]
+    prev = "pw0"
+    for s in range(1, PCA_PI_SQUARINGS + 1):
+        its.append(f"pw{s} AS (SELECT flat, d, {sq} AS pmat FROM {prev})")
+        prev = f"pw{s}"
+    its.append(
+        f"it0 AS (SELECT flat, d, pmat, "
+        f"list_transform(range(0, d), q -> 1.0) AS v FROM {prev})"
+    )
+    prev = "it0"
+    matvec_b = (
+        "list_transform(range(0, d), i -> list_sum(list_transform("
+        "range(0, d), j -> pmat[i * d + j + 1] * v[j + 1])))"
+    )
+    for k in range(1, PCA_PI_ITERS + 1):
+        its.append(
+            f"it{k}u AS (SELECT flat, d, pmat, {matvec_b} AS u FROM {prev})"
+        )
+        its.append(
+            f"it{k} AS (SELECT flat, d, pmat, list_transform(u, x -> x / "
+            f"sqrt(list_sum(list_transform(u, y -> y * y)))) AS v FROM it{k}u)"
+        )
+        prev = f"it{k}"
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT v[i] AS xi, v[j] AS xj, i - 1 AS i, j - 1 AS j
+  FROM e,
+       UNNEST(range(1, len(v) + 1)) AS ri(i),
+       UNNEST(range(1, len(v) + 1)) AS rj(j)
+),
+g AS (
+  SELECT i, j, SUM(xi * xj) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj,
+         COUNT(*) AS n
+  FROM x GROUP BY 1, 2
+),
+c AS (
+  SELECT i, j,
+         CAST(ROUND(CAST((sxy - sxi * sxj / n) / (n - 1) AS DECIMAL(38,9)), 6)
+              AS DOUBLE) AS cov
+  FROM g
+),
+m AS (SELECT list(cov ORDER BY i, j) AS flat, CAST(MAX(i) + 1 AS INTEGER) AS d FROM c),
+{",".join(its)},
+fin AS (
+  SELECT d, v,
+         list_transform(range(0, d), i -> list_sum(list_transform(
+           range(0, d), j -> flat[i * d + j + 1] * v[j + 1]))) AS w,
+         list_sum(list_transform(range(0, d), i -> flat[i * d + i + 1])) AS tr
+  FROM {prev}
+),
+fin2 AS (
+  SELECT d, v, tr,
+         list_sum(list_transform(range(0, d), i -> w[i + 1] * v[i + 1])) AS lam
+  FROM fin
+)
+SELECT CAST(i AS BIGINT) AS dim_idx,
+       CAST(ROUND(CAST(v[i + 1] AS DECIMAL(38,9)), 6) AS DOUBLE) AS loading,
+       CAST(ROUND(CAST(lam AS DECIMAL(38,9)), 6) AS DOUBLE) AS eigenvalue,
+       CAST(ROUND(CAST(lam / tr AS DECIMAL(38,9)), 6) AS DOUBLE) AS explained_ratio
+FROM fin2, UNNEST(range(0, d)) AS u(i)
+"""
+
+
+PCA_POWER_COMPONENT_SQL = _pca_power_sql()
+
+
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification of every embedding against the
     per-label centroids, reported as a confusion matrix (true label ×
@@ -2946,6 +3135,13 @@ QUERIES: list[Query] = [
           ("similarity_search_topk",),
           "explained-variance spectrum from the same bounded Gram grid "
           "(rows-only; numpy-pinned)"),
+    Query("pca_power_component", pca_power_component,
+          PCA_POWER_COMPONENT_SQL,
+          ("similarity_search_topk",),
+          "first principal component by power iteration on the rounded "
+          "covariance grid — 24 mirrored mat-vec/normalize rounds, "
+          "bit-identical trajectories, exact DuckDB twin (the "
+          "derandomized sibling of the eigh tier)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

@@ -898,3 +898,32 @@ def test_rank_overlap_invariants(spark, sf_dir):
         prev = r0.n_overlap
         denom = r0.n_kw + r0.n_vec - r0.n_overlap
         assert abs(r0.jaccard_at_k - r0.n_overlap / denom) < 1e-4
+
+
+def test_pca_power_component_converges_to_eigh(spark, sf_dir):
+    """The derandomized power-iteration PC1 (oracle-basis sibling of
+    the eigh tier) must CONVERGE to numpy's leading eigenvector —
+    |cosine| > 0.999 — and its Rayleigh eigenvalue / explained ratio
+    must match eigh's, so the exact twin is pinning real PCA, not just
+    reproducing its own trajectory."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    data = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r0.embedding for r0 in data], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    lead_val, lead_vec = evals[-1], evecs[:, -1]
+
+    rows = sorted(
+        REGISTRY["pca_power_component"].builder(spark, sf_dir).collect(),
+        key=lambda r0: r0.dim_idx,
+    )
+    v = np.array([r0.loading for r0 in rows])
+    assert len(v) == X.shape[1]
+    assert abs(float(v @ lead_vec)) > 0.999, float(v @ lead_vec)
+    assert rows[0].eigenvalue == pytest.approx(lead_val, rel=1e-3)
+    assert rows[0].explained_ratio == pytest.approx(
+        lead_val / evals.sum(), rel=1e-3
+    )
