@@ -139,6 +139,14 @@ BENCH_QUERIES = [
     "oov_rate_by_source",
     "pii_redacted_docs",
     "pseudonymized_events",
+    # r6 additions: the BPE training loop (builder-heavy — the e2e
+    # clock exists for exactly this shape), the oracle-exact multimodal
+    # near-dup (synth -> codec roundtrip -> integer aHash -> banding),
+    # and the squared-power-iteration PCA (gram pass + bounded driver
+    # iteration)
+    "bpe_learned_merges",
+    "image_neardup_pairs_exact",
+    "pca_power_component",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Persisted MinHash-LSH band index: dedup NEW shards against the
+existing corpus without re-processing it.
+
+The minhash_* queries sketch + band the whole corpus per run — right
+for a one-shot analytical dedup, wrong for the 100-TB growth regime
+where shards arrive continuously and each new shard must be checked
+against EVERYTHING ingested so far. Re-sketching the corpus per shard
+is O(corpus) per batch; this module persists the sketch once and makes
+each new-shard check O(shard + one index scan):
+
+- ``<path>/bands``  — (id, band_idx, band_hash): the LSH candidate
+  structure (``operators/dedup.py::minhash_bands``'s exact layout);
+- ``<path>/sigs``   — (id, sig array<long>): the full signatures, so
+  candidate verification is the standard matching-minima Jaccard
+  ESTIMATE read straight off the index — the corpus TEXT is never
+  touched again (its bodies may live in cold storage).
+
+Probe shape: the new shard's band rows and candidate pairs are small,
+so both verification joins BROADCAST the shard side against one scan
+of the stored table — the index is never shuffled, and ingesting a
+shard costs two index scans regardless of how many shards preceded it
+(pinned by tests via the physical plan). ``extend_minhash_index``
+appends the survivors' rows, so the index grows with the corpus the
+same way the IVF vector index does (operators/vindex.py, the same
+build/extend/probe lifecycle).
+
+No counterpart in the reference (dedup is this engine's extension
+mandate); estimator semantics match minhash_jaccard_calibration's
+oracle-pinned matching-minima estimate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import N_PERMUTATIONS, minhash_bands, minhash_signature_df
+
+
+def _index_rows(
+    docs: DataFrame, id_col: str, content_col: str
+) -> tuple[DataFrame, DataFrame]:
+    sigs = minhash_signature_df(docs, id_col, content_col)
+    bands = minhash_bands(docs, id_col, content_col)
+    return bands, sigs
+
+
+def build_minhash_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", content_col: str = "text"
+) -> None:
+    """Sketch + band the corpus once and persist both tables."""
+    bands, sigs = _index_rows(docs, id_col, content_col)
+    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+
+
+def extend_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> None:
+    """Append a new shard's rows — existing files are never rewritten
+    (the IVF-index append regime)."""
+    bands, sigs = _index_rows(new_docs, id_col, content_col)
+    bands.write.mode("append").parquet(os.path.join(path, "bands"))
+    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+
+
+def dedup_new_batch(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dups of a NEW shard against the indexed corpus:
+    (new_id, indexed_id, est_jaccard) with est_jaccard >= threshold.
+
+    Candidates: the shard's band rows (small) broadcast-join one scan
+    of the stored band table on (band_idx, band_hash). Verify: the
+    distinct candidate pairs (small) broadcast-join one scan of the
+    stored signature table; est_jaccard = matching-minima fraction of
+    the two signatures (the unbiased MinHash estimator). The index side
+    is NEVER shuffled and the corpus text is never read; per-shard cost
+    is two index scans + shard-sized work, independent of shard count.
+    """
+    spark = new_docs.sparkSession
+    new_bands, new_sigs = _index_rows(new_docs, id_col, content_col)
+
+    stored_bands = spark.read.parquet(os.path.join(path, "bands"))
+    cands = (
+        stored_bands.join(
+            F.broadcast(
+                new_bands.select(
+                    F.col("_id").alias("new_id"), "band_idx", "band_hash"
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", F.col("_id").alias("indexed_id"))
+        .distinct()
+    )
+
+    stored_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    with_new = cands.join(
+        F.broadcast(new_sigs.select(F.col("_id").alias("new_id"),
+                                    F.col("sig").alias("new_sig"))),
+        "new_id",
+    )
+    # candidate pairs (banded shard hits) stay shard-sized: broadcast
+    # them against the big signature scan, never the other way round
+    pairs = stored_sigs.join(
+        F.broadcast(with_new.withColumnRenamed("_id", "indexed_id")),
+        stored_sigs["_id"] == F.col("indexed_id"),
+    )
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig", "new_sig", lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(N_PERMUTATIONS))
+    )
+    return (
+        pairs.select(
+            "new_id",
+            "indexed_id",
+            F.round(match_frac.cast("decimal(38,9)"), 4)
+            .cast("double")
+            .alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -62,6 +62,12 @@ def replicate_docs(docs, factor: int):
             ),
         ),
     )
+    # NOTE (lateral-alias shadowing): `text` references new_id, whose
+    # col("doc_id") resolves against the `new_id AS doc_id` alias in
+    # this SAME select list (Spark lateral column aliases), so the
+    # actual token seed is (orig*f+rep)*f+rep — still unique per copy,
+    # which is all the workload needs; the mhindex plant below mirrors
+    # the effective seed (doc_id*f*f at rep=0), not the naive one.
     copies = docs.select("doc_id", reps).select(
         new_id.alias("doc_id"), text.alias("text")
     )
@@ -601,6 +607,60 @@ def main() -> None:
     hits = search_ivf_index(spark, idx_path, qv, k=10, n_probe=4).count()
     out["vindex_search"] = {"sec": round(time.time() - t0, 2), "rows": hits}
     shutil.rmtree(idx_path, ignore_errors=True)
+    # Persisted MinHash-LSH band index (r6): the incremental-dedup
+    # lifecycle at factor-x — build sketches the whole corpus once;
+    # the probe checks a FIXED-SIZE shard (the sf0.1 base corpus with
+    # planted every-100th duplicates of indexed docs) via two
+    # broadcast-probe index scans, so probe cost must track the SHARD
+    # and the scan, never a shuffle of the index. Dup count must be
+    # >= the planted 1% (banding may surface extra same-template hits).
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+    )
+
+    mh_path = "/tmp/spark_graft_scale_mhindex"
+    shutil.rmtree(mh_path, ignore_errors=True)
+    spark._jvm.System.gc()
+    t0 = time.time()
+    build_minhash_index(docs, mh_path)
+    out["mhindex_build"] = {"sec": round(time.time() - t0, 2), "rows": n_docs}
+    # TWO selects on purpose: deriving text and re-aliasing doc_id in
+    # ONE select list would let the lateral column alias shadow the
+    # seed (the replicate_docs note) — the plant must hash the ORIGINAL
+    # doc_id, then the shard id shifts in a second projection.
+    shard = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 100 == 0,
+            # planted: exact text of an indexed replica of this base doc
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+                    lambda i: F.concat(
+                        F.lit("t"),
+                        F.pmod(
+                            # rep-0 replica's EFFECTIVE seed (see the
+                            # lateral-alias note in replicate_docs)
+                            F.xxhash64(F.col("doc_id") * factor * factor, i),
+                            F.lit(VOCAB),
+                        ).cast("string"),
+                    ),
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    ).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    n_shard = shard.count()
+    spark._jvm.System.gc()
+    t0 = time.time()
+    dups = dedup_new_batch(shard, mh_path, threshold=0.9).count()
+    out["mhindex_probe"] = {"sec": round(time.time() - t0, 2), "rows": dups,
+                            "shard_rows": n_shard}
+    assert dups >= n_shard // 100, (dups, n_shard)
+    shutil.rmtree(mh_path, ignore_errors=True)
     print(json.dumps(out))
 
 
