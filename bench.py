@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     # iteration)
     "bpe_learned_merges",
     "image_neardup_pairs_exact",
+    "audio_fingerprint_exact",
     "pca_power_component",
 ]
 

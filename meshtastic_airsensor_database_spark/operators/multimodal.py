@@ -482,6 +482,83 @@ def image_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+AUDIO_INT_BANDS = 16  # band-energy fingerprint width
+
+
+def audio_features_int(media: DataFrame) -> DataFrame:
+    """INTEGER-exact audio features over DECODED WAV (channel 0):
+    sample count, zero crossings (sign(s[k-1]) != sign(s[k]) on the
+    strict < 0 test), total energy (sum of squares, int64), peak |s|,
+    and a {bands}-bit band-energy fingerprint — sample k belongs to
+    window (k*{bands})//n, bit w set iff win_energy*{bands} >= total.
+    Every op is integer arithmetic, so the features are bit-identical
+    in any engine: the oracle twin of
+    plans/vectorq.py::audio_fingerprint_exact re-derives the same
+    samples from the md5 basis and must reproduce them exactly — a
+    decode_wav header/chunk/endianness bug diverges Spark from the
+    oracle, hash-pinning the WAV encode/decode ROUNDTRIP the way
+    image_ahash_int pins PPM. Undecodable rows are dropped
+    (malformed_row_skip)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+    nb = AUDIO_INT_BANDS
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.codecs import CodecError, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    samples, _rate = decode_wav(bytes(content))
+                except CodecError:
+                    continue
+                s = samples[:, 0].astype(np.int64)
+                n = len(s)
+                zc = int(np.sum((s[:-1] < 0) != (s[1:] < 0))) if n > 1 else 0
+                sq = s * s
+                energy = int(sq.sum())
+                peak = int(np.abs(s).max()) if n else 0
+                we = np.zeros(nb, dtype=np.int64)
+                if n:
+                    np.add.at(we, (np.arange(n) * nb) // n, sq)
+                h = 0
+                for w in range(nb):
+                    if int(we[w]) * nb >= energy:
+                        h |= 1 << w
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": n,
+                        "zero_crossings": zc,
+                        "energy": energy,
+                        "peak": peak,
+                        "band_hash": h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "zero_crossings",
+                    "energy", "peak", "band_hash",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, schema)
+
+
 AHASH_INT_SIDE = 8  # 8x8 grid -> 64-bit hash, like ahash_bytes
 
 

@@ -98,12 +98,13 @@ _DRIVER_WINDOW_R6 = [
     "cohort_retention",
     "m4_downsample",
     "token_drift_psi",
-    "zipf_token_slope",
     "last_touch_attribution",
     # -- r6 NEW queries: the oracle-exact image near-dup (md5 pixels +
-    # integer aHash; PPM roundtrip hash-pinned cross-engine) and the
-    # power-iteration PCA twin (derandomized sibling of the eigh tier).
+    # integer aHash; PPM roundtrip hash-pinned cross-engine), its WAV
+    # sibling (integer audio features over the codec roundtrip), and
+    # the power-iteration PCA twin (derandomized sibling of eigh).
     "image_neardup_pairs_exact",
+    "audio_fingerprint_exact",
     "pca_power_component",
 ]
 _DRIVER_WINDOW_R5 = [

@@ -727,6 +727,116 @@ SELECT id_a, id_b, hamming FROM (
 IMAGE_NEARDUP_PAIRS_EXACT_SQL = _img_exact_sql()
 
 
+# --- oracle-exact audio fingerprint: md5 PCM + integer features ---------------
+
+AUD_X_SAMPLES = 256  # 256 int16 samples = 512 bytes = 32 md5 digests
+AUD_X_DIGESTS = (AUD_X_SAMPLES * 2) // 16
+AUD_X_SALT = "wav"
+AUD_X_RATE = 8000
+
+
+def _md5_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WAV media table whose PCM a SQL engine can
+    re-derive: sample k of doc d = little-endian int16 from bytes
+    2k/2k+1 of the md5('wav:{d}:{j}') stream — hashlib bytes Spark-side
+    == hex-pair extraction of DuckDB's md5() string."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import encode_wav
+
+    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    nd = AUD_X_DIGESTS
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                raw = b"".join(
+                    hashlib.md5(f"{AUD_X_SALT}:{did}:{j}".encode()).digest()
+                    for j in range(nd)
+                )
+                s = np.frombuffer(raw, dtype="<i2").copy()
+                rows.append(
+                    {"media_id": did, "content": encode_wav(s, AUD_X_RATE)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.mapInPandas(synth, "media_id long, content binary")
+
+
+def audio_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio pipeline with an EXACT DuckDB twin (the WAV sibling of
+    ``image_neardup_pairs_exact``): md5 PCM -> encode_wav -> decode_wav
+    -> integer features (operators/multimodal.py::audio_features_int:
+    zero crossings, int64 energy, peak, 16-bit band-energy
+    fingerprint). The twin re-derives the samples straight from the md5
+    basis — it never parses RIFF bytes — so a decode_wav chunk-walk /
+    endianness / widening bug diverges Spark from the oracle: the WAV
+    encode/decode ROUNDTRIP itself is hash-pinned. Scale shape: two
+    narrow mapInPandas passes, no shuffle at all."""
+    from ..operators.multimodal import audio_features_int
+
+    media = _md5_audio_media(spark, sf_dir)
+    return audio_features_int(media)
+
+
+def _audio_exact_sql() -> str:
+    # byte b of doc: hex pair (b%16)*2+1 of digest b//16; sample k =
+    # little-endian int16 from bytes 2k (lo) and 2k+1 (hi)
+    lo = "CAST(concat('0x', substr(d[(2 * (k - 1)) // 16 + 1], " \
+         "((2 * (k - 1)) % 16) * 2 + 1, 2)) AS INTEGER)"
+    hi = "CAST(concat('0x', substr(d[(2 * (k - 1) + 1) // 16 + 1], " \
+         "((2 * (k - 1) + 1) % 16) * 2 + 1, 2)) AS INTEGER)"
+    n, nb = AUD_X_SAMPLES, 16
+    return f"""
+WITH m AS (SELECT doc_id AS media_id FROM documents),
+dg AS (
+  SELECT media_id,
+         list_transform(range(0, {AUD_X_DIGESTS}),
+           j -> md5('{AUD_X_SALT}:' || CAST(media_id AS VARCHAR) || ':' ||
+                    CAST(j AS VARCHAR))) AS d
+  FROM m
+),
+pcm AS (
+  SELECT media_id,
+         list_transform(range(1, {n} + 1), k ->
+           CASE WHEN ({lo} + {hi} * 256) >= 32768
+                THEN {lo} + {hi} * 256 - 65536
+                ELSE {lo} + {hi} * 256 END) AS s
+  FROM dg
+),
+feat AS (
+  SELECT media_id, s,
+         CAST(list_sum(list_transform(range(1, {n}),
+           k -> CASE WHEN (s[k] < 0) <> (s[k + 1] < 0) THEN 1 ELSE 0 END))
+           AS BIGINT) AS zero_crossings,
+         CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+           AS BIGINT) AS energy,
+         CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+         list_transform(range(0, {nb}), w ->
+           CAST(list_sum(list_transform(range(1, {n} + 1), k ->
+             CASE WHEN ((k - 1) * {nb}) // {n} = w
+                  THEN CAST(s[k] AS BIGINT) * s[k] ELSE 0 END)) AS BIGINT)
+         ) AS we
+  FROM pcm
+)
+SELECT media_id,
+       CAST({n} AS BIGINT) AS n_samples,
+       zero_crossings, energy, peak,
+       CAST(list_sum(list_transform(range(0, {nb}), w ->
+         CASE WHEN we[w + 1] * {nb} >= energy
+              THEN CAST(1 AS BIGINT) << w ELSE 0 END)) AS BIGINT) AS band_hash
+FROM feat
+"""
+
+
+AUDIO_FINGERPRINT_EXACT_SQL = _audio_exact_sql()
+
+
 # --- contrastive hard-negative mining -----------------------------------------
 
 NEG_K = 3
@@ -3092,6 +3202,12 @@ QUERIES: list[Query] = [
           "the same pipeline on md5 pixels + integer aHash: PPM "
           "encode/decode roundtrip, banding and hamming verify all "
           "hash-pinned by an exact DuckDB twin"),
+    Query("audio_fingerprint_exact", audio_fingerprint_exact,
+          AUDIO_FINGERPRINT_EXACT_SQL,
+          ("multimodal_columns",),
+          "md5 PCM -> WAV encode/decode roundtrip -> integer audio "
+          "features (zero crossings, energy, peak, band-energy "
+          "fingerprint), all hash-pinned by an exact DuckDB twin"),
     Query("hybrid_search_rrf", hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL,
           ("similarity_search_topk", "text_analysis"),
           "hybrid retrieval: keyword tf + vector cosine fused by "

@@ -406,3 +406,57 @@ def test_image_ahash_int_matches_python_model(spark):
     for k, px in imgs.items():
         assert got[k] == model(px), k
     assert got[3] == -1  # all 64 bits set, signed
+
+
+def test_audio_features_int_matches_python_model(spark):
+    """The integer-exact audio features (oracle basis of
+    audio_fingerprint_exact) must equal an independent model — strict
+    sign-change crossings, int64 energy, window assignment by
+    (k*16)//n — use channel 0 of stereo, and drop undecodable rows."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.functions.codecs import encode_wav
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        AUDIO_INT_BANDS,
+        audio_features_int,
+    )
+
+    def model(s):
+        s = s.astype(np.int64)
+        n = len(s)
+        zc = sum(1 for k in range(1, n) if (s[k - 1] < 0) != (s[k] < 0))
+        energy = int((s * s).sum())
+        we = [0] * AUDIO_INT_BANDS
+        for k in range(n):
+            we[(k * AUDIO_INT_BANDS) // n] += int(s[k]) ** 2
+        h = sum(
+            1 << w
+            for w in range(AUDIO_INT_BANDS)
+            if we[w] * AUDIO_INT_BANDS >= energy
+        )
+        return (n, zc, energy, int(np.abs(s).max()), h)
+
+    rng = np.random.RandomState(11)
+    mono = rng.randint(-32768, 32768, size=240).astype(np.int16)  # n % 16 != 0
+    loud_tail = np.concatenate(
+        [np.zeros(128, np.int16), np.full(128, 20000, np.int16)]
+    )
+    stereo_l = rng.randint(-32768, 32768, size=256).astype(np.int16)
+    stereo = np.stack([stereo_l, -stereo_l], axis=1)
+    rows = [
+        (1, encode_wav(mono, 8000)),
+        (2, encode_wav(loud_tail, 8000)),
+        (3, encode_wav(stereo, 44100)),  # features read channel 0
+        (4, b"not audio"),  # malformed -> dropped
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (r.n_samples, r.zero_crossings, r.energy, r.peak, r.band_hash)
+        for r in audio_features_int(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == model(mono)
+    assert got[2] == model(loud_tail)
+    assert got[2][4] == 0xFF00  # energy entirely in the top 8 windows
+    assert got[3] == model(stereo_l)
