@@ -99,6 +99,11 @@ SHOWCASE = [
     ("pii_redacted_docs", "PII scrub: three regex counts + chained redactions as pure narrow string expressions — zero shuffles"),
     ("pseudonymized_events", "pseudonymization: salted sha2 re-key as a narrow projection — no lookup table, no shuffle"),
     ("minhash_neardup_candidates", "MinHash-LSH candidates on the derandomized md5 shingle sketch: 4 digests -> 16 minima narrow, ONE band-key shuffle, no self-join"),
+    # r6 additions
+    ("bpe_learned_merges", "iterative BPE training: O(vocab) count-argmax-merge rounds run eagerly in the builder (bounded 1-row collects), the returned merge table is a tiny local relation"),
+    ("image_neardup_pairs_exact", "oracle-exact image near-dup: two narrow mapInPandas passes (md5 synth, codec-roundtrip integer aHash), ONE band-key shuffle via the struct-id bucket grouping, exact hamming on the pair struct — no join-back"),
+    ("audio_fingerprint_exact", "oracle-exact audio features: md5 PCM synth + WAV-roundtrip integer features as two chained narrow mapInPandas passes — zero shuffles"),
+    ("pca_power_component", "power-iteration PCA: gram_moments partials (one matmul per Arrow batch, dim^2-bounded exchange) feed a bounded driver iteration; output is a dim-sized local relation rounded in-engine"),
 ]
 
 
