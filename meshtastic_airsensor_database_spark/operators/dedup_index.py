@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import N_PERMUTATIONS, minhash_bands, minhash_signature_df
+from .dedup import MAX_BUCKET, N_PERMUTATIONS, minhash_bands, minhash_signature_df
 
 
 def _index_rows(
@@ -75,28 +75,47 @@ def dedup_new_batch(
     id_col: str = "doc_id",
     content_col: str = "text",
     threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dups of a NEW shard against the indexed corpus:
     (new_id, indexed_id, est_jaccard) with est_jaccard >= threshold.
 
     Candidates: the shard's band rows (small) broadcast-join one scan
-    of the stored band table on (band_idx, band_hash). Verify: the
+    of the stored band table on (band_idx, band_hash). Degenerate index
+    buckets — a band key held by more than ``max_bucket`` indexed docs
+    (boilerplate/empty-doc bands) — are dropped BEFORE the candidate
+    join, the same guard as pairs_within_buckets: without it one
+    degenerate key fans every probe out by the bucket's size. The
+    membership counts are measured only for the PROBED keys, on their
+    own broadcast-probed index scan whose groupBy partially aggregates
+    map-side — a degenerate bucket's rows are read (they share files
+    with good rows) but the exchange carries one partial row per key
+    per partition, so nothing bucket-sized ever shuffles. Verify: the
     distinct candidate pairs (small) broadcast-join one scan of the
     stored signature table; est_jaccard = matching-minima fraction of
     the two signatures (the unbiased MinHash estimator). The index side
-    is NEVER shuffled and the corpus text is never read; per-shard cost
-    is two index scans + shard-sized work, independent of shard count.
+    is never sort-merge-joined and the corpus text is never read;
+    per-shard cost is three broadcast-probed index scans + shard-sized
+    work, independent of shard count.
     """
     spark = new_docs.sparkSession
     new_bands, new_sigs = _index_rows(new_docs, id_col, content_col)
-
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
+
+    probe_keys = new_bands.select("band_idx", "band_hash").distinct()
+    good_keys = (
+        stored_bands.join(F.broadcast(probe_keys), ["band_idx", "band_hash"])
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select("band_idx", "band_hash")
+    )
     cands = (
         stored_bands.join(
             F.broadcast(
                 new_bands.select(
                     F.col("_id").alias("new_id"), "band_idx", "band_hash"
-                )
+                ).join(F.broadcast(good_keys), ["band_idx", "band_hash"])
             ),
             ["band_idx", "band_hash"],
         )

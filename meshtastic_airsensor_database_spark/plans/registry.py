@@ -96,16 +96,17 @@ _DRIVER_WINDOW_R6 = [
     # -- evidence refresh: oldest banked rows (last driver-checked r4),
     # one per family, so no green row goes stale beyond two rounds.
     "cohort_retention",
-    "m4_downsample",
     "token_drift_psi",
     "last_touch_attribution",
     # -- r6 NEW queries: the oracle-exact image near-dup (md5 pixels +
     # integer aHash; PPM roundtrip hash-pinned cross-engine), its WAV
-    # sibling (integer audio features over the codec roundtrip), and
-    # the power-iteration PCA twin (derandomized sibling of eigh).
+    # sibling (integer audio features over the codec roundtrip), the
+    # power-iteration PCA twin (derandomized sibling of eigh), and the
+    # incremental-dedup probe (query mirror of operators/dedup_index).
     "image_neardup_pairs_exact",
     "audio_fingerprint_exact",
     "pca_power_component",
+    "cross_shard_neardup_probe",
 ]
 _DRIVER_WINDOW_R5 = [
     # -- the 22 oracle-green queries that have NEVER had a driver row

@@ -1332,6 +1332,158 @@ FROM bands a JOIN bands b
 MINHASH_NEARDUP_CANDIDATES_SQL = _mh_cand_sql()
 
 
+CROSS_SHARD_MIN_MATCH = 4  # >= one full band by construction
+
+
+def cross_shard_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup shape with an exact twin: treat even doc_ids
+    as the INDEXED corpus and odd doc_ids as the NEWLY ARRIVED shard,
+    and find the shard's near-dups against the index — the query-level
+    mirror of operators/dedup_index.py::dedup_new_batch (which persists
+    the same structure; its side-effecting lifecycle is pytest-pinned,
+    THIS query gives the probe math a driver hash check).
+
+    Derandomized md5 sketch (the minhash_neardup_candidates basis):
+    both sides band 16 minima into 4 bands; the indexed side drops
+    degenerate buckets (> MAX_BUCKET members — mirrored in the twin via
+    QUALIFY); candidates join shard bands against indexed bands on the
+    band key; the verify reads the matching-minima count straight off
+    the two sketch structs carried through the band rows (one sketch
+    evaluation per side, no join-back) and reports the unbiased
+    estimator n_match/16. A band match implies n_match >= 4, so the
+    integer filter is a tautology kept for the operator contract.
+
+    Scale shape: one band-key exchange per side (the indexed window
+    shares it), broadcast of the shard side, ids+minima-only rows.
+    """
+    from ..operators.dedup import MAX_BUCKET
+
+    docs = load(spark, sf_dir, "documents")
+    sk = _md5_minhash_sketch(docs, basis="shingles")
+
+    def band_rows(side):
+        return side.select(
+            F.struct("doc_id", *[f"mh{k}" for k in range(MHJ_PERMS)]).alias("m"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"mh{4 * b + j}").cast("string")
+                                    for j in range(4)
+                                ],
+                            ).alias("band_hash"),
+                        )
+                        for b in range(MH_CAND_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select("m", "band.band_idx", "band.band_hash")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    indexed = (
+        band_rows(sk.filter(F.col("doc_id") % 2 == 0))
+        .withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= MAX_BUCKET)
+        .drop("_bn")
+    )
+    shard = band_rows(sk.filter(F.col("doc_id") % 2 == 1)).select(
+        F.col("m").alias("n"), "band_idx", "band_hash"
+    )
+    cands = (
+        indexed.join(F.broadcast(shard), ["band_idx", "band_hash"])
+        .select(F.col("n").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+    n_match = None
+    for k in range(MHJ_PERMS):
+        t = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        cands.select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("indexed_id"),
+            n_match.cast("long").alias("n_match"),
+        )
+        .filter(F.col("n_match") >= CROSS_SHARD_MIN_MATCH)
+        .select(
+            "new_id",
+            "indexed_id",
+            "n_match",
+            r(F.col("n_match").cast("double") / F.lit(float(MHJ_PERMS)), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _cross_shard_sql() -> str:
+    from .textq import _SHINGLE_LIST_SQL
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band_idx, "
+            + " || ':' || ".join(f"CAST(mh{4 * b + j} AS VARCHAR)" for j in range(4))
+            + f" AS band_hash FROM {src}"
+            for b in range(MH_CAND_BANDS)
+        )
+
+    n_match = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END" for k in range(MHJ_PERMS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {_SHINGLE_LIST_SQL} AS toks
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, toks,
+         {_MHJ_DIGS_SQL}
+  FROM base
+),
+sk AS (
+  SELECT doc_id,
+         {_MHJ_MINS_SQL}
+  FROM dig
+),
+ske AS (SELECT * FROM sk WHERE doc_id % 2 = 0),
+sko AS (SELECT * FROM sk WHERE doc_id % 2 = 1),
+ib_raw AS (
+{band_rows('ske')}
+),
+-- mirror the degenerate-bucket cap on the INDEXED side
+ib AS (
+  SELECT * FROM ib_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+),
+nb AS (
+{band_rows('sko')}
+),
+p AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS indexed_id
+  FROM nb n JOIN ib i
+    ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+)
+SELECT new_id, indexed_id, n_match,
+       CAST(ROUND(CAST(CAST(n_match AS DOUBLE) / {float(MHJ_PERMS)}
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS est_jaccard
+FROM (
+  SELECT new_id, indexed_id, CAST({n_match} AS BIGINT) AS n_match
+  FROM p JOIN sk a ON a.doc_id = new_id JOIN sk b ON b.doc_id = indexed_id
+)
+WHERE n_match >= {CROSS_SHARD_MIN_MATCH}
+"""
+
+
+CROSS_SHARD_NEARDUP_PROBE_SQL = _cross_shard_sql()
+
+
 def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML MinHashLSH approxSimilarityJoin variant (rows-only;
     converges with the hand-built LSH + exact verify in tests)."""
@@ -3208,6 +3360,12 @@ QUERIES: list[Query] = [
           "md5 PCM -> WAV encode/decode roundtrip -> integer audio "
           "features (zero crossings, energy, peak, band-energy "
           "fingerprint), all hash-pinned by an exact DuckDB twin"),
+    Query("cross_shard_neardup_probe", cross_shard_neardup_probe,
+          CROSS_SHARD_NEARDUP_PROBE_SQL,
+          ("near_dedup",),
+          "incremental dedup probe: new shard's md5-sketch bands vs the "
+          "indexed corpus (degenerate buckets capped), matching-minima "
+          "estimator read off the carried sketch structs"),
     Query("hybrid_search_rrf", hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL,
           ("similarity_search_topk", "text_analysis"),
           "hybrid retrieval: keyword tf + vector cosine fused by "

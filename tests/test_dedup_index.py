@@ -97,3 +97,23 @@ def test_estimator_tracks_partial_overlap(spark, index_path):
     assert [(r.new_id, r.indexed_id) for r in rows] == [(401, 1)]
     est = rows[0].est_jaccard
     assert 0.5 <= est < 1.0 and abs(est * 32 - round(est * 32)) < 1e-9
+
+
+def test_probe_drops_degenerate_index_buckets(spark, index_path):
+    """The MAX_BUCKET guard, probe-side: a band key held by more than
+    max_bucket indexed docs (boilerplate) is dropped whole before the
+    candidate join — one degenerate key must not fan a probe out by
+    the bucket's size."""
+    boiler = "exactly the same boilerplate text repeated across the corpus"
+    build_minhash_index(
+        _df(spark, [(i, boiler) for i in range(5)]), index_path
+    )
+    batch = _df(spark, [(900, boiler)])
+    # bucket size 5 > cap 4 -> dropped -> no candidates at all
+    assert dedup_new_batch(batch, index_path, max_bucket=4).count() == 0
+    # with the cap above the bucket size the duplicates are all found
+    got = {
+        (r.new_id, r.indexed_id)
+        for r in dedup_new_batch(batch, index_path, max_bucket=5).collect()
+    }
+    assert got == {(900, i) for i in range(5)}
