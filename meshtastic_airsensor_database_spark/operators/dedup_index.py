@@ -132,8 +132,7 @@ def dedup_new_batch(
     # candidate pairs (banded shard hits) stay shard-sized: broadcast
     # them against the big signature scan, never the other way round
     pairs = stored_sigs.join(
-        F.broadcast(with_new.withColumnRenamed("_id", "indexed_id")),
-        stored_sigs["_id"] == F.col("indexed_id"),
+        F.broadcast(with_new), stored_sigs["_id"] == F.col("indexed_id")
     )
     match_frac = (
         F.size(

@@ -96,7 +96,6 @@ _DRIVER_WINDOW_R6 = [
     # -- evidence refresh: oldest banked rows (last driver-checked r4),
     # one per family, so no green row goes stale beyond two rounds.
     "cohort_retention",
-    "token_drift_psi",
     "last_touch_attribution",
     # -- r6 NEW queries: the oracle-exact image near-dup (md5 pixels +
     # integer aHash; PPM roundtrip hash-pinned cross-engine), its WAV
@@ -106,6 +105,7 @@ _DRIVER_WINDOW_R6 = [
     "image_neardup_pairs_exact",
     "audio_fingerprint_exact",
     "pca_power_component",
+    "pca_power_two_components",
     "cross_shard_neardup_probe",
 ]
 _DRIVER_WINDOW_R5 = [

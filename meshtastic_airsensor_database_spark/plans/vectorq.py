@@ -3014,6 +3014,198 @@ def _dotfold(a: list, b: list) -> float:
     return acc
 
 
+def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via power iteration + DEFLATION, all
+    in mirrored exact arithmetic: PC1 exactly as ``pca_power_component``
+    (5 squarings + 24 iterations on the rounded covariance grid), then
+    B = C - lambda1 * v1 v1^T (each cell one mult-mult-sub chain, left
+    associative on both engines) and the same squaring/iteration ladder
+    on B yields PC2; both eigenvalues are Rayleigh quotients against
+    the ORIGINAL C. The deflation residual along v1 is
+    lambda1*sin^2(theta1) ~ 1e-4*lambda1 at the pinned convergence, far
+    under lambda2, so the second ladder converges to the true second
+    eigenvector (test-pinned vs numpy eigh: |cos| > 0.99 per component
+    and near-orthogonality of the pair). Same scale shape as the PC1
+    query: one gram pass, dim^2 driver state, O(iters * dim^2 + dim^3)
+    driver arithmetic — O(1) in corpus size.
+    """
+    import math
+
+    partials = materialize(gram_moments(load(spark, sf_dir, "embeddings")))
+    cells = partials.filter(F.col("j") >= 0)
+    sums = partials.filter(F.col("j") == -1)
+    si = sums.select(F.col("i"), F.col("sxy").alias("si"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sxy").alias("sj"))
+    cov = (
+        cells.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            r(
+                (F.col("sxy") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    rows = cov.collect()  # bounded: dim²/2 + dim aggregated cells
+    dim = max(row["j"] for row in rows) + 1
+    C = [[0.0] * dim for _ in range(dim)]
+    for row in rows:
+        C[row["i"]][row["j"]] = row["cov"]
+        C[row["j"]][row["i"]] = row["cov"]
+
+    def leading(M: list) -> list:
+        B = M
+        for _ in range(PCA_PI_SQUARINGS):
+            B = [
+                [
+                    _dotfold(
+                        [B[i][k] for k in range(dim)],
+                        [B[k][j] for k in range(dim)],
+                    )
+                    for j in range(dim)
+                ]
+                for i in range(dim)
+            ]
+        v = [1.0] * dim
+        for _ in range(PCA_PI_ITERS):
+            u = []
+            for i in range(dim):
+                acc = 0.0
+                for j in range(dim):
+                    acc += B[i][j] * v[j]
+                u.append(acc)
+            nrm = 0.0
+            for x in u:
+                nrm += x * x
+            nrm = math.sqrt(nrm)
+            v = [x / nrm for x in u]
+        return v
+
+    def rayleigh(v: list) -> float:
+        lam = 0.0
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += C[i][j] * v[j]
+            lam += acc * v[i]
+        return lam
+
+    v1 = leading(C)
+    lam1 = rayleigh(v1)
+    B1 = [
+        [C[i][j] - lam1 * v1[i] * v1[j] for j in range(dim)] for i in range(dim)
+    ]
+    v2 = leading(B1)
+    lam2 = rayleigh(v2)
+
+    out = spark.createDataFrame(
+        [(i, v1[i], v2[i]) for i in range(dim)],
+        "dim_idx long, pc1 double, pc2 double",
+    )
+    return out.select(
+        "dim_idx",
+        r(F.col("pc1"), 6).alias("pc1"),
+        r(F.col("pc2"), 6).alias("pc2"),
+        r(F.lit(lam1), 6).alias("ev1"),
+        r(F.lit(lam2), 6).alias("ev2"),
+    )
+
+
+def _pca_power2_sql() -> str:
+    """Two power-iteration ladders as generated CTE chains; ``carry``
+    threads the columns each phase must preserve."""
+    def ladder(prefix: str, carry: str, mat_src: str, src_cte: str) -> tuple:
+        sq = (
+            "list_transform(range(0, d * d), p -> list_sum(list_transform("
+            "range(0, d), k -> pmat[(p // d) * d + k + 1] * "
+            "pmat[k * d + (p % d) + 1])))"
+        )
+        ctes = [
+            f"{prefix}w0 AS (SELECT {carry}, {mat_src} AS pmat FROM {src_cte})"
+        ]
+        prev = f"{prefix}w0"
+        for s in range(1, PCA_PI_SQUARINGS + 1):
+            ctes.append(
+                f"{prefix}w{s} AS (SELECT {carry}, {sq} AS pmat FROM {prev})"
+            )
+            prev = f"{prefix}w{s}"
+        ctes.append(
+            f"{prefix}i0 AS (SELECT {carry}, pmat, "
+            f"list_transform(range(0, d), q -> 1.0) AS v FROM {prev})"
+        )
+        prev = f"{prefix}i0"
+        mv = (
+            "list_transform(range(0, d), i -> list_sum(list_transform("
+            "range(0, d), j -> pmat[i * d + j + 1] * v[j + 1])))"
+        )
+        for k in range(1, PCA_PI_ITERS + 1):
+            ctes.append(
+                f"{prefix}i{k}u AS (SELECT {carry}, pmat, {mv} AS u FROM {prev})"
+            )
+            ctes.append(
+                f"{prefix}i{k} AS (SELECT {carry}, pmat, list_transform(u, "
+                f"x -> x / sqrt(list_sum(list_transform(u, y -> y * y)))) "
+                f"AS v FROM {prefix}i{k}u)"
+            )
+            prev = f"{prefix}i{k}"
+        return ctes, prev
+
+    # Rayleigh quotient of column v against the ORIGINAL grid (flat)
+    ray = (
+        "list_sum(list_transform(range(0, d), i -> "
+        "list_sum(list_transform(range(0, d), j -> "
+        "flat[i * d + j + 1] * v[j + 1])) * v[i + 1]))"
+    )
+    a_ctes, a_fin = ladder("a", "flat, d", "flat", "m")
+    defl = (
+        "defl AS (SELECT flat, d, v1, lam1, "
+        "list_transform(range(0, d * d), p -> "
+        "flat[p + 1] - lam1 * v1[p // d + 1] * v1[p % d + 1]) AS dmat "
+        "FROM r1)"
+    )
+    b_ctes, b_fin = ladder("b", "flat, d, v1, lam1", "dmat", "defl")
+    all_ctes = ",\n".join(
+        a_ctes
+        + [f"r1 AS (SELECT flat, d, v AS v1, {ray} AS lam1 FROM {a_fin})", defl]
+        + b_ctes
+        + [f"r2 AS (SELECT d, v1, lam1, v AS v2, {ray} AS lam2 FROM {b_fin})"]
+    )
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT v[i] AS xi, v[j] AS xj, i - 1 AS i, j - 1 AS j
+  FROM e,
+       UNNEST(range(1, len(v) + 1)) AS ri(i),
+       UNNEST(range(1, len(v) + 1)) AS rj(j)
+),
+g AS (
+  SELECT i, j, SUM(xi * xj) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj,
+         COUNT(*) AS n
+  FROM x GROUP BY 1, 2
+),
+c AS (
+  SELECT i, j,
+         CAST(ROUND(CAST((sxy - sxi * sxj / n) / (n - 1) AS DECIMAL(38,9)), 6)
+              AS DOUBLE) AS cov
+  FROM g
+),
+m AS (SELECT list(cov ORDER BY i, j) AS flat, CAST(MAX(i) + 1 AS INTEGER) AS d FROM c),
+{all_ctes}
+SELECT CAST(i AS BIGINT) AS dim_idx,
+       CAST(ROUND(CAST(v1[i + 1] AS DECIMAL(38,9)), 6) AS DOUBLE) AS pc1,
+       CAST(ROUND(CAST(v2[i + 1] AS DECIMAL(38,9)), 6) AS DOUBLE) AS pc2,
+       CAST(ROUND(CAST(lam1 AS DECIMAL(38,9)), 6) AS DOUBLE) AS ev1,
+       CAST(ROUND(CAST(lam2 AS DECIMAL(38,9)), 6) AS DOUBLE) AS ev2
+FROM r2, UNNEST(range(0, d)) AS u(i)
+"""
+
+
+PCA_POWER_TWO_COMPONENTS_SQL = _pca_power2_sql()
+
+
 def _pca_power_sql() -> str:
     # 5 matrix squarings: pw{s} carries flat (the original C, for the
     # Rayleigh step) and pmat (C^(2^s)) as a flat row-major list
@@ -3416,6 +3608,12 @@ QUERIES: list[Query] = [
           "covariance grid — 24 mirrored mat-vec/normalize rounds, "
           "bit-identical trajectories, exact DuckDB twin (the "
           "derandomized sibling of the eigh tier)"),
+    Query("pca_power_two_components", pca_power_two_components,
+          PCA_POWER_TWO_COMPONENTS_SQL,
+          ("similarity_search_topk",),
+          "top-2 PCA via power iteration + mirrored deflation "
+          "(B = C - l1 v1 v1^T), both Rayleigh eigenvalues against the "
+          "original grid — exact DuckDB twin"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

@@ -927,3 +927,29 @@ def test_pca_power_component_converges_to_eigh(spark, sf_dir):
     assert rows[0].explained_ratio == pytest.approx(
         lead_val / evals.sum(), rel=1e-3
     )
+
+
+def test_pca_power_two_components_converge_and_orthogonal(spark, sf_dir):
+    """The deflated second component must converge to numpy's second
+    eigenvector (|cos| > 0.99), stay near-orthogonal to the first, and
+    both Rayleigh eigenvalues must match eigh's."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+
+    data = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r0.embedding for r0 in data], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+
+    rows = sorted(
+        REGISTRY["pca_power_two_components"].builder(spark, sf_dir).collect(),
+        key=lambda r0: r0.dim_idx,
+    )
+    v1 = np.array([r0.pc1 for r0 in rows])
+    v2 = np.array([r0.pc2 for r0 in rows])
+    assert abs(float(v1 @ evecs[:, -1])) > 0.999
+    assert abs(float(v2 @ evecs[:, -2])) > 0.99
+    assert abs(float(v1 @ v2)) < 1e-2  # deflation keeps the pair orthogonal
+    assert rows[0].ev1 == pytest.approx(evals[-1], rel=1e-3)
+    assert rows[0].ev2 == pytest.approx(evals[-2], rel=1e-3)
