@@ -265,8 +265,15 @@ def gen_packets(n: int, seed_ts: int = 1760748000) -> list[str]:
         else:
             # mesh re-broadcast: duplicate the last PARSEABLE line
             # verbatim (same composite [from, id] key -> real load on
-            # the dedup operator, not another corrupt-JSON copy)
-            lines.append(last_good or json.dumps(base))
+            # the dedup operator, not another corrupt-JSON copy). The
+            # fallback (only reachable if a mix edit ever puts a dup
+            # slot before the first parseable line) emits a well-formed
+            # env packet, never a schema-less envelope.
+            if not last_good:
+                base["type"] = "telemetry"
+                base["payload"] = {"temperature": 20.0}
+                last_good = json.dumps(base)
+            lines.append(last_good)
             continue
         last_good = json.dumps(base)
         lines.append(last_good)
@@ -328,12 +335,19 @@ def streaming_main() -> None:
                 max_files_per_trigger=mfpt,
                 dedup_within_watermark=True,
             )
-            q.processAllAvailable()
-            wall = time.time() - t0
-            prog = [
-                p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
-            ]
-            q.stop()
+            try:
+                q.processAllAvailable()
+                wall = time.time() - t0
+                prog = [
+                    p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0
+                ]
+            finally:
+                # always stop before the finally-rmtree below deletes the
+                # landing/checkpoint dirs out from under a live query
+                try:
+                    q.stop()
+                except Exception:
+                    pass
             batch_ms = sorted(
                 p["durationMs"]["triggerExecution"] for p in prog
             )

@@ -2870,30 +2870,34 @@ def embedding_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explained-variance spectrum of the embedding space (how many
-    components carry the signal — the whitening/compression decision).
-    Driver-side reshape of the SAME bounded Gram grid; rows-only
-    (eigenvalues have no SQL twin), numpy-pinned in tests.
+    components carry the signal — the whitening/compression decision):
+    top-2 eigenvalues as percentages of TOTAL variance (= trace of the
+    covariance — the denominator the eigh tier used too, since the
+    eigenvalue sum equals the trace).
+
+    Since r7 this is EXACT and oracle-twinned: the eigenvalues are the
+    two Rayleigh quotients from the mirrored power-iteration + deflation
+    ladder (``pca_power_two_components`` — bit-identical trajectories on
+    the rounded covariance grid, only outputs rounded), and the trace is
+    an ascending fold over the grid diagonal — so DuckDB reproduces the
+    whole result by value (was rows-only via LAPACK eigh before; the
+    4-component eigh spectrum remains numpy-pinned through
+    ``embedding_pca_coords``'s tests). Same scale shape as the power
+    queries: one gram pass, dim² driver state, O(1) in corpus size.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    _W, evals, _mean, n = pca_components(emb, k=PCA_K)
-    total = float(evals.sum())
-    rows = []
-    cum = 0.0
-    for i, ev in enumerate(evals[:PCA_K]):
-        cum += float(ev)
-        rows.append(
-            (
-                i + 1,
-                round(float(ev), 6),
-                round(float(ev) * 100.0 / total, 4),
-                round(cum * 100.0 / total, 4),
-                int(n),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "component int, eigenvalue double, explained_pct double, "
-        "cum_pct double, n_vecs long",
+    lam1, lam2, tr, n, _v1, _v2 = _power_two_exact(spark, sf_dir)
+    out = spark.createDataFrame(
+        [(1, lam1, lam1, int(n)), (2, lam2, lam1 + lam2, int(n))],
+        "component int, ev double, cum_ev double, n_vecs long",
+    )
+    # round IN-ENGINE via the decimal route (never Python's banker's
+    # round); pct arithmetic mirrored left-associative in the twin
+    return out.select(
+        "component",
+        r(F.col("ev"), 6).alias("eigenvalue"),
+        r(F.col("ev") * F.lit(100.0) / F.lit(tr), 4).alias("explained_pct"),
+        r(F.col("cum_ev") * F.lit(100.0) / F.lit(tr), 4).alias("cum_pct"),
+        "n_vecs",
     )
 
 
@@ -3014,20 +3018,17 @@ def _dotfold(a: list, b: list) -> float:
     return acc
 
 
-def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal components via power iteration + DEFLATION, all
-    in mirrored exact arithmetic: PC1 exactly as ``pca_power_component``
-    (5 squarings + 24 iterations on the rounded covariance grid), then
-    B = C - lambda1 * v1 v1^T (each cell one mult-mult-sub chain, left
-    associative on both engines) and the same squaring/iteration ladder
-    on B yields PC2; both eigenvalues are Rayleigh quotients against
-    the ORIGINAL C. The deflation residual along v1 is
-    lambda1*sin^2(theta1) ~ 1e-4*lambda1 at the pinned convergence, far
-    under lambda2, so the second ladder converges to the true second
-    eigenvector (test-pinned vs numpy eigh: |cos| > 0.99 per component
-    and near-orthogonality of the pair). Same scale shape as the PC1
-    query: one gram pass, dim^2 driver state, O(iters * dim^2 + dim^3)
-    driver arithmetic — O(1) in corpus size.
+def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared driver computation behind ``pca_power_two_components`` and
+    ``pca_explained_variance``: the rounded covariance grid, two
+    mirrored squaring/power-iteration ladders with deflation, Rayleigh
+    eigenvalues against the original grid, the trace (ascending-i fold,
+    == DuckDB list_sum over the diagonal) and the vector count.
+
+    Every operation and fold order is the one the generated DuckDB CTE
+    ladder performs, so from the shared rounded grid the trajectories
+    are bit-identical (oracle-parity conventions, plans/base.py).
+    Returns ``(lam1, lam2, trace, n_vecs, v1, v2)``.
     """
     import math
 
@@ -3042,6 +3043,7 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
+            "n",
             r(
                 (F.col("sxy") - F.col("si") * F.col("sj") / F.col("n"))
                 / (F.col("n") - 1),
@@ -3051,6 +3053,7 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = cov.collect()  # bounded: dim²/2 + dim aggregated cells
     dim = max(row["j"] for row in rows) + 1
+    n_vecs = int(rows[0]["n"])
     C = [[0.0] * dim for _ in range(dim)]
     for row in rows:
         C[row["i"]][row["j"]] = row["cov"]
@@ -3100,7 +3103,29 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     v2 = leading(B1)
     lam2 = rayleigh(v2)
+    tr = 0.0
+    for i in range(dim):
+        tr += C[i][i]
+    return lam1, lam2, tr, n_vecs, v1, v2
 
+
+def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via power iteration + DEFLATION, all
+    in mirrored exact arithmetic: PC1 exactly as ``pca_power_component``
+    (5 squarings + 24 iterations on the rounded covariance grid), then
+    B = C - lambda1 * v1 v1^T (each cell one mult-mult-sub chain, left
+    associative on both engines) and the same squaring/iteration ladder
+    on B yields PC2; both eigenvalues are Rayleigh quotients against
+    the ORIGINAL C. The deflation residual along v1 is
+    lambda1*sin^2(theta1) ~ 1e-4*lambda1 at the pinned convergence, far
+    under lambda2, so the second ladder converges to the true second
+    eigenvector (test-pinned vs numpy eigh: |cos| > 0.99 per component
+    and near-orthogonality of the pair). Same scale shape as the PC1
+    query: one gram pass, dim^2 driver state, O(iters * dim^2 + dim^3)
+    driver arithmetic — O(1) in corpus size.
+    """
+    lam1, lam2, _tr, _n, v1, v2 = _power_two_exact(spark, sf_dir)
+    dim = len(v1)
     out = spark.createDataFrame(
         [(i, v1[i], v2[i]) for i in range(dim)],
         "dim_idx long, pc1 double, pc2 double",
@@ -3114,9 +3139,12 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_power2_sql() -> str:
-    """Two power-iteration ladders as generated CTE chains; ``carry``
-    threads the columns each phase must preserve."""
+def _pca_power2_body() -> str:
+    """Shared WITH-body of the two-ladder PCA twins: two power-iteration
+    ladders as generated CTE chains ending in ``r2`` (columns flat, d,
+    nv, v1, lam1, v2, lam2); ``carry`` threads the columns each phase
+    must preserve. ``_pca_power2_sql`` and ``_pca_explained_sql`` attach
+    different final SELECTs."""
     def ladder(prefix: str, carry: str, mat_src: str, src_cte: str) -> tuple:
         sq = (
             "list_transform(range(0, d * d), p -> list_sum(list_transform("
@@ -3159,19 +3187,22 @@ def _pca_power2_sql() -> str:
         "list_sum(list_transform(range(0, d), j -> "
         "flat[i * d + j + 1] * v[j + 1])) * v[i + 1]))"
     )
-    a_ctes, a_fin = ladder("a", "flat, d", "flat", "m")
+    a_ctes, a_fin = ladder("a", "flat, d, nv", "flat", "m")
     defl = (
-        "defl AS (SELECT flat, d, v1, lam1, "
+        "defl AS (SELECT flat, d, nv, v1, lam1, "
         "list_transform(range(0, d * d), p -> "
         "flat[p + 1] - lam1 * v1[p // d + 1] * v1[p % d + 1]) AS dmat "
         "FROM r1)"
     )
-    b_ctes, b_fin = ladder("b", "flat, d, v1, lam1", "dmat", "defl")
+    b_ctes, b_fin = ladder("b", "flat, d, nv, v1, lam1", "dmat", "defl")
     all_ctes = ",\n".join(
         a_ctes
-        + [f"r1 AS (SELECT flat, d, v AS v1, {ray} AS lam1 FROM {a_fin})", defl]
+        + [f"r1 AS (SELECT flat, d, nv, v AS v1, {ray} AS lam1 FROM {a_fin})", defl]
         + b_ctes
-        + [f"r2 AS (SELECT d, v1, lam1, v AS v2, {ray} AS lam2 FROM {b_fin})"]
+        + [
+            f"r2 AS (SELECT flat, d, nv, v1, lam1, v AS v2, {ray} AS lam2 "
+            f"FROM {b_fin})"
+        ]
     )
     return f"""
 WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
@@ -3187,13 +3218,18 @@ g AS (
   FROM x GROUP BY 1, 2
 ),
 c AS (
-  SELECT i, j,
+  SELECT i, j, n,
          CAST(ROUND(CAST((sxy - sxi * sxj / n) / (n - 1) AS DECIMAL(38,9)), 6)
               AS DOUBLE) AS cov
   FROM g
 ),
-m AS (SELECT list(cov ORDER BY i, j) AS flat, CAST(MAX(i) + 1 AS INTEGER) AS d FROM c),
-{all_ctes}
+m AS (SELECT list(cov ORDER BY i, j) AS flat, CAST(MAX(i) + 1 AS INTEGER) AS d,
+             CAST(MAX(n) AS BIGINT) AS nv FROM c),
+{all_ctes}"""
+
+
+def _pca_power2_sql() -> str:
+    return f"""{_pca_power2_body()}
 SELECT CAST(i AS BIGINT) AS dim_idx,
        CAST(ROUND(CAST(v1[i + 1] AS DECIMAL(38,9)), 6) AS DOUBLE) AS pc1,
        CAST(ROUND(CAST(v2[i + 1] AS DECIMAL(38,9)), 6) AS DOUBLE) AS pc2,
@@ -3203,7 +3239,32 @@ FROM r2, UNNEST(range(0, d)) AS u(i)
 """
 
 
+def _pca_explained_sql() -> str:
+    # trace = ascending fold over the grid diagonal (list_sum == the
+    # Python loop); pct arithmetic left-associative with a DOUBLE-cast
+    # literal (a bare 100.0 would route DuckDB into DECIMAL arithmetic)
+    return f"""{_pca_power2_body()},
+fin AS (
+  SELECT nv, lam1, lam2,
+         list_sum(list_transform(range(0, d), i -> flat[i * d + i + 1])) AS tr
+  FROM r2
+)
+SELECT CAST(component AS INTEGER) AS component,
+       CAST(ROUND(CAST(CASE WHEN component = 1 THEN lam1 ELSE lam2 END
+            AS DECIMAL(38,9)), 6) AS DOUBLE) AS eigenvalue,
+       CAST(ROUND(CAST((CASE WHEN component = 1 THEN lam1 ELSE lam2 END)
+            * CAST(100.0 AS DOUBLE) / tr
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS explained_pct,
+       CAST(ROUND(CAST((CASE WHEN component = 1 THEN lam1 ELSE lam1 + lam2 END)
+            * CAST(100.0 AS DOUBLE) / tr
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS cum_pct,
+       nv AS n_vecs
+FROM fin, UNNEST([1, 2]) AS u(component)
+"""
+
+
 PCA_POWER_TWO_COMPONENTS_SQL = _pca_power2_sql()
+PCA_EXPLAINED_VARIANCE_SQL = _pca_explained_sql()
 
 
 def _pca_power_sql() -> str:
@@ -3597,10 +3658,12 @@ QUERIES: list[Query] = [
           "exact distributed PCA projection: dim^2-bounded Gram grid, "
           "O(1)-in-corpus driver eigh, one centered matmul per batch "
           "(rows-only; numpy-pinned)"),
-    Query("pca_explained_variance", pca_explained_variance, None,
+    Query("pca_explained_variance", pca_explained_variance,
+          PCA_EXPLAINED_VARIANCE_SQL,
           ("similarity_search_topk",),
-          "explained-variance spectrum from the same bounded Gram grid "
-          "(rows-only; numpy-pinned)"),
+          "top-2 explained-variance spectrum: Rayleigh eigenvalues from "
+          "the mirrored power+deflation ladder over the grid trace — "
+          "exact DuckDB twin (was rows-only eigh until r7)"),
     Query("pca_power_component", pca_power_component,
           PCA_POWER_COMPONENT_SQL,
           ("similarity_search_topk",),

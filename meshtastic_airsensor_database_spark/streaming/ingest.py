@@ -19,6 +19,8 @@ downstream aggregation correctness.
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,12 @@ from ..sources.sinks import parquet_table_sink
 # arrive within seconds; 10 minutes is generous and keeps dedup state
 # bounded (SURVEY §2.9 late_data_handling).
 DEDUP_WATERMARK = "10 minutes"
+
+# Per-sink-task row budget for micro-batch writes: a trickle batch
+# coalesces to one task per sink instead of the session's shuffle width
+# (task launch + file-commit overhead dominated the per-batch clock);
+# a backfill-sized batch keeps up to the shuffle width.
+_ROWS_PER_TASK = 250_000
 
 
 @dataclass
@@ -105,9 +113,10 @@ class EpochLedger:
                     self._fs.delete(status.getPath(), False)
 
 
-def idempotent_batch_processor(paths: IngestPaths):
+def idempotent_batch_processor(paths: IngestPaths, phase_clock: dict | None = None):
     """The foreachBatch callable: skip epochs the ledger already has,
-    commit the epoch after a successful write."""
+    commit the epoch after a successful write. ``phase_clock`` (a dict)
+    accumulates per-phase wall seconds across batches for profiling."""
     ledger: EpochLedger | None = None
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -116,15 +125,43 @@ def idempotent_batch_processor(paths: IngestPaths):
             ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
         if ledger.committed(epoch_id):
             return  # replayed epoch: sinks already hold this data
-        process_packet_batch(batch, paths, with_counts=False)
+        process_packet_batch(
+            batch, paths, with_counts=False, phase_clock=phase_clock
+        )
         ledger.commit(epoch_id)
 
     return on_batch
 
 
+@contextmanager
+def _phase(clock: dict | None, name: str):
+    """Accumulate wall seconds per named phase into ``clock`` (no-op
+    when clock is None — the hot path pays one ``if``)."""
+    if clock is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        clock[name] = clock.get(name, 0.0) + (time.perf_counter() - t0)
+
+
 def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
-    """Current dimension snapshot: persisted if present, else the static seed."""
+    """Current dimension snapshot: persisted if present, else the static
+    seed. Existence-checked (not exception-driven): the analyzer logs a
+    noisy FileNotFound stack on every first batch otherwise."""
     dim_path = paths.table("node_dim")
+    if "://" not in dim_path:
+        exists = os.path.isdir(dim_path)
+    else:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(dim_path)
+        exists = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ).exists(hpath)
+    if not exists:
+        return seed_node_dim(spark)
     try:
         return spark.read.schema(NODE_DIM_SCHEMA).parquet(dim_path)
     except Exception:
@@ -132,7 +169,10 @@ def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
 
 
 def process_packet_batch(
-    batch: DataFrame, paths: IngestPaths, with_counts: bool = True
+    batch: DataFrame,
+    paths: IngestPaths,
+    with_counts: bool = True,
+    phase_clock: dict | None = None,
 ) -> dict[str, int]:
     """Route one (micro-)batch of raw packet lines to the fact tables.
 
@@ -145,52 +185,91 @@ def process_packet_batch(
     the streaming hot path, which discards counts, uses that.
     """
     spark = batch.sparkSession
-    parsed = json_envelope_parse(batch)
-    # Mesh re-broadcast + MQTT at-least-once => dedup inside the batch
-    # (cross-batch dedup is the watermark variant below). Key is the
-    # COMPOSITE [packet.from, packet.id]: Meshtastic packet ids are
-    # 32-bit per-sender counters, so distinct nodes legitimately reuse
-    # the same id — keying on id alone silently drops the second node's
-    # packet. Re-broadcast dupes share both sender and id.
-    # dropDuplicates needs top-level columns; null ids stay undeduped
-    # (no id claim means no duplicate claim).
-    parsed = parsed.withColumn("_pkt_id", F.col("packet.id")).withColumn(
-        "_pkt_from", F.col("packet.from")
-    )
-    with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(
-        ["_pkt_from", "_pkt_id"]
-    )
-    parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop(
-        "_pkt_id", "_pkt_from"
-    )
-    parsed = parsed.cache()  # one parse feeds four routes
+    from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
+    from ..operators.quality import split_by_rules
+
+    # One envelope parse feeds the DLQ split AND the fact routes — the
+    # cache below means the micro-batch's upstream plan (file scan +
+    # watermarked dedup state) executes exactly ONCE per batch, however
+    # many sink actions follow.
+    enveloped = batch.withColumn(
+        "packet", F.from_json(F.col(RAW_COLUMN), PACKET_SCHEMA)
+    ).cache()
+    rules = {
+        "parseable_json": F.col("packet").isNotNull()
+        & F.col("packet.type").isNotNull(),
+        # corrupt rows fail only parseable_json, not this too
+        "known_packet_type": F.col("packet.type").isNull()
+        | F.col("packet.type").isin("telemetry", "text", "nodeinfo"),
+    }
     counts: dict[str, int] = {}
     try:
+        # ONE stats job replaces every per-route isEmpty() probe (each
+        # was a full job re-running the batch plan): it materializes
+        # the cache and answers emptiness for all five routes at once.
+        # Counts are PRE-dedup, which is exactly right for emptiness —
+        # dedup keeps >=1 row per group, so zero-before == zero-after.
+        telem = F.col("packet.type") == F.lit("telemetry")
+        batt = F.col("packet.payload.battery_level").isNotNull()
+        with _phase(phase_clock, "stats"):
+            stats = enveloped.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(
+                    F.when(~(rules["parseable_json"] & rules["known_packet_type"]), 1)
+                ).alias("n_dlq"),
+                F.count(
+                    F.when(F.col("packet.type") == F.lit("nodeinfo"), 1)
+                ).alias("n_nodeinfo"),
+                F.count(F.when(telem & batt, 1)).alias("n_battery"),
+                F.count(F.when(telem & ~batt, 1)).alias("n_v0"),
+                F.count(
+                    F.when(F.col("packet.type") == F.lit("text"), 1)
+                ).alias("n_v1"),
+            ).collect()[0]
+        route_rows = {
+            "battery": stats["n_battery"],
+            "v0_env": stats["n_v0"],
+            "v1_env": stats["n_v1"],
+        }
+
+        # Size every downstream job to the batch, not to the session's
+        # shuffle width: a trickle micro-batch coalesces to ONE task
+        # (and one output file) per sink, while a backfill-sized batch
+        # keeps enough partitions to stay parallel. Coalesce only ever
+        # narrows, so large batches are untouched.
+        def _width(n_rows: int) -> int:
+            return max(1, min(32, -(-int(n_rows) // _ROWS_PER_TASK)))
+
+        # Mesh re-broadcast + MQTT at-least-once => dedup inside the
+        # batch (cross-batch dedup is the watermark variant below). Key
+        # is the COMPOSITE [packet.from, packet.id]: Meshtastic packet
+        # ids are 32-bit per-sender counters, so distinct nodes
+        # legitimately reuse the same id — keying on id alone silently
+        # drops the second node's packet. Re-broadcast dupes share both
+        # sender and id. dropDuplicates needs top-level columns; null
+        # ids stay undeduped (no id claim means no duplicate claim).
+        parsed = enveloped.filter(
+            rules["parseable_json"]
+        ).withColumn("_pkt_id", F.col("packet.id")).withColumn(
+            "_pkt_from", F.col("packet.from")
+        )
+        with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(
+            ["_pkt_from", "_pkt_id"]
+        )
+        parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop(
+            "_pkt_id", "_pkt_from"
+        )
+        # cache post-dedup (the shuffle runs once) at batch-sized width
+        parsed = parsed.coalesce(_width(stats["n"])).cache()
+
         # Dead-letter quarantine: the reference logs-and-drops corrupt
         # JSON and unknown packet types (AIRWISEv0.py:112-114,155-157);
         # route them to an auditable quarantine table instead, tagged
-        # with the violated rule. Runs on a second parse of the raw
-        # micro-batch so the hot fact path keeps its single cached
-        # parse; micro-batches are small, and at scale the DLQ slice is
-        # written with the same append path as the facts.
-        from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
-        from ..operators.quality import split_by_rules
-
-        enveloped = batch.withColumn(
-            "packet", F.from_json(F.col(RAW_COLUMN), PACKET_SCHEMA)
-        )
-        _, dlq = split_by_rules(
-            enveloped,
-            {
-                "parseable_json": F.col("packet").isNotNull()
-                & F.col("packet.type").isNotNull(),
-                # corrupt rows fail only parseable_json, not this too
-                "known_packet_type": F.col("packet.type").isNull()
-                | F.col("packet.type").isin("telemetry", "text", "nodeinfo"),
-            },
-        )
-        if not dlq.isEmpty():
-            dlq_out = dlq.select(
+        # with the violated rule — skipped without a probe job when the
+        # stats row says the batch is clean.
+        if stats["n_dlq"] > 0:
+            _, dlq = split_by_rules(enveloped, rules)
+            dlq_out = dlq.coalesce(_width(stats["n_dlq"])).select(
                 F.col(RAW_COLUMN).alias("raw"),
                 "violations",
                 F.current_timestamp().alias("quarantined_at"),
@@ -203,7 +282,8 @@ def process_packet_batch(
                 dlq_out = dlq_out.observe(
                     obs_dlq, F.count(F.lit(1)).alias("n")
                 )
-            dlq_out.write.mode("append").json(paths.table("quarantine"))
+            with _phase(phase_clock, "dlq_write"):
+                dlq_out.write.mode("append").json(paths.table("quarantine"))
             if obs_dlq is not None:
                 counts["quarantine"] = obs_dlq.get["n"]
 
@@ -212,9 +292,10 @@ def process_packet_batch(
         # Dimension first, so facts in the same batch see their own
         # nodeinfo updates — matches the reference's callback ordering
         # (map_nodes runs before the parsers, AIRWISEv0v1comb.py:389-395).
-        dim = _load_node_dim(spark, paths)
+        with _phase(phase_clock, "dim_load"):
+            dim = _load_node_dim(spark, paths)
         updates = routed["nodeinfo"]
-        if not updates.isEmpty():
+        if stats["n_nodeinfo"] > 0:
             # localCheckpoint (eager) pins the tiny upserted dim to
             # executor storage and TRUNCATES lineage before we overwrite
             # the parquet snapshot it was read from: with a plain
@@ -229,21 +310,34 @@ def process_packet_batch(
                     obs_nodeinfo, F.count(F.lit(1)).alias("n")
                 )
             # the eager localCheckpoint action evaluates the upsert plan,
-            # firing the observation — no separate count job
-            dim = dim_upsert_latest_wins(dim, updates).localCheckpoint()
+            # firing the observation — no separate count job. coalesce(1)
+            # first: the dimension is fleet-sized (it is broadcast on the
+            # enrich side), so the checkpoint holds one partition and the
+            # snapshot write below is one task / one file.
+            with _phase(phase_clock, "dim_upsert"):
+                dim = dim_upsert_latest_wins(dim, updates).coalesce(1).localCheckpoint()
             if obs_nodeinfo is not None:
                 counts["nodeinfo"] = obs_nodeinfo.get["n"]
-            # overwrite the snapshot: tiny dimension, full rewrite per batch
-            dim.write.mode("overwrite").parquet(paths.table("node_dim") + "_next")
-            spark.read.parquet(paths.table("node_dim") + "_next").write.mode(
-                "overwrite"
-            ).parquet(paths.table("node_dim"))
+            # Overwrite the snapshot in place: the eager localCheckpoint
+            # above PINNED the upserted rows to executor storage and
+            # truncated lineage, so the write no longer reads the files
+            # it replaces (the reason a staging copy used to exist).
+            with _phase(phase_clock, "dim_write"):
+                dim.write.mode("overwrite").parquet(paths.table("node_dim"))
 
         for slice_name, table in (
             ("battery", "battery_data"),
             ("v0_env", "airwise_data"),
             ("v1_env", "airwise_datav1"),
         ):
+            if route_rows[slice_name] == 0:
+                # nothing on this route this batch: no write job, no
+                # rollup maintenance (an empty partitioned write emits
+                # no data files anyway — skipping changes no on-disk
+                # state, only removes the job)
+                if with_counts:
+                    counts[table] = 0
+                continue
             facts = node_dim_enrich(routed[slice_name], dim)
             # partition by event date: prunable, low-cardinality (SURVEY §4.2)
             facts = facts.withColumn("event_date", F.to_date("event_ts"))
@@ -255,7 +349,10 @@ def process_packet_batch(
 
                 obs = Observation(f"ingest_{table}")
                 facts = facts.observe(obs, F.count(F.lit(1)).alias("n"))
-            parquet_table_sink(facts, paths.table(table), partition_by=("event_date",))
+            with _phase(phase_clock, f"facts_{table}"):
+                parquet_table_sink(
+                    facts, paths.table(table), partition_by=("event_date",)
+                )
             if obs is not None:
                 counts[table] = obs.get["n"]
             if slice_name == "v0_env":
@@ -266,16 +363,23 @@ def process_packet_batch(
                 # raw fact table.
                 from .rollup import maintain_rollup
 
-                maintain_rollup(
-                    facts.select("node", "event_ts", "temperature"),
-                    paths.table("airwise_hourly"),
-                    keys=["node"],
-                    ts_col="event_ts",
-                    value_col="temperature",
-                )
+                with _phase(phase_clock, "rollup"):
+                    maintain_rollup(
+                        facts.select("node", "event_ts", "temperature"),
+                        paths.table("airwise_hourly"),
+                        keys=["node"],
+                        ts_col="event_ts",
+                        value_col="temperature",
+                        # partial rows <= this route's fact rows
+                        width=_width(route_rows[slice_name]),
+                    )
         return counts
     finally:
-        parsed.unpersist()
+        try:
+            parsed.unpersist()
+        except NameError:
+            pass  # stats job failed before the routed cache existed
+        enveloped.unpersist()
 
 
 def run_ingest_stream(
@@ -284,6 +388,7 @@ def run_ingest_stream(
     trigger_seconds: int | None = None,
     max_files_per_trigger: int | None = None,
     dedup_within_watermark: bool = False,
+    phase_clock: dict | None = None,
 ) -> StreamingQuery:
     """Start the ingest streaming query (M3).
 
@@ -319,7 +424,7 @@ def run_ingest_stream(
         stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))
 
     writer = stream.writeStream.foreachBatch(
-        idempotent_batch_processor(paths)
+        idempotent_batch_processor(paths, phase_clock=phase_clock)
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -100,20 +100,36 @@ def maintain_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     distinct_col: str | None = None,
+    width: int | None = None,
 ) -> list:
-    """Fold one micro-batch of raw facts into the materialized hourly
+    """Fold one (micro-)batch of raw facts into the materialized hourly
     rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
     streaming ingest calls it per epoch) and equally usable for batch
     backfill slices.
 
+    ``width`` (optional) coalesces the post-aggregation stages to that
+    many partitions — the caller's upper bound on partial-row volume.
+    The streaming ingest passes its batch-derived width so a trickle
+    micro-batch maintains the rollup with single-task stages instead of
+    shuffle-width ones; batch backfills leave it None.
+
     Returns the list of affected partition dates (for tests/metrics).
     """
     spark = batch.sparkSession
+    # Pin the batch's partials FIRST: they are rollup-grain small
+    # (hours x keys), and every later step — the affected-date collect,
+    # the merge, the overwrite — then reads this checkpoint instead of
+    # re-aggregating the raw batch (which used to run three times per
+    # micro-batch: once for the date collect, once inside the merged
+    # checkpoint, once more if anything re-read it).
     new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
+    if width is not None:
+        new_parts = new_parts.coalesce(width)
+    new_parts = new_parts.localCheckpoint(eager=True)
 
     # The affected-date set is bounded by the batch's event-time spread
     # (normally 1-2 dates per micro-batch) — a driver-side collect of a
-    # few scalars, not data movement.
+    # few scalars over the checkpointed partials, not data movement.
     affected = [row[0] for row in new_parts.select(ROLLUP_PARTITION_COL).distinct().collect()]
     if not affected:
         return []
@@ -131,6 +147,8 @@ def maintain_rollup(
     # the same parquet path it is about to replace, which Spark rightly
     # refuses to run lazily. The merged set is rollup-grain small
     # (hours x keys for the affected dates), so pinning it is cheap.
+    if width is not None:
+        merged = merged.coalesce(width)
     merged = merged.localCheckpoint(eager=True)
 
     overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
