@@ -30,6 +30,74 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R7 = [
+    # Standing policy: {new or changed this round} ∪ {changed since
+    # last driver row} ∪ oldest-banked evidence refresh.
+    # -- r7 new/changed oracles: pca_explained_variance gained an exact
+    # twin (top-2 Rayleigh spectrum over the trace; rows-only 7 -> 6);
+    # the two-ladder SQL body was refactored to carry n_vecs; the four
+    # LSH-cap twins now interpolate MAX_BUCKET instead of a literal;
+    # the exact-multimodal synths were refactored to id-frame inputs.
+    "pca_explained_variance",
+    "pca_power_coords",
+    "pca_power_two_components",
+    "pca_power_component",
+    "minhash_neardup_candidates",
+    "cross_shard_neardup_probe",
+    "embedding_lsh_neardup_pairs",
+    "image_neardup_pairs_exact",
+    "audio_fingerprint_exact",
+    # -- streaming blast radius: process_packet_batch was restructured
+    # this round (single stats job, skip-empty routes, batch-width
+    # coalesce, direct dim overwrite) and maintain_rollup now
+    # checkpoints partials first — every query that replays the batch
+    # core or maintains/reads a rollup re-records under the new code.
+    "replay_route_counts",
+    "replay_env_enriched",
+    "replay_battery_enriched",
+    "replay_v1_env",
+    "replay_quarantine_counts",
+    "replay_late_dedup",
+    "replay_dim_history",
+    "replay_env_hourly_rollup",
+    "replay_stream_join",
+    "replay_env_asof_names",
+    "incremental_rollup_hourly",
+    "daily_rollup_from_hourly",
+    "incremental_distinct_hourly",
+    # -- evidence refresh: the only three r1-banked rows left...
+    "char_jaccard_neardup_pairs",
+    "embedding_norms",
+    "jaccard_neardup_pairs",
+    # -- ...and 26 of the r2-banked rows (5 named by the r6 verdict
+    # first), one per family where possible; the rest of the r2 bank
+    # rotates into r8.
+    "pacific_daily_counts",
+    "epoch_roundtrip",
+    "f_to_c_values",
+    "tz_suffix_roundtrip",
+    "union_order_slices",
+    "aligned_type_buckets",
+    "asof_latest_view_value",
+    "exact_dedup_docs",
+    "fact_dim_join",
+    "hourly_avg_by_node",
+    "latest_reading_per_node",
+    "reading_gap_detect",
+    "rolling_avg_value",
+    "props_json_extract",
+    "quality_scores",
+    "grouping_sets_revenue",
+    "outage_episodes",
+    "region_supplier_revenue",
+    "rollup_lineitem",
+    "monthly_order_trend",
+    "customers_with_urgent_orders",
+    "parts_above_avg_price",
+    "pivot_priority_by_status",
+    "bpe_token_stats",
+    "doc_fingerprints",
+]
 _DRIVER_WINDOW_R6 = [
     # Standing policy (r5 verdict): window = {queries new or changed
     # this round} ∪ {queries whose plan changed since their last driver
@@ -270,7 +338,13 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R6
+# r8 rotation queue: the r2-banked rows not refreshed in r7
+# (doc_split_assignment, cube_orders, conditional_event_counts, customers_without_urgent_
+# orders, distinct_mktsegments, lang_id_confusion, lead_gap_stats,
+# nation_keys_intersect/except, order_value_quartiles, pii_scan,
+# priority_multiset_intersect, priority_order_extremes,
+# props_regex_extract, ...) plus anything new/changed in r8.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R7
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

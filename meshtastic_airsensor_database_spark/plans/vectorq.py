@@ -23,7 +23,7 @@ from ..functions.vectors import (
     quantize_int8,
 )
 from ..io_utils import fan_out, load, materialize
-from ..operators.dedup import minhash_lsh_candidates, simhash_buckets
+from ..operators.dedup import MAX_BUCKET, minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import (
     brute_force_topk,
     embedding_dim_stats,
@@ -593,14 +593,16 @@ IMG_X_SALT = "img"
 IMG_X_HAM = 6
 
 
-def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def md5_image_media_from_ids(ids: DataFrame, bases: int = IMG_X_BASES) -> DataFrame:
     """Deterministic PPM media table whose pixels a SQL engine can
     re-derive: pixel byte k of base image b = byte k%16 of
     md5('img:{b}:{k//16}') — hashlib bytes Spark-side == hex-pair
     extraction of DuckDB's md5() string. Pixel (0,0) then takes the
     per-doc edit (doc_id*37)%256 on all three channels: docs sharing a
     base are planted near-dups, exactly like image_neardup_media, but
-    on a basis the oracle can replay."""
+    on a basis the oracle can replay. ``ids`` is any frame with a
+    ``doc_id`` column; ``bases`` lets the scale smoke grow the base
+    count with the corpus (constant members per base)."""
     import hashlib
 
     import numpy as np
@@ -608,7 +610,6 @@ def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.codecs import encode_ppm
 
-    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
     side, nd = IMG_X_SIDE, IMG_X_DIGESTS
 
     def synth(batches):
@@ -616,7 +617,7 @@ def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                base = did % IMG_X_BASES
+                base = did % bases
                 raw = b"".join(
                     hashlib.md5(f"{IMG_X_SALT}:{base}:{j}".encode()).digest()
                     for j in range(nd)
@@ -630,7 +631,13 @@ def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"media_id": did, "content": encode_ppm(px)})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    return docs.mapInPandas(synth, "media_id long, content binary")
+    return ids.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+
+
+def _md5_image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return md5_image_media_from_ids(
+        fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    )
 
 
 def image_neardup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,10 +712,10 @@ bands_raw AS (
   SELECT media_id, CAST(b AS INTEGER) AS band_idx, bands[b + 1] AS band_hash
   FROM sig, UNNEST(range(0, 4)) AS u(b)
 ),
--- mirror pairs_within_buckets' MAX_BUCKET=1000 degenerate-bucket cap
+-- mirror pairs_within_buckets' MAX_BUCKET degenerate-bucket cap
 bands AS (
   SELECT * FROM bands_raw
-  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
 ),
 p AS (
   SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
@@ -735,11 +742,13 @@ AUD_X_SALT = "wav"
 AUD_X_RATE = 8000
 
 
-def _md5_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+def md5_audio_media_from_ids(ids: DataFrame) -> DataFrame:
     """Deterministic WAV media table whose PCM a SQL engine can
     re-derive: sample k of doc d = little-endian int16 from bytes
     2k/2k+1 of the md5('wav:{d}:{j}') stream — hashlib bytes Spark-side
-    == hex-pair extraction of DuckDB's md5() string."""
+    == hex-pair extraction of DuckDB's md5() string. ``ids`` is any
+    frame with a ``doc_id`` column (the scale smoke passes a factor-x
+    synthetic range)."""
     import hashlib
 
     import numpy as np
@@ -747,7 +756,6 @@ def _md5_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.codecs import encode_wav
 
-    docs = fan_out(load(spark, sf_dir, "documents")).select("doc_id")
     nd = AUD_X_DIGESTS
 
     def synth(batches):
@@ -765,7 +773,13 @@ def _md5_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    return docs.mapInPandas(synth, "media_id long, content binary")
+    return ids.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+
+
+def _md5_audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return md5_audio_media_from_ids(
+        fan_out(load(spark, sf_dir, "documents")).select("doc_id")
+    )
 
 
 def audio_fingerprint_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,12 +1329,12 @@ sk AS (
 bands_raw AS (
 {band_rows}
 ),
--- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET=1000):
+-- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET, interpolated):
 -- Spark drops whole buckets above the cap, so the twin must too or a
 -- degenerate band key at larger SF makes Spark drop pairs the oracle keeps
 bands AS (
   SELECT * FROM bands_raw
-  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
@@ -1332,7 +1346,10 @@ FROM bands a JOIN bands b
 MINHASH_NEARDUP_CANDIDATES_SQL = _mh_cand_sql()
 
 
-CROSS_SHARD_MIN_MATCH = 4  # >= one full band by construction
+# Structural invariant, not a selectivity knob: any band-key match means
+# one full band of minima already agrees, so n_match is at least the band
+# width. Derived (16 perms / 4 bands) so a banding change keeps it true.
+CROSS_SHARD_MIN_MATCH = MHJ_PERMS // MH_CAND_BANDS
 
 
 def cross_shard_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,13 +1367,13 @@ def cross_shard_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key; the verify reads the matching-minima count straight off
     the two sketch structs carried through the band rows (one sketch
     evaluation per side, no join-back) and reports the unbiased
-    estimator n_match/16. A band match implies n_match >= 4, so the
-    integer filter is a tautology kept for the operator contract.
+    estimator n_match/16. The n_match >= band-width filter is the
+    structural invariant a band match already guarantees (the
+    constant is DERIVED from the banding, not tunable).
 
     Scale shape: one band-key exchange per side (the indexed window
     shares it), broadcast of the shard side, ids+minima-only rows.
     """
-    from ..operators.dedup import MAX_BUCKET
 
     docs = load(spark, sf_dir, "documents")
     sk = _md5_minhash_sketch(docs, basis="shingles")
@@ -1460,7 +1477,7 @@ ib_raw AS (
 -- mirror the degenerate-bucket cap on the INDEXED side
 ib AS (
   SELECT * FROM ib_raw
-  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
 ),
 nb AS (
 {band_rows('sko')}
@@ -1954,7 +1971,7 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — has a DuckDB twin (r4 verdict rows-only-shrink item). The
     xxhash64/Arrow-matmul tier lives in operators/similarity.py::
     hyperplane_neardup_pairs with the identical shape. The twin also
-    mirrors the degenerate-bucket cap (MAX_BUCKET=1000) via QUALIFY, so
+    mirrors the degenerate-bucket cap (MAX_BUCKET, interpolated) via QUALIFY, so
     parity holds at EVERY scale factor, not just the sf<=0.01 corpus
     where the cap cannot bind.
     """
@@ -2033,11 +2050,11 @@ bands_raw AS (
          (bkt >> (CAST(b AS INTEGER) * {LSH_ND_BAND_BITS})) & {mask} AS band_hash
   FROM bkt, UNNEST(range(0, {LSH_ND_BANDS})) AS u(b)
 ),
--- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET=1000)
+-- mirror pairs_within_buckets' degenerate-bucket cap (MAX_BUCKET, interpolated)
 -- so the parity claim holds at every scale factor, not just sf<=0.01
 bands AS (
   SELECT * FROM bands_raw
-  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= 1000
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
 ),
 p AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -2885,7 +2902,7 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_pca_coords``'s tests). Same scale shape as the power
     queries: one gram pass, dim² driver state, O(1) in corpus size.
     """
-    lam1, lam2, tr, n, _v1, _v2 = _power_two_exact(spark, sf_dir)
+    lam1, lam2, tr, n, _v1, _v2, _mean = _power_two_exact(spark, sf_dir)
     out = spark.createDataFrame(
         [(1, lam1, lam1, int(n)), (2, lam2, lam1 + lam2, int(n))],
         "component int, ev double, cum_ev double, n_vecs long",
@@ -3028,7 +3045,10 @@ def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
     Every operation and fold order is the one the generated DuckDB CTE
     ladder performs, so from the shared rounded grid the trajectories
     are bit-identical (oracle-parity conventions, plans/base.py).
-    Returns ``(lam1, lam2, trace, n_vecs, v1, v2)``.
+    Returns ``(lam1, lam2, trace, n_vecs, v1, v2, mean)`` — ``mean`` is
+    the per-dimension mean rounded 6 via the decimal route (the same
+    shared-basis treatment as the covariance cells; the projection twin
+    re-derives it as ROUND(sum/n) from its own scan).
     """
     import math
 
@@ -3037,6 +3057,10 @@ def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
     sums = partials.filter(F.col("j") == -1)
     si = sums.select(F.col("i"), F.col("sxy").alias("si"))
     sj = sums.select(F.col("i").alias("j"), F.col("sxy").alias("sj"))
+    mean_rows = sums.select(
+        "i", r(F.col("sxy") / F.col("n"), 6).alias("mu")
+    ).collect()
+    mean_by_i = {row["i"]: row["mu"] for row in mean_rows}
     cov = (
         cells.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
@@ -3106,7 +3130,8 @@ def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
     tr = 0.0
     for i in range(dim):
         tr += C[i][i]
-    return lam1, lam2, tr, n_vecs, v1, v2
+    mean = [mean_by_i[i] for i in range(dim)]
+    return lam1, lam2, tr, n_vecs, v1, v2, mean
 
 
 def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3124,7 +3149,7 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     query: one gram pass, dim^2 driver state, O(iters * dim^2 + dim^3)
     driver arithmetic — O(1) in corpus size.
     """
-    lam1, lam2, _tr, _n, v1, v2 = _power_two_exact(spark, sf_dir)
+    lam1, lam2, _tr, _n, v1, v2, _mean = _power_two_exact(spark, sf_dir)
     dim = len(v1)
     out = spark.createDataFrame(
         [(i, v1[i], v2[i]) for i in range(dim)],
@@ -3136,6 +3161,52 @@ def pca_power_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(F.col("pc2"), 6).alias("pc2"),
         r(F.lit(lam1), 6).alias("ev1"),
         r(F.lit(lam2), 6).alias("ev2"),
+    )
+
+
+PCA_COORDS_MAX_ID = 50
+
+
+def pca_power_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION coordinates on the exact power+deflation basis —
+    the oracle-exact sibling of ``embedding_pca_coords``'s projection
+    step (which stays rows-only: its basis is LAPACK eigh). The first
+    ``PCA_COORDS_MAX_ID`` vectors are projected onto (v1, v2) from the
+    mirrored ladder after centering on the rounded per-dimension mean:
+    ``pc_k = fold_i (x_i - mean_i) * vk_i`` — subtraction then multiply
+    per element, ascending left fold (== DuckDB list_sum of
+    list_transform), so from the shared rounded inputs (mean at 6
+    decimals, the ladder's full-precision v1/v2, the raw parquet
+    floats widened to double) the coordinates are bit-identical and
+    only the OUTPUT rounds.
+
+    Scale shape: the basis is the same one gram pass + O(dim²) driver
+    state as the other power queries; the projection itself is a
+    NARROW per-row expression over broadcast-literal basis arrays (at
+    100 TB you project a trillion rows with zero shuffles — this query
+    bounds its output to the fixed-ID sample only so the driver compare
+    stays small).
+    """
+    _l1, _l2, _tr, _n, v1, v2, mean = _power_two_exact(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < PCA_COORDS_MAX_ID
+    )
+    x = F.col("embedding").cast("array<double>")
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with(x, mean_lit, lambda a, b: a - b)
+
+    def proj(vec: list) -> F.Column:
+        v_lit = F.array(*[F.lit(c) for c in vec])
+        return F.aggregate(
+            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    return emb.select(
+        "vec_id",
+        r(proj(v1), 4).alias("pc1"),
+        r(proj(v2), 4).alias("pc2"),
     )
 
 
@@ -3263,8 +3334,36 @@ FROM fin, UNNEST([1, 2]) AS u(component)
 """
 
 
+def _pca_coords_sql() -> str:
+    # mean_i = ROUND(sum/n, 6) via the decimal route (same shared-basis
+    # treatment as the covariance cells — g's sxi for i==j is the plain
+    # per-dimension sum); projection = subtraction-then-multiply per
+    # element, ascending list_sum fold == Spark F.aggregate
+    return f"""{_pca_power2_body()},
+mn AS (
+  SELECT i,
+         CAST(ROUND(CAST(sxi / n AS DECIMAL(38,9)), 6) AS DOUBLE) AS mu
+  FROM g WHERE i = j
+),
+ml AS (SELECT list(mu ORDER BY i) AS mean FROM mn),
+q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+  WHERE vec_id < {PCA_COORDS_MAX_ID}
+)
+SELECT q.vec_id,
+       CAST(ROUND(CAST(list_sum(list_transform(range(1, d + 1),
+            i -> (x[i] - mean[i]) * v1[i])) AS DECIMAL(38,9)), 4)
+            AS DOUBLE) AS pc1,
+       CAST(ROUND(CAST(list_sum(list_transform(range(1, d + 1),
+            i -> (x[i] - mean[i]) * v2[i])) AS DECIMAL(38,9)), 4)
+            AS DOUBLE) AS pc2
+FROM q, r2, ml
+"""
+
+
 PCA_POWER_TWO_COMPONENTS_SQL = _pca_power2_sql()
 PCA_EXPLAINED_VARIANCE_SQL = _pca_explained_sql()
+PCA_POWER_COORDS_SQL = _pca_coords_sql()
 
 
 def _pca_power_sql() -> str:
@@ -3677,6 +3776,13 @@ QUERIES: list[Query] = [
           "top-2 PCA via power iteration + mirrored deflation "
           "(B = C - l1 v1 v1^T), both Rayleigh eigenvalues against the "
           "original grid — exact DuckDB twin"),
+    Query("pca_power_coords", pca_power_coords, PCA_POWER_COORDS_SQL,
+          ("similarity_search_topk",),
+          "PCA projection coordinates on the exact ladder basis: "
+          "center on the rounded mean, fold (x-mu)*v ascending — the "
+          "oracle-exact sibling of embedding_pca_coords' projection "
+          "step (narrow per-row expression, zero shuffles at any "
+          "corpus size)"),
     Query("approx_distinct_users", approx_distinct_users, None,
           ("approx_distinct_nodes",), "HLL++ approx distinct (rows-only)"),
     Query("approx_value_percentiles", approx_value_percentiles, None,

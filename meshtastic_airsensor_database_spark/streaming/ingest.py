@@ -235,10 +235,17 @@ def process_packet_batch(
         # Size every downstream job to the batch, not to the session's
         # shuffle width: a trickle micro-batch coalesces to ONE task
         # (and one output file) per sink, while a backfill-sized batch
-        # keeps enough partitions to stay parallel. Coalesce only ever
+        # keeps enough partitions to stay parallel (ceiling = the
+        # session's shuffle width, so a 2000-partition cluster backfill
+        # is not capped at local-mode sizes). Coalesce only ever
         # narrows, so large batches are untouched.
+        try:
+            shuffle_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            shuffle_width = spark.sparkContext.defaultParallelism
+
         def _width(n_rows: int) -> int:
-            return max(1, min(32, -(-int(n_rows) // _ROWS_PER_TASK)))
+            return max(1, min(shuffle_width, -(-int(n_rows) // _ROWS_PER_TASK)))
 
         # Mesh re-broadcast + MQTT at-least-once => dedup inside the
         # batch (cross-batch dedup is the watermark variant below). Key

@@ -935,7 +935,41 @@ def test_pca_power_component_converges_to_eigh(spark, sf_dir):
     )
 
 
-def test_pca_power_two_components_converge_and_orthogonal(spark, sf_dir):
+def test_pca_power_coords_match_eigh_projection(spark, sf_dir):
+    """The ladder-basis projection coordinates must match a straight
+    numpy PCA projection (eigh basis, ddof=1 covariance, centered) up
+    to each component's global sign — i.e. the oracle-exact query is
+    computing real PCA coordinates, not merely reproducing itself."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.vectorq import PCA_COORDS_MAX_ID
+
+    data = (
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    X = np.array([r0.embedding for r0 in data], dtype=np.float64)
+    ids = np.array([r0.vec_id for r0 in data])
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, [-1, -2]]  # top-2 eigh basis
+    P = (X - X.mean(axis=0)) @ W
+    by_id = {int(i): P[pos] for pos, i in enumerate(ids)}
+
+    rows = sorted(
+        REGISTRY["pca_power_coords"].builder(spark, sf_dir).collect(),
+        key=lambda r0: r0.vec_id,
+    )
+    assert len(rows) == min(PCA_COORDS_MAX_ID, len(X))
+    got = np.array([[r0.pc1, r0.pc2] for r0 in rows])
+    want = np.array([by_id[r0.vec_id] for r0 in rows])
+    for k in range(2):
+        # align each component's arbitrary sign, then compare shapes:
+        # cosine of the 50-coordinate vectors (v2 converges at 0.99, so
+        # its coordinates carry a small angle error by construction)
+        g, w = got[:, k], want[:, k]
+        c = float(g @ w) / (np.linalg.norm(g) * np.linalg.norm(w))
+        assert abs(c) > (0.999 if k == 0 else 0.99), (k, c)
     """The deflated second component must converge to numpy's second
     eigenvector (|cos| > 0.99), stay near-orthogonal to the first, and
     both Rayleigh eigenvalues must match eigh's."""

@@ -793,6 +793,159 @@ def test_epoch_ledger_reset_with_checkpoint_and_pruning(spark, tmp_path):
     assert ledger.committed(0) and not ledger.committed(3)
 
 
+def test_empty_routes_are_guarded_not_written(spark, tmp_path):
+    """empty_check_guard (SURVEY §2.2): a batch with no rows for a
+    route must not create that route's table (the r7 stats-aggregate
+    guard replaced the per-route isEmpty probes — same contract, one
+    job). A quarantine-only batch writes ONLY the quarantine table."""
+    import os
+
+    landing = str(tmp_path / "eg_landing")
+    out = str(tmp_path / "eg_out")
+    # one unknown-type packet + one corrupt line: every fact route empty
+    write_packet_fixture(
+        landing,
+        [json.dumps({"from": 1, "id": 1, "type": "position",
+                     "timestamp": 1760748940, "payload": {}}),
+         '{"truncated": '],
+        "b0.jsonl",
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    counts = process_packet_batch(packet_batch_source(spark, landing), paths)
+
+    assert counts["quarantine"] == 2
+    assert counts["airwise_data"] == 0
+    assert counts["battery_data"] == 0
+    assert counts["airwise_datav1"] == 0
+    assert "nodeinfo" not in counts
+    # the guard means no sink job ran: no fact/dim dirs exist at all
+    for table in ("airwise_data", "battery_data", "airwise_datav1",
+                  "node_dim", "airwise_hourly"):
+        assert not os.path.isdir(paths.table(table)), table
+    assert spark.read.json(paths.table("quarantine")).count() == 2
+
+
+def test_mid_batch_crash_after_ledger_commit_is_exactly_once(spark, tmp_path):
+    """CHAOS: kill the streaming query INSIDE foreachBatch after the
+    fact write + ledger commit but BEFORE the streaming checkpoint
+    commits the epoch, then restart on the same checkpoint. Structured
+    Streaming re-delivers epoch 0 (offsets WAL written, commit log not),
+    and the ledger must turn the re-delivery into a no-op — facts land
+    EXACTLY ONCE. This is the epoch ledger's whole contract (the
+    reference daemons' swallow-and-continue semantics,
+    AIRWISEv0v1comb.py:326-331, upgraded to exactly-once); the graceful
+    restart test above never exercises the crash window."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import EpochLedger
+
+    landing = str(tmp_path / "cx_landing")
+    out = str(tmp_path / "cx_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    ledger_box: dict = {}
+
+    def chaotic(batch, epoch_id):
+        # same body as idempotent_batch_processor, plus the planted
+        # crash in the post-commit / pre-checkpoint window
+        if "l" not in ledger_box:
+            ledger_box["l"] = EpochLedger(batch.sparkSession, paths.ledger_dir)
+        ledger = ledger_box["l"]
+        if ledger.committed(epoch_id):
+            return
+        process_packet_batch(batch, paths, with_counts=False)
+        ledger.commit(epoch_id)
+        raise RuntimeError("planted crash: after ledger commit, before checkpoint")
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+
+    q = (
+        packet_stream_source(spark, landing)
+        .writeStream.foreachBatch(chaotic)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="planted crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()
+    # facts written once; epoch 0 marked committed; checkpoint has no
+    # commit record, so a restart WILL re-deliver epoch 0
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 1
+
+    q2 = run_ingest_stream(spark, paths)  # same checkpoint + topology
+    try:
+        q2.processAllAvailable()
+        # stream stays live after recovery: a new file lands as facts
+        write_packet_fixture(
+            landing,
+            [json.dumps(dict(ALL_GOOD[0], id=4242, timestamp=1760749100))],
+            "b1.jsonl",
+        )
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    env = spark.read.parquet(paths.table("airwise_data"))
+    # exactly-once: epoch 0's replay was a ledger no-op, b1 appended
+    assert env.count() == 2
+    assert env.filter(F.col("timestamp_node") == 1760749100).count() == 1
+
+
+def test_mid_batch_crash_before_ledger_commit_is_absorbed_by_dedup(
+    spark, tmp_path
+):
+    """CHAOS at the OTHER abort point: crash after the fact write but
+    BEFORE the ledger commit. This window is documented at-least-once
+    (streaming/ingest.py module docstring): the replayed epoch appends
+    the facts a second time, and the composite packet identity
+    [node, timestamp_node] is what downstream dedup keys on — assert
+    both halves of that contract instead of pretending the window is
+    exactly-once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+    from meshtastic_airsensor_database_spark.streaming.ingest import EpochLedger
+
+    landing = str(tmp_path / "cy_landing")
+    out = str(tmp_path / "cy_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    def chaotic(batch, epoch_id):
+        ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
+        if ledger.committed(epoch_id):
+            return
+        process_packet_batch(batch, paths, with_counts=False)
+        raise RuntimeError("planted crash: after fact write, before ledger commit")
+
+    q = (
+        packet_stream_source(spark, landing)
+        .writeStream.foreachBatch(chaotic)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="planted crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()
+
+    q2 = run_ingest_stream(spark, paths)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    env = spark.read.parquet(paths.table("airwise_data"))
+    # at-least-once: the epoch replayed in full...
+    assert env.count() == 2
+    # ...and the packet identity collapses it back to exactly-once
+    assert env.dropDuplicates(["node", "timestamp_node"]).count() == 1
+
+
 def test_outage_episodes_streaming_session_windows(spark, tmp_path):
     """session_window works in streaming mode (SURVEY §2.9
     windowed_ingest): episodes close and emit once the watermark passes

@@ -398,6 +398,53 @@ def main() -> None:
         .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     )
     timed(spark, "session_paths", paths, out)
+
+    # r7: the two oracle-exact multimodal pipelines (codec ROUNDTRIPS on
+    # the hot path — md5 synth -> PPM/WAV encode -> decode -> integer
+    # hash/features). Media ids are a factor-x synthetic range; the
+    # image BASE count scales with the corpus (constant ~members per
+    # base), so the planted near-dup pairs — and therefore the banding
+    # buckets and the pair join — grow LINEARLY with factor and stay
+    # under the MAX_BUCKET cap at any factor. Super-linear wall here
+    # means a codec pass stopped being narrow or the band join
+    # regressed; the pair count doubling with factor is the plant
+    # working, not a regression.
+    from meshtastic_airsensor_database_spark.operators.multimodal import (
+        audio_features_int,
+        image_ahash_int,
+        image_neardup_pairs,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        IMG_X_BASES,
+        IMG_X_HAM,
+        md5_audio_media_from_ids,
+        md5_image_media_from_ids,
+    )
+
+    n_media = n_docs  # same scale as the replicated doc corpus
+    media_ids = fan_out(
+        spark.range(n_media).select(F.col("id").alias("doc_id"))
+    ).localCheckpoint(eager=True)
+    timed(
+        spark,
+        "image_neardup_exact",
+        image_neardup_pairs(
+            md5_image_media_from_ids(media_ids, bases=IMG_X_BASES * factor),
+            max_hamming=IMG_X_HAM,
+            hasher=image_ahash_int,
+        ),
+        out,
+    )
+    # aggregate over the features, not count(): Catalyst cannot prune
+    # into the Arrow op, but the agg also pins the decoded values
+    timed(
+        spark,
+        "audio_fingerprint_exact",
+        audio_features_int(md5_audio_media_from_ids(media_ids)).agg(
+            F.sum("energy"), F.sum("zero_crossings"), F.count(F.lit(1))
+        ),
+        out,
+    )
     # Partition-offset global ordered stats (r5 — replaced the
     # unpartitioned windows in rfm/pareto/token-budget): exact NTILE
     # and rank+running-sum over a factor-x per-user frame. Cost must
