@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "image_neardup_pairs_exact",
     "audio_fingerprint_exact",
     "pca_power_component",
+    # r7: the supervised trained-model member (one-pass integer moments
+    # + driver Gauss-Jordan; builder-eager -> e2e clock captures it)
+    "linreg_token_diversity",
 ]
 
 

@@ -21,6 +21,7 @@ from ..functions.text import (
     normalize_text,
     quality_features,
     token_count,
+    tokens,
     word_shingles,
 )
 from ..io_utils import fan_out, load
@@ -1848,7 +1849,233 @@ GROUP BY source
 """
 
 
+# --- exact distributed linear regression (mirrored Gaussian elimination) -----
+
+LINREG_FEATURES = ("intercept", "n_tokens", "n_chars", "n_long_tokens")
+_LINREG_D = len(LINREG_FEATURES)  # 4x4 normal matrix, 4x5 augmented
+
+
+def linreg_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed linear regression — the supervised sibling of
+    the Lloyd/PQ/BPE/PCA trained-model family: learn least-squares
+    weights predicting a document's DISTINCT-token count (vocabulary
+    diversity) from surface features (token count, char length,
+    long-token count), plus the R² — the 30-second "is length a sufficient
+    quality proxy" diagnostic a curation pipeline runs before buying a
+    fancier signal.
+
+    Why it is oracle-EXACT end-to-end, with no rounded intermediate
+    state at all: every feature and the target are INTEGERS extracted
+    with the established cross-engine tokenizer/regex parity rules, so
+    the normal-equation moments (the only corpus-touching pass: one
+    map-side-partial aggregate of 15 BIGINT sums — SUM(x_i*x_j),
+    SUM(x_i*y), SUM(y*y), n) are integer-exact in both engines; the
+    4x5 augmented system is then solved by GAUSSIAN-JORDAN elimination
+    in natural pivot order (SPD normal matrix — no pivoting needed)
+    with the per-cell operation order mirrored in the DuckDB twin's
+    unrolled CTE ladder (normalize row k from the old matrix, then
+    eliminate every other row from the NORMALIZED snapshot), and R²
+    comes from the same moments (ss_res = Syy - 2 w·b + wᵀGw —
+    mirrored ascending folds). Only the OUTPUT rounds.
+
+    Scale shape: one aggregation pass over the corpus (shuffle carries
+    ONE row of 15 longs), O(d³)=O(1) driver arithmetic. The integer
+    moments stay exact in float64 up to 2^53 — beyond ~10^9 large docs
+    the twin's exactness regime would need the declared-sample
+    convention (same class as the HLL twin's bounded subject).
+    """
+    docs = load(spark, sf_dir, "documents")
+    x1 = token_count(F.col("text")).cast("long")
+    x2 = F.length(F.col("text")).cast("long")
+    # count of tokens longer than 5 chars (argument expressions of a
+    # HOF evaluate once per row; the lambda touches only its parameter)
+    x3 = F.size(
+        F.filter(tokens(F.col("text")), lambda w: F.length(w) > 5)
+    ).cast("long")
+    y = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(tokens(F.col("text"))))
+    ).cast("long")
+    f = docs.select(
+        x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), y.alias("y")
+    )
+    mo = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x2") * F.col("x3")).alias("s23"),
+        F.sum(F.col("x3") * F.col("x3")).alias("s33"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("x3") * F.col("y")).alias("s3y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]  # bounded: 15 integer scalars
+
+    n = float(mo["n"])
+    G = [
+        [n, float(mo["s1"]), float(mo["s2"]), float(mo["s3"])],
+        [float(mo["s1"]), float(mo["s11"]), float(mo["s12"]), float(mo["s13"])],
+        [float(mo["s2"]), float(mo["s12"]), float(mo["s22"]), float(mo["s23"])],
+        [float(mo["s3"]), float(mo["s13"]), float(mo["s23"]), float(mo["s33"])],
+    ]
+    b = [float(mo["sy"]), float(mo["s1y"]), float(mo["s2y"]), float(mo["s3y"])]
+    d = _LINREG_D
+    M = [G[i] + [b[i]] for i in range(d)]
+    for k in range(d):
+        piv = M[k][k]
+        # two functional sub-steps, each computed from the PREVIOUS
+        # snapshot — the exact shape of the twin's list_transform pair
+        Mn = [
+            [(M[i][j] / piv if i == k else M[i][j]) for j in range(d + 1)]
+            for i in range(d)
+        ]
+        M = [
+            [
+                Mn[i][j] if i == k else Mn[i][j] - Mn[i][k] * Mn[k][j]
+                for j in range(d + 1)
+            ]
+            for i in range(d)
+        ]
+    w = [M[i][d] for i in range(d)]
+
+    wb = 0.0
+    for i in range(d):  # ascending folds == DuckDB list_sum
+        wb += w[i] * b[i]
+    wgw = 0.0
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc += G[i][j] * w[j]
+        wgw += acc * w[i]
+    syy = float(mo["syy"])
+    sy = float(mo["sy"])
+    ss_res = syy - 2.0 * wb + wgw
+    ss_tot = syy - sy * sy / n
+    r2 = 1.0 - ss_res / ss_tot
+
+    out = spark.createDataFrame(
+        [(LINREG_FEATURES[i], w[i]) for i in range(d)],
+        "term string, weight double",
+    )
+    # round IN-ENGINE via the decimal route, never Python banker's round
+    return out.select(
+        "term",
+        r(F.col("weight"), 6).alias("weight"),
+        r(F.lit(r2), 6).alias("r2"),
+    )
+
+
+def _linreg_sql() -> str:
+    d = _LINREG_D
+    w5 = d + 1
+    cells = d * w5
+    scalars = ("n s1 s2 s3 s11 s12 s13 s22 s23 s33 sy s1y s2y s3y syy").split()
+    carry = ", ".join(scalars)
+    # augmented 4x5 row-major: [G row i..., b_i]
+    aug = ("[CAST(n AS DOUBLE), CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), "
+           "CAST(s3 AS DOUBLE), CAST(sy AS DOUBLE), "
+           "CAST(s1 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s12 AS DOUBLE), "
+           "CAST(s13 AS DOUBLE), CAST(s1y AS DOUBLE), "
+           "CAST(s2 AS DOUBLE), CAST(s12 AS DOUBLE), CAST(s22 AS DOUBLE), "
+           "CAST(s23 AS DOUBLE), CAST(s2y AS DOUBLE), "
+           "CAST(s3 AS DOUBLE), CAST(s13 AS DOUBLE), CAST(s23 AS DOUBLE), "
+           "CAST(s33 AS DOUBLE), CAST(s3y AS DOUBLE)]")
+    steps = []
+    prev = "m0"
+    for k in range(d):
+        piv = f"m[{k * w5 + k + 1}]"
+        steps.append(
+            f"g{k}n AS (SELECT {carry}, list_transform(range(0, {cells}), "
+            f"p -> CASE WHEN p // {w5} = {k} THEN m[p + 1] / {piv} "
+            f"ELSE m[p + 1] END) AS mn FROM {prev})"
+        )
+        steps.append(
+            f"g{k} AS (SELECT {carry}, list_transform(range(0, {cells}), "
+            f"p -> CASE WHEN p // {w5} = {k} THEN mn[p + 1] "
+            f"ELSE mn[p + 1] - mn[(p // {w5}) * {w5} + {k + 1}] * "
+            f"mn[{k * w5} + (p % {w5}) + 1] END) AS m FROM g{k}n)"
+        )
+        prev = f"g{k}"
+    wlist = ", ".join(f"m[{i * w5 + d + 1}]" for i in range(d))
+    gflat = ("[CAST(n AS DOUBLE), CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), "
+             "CAST(s3 AS DOUBLE), "
+             "CAST(s1 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s12 AS DOUBLE), "
+             "CAST(s13 AS DOUBLE), "
+             "CAST(s2 AS DOUBLE), CAST(s12 AS DOUBLE), CAST(s22 AS DOUBLE), "
+             "CAST(s23 AS DOUBLE), "
+             "CAST(s3 AS DOUBLE), CAST(s13 AS DOUBLE), CAST(s23 AS DOUBLE), "
+             "CAST(s33 AS DOUBLE)]")
+    blist = ("[CAST(sy AS DOUBLE), CAST(s1y AS DOUBLE), CAST(s2y AS DOUBLE), "
+             "CAST(s3y AS DOUBLE)]")
+    terms = ", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(LINREG_FEATURES)
+    )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS x1,
+         length(text) AS x2,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> length(w) > 5)) AS x3,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+              END AS y
+  FROM documents
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x3) AS BIGINT) AS s3,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x1 * x3) AS BIGINT) AS s13, CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(x2 * x3) AS BIGINT) AS s23, CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(x3 * y) AS BIGINT) AS s3y, CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM f
+),
+m0 AS (SELECT {carry}, {aug} AS m FROM mo),
+{steps_sql},
+fin AS (
+  SELECT {carry}, [{wlist}] AS w, {gflat} AS gm, {blist} AS bv FROM {prev}
+),
+fin2 AS (
+  SELECT w,
+         list_sum(list_transform(range(0, {d}), i -> w[i + 1] * bv[i + 1])) AS wb,
+         list_sum(list_transform(range(0, {d}), i ->
+           list_sum(list_transform(range(0, {d}), j ->
+             gm[i * {d} + j + 1] * w[j + 1])) * w[i + 1])) AS wgw,
+         CAST(syy AS DOUBLE) AS syy_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(n AS DOUBLE) AS n_d
+  FROM fin
+)
+SELECT t.term,
+       CAST(ROUND(CAST(w[t.idx] AS DECIMAL(38,9)), 6) AS DOUBLE) AS weight,
+       CAST(ROUND(CAST(CAST(1.0 AS DOUBLE) -
+            (syy_d - CAST(2.0 AS DOUBLE) * wb + wgw) /
+            (syy_d - sy_d * sy_d / n_d)
+            AS DECIMAL(38,9)), 6) AS DOUBLE) AS r2
+FROM fin2, (VALUES {terms}) AS t(idx, term)
+"""
+
+
+LINREG_TOKEN_DIVERSITY_SQL = _linreg_sql()
+
+
 QUERIES: list[Query] = [
+    Query("linreg_token_diversity", linreg_token_diversity,
+          LINREG_TOKEN_DIVERSITY_SQL,
+          ("text_analysis",),
+          "exact distributed linear regression: integer-exact normal-"
+          "equation moments (one map-side-partial pass), mirrored "
+          "Gauss-Jordan solve + moments-derived R² — the supervised "
+          "member of the trained-model family, oracle-exact"),
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
     Query("normalized_dedup_docs", normalized_dedup_docs,

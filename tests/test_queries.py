@@ -189,6 +189,44 @@ def test_pmi_matches_brute_force_counts(spark, sf_dir):
         assert abs(r["pmi"] - expect) < 1e-3, (r, expect)
 
 
+def test_linreg_token_diversity_matches_lstsq(spark, sf_dir):
+    """The mirrored Gauss-Jordan solve must reproduce numpy's
+    least-squares solution on the SAME integer design matrix (exact
+    moments -> exact normal equations; differences are only float op
+    order, so agreement should be tight), and R² must match the
+    residual-based definition."""
+    import re
+
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import LINREG_FEATURES
+
+    docs = [r0.text for r0 in load(spark, sf_dir, "documents").select("text").collect()]
+
+    def toks(t):
+        t = t.strip().lower()
+        return re.split(r"\s+", t) if t.strip() else []
+
+    X = np.array(
+        [[1.0, len(toks(t)), len(t), sum(1 for w in toks(t) if len(w) > 5)]
+         for t in docs]
+    )
+    y = np.array([float(len(set(toks(t)))) for t in docs])
+    w_np, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ w_np
+    r2_np = 1.0 - float(((y - pred) ** 2).sum()) / float(((y - y.mean()) ** 2).sum())
+
+    rows = {r0.term: r0 for r0 in
+            REGISTRY["linreg_token_diversity"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(LINREG_FEATURES)
+    for i, term in enumerate(LINREG_FEATURES):
+        assert rows[term].weight == pytest.approx(w_np[i], rel=1e-4, abs=1e-4), (
+            term, rows[term].weight, w_np[i])
+    assert rows["intercept"].r2 == pytest.approx(r2_np, abs=1e-4)
+    assert 0.0 <= rows["intercept"].r2 <= 1.0
+
+
 def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
     """Rank-frequency slope of any real token distribution is negative
     (frequency decreases with rank) and cannot be steeper than free
