@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     # r7: the supervised trained-model member (one-pass integer moments
     # + driver Gauss-Jordan; builder-eager -> e2e clock captures it)
     "linreg_token_diversity",
+    "logreg_quality_gd",
 ]
 
 

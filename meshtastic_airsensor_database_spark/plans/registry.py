@@ -41,6 +41,7 @@ _DRIVER_WINDOW_R7 = [
     "pca_explained_variance",
     "pca_power_coords",
     "linreg_token_diversity",
+    "logreg_quality_gd",
     "pca_power_two_components",
     "pca_power_component",
     "minhash_neardup_candidates",
@@ -96,7 +97,6 @@ _DRIVER_WINDOW_R7 = [
     "customers_with_urgent_orders",
     "parts_above_avg_price",
     "pivot_priority_by_status",
-    "bpe_token_stats",
 ]
 _DRIVER_WINDOW_R6 = [
     # Standing policy (r5 verdict): window = {queries new or changed
@@ -339,7 +339,7 @@ _DRIVER_WINDOW_R4 = [
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
 # r8 rotation queue: the r2-banked rows not refreshed in r7
-# (doc_fingerprints, doc_split_assignment, cube_orders, conditional_event_counts, customers_without_urgent_
+# (bpe_token_stats, doc_fingerprints, doc_split_assignment, cube_orders, conditional_event_counts, customers_without_urgent_
 # orders, distinct_mktsegments, lang_id_confusion, lead_gap_stats,
 # nation_keys_intersect/except, order_value_quartiles, pii_scan,
 # priority_multiset_intersect, priority_order_extremes,

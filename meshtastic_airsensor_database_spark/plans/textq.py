@@ -1855,6 +1855,33 @@ LINREG_FEATURES = ("intercept", "n_tokens", "n_chars", "n_long_tokens")
 _LINREG_D = len(LINREG_FEATURES)  # 4x4 normal matrix, 4x5 augmented
 
 
+def gauss_jordan_solve(G: list, b: list) -> list:
+    """Solve G w = b by Gauss-Jordan elimination in natural pivot order
+    (no row swaps — G is an SPD normal matrix, where unpivoted
+    elimination is stable). Each round runs TWO functional sub-steps —
+    normalize row k from the previous snapshot, then eliminate every
+    other row from the NORMALIZED snapshot — because that is exactly
+    the shape of the DuckDB twin's list_transform pair (`_linreg_sql`),
+    making the whole float trajectory bit-identical cross-engine.
+    Property-tested against numpy.linalg.solve (tests/test_text.py)."""
+    d = len(b)
+    M = [list(G[i]) + [b[i]] for i in range(d)]
+    for k in range(d):
+        piv = M[k][k]
+        Mn = [
+            [(M[i][j] / piv if i == k else M[i][j]) for j in range(d + 1)]
+            for i in range(d)
+        ]
+        M = [
+            [
+                Mn[i][j] if i == k else Mn[i][j] - Mn[i][k] * Mn[k][j]
+                for j in range(d + 1)
+            ]
+            for i in range(d)
+        ]
+    return [M[i][d] for i in range(d)]
+
+
 def linreg_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed linear regression — the supervised sibling of
     the Lloyd/PQ/BPE/PCA trained-model family: learn least-squares
@@ -1925,23 +1952,7 @@ def linreg_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     b = [float(mo["sy"]), float(mo["s1y"]), float(mo["s2y"]), float(mo["s3y"])]
     d = _LINREG_D
-    M = [G[i] + [b[i]] for i in range(d)]
-    for k in range(d):
-        piv = M[k][k]
-        # two functional sub-steps, each computed from the PREVIOUS
-        # snapshot — the exact shape of the twin's list_transform pair
-        Mn = [
-            [(M[i][j] / piv if i == k else M[i][j]) for j in range(d + 1)]
-            for i in range(d)
-        ]
-        M = [
-            [
-                Mn[i][j] if i == k else Mn[i][j] - Mn[i][k] * Mn[k][j]
-                for j in range(d + 1)
-            ]
-            for i in range(d)
-        ]
-    w = [M[i][d] for i in range(d)]
+    w = gauss_jordan_solve(G, b)
 
     wb = 0.0
     for i in range(d):  # ascending folds == DuckDB list_sum
@@ -2068,6 +2079,176 @@ FROM fin2, (VALUES {terms}) AS t(idx, term)
 LINREG_TOKEN_DIVERSITY_SQL = _linreg_sql()
 
 
+# --- exact distributed logistic regression (mirrored gradient descent) ------
+
+LOGREG_FEATURES = ("intercept", "tokens_64th", "chars_1024th", "long_tokens_64th")
+LOGREG_ITERS = 8
+LOGREG_LR = 0.5  # power of two: lr * g is one exact-scalable multiply
+
+
+def _r6_py(x: float) -> float:
+    """Driver-side mirror of plans/base.py::r(col, 6): double ->
+    DECIMAL(38,9) (half away from zero) -> ROUND(.., 6) (half away from
+    zero) -> double. Decimal(float) is the exact binary value, so this
+    reproduces both engines' decimal route bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    return float(d.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed LOGISTIC regression by mirrored batch gradient
+    descent — the classification sibling of ``linreg_token_diversity``:
+    train a vocabulary-diversity classifier (label: does the doc's
+    distinct-token count exceed half its token count) on
+    power-of-two-scaled surface features, and report the learned
+    weights plus training accuracy.
+
+    Derandomized + oracle-exact the same way the Lloyd/BPE/PCA loops
+    are: features are integers divided by powers of two (exact in
+    float64), the per-row sigmoid is rounded 6 via the decimal route
+    (collapsing the <=1-ulp cross-engine ``exp`` difference), each
+    gradient component is rounded 6 after its sum (the same treatment
+    as every float-sum twin in this repo), and the weight update
+    ``w - lr*g/n`` re-rounds per step — the DRIVER applies the decimal
+    route in Python (``_r6_py``) so Spark's collected trajectory and
+    the DuckDB twin's unrolled per-iteration CTEs stay value-identical.
+
+    Scale shape: one cached feature projection; each of the
+    ``LOGREG_ITERS`` steps is ONE map-side-partial aggregate whose
+    shuffle carries a single 4-double row — O(iters) passes, O(d)
+    driver state, no shuffle growth with corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ti = token_count(F.col("text")).cast("long")
+    yi = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(tokens(F.col("text"))))
+    ).cast("long")
+    lt = F.size(
+        F.filter(tokens(F.col("text")), lambda w: F.length(w) > 5)
+    ).cast("long")
+    f = docs.select(
+        (ti.cast("double") / F.lit(64.0)).alias("z1"),
+        (F.length(F.col("text")).cast("double") / F.lit(1024.0)).alias("z2"),
+        (lt.cast("double") / F.lit(64.0)).alias("z3"),
+        F.when(yi * 2 >= ti, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).cache()
+    try:
+        n = float(f.count())
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(LOGREG_ITERS):
+            z = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("z1")
+                + F.lit(w[2]) * F.col("z2")
+                + F.lit(w[3]) * F.col("z3")
+            )
+            p = r(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+            e = p - F.col("y")
+            g = f.agg(
+                r(F.sum(e), 6).alias("g0"),
+                r(F.sum(e * F.col("z1")), 6).alias("g1"),
+                r(F.sum(e * F.col("z2")), 6).alias("g2"),
+                r(F.sum(e * F.col("z3")), 6).alias("g3"),
+            ).collect()[0]
+            w = [
+                _r6_py(w[j] - LOGREG_LR * float(g[f"g{j}"]) / n)
+                for j in range(4)
+            ]
+        zf = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("z1")
+            + F.lit(w[2]) * F.col("z2")
+            + F.lit(w[3]) * F.col("z3")
+        )
+        pf = r(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6)
+        correct = f.agg(
+            F.sum(
+                F.when((pf >= 0.5) == (F.col("y") >= 0.5), 1).otherwise(0)
+            ).alias("c")
+        ).collect()[0]["c"]
+    finally:
+        f.unpersist()
+    acc = float(correct) / n
+    out = spark.createDataFrame(
+        [(LOGREG_FEATURES[j], w[j]) for j in range(4)],
+        "term string, weight double",
+    )
+    return out.select(
+        "term",
+        F.col("weight"),  # already rounded per step
+        r(F.lit(acc), 4).alias("train_accuracy"),
+    )
+
+
+def _logreg_sql() -> str:
+    def r6(x: str) -> str:
+        return f"CAST(ROUND(CAST({x} AS DECIMAL(38,9)), 6) AS DOUBLE)"
+
+    zexpr = "w[1] + w[2] * z1 + w[3] * z2 + w[4] * z3"
+    p = r6(f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({zexpr})))")
+    steps = []
+    prev = "w0"
+    for t in range(1, LOGREG_ITERS + 1):
+        steps.append(
+            f"g{t} AS (SELECT "
+            f"{r6('SUM(e)')} AS g0, {r6('SUM(e * z1)')} AS g1, "
+            f"{r6('SUM(e * z2)')} AS g2, {r6('SUM(e * z3)')} AS g3 "
+            f"FROM (SELECT ({p}) - y AS e, z1, z2, z3 FROM f, {prev}))"
+        )
+        upd = ", ".join(
+            r6(f"w[{j + 1}] - CAST({LOGREG_LR} AS DOUBLE) * g{j} / nd")
+            for j in range(4)
+        )
+        steps.append(
+            f"w{t} AS (SELECT [{upd}] AS w FROM {prev}, g{t}, mo)"
+        )
+        prev = f"w{t}"
+    steps_sql = ",\n".join(steps)
+    terms = ", ".join(
+        f"({j + 1}, '{t}')" for j, t in enumerate(LOGREG_FEATURES)
+    )
+    return f"""
+WITH raw AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS ti,
+         length(text) AS ci,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         w -> length(w) > 5)) AS lt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+              END AS yi
+  FROM documents
+),
+f AS (
+  SELECT CAST(ti AS DOUBLE) / CAST(64.0 AS DOUBLE) AS z1,
+         CAST(ci AS DOUBLE) / CAST(1024.0 AS DOUBLE) AS z2,
+         CAST(lt AS DOUBLE) / CAST(64.0 AS DOUBLE) AS z3,
+         CASE WHEN yi * 2 >= ti THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM raw
+),
+mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM f),
+w0 AS (SELECT [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)] AS w),
+{steps_sql},
+acc AS (
+  SELECT SUM(CASE WHEN (({p}) >= CAST(0.5 AS DOUBLE))
+                       = (y >= CAST(0.5 AS DOUBLE))
+             THEN 1 ELSE 0 END) AS correct
+  FROM f, {prev}
+)
+SELECT t.term, w[t.idx] AS weight,
+       CAST(ROUND(CAST(CAST(correct AS DOUBLE) / nd AS DECIMAL(38,9)), 4)
+            AS DOUBLE) AS train_accuracy
+FROM {prev}, acc, mo, (VALUES {terms}) AS t(idx, term)
+"""
+
+
+LOGREG_QUALITY_GD_SQL = _logreg_sql()
+
+
 QUERIES: list[Query] = [
     Query("linreg_token_diversity", linreg_token_diversity,
           LINREG_TOKEN_DIVERSITY_SQL,
@@ -2076,6 +2257,13 @@ QUERIES: list[Query] = [
           "equation moments (one map-side-partial pass), mirrored "
           "Gauss-Jordan solve + moments-derived R² — the supervised "
           "member of the trained-model family, oracle-exact"),
+    Query("logreg_quality_gd", logreg_quality_gd, LOGREG_QUALITY_GD_SQL,
+          ("text_analysis",),
+          "exact distributed logistic regression by mirrored batch "
+          "gradient descent: power-of-two feature scaling, decimal-"
+          "routed sigmoid + per-step gradient/weight rounding — the "
+          "classifier member of the trained-model family; each step "
+          "is one map-side-partial aggregate (4-double shuffle row)"),
     Query("exact_dedup_docs", exact_dedup_docs, EXACT_DEDUP_DOCS_SQL,
           ("exact_dedup",), "hash-groupBy exact dedup with survivor"),
     Query("normalized_dedup_docs", normalized_dedup_docs,

@@ -227,6 +227,59 @@ def test_linreg_token_diversity_matches_lstsq(spark, sf_dir):
     assert 0.0 <= rows["intercept"].r2 <= 1.0
 
 
+def test_logreg_gd_matches_unrounded_reference(spark, sf_dir):
+    """The mirrored (decimal-rounded) GD trajectory must track an
+    INDEPENDENT unrounded numpy implementation of the same algorithm —
+    same features, label, scaling, lr, iteration count — to within the
+    accumulated rounding budget, and the reported training accuracy
+    must beat the majority-class baseline (the classifier learned
+    something) and match a direct recomputation."""
+    import re
+
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.textq import (
+        LOGREG_FEATURES,
+        LOGREG_ITERS,
+        LOGREG_LR,
+    )
+
+    docs = [r0.text for r0 in
+            load(spark, sf_dir, "documents").select("text").collect()]
+
+    def toks(t):
+        t2 = t.strip().lower()
+        return re.split(r"\s+", t2) if t.strip() else []
+
+    Z = np.array(
+        [[1.0, len(toks(t)) / 64.0, len(t) / 1024.0,
+          sum(1 for w in toks(t) if len(w) > 5) / 64.0] for t in docs]
+    )
+    y = np.array(
+        [1.0 if 2 * len(set(toks(t))) >= len(toks(t)) else 0.0 for t in docs]
+    )
+    n = float(len(docs))
+    w_ref = np.zeros(4)
+    for _ in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w_ref)))
+        g = Z.T @ (p - y)
+        w_ref = w_ref - LOGREG_LR * g / n
+    pred = (1.0 / (1.0 + np.exp(-(Z @ w_ref))) >= 0.5).astype(float)
+    acc_ref = float((pred == y).mean())
+
+    rows = {r0.term: r0 for r0 in
+            REGISTRY["logreg_quality_gd"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(LOGREG_FEATURES)
+    for j, term in enumerate(LOGREG_FEATURES):
+        assert rows[term].weight == pytest.approx(w_ref[j], abs=2e-3), (
+            term, rows[term].weight, w_ref[j])
+    acc = rows["intercept"].train_accuracy
+    base = max(float(y.mean()), 1.0 - float(y.mean()))
+    assert acc == pytest.approx(acc_ref, abs=5e-3)
+    assert acc >= base - 1e-9  # learned at least the majority rule
+
+
 def test_zipf_slope_is_negative_and_bounded(spark, sf_dir):
     """Rank-frequency slope of any real token distribution is negative
     (frequency decreases with rank) and cannot be steeper than free

@@ -306,3 +306,49 @@ def test_documents_one_source_per_doc_contract(spark, sf_dir):
         F.count(F.lit(1)), F.count_distinct("doc_id")
     ).collect()[0]
     assert n == nd  # unique doc_id => one (doc_id, source) pair per doc
+
+
+# --- mirrored Gauss-Jordan solver (linreg_token_diversity's core) -----------
+
+
+def test_gauss_jordan_property_vs_numpy():
+    """Property test: on random integer design matrices, the mirrored
+    no-pivot Gauss-Jordan solve of the SPD normal equations must agree
+    with numpy's solver to within conditioning-scaled tolerance."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meshtastic_airsensor_database_spark.plans.textq import gauss_jordan_solve
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=8,
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows)
+    def check(data):
+        from hypothesis import assume
+
+        X = np.array([[1.0, a, b, c] for a, b, c, _y in data])
+        y = np.array([float(t[3]) for t in data])
+        G = X.T @ X
+        bvec = X.T @ y
+        # skip (near-)singular systems: constant columns / duplicates
+        assume(np.linalg.matrix_rank(G) == 4)
+        assume(np.linalg.cond(G) < 1e10)
+        w = gauss_jordan_solve(G.tolist(), bvec.tolist())
+        want = np.linalg.solve(G, bvec)
+        scale = max(1.0, float(np.abs(want).max()))
+        tol = max(1e-6, np.linalg.cond(G) * 1e-13)
+        assert np.allclose(w, want, rtol=tol, atol=tol * scale), (
+            w, want.tolist(), np.linalg.cond(G))
+
+    check()
