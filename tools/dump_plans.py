@@ -104,6 +104,8 @@ SHOWCASE = [
     ("image_neardup_pairs_exact", "oracle-exact image near-dup: two narrow mapInPandas passes (md5 synth, codec-roundtrip integer aHash), ONE band-key shuffle via the struct-id bucket grouping, exact hamming on the pair struct — no join-back"),
     ("audio_fingerprint_exact", "oracle-exact audio features: md5 PCM synth + WAV-roundtrip integer features as two chained narrow mapInPandas passes — zero shuffles"),
     ("pca_power_component", "power-iteration PCA: gram_moments partials (one matmul per Arrow batch, dim^2-bounded exchange) feed a bounded driver iteration; output is a dim-sized local relation rounded in-engine"),
+    ("linreg_token_diversity", "exact linear regression: ONE map-side-partial aggregate of 15 integer moments (single-row shuffle), mirrored Gauss-Jordan on the driver, 4-row local output"),
+    ("logreg_quality_gd", "logistic regression by mirrored GD: per-iteration map-side-partial aggregate over the cached feature projection (4-double shuffle row per step)"),
 ]
 
 
