@@ -308,8 +308,16 @@ def streaming_main() -> None:
         for x in os.environ.get("SPARK_GRAFT_STREAM_VOLS", "20000,80000").split(",")
     ]
     n_files, mfpt = 24, 4  # 24 landing files, 4 per trigger -> 6 micro-batches
+    # Untimed warm-up (r7, mirroring the batch bench's protocol): one
+    # small volume through a throwaway deployment so JIT/codegen of the
+    # foreachBatch plans and the state-store code paths happen outside
+    # the timed runs — the 20k number then measures the pipeline, not
+    # first-ever-plan compilation (r6's 20k run was ~half cold start).
+    vols = [-2000] + vols
     runs = []
     for vol in vols:
+        warmup = vol < 0
+        vol = abs(vol)
         root = tempfile.mkdtemp(prefix="bench_stream_")
         try:
             paths = IngestPaths(
@@ -359,17 +367,18 @@ def streaming_main() -> None:
                 t: spark.read.parquet(paths.table(t)).count()
                 for t in ("airwise_data", "battery_data", "airwise_datav1")
             }
-            runs.append(
-                {
-                    "packets": len(lines),
-                    "wall_sec": round(wall, 3),
-                    "rows_per_sec": round(len(lines) / wall, 1),
-                    "micro_batches": len(batch_ms),
-                    "batch_ms_p50": batch_ms[len(batch_ms) // 2] if batch_ms else None,
-                    "batch_ms_max": batch_ms[-1] if batch_ms else None,
-                    "fact_rows": fact_rows,
-                }
-            )
+            if not warmup:
+                runs.append(
+                    {
+                        "packets": len(lines),
+                        "wall_sec": round(wall, 3),
+                        "rows_per_sec": round(len(lines) / wall, 1),
+                        "micro_batches": len(batch_ms),
+                        "batch_ms_p50": batch_ms[len(batch_ms) // 2] if batch_ms else None,
+                        "batch_ms_max": batch_ms[-1] if batch_ms else None,
+                        "fact_rows": fact_rows,
+                    }
+                )
         finally:
             shutil.rmtree(root, ignore_errors=True)
     full = {
