@@ -25,12 +25,10 @@ from ..functions.vectors import (
 from ..io_utils import fan_out, load, materialize
 from ..operators.dedup import MAX_BUCKET, minhash_lsh_candidates, simhash_buckets
 from ..operators.similarity import (
-    brute_force_topk,
     embedding_dim_stats,
     gram_moments,
     ivf_topk,
     lloyd_ivf_topk,
-    pca_components,
     pca_project,
     standardize_vectors,
 )
