@@ -124,7 +124,17 @@ def idempotent_batch_processor(paths: IngestPaths, phase_clock: dict | None = No
         if ledger is None:  # one construction per query, not per batch
             ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
         if ledger.committed(epoch_id):
-            return  # replayed epoch: sinks already hold this data
+            # Replayed epoch: the sinks already hold this data — but the
+            # batch must still flow through the plan once. Stateful
+            # operators upstream (dropDuplicatesWithinWatermark) commit
+            # their state per partition per batch, and Spark validates
+            # that every state partition committed; a bare early return
+            # fails the RESTART itself with
+            # STATE_STORE_COMMIT_VALIDATION_FAILED on the stateful
+            # topology (caught by the r7 crash-recovery chaos test).
+            # The noop sink evaluates all partitions with zero output.
+            batch.write.mode("overwrite").format("noop").save()
+            return
         process_packet_batch(
             batch, paths, with_counts=False, phase_clock=phase_clock
         )
@@ -396,6 +406,7 @@ def run_ingest_stream(
     max_files_per_trigger: int | None = None,
     dedup_within_watermark: bool = False,
     phase_clock: dict | None = None,
+    batch_processor=None,
 ) -> StreamingQuery:
     """Start the ingest streaming query (M3).
 
@@ -403,6 +414,9 @@ def run_ingest_stream(
     via ``dropDuplicatesWithinWatermark`` upstream of foreachBatch
     (bounded state; needs event-time on the raw line, so we parse the
     envelope in-stream for the timestamp and carry the raw line along).
+    ``batch_processor`` overrides the default ledgered foreachBatch
+    body (chaos tests inject crash points with it); restarts must keep
+    the same topology flags, the processor is free to differ.
     """
     raw = packet_stream_source(spark, paths.landing_dir, max_files_per_trigger)
 
@@ -431,7 +445,7 @@ def run_ingest_stream(
         stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))
 
     writer = stream.writeStream.foreachBatch(
-        idempotent_batch_processor(paths, phase_clock=phase_clock)
+        batch_processor or idempotent_batch_processor(paths, phase_clock=phase_clock)
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -894,6 +894,69 @@ def test_mid_batch_crash_after_ledger_commit_is_exactly_once(spark, tmp_path):
     assert env.filter(F.col("timestamp_node") == 1760749100).count() == 1
 
 
+def test_mid_batch_crash_with_stateful_dedup_recovers_state(spark, tmp_path):
+    """CHAOS on the STATEFUL topology: crash after ledger commit with
+    dropDuplicatesWithinWatermark in the plan, restart on the same
+    checkpoint (same topology), and assert BOTH recovery contracts:
+    the ledger makes the re-delivered epoch a no-op (facts exactly
+    once), and the dedup STATE survives the crash — a post-restart
+    re-broadcast of a pre-crash packet id is dropped by the recovered
+    state store, not re-ingested."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import EpochLedger
+
+    landing = str(tmp_path / "cz_landing")
+    out = str(tmp_path / "cz_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    ledger_box: dict = {}
+
+    def chaotic(batch, epoch_id):
+        if "l" not in ledger_box:
+            ledger_box["l"] = EpochLedger(batch.sparkSession, paths.ledger_dir)
+        ledger = ledger_box["l"]
+        if ledger.committed(epoch_id):
+            return
+        process_packet_batch(batch, paths, with_counts=False)
+        ledger.commit(epoch_id)
+        raise RuntimeError("planted crash: stateful topology")
+
+    q = run_ingest_stream(
+        spark, paths, dedup_within_watermark=True, batch_processor=chaotic
+    )
+    with pytest.raises(StreamingQueryException, match="planted crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    try:
+        q.stop()
+    except StreamingQueryException:
+        pass  # stop() rethrows the terminal exception on the stateful path
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 1
+
+    q2 = run_ingest_stream(spark, paths, dedup_within_watermark=True)
+    try:
+        q2.processAllAvailable()
+        # post-restart file: one RE-BROADCAST of the pre-crash env
+        # packet (same [from, id] — recovered state must drop it) and
+        # one genuinely new packet (must land)
+        write_packet_fixture(
+            landing,
+            [json.dumps(ALL_GOOD[0]),
+             json.dumps(dict(ALL_GOOD[0], id=5151, timestamp=1760749160))],
+            "b1.jsonl",
+        )
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    env = spark.read.parquet(paths.table("airwise_data"))
+    # 1 (pre-crash, exactly once via ledger) + 1 (new) — the replayed
+    # duplicate was dropped by the RECOVERED dedup state
+    assert env.count() == 2
+    assert env.filter(F.col("timestamp_node") == 1760749160).count() == 1
+
+
 def test_mid_batch_crash_before_ledger_commit_is_absorbed_by_dedup(
     spark, tmp_path
 ):
