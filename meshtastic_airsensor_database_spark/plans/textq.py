@@ -1910,6 +1910,13 @@ def linreg_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments stay exact in float64 up to 2^53 — beyond ~10^9 large docs
     the twin's exactness regime would need the declared-sample
     convention (same class as the HLL twin's bounded subject).
+
+    Tighter cross-engine bound, hit BEFORE 2^53: the int64 SUM itself.
+    Spark's non-ANSI BIGINT sum WRAPS silently on overflow while the
+    DuckDB twin (HUGEINT sum, CAST ... AS BIGINT) RAISES — s22 (sum of
+    char-length squared) overflows first, at roughly 10^9 docs of 10^5
+    chars. Past that regime, compute the quadratic moments as DOUBLE
+    on both sides (or run under the declared-sample convention).
     """
     docs = load(spark, sf_dir, "documents")
     x1 = token_count(F.col("text")).cast("long")
@@ -2119,6 +2126,17 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``LOGREG_ITERS`` steps is ONE map-side-partial aggregate whose
     shuffle carries a single 4-double row — O(iters) passes, O(d)
     driver state, no shuffle growth with corpus size.
+
+    Exactness caveat (probabilistic, not guaranteed): the 6-decimal
+    decimal route collapses the <=1-ulp cross-engine ``exp`` delta and
+    Spark's nondeterministic partial-sum order ONLY when the value does
+    not land within an ulp of a 5e-7 rounding boundary. Over
+    ``LOGREG_ITERS x d`` gradient components the hash compare therefore
+    carries a rare inherent flake (never observed across 3 SFs and all
+    driver windows to date); a boundary hit would show as a one-off
+    hash mismatch with rows/schema still green — re-run before
+    diagnosing, and see ``tests/test_queries.py`` for the
+    tolerance-based pin that stays green regardless.
     """
     docs = load(spark, sf_dir, "documents")
     ti = token_count(F.col("text")).cast("long")

@@ -157,20 +157,72 @@ def _phase(clock: dict | None, name: str):
         clock[name] = clock.get(name, 0.0) + (time.perf_counter() - t0)
 
 
+def _dim_fs_ops(spark: SparkSession, dim_path: str):
+    """(exists, rename, rmtree) closures for the snapshot's filesystem —
+    plain os/shutil for local paths, Hadoop FileSystem otherwise, so the
+    staging swap below works unchanged on HDFS/object-store backends."""
+    if "://" not in dim_path:
+        import shutil
+
+        return (
+            os.path.isdir,
+            os.rename,
+            lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _hp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hp(dim_path).getFileSystem(conf)
+    return (
+        lambda p: fs.exists(_hp(p)),
+        lambda a, b: fs.rename(_hp(a), _hp(b)),
+        lambda p: fs.delete(_hp(p), True),
+    )
+
+
+def _promote_dim_snapshot(spark: SparkSession, dim_path: str) -> None:
+    """Atomically promote a COMPLETE ``._next`` staging snapshot to the
+    live path: live -> ``._old``, ``._next`` -> live, drop ``._old``.
+    Every crash window leaves at least one complete copy on disk
+    (``._next`` is only promoted after its write committed; the live
+    dir is only renamed, never deleted, until the new one is in place),
+    and ``_load_node_dim`` self-heals from whichever copy survives —
+    the durability the old two-step staging write provided, restored
+    after the r7 direct-overwrite regression (ADVICE r7, medium)."""
+    nxt, old = dim_path + "._next", dim_path + "._old"
+    exists, rename, rmtree = _dim_fs_ops(spark, dim_path)
+    if exists(old):
+        rmtree(old)
+    if exists(dim_path):
+        rename(dim_path, old)
+    rename(nxt, dim_path)
+    rmtree(old)
+
+
 def _load_node_dim(spark: SparkSession, paths: IngestPaths) -> DataFrame:
     """Current dimension snapshot: persisted if present, else the static
     seed. Existence-checked (not exception-driven): the analyzer logs a
-    noisy FileNotFound stack on every first batch otherwise."""
+    noisy FileNotFound stack on every first batch otherwise.
+
+    Self-healing: if the live dir is missing, a crash interrupted the
+    staging swap — the surviving complete copy (``._next`` if the swap
+    had started, else ``._old``) is promoted back to live before
+    reading, so accumulated nodeinfo history is never silently reset to
+    the seed by a mid-swap crash."""
     dim_path = paths.table("node_dim")
-    if "://" not in dim_path:
-        exists = os.path.isdir(dim_path)
-    else:
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(dim_path)
-        exists = hpath.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        ).exists(hpath)
-    if not exists:
+    exists, rename, rmtree = _dim_fs_ops(spark, dim_path)
+    if not exists(dim_path):
+        nxt, old = dim_path + "._next", dim_path + "._old"
+        if exists(nxt):
+            # live was renamed away => the staged copy is complete
+            rename(nxt, dim_path)
+            rmtree(old)
+        elif exists(old):
+            rename(old, dim_path)
+    if not exists(dim_path):
         return seed_node_dim(spark)
     try:
         return spark.read.schema(NODE_DIM_SCHEMA).parquet(dim_path)
@@ -183,6 +235,7 @@ def process_packet_batch(
     paths: IngestPaths,
     with_counts: bool = True,
     phase_clock: dict | None = None,
+    plan_probe=None,
 ) -> dict[str, int]:
     """Route one (micro-)batch of raw packet lines to the fact tables.
 
@@ -193,6 +246,12 @@ def process_packet_batch(
     aggregate to the existing job), so ``with_counts=True`` costs zero
     extra jobs; ``with_counts=False`` skips even the metric wiring —
     the streaming hot path, which discards counts, uses that.
+
+    ``plan_probe`` (optional, tests only): called as ``(label, df)``
+    with every DataFrame immediately before its action executes, so the
+    structural plan audit (tests/test_plans.py walker) can inspect the
+    REAL foreachBatch inner plans — the r7 audit covered only the 194
+    batch-query plans and eyeballed these.
     """
     spark = batch.sparkSession
     from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
@@ -222,7 +281,7 @@ def process_packet_batch(
         telem = F.col("packet.type") == F.lit("telemetry")
         batt = F.col("packet.payload.battery_level").isNotNull()
         with _phase(phase_clock, "stats"):
-            stats = enveloped.agg(
+            stats_df = enveloped.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(
                     F.when(~(rules["parseable_json"] & rules["known_packet_type"]), 1)
@@ -235,7 +294,10 @@ def process_packet_batch(
                 F.count(
                     F.when(F.col("packet.type") == F.lit("text"), 1)
                 ).alias("n_v1"),
-            ).collect()[0]
+            )
+            if plan_probe is not None:
+                plan_probe("stats", stats_df)
+            stats = stats_df.collect()[0]
         route_rows = {
             "battery": stats["n_battery"],
             "v0_env": stats["n_v0"],
@@ -299,6 +361,8 @@ def process_packet_batch(
                 dlq_out = dlq_out.observe(
                     obs_dlq, F.count(F.lit(1)).alias("n")
                 )
+            if plan_probe is not None:
+                plan_probe("dlq_write", dlq_out)
             with _phase(phase_clock, "dlq_write"):
                 dlq_out.write.mode("append").json(paths.table("quarantine"))
             if obs_dlq is not None:
@@ -332,15 +396,26 @@ def process_packet_batch(
             # enrich side), so the checkpoint holds one partition and the
             # snapshot write below is one task / one file.
             with _phase(phase_clock, "dim_upsert"):
-                dim = dim_upsert_latest_wins(dim, updates).coalesce(1).localCheckpoint()
+                dim = dim_upsert_latest_wins(dim, updates).coalesce(1)
+                if plan_probe is not None:
+                    plan_probe("dim_upsert", dim)
+                dim = dim.localCheckpoint()
             if obs_nodeinfo is not None:
                 counts["nodeinfo"] = obs_nodeinfo.get["n"]
-            # Overwrite the snapshot in place: the eager localCheckpoint
-            # above PINNED the upserted rows to executor storage and
-            # truncated lineage, so the write no longer reads the files
-            # it replaces (the reason a staging copy used to exist).
+            # Stage-then-swap: the eager localCheckpoint above pinned the
+            # upserted rows (so the write doesn't read the files it
+            # replaces), but an in-place overwrite still DELETES the live
+            # dir before the new files commit — a crash (or executor
+            # loss invalidating the checkpoint) in that window would
+            # destroy the snapshot and silently reset the dimension to
+            # the seed. Write to ._next, then atomic-rename into place;
+            # every crash window leaves a complete copy that
+            # _load_node_dim self-heals from.
             with _phase(phase_clock, "dim_write"):
-                dim.write.mode("overwrite").parquet(paths.table("node_dim"))
+                dim.write.mode("overwrite").parquet(
+                    paths.table("node_dim") + "._next"
+                )
+                _promote_dim_snapshot(spark, paths.table("node_dim"))
 
         for slice_name, table in (
             ("battery", "battery_data"),
@@ -366,6 +441,8 @@ def process_packet_batch(
 
                 obs = Observation(f"ingest_{table}")
                 facts = facts.observe(obs, F.count(F.lit(1)).alias("n"))
+            if plan_probe is not None:
+                plan_probe(f"facts_{table}", facts)
             with _phase(phase_clock, f"facts_{table}"):
                 parquet_table_sink(
                     facts, paths.table(table), partition_by=("event_date",)
@@ -389,6 +466,7 @@ def process_packet_batch(
                         value_col="temperature",
                         # partial rows <= this route's fact rows
                         width=_width(route_rows[slice_name]),
+                        plan_probe=plan_probe,
                     )
         return counts
     finally:

@@ -101,6 +101,7 @@ def maintain_rollup(
     value_col: str = "value",
     distinct_col: str | None = None,
     width: int | None = None,
+    plan_probe=None,
 ) -> list:
     """Fold one (micro-)batch of raw facts into the materialized hourly
     rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
@@ -125,6 +126,8 @@ def maintain_rollup(
     new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
     if width is not None:
         new_parts = new_parts.coalesce(width)
+    if plan_probe is not None:  # tests: structural plan audit hook
+        plan_probe("rollup_partials", new_parts)
     new_parts = new_parts.localCheckpoint(eager=True)
 
     # The affected-date set is bounded by the batch's event-time spread
@@ -149,6 +152,8 @@ def maintain_rollup(
     # (hours x keys for the affected dates), so pinning it is cheap.
     if width is not None:
         merged = merged.coalesce(width)
+    if plan_probe is not None:
+        plan_probe("rollup_merged", merged)
     merged = merged.localCheckpoint(eager=True)
 
     overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)

@@ -88,7 +88,13 @@ def unbounded_single_partition_exchanges(simple_plan: str) -> list[str]:
                 continue
             verdict = node  # first non-transparent, non-producer node
             break
-        if verdict not in ("ok", None):
+        if verdict is None:
+            # The walk fell off the plan (blank line / truncated tree)
+            # without proving the subtree bounded. An Exchange always
+            # has a child, so an unresolved walk means an unrecognized
+            # plan shape — fail loud instead of silently passing.
+            verdict = "UNRESOLVED subtree below: " + _node_of(line)
+        if verdict != "ok":
             bad.append(verdict.strip()[:120])
     return bad
 
@@ -635,3 +641,119 @@ def test_cms_counters_are_bounded_partial_aggs(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_streaming_foreachbatch_inner_plans_audit(spark, tmp_path):
+    """Extend the structural single-partition audit to the REAL
+    streaming path (r7 verdict #3): run the stateful ingest topology
+    end-to-end on a batch exercising every route (all three fact
+    tables, nodeinfo dim upsert, quarantine, rollup maintenance),
+    capture each foreachBatch inner plan right before its action via
+    the plan_probe hook, and walk every one with
+    unbounded_single_partition_exchanges — the r7 audit covered only
+    the 194 batch-query plans and eyeballed these."""
+    import json
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        write_packet_fixture,
+    )
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        IngestPaths,
+        process_packet_batch,
+        run_ingest_stream,
+    )
+
+    from .fixtures import as_json_lines
+
+    landing = str(tmp_path / "pa_landing")
+    out = str(tmp_path / "pa_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    captured: list[tuple[str, str]] = []
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+
+    def probe(label, df):
+        captured.append(
+            (label, df._jdf.queryExecution().explainString(jmode("simple")))
+        )
+
+    def processor(batch, epoch_id):
+        process_packet_batch(batch, paths, with_counts=False, plan_probe=probe)
+
+    q = run_ingest_stream(
+        spark, paths, dedup_within_watermark=True, batch_processor=processor
+    )
+    try:
+        q.processAllAvailable()
+        # The batch DF handed to foreachBatch scans the micro-batch
+        # output as an ExistingRDD — the stateful dedup runs in the
+        # STREAMING engine's own executed plan, audited here too.
+        outer = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+
+    labels = {lbl for lbl, _ in captured}
+    # every sink family executed (fixture has all routes + corrupt rows)
+    assert {"stats", "dlq_write", "dim_upsert", "facts_airwise_data",
+            "facts_battery_data", "facts_airwise_datav1",
+            "rollup_partials", "rollup_merged"} <= labels, labels
+    for label, simple in captured:
+        bad = unbounded_single_partition_exchanges(simple)
+        assert not bad, (label, bad, simple)
+    assert "DeduplicateWithinWatermark" in outer, outer
+    bad = unbounded_single_partition_exchanges(outer)
+    assert not bad, (bad, outer)
+
+
+def test_streaming_monitor_plan_audit(spark, tmp_path):
+    """Same structural audit over the offline-monitor topology's
+    executed plan (applyInPandasWithState): capture the last trigger's
+    physical plan via explainInternal once a batch has run and assert
+    no raw-row single-partition funnel."""
+    import json
+    import time
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_nodeinfo,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+        write_packet_fixture,
+    )
+    from meshtastic_airsensor_database_spark.streaming.monitor import (
+        offline_monitor_stream,
+    )
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "mon_landing")
+    hb = json.dumps({
+        "from": 1, "id": 1000, "type": "nodeinfo", "timestamp": 1000,
+        "payload": {"id": "!1", "longname": "Farm1"},
+    })
+    write_packet_fixture(landing, [hb], "b0.jsonl")
+
+    raw = packet_stream_source(spark, landing)
+    heartbeats = extract_nodeinfo(json_envelope_parse(raw)).select(
+        "node", "longname", F.col("updated_ts").alias("ts")
+    )
+    events = offline_monitor_stream(heartbeats, threshold_minutes=60)
+    q = (
+        events.writeStream.format("memory")
+        .queryName("monitor_plan_audit")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mon_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no trigger executed within 60s"
+        simple = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    assert "FlatMapGroupsInPandasWithState" in simple, simple
+    bad = unbounded_single_partition_exchanges(simple)
+    assert not bad, (bad, simple)

@@ -1061,6 +1061,9 @@ def test_pca_power_coords_match_eigh_projection(spark, sf_dir):
         g, w = got[:, k], want[:, k]
         c = float(g @ w) / (np.linalg.norm(g) * np.linalg.norm(w))
         assert abs(c) > (0.999 if k == 0 else 0.99), (k, c)
+
+
+def test_pca_power_two_components_converge_and_orthogonal(spark, sf_dir):
     """The deflated second component must converge to numpy's second
     eigenvector (|cos| > 0.99), stay near-orthogonal to the first, and
     both Rayleigh eigenvalues must match eigh's."""

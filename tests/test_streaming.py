@@ -1009,6 +1009,74 @@ def test_mid_batch_crash_before_ledger_commit_is_absorbed_by_dedup(
     assert env.dropDuplicates(["node", "timestamp_node"]).count() == 1
 
 
+def test_dim_snapshot_survives_crash_during_swap(spark, tmp_path):
+    """CHAOS on the dimension SNAPSHOT itself (ADVICE r7, medium): the
+    r7 in-place overwrite deleted the live node_dim dir before the new
+    files committed, so a crash in that window silently reset the
+    dimension to the seed — erasing accumulated nodeinfo history. The
+    fix stages to ``._next`` and atomic-renames into place; every crash
+    window leaves a complete copy and ``_load_node_dim`` self-heals.
+    Simulate each window by hand and assert the accumulated rename
+    (never the seed) survives."""
+    import os
+    import shutil
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        _load_node_dim,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    renamed = dict(NODEINFO_PACKET)
+    renamed["payload"] = dict(renamed["payload"], longname="Farm6-renamed")
+    write_packet_fixture(landing, [json.dumps(renamed)], "batch-0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    process_packet_batch(packet_batch_source(spark, landing), paths)
+
+    dim_path = paths.table("node_dim")
+    node = NODEINFO_PACKET["from"]
+
+    def dim_names():
+        return {
+            r["node"]: r["longname"]
+            for r in _load_node_dim(spark, paths).collect()
+        }
+
+    # window (a): crash after live -> ._old but before ._next -> live
+    # (live missing; ._next is complete by protocol — renames only start
+    # after the staging write committed)
+    shutil.copytree(dim_path, dim_path + "._next")
+    os.rename(dim_path, dim_path + "._old")
+    assert dim_names()[node] == "Farm6-renamed"  # healed from ._next
+    assert os.path.isdir(dim_path)
+    assert not os.path.isdir(dim_path + "._next")
+    assert not os.path.isdir(dim_path + "._old")
+
+    # window (b): crash mid-write of ._next (partial staging garbage)
+    # with live intact — live wins, and the NEXT nodeinfo batch's
+    # overwrite of ._next clears the garbage and swaps cleanly
+    os.makedirs(dim_path + "._next")
+    with open(dim_path + "._next/part-garbage.parquet", "w") as fh:
+        fh.write("not parquet")
+    assert dim_names()[node] == "Farm6-renamed"
+    renamed2 = dict(NODEINFO_PACKET, id=1005,
+                    timestamp=NODEINFO_PACKET["timestamp"] + 60)
+    renamed2["payload"] = dict(renamed2["payload"], longname="Farm6-v2")
+    write_packet_fixture(landing, [json.dumps(renamed2)], "batch-1.jsonl")
+    os.remove(os.path.join(landing, "batch-0.jsonl"))
+    process_packet_batch(packet_batch_source(spark, landing), paths)
+    assert dim_names()[node] == "Farm6-v2"
+    assert not os.path.isdir(dim_path + "._next")
+
+    # window (c): defensive — only ._old survives (live + ._next gone)
+    os.rename(dim_path, dim_path + "._old")
+    assert dim_names()[node] == "Farm6-v2"  # healed from ._old
+    assert os.path.isdir(dim_path)
+
+    # seed rows were carried through every heal
+    assert len(dim_names()) == 6
+
+
 def test_outage_episodes_streaming_session_windows(spark, tmp_path):
     """session_window works in streaming mode (SURVEY §2.9
     windowed_ingest): episodes close and emit once the watermark passes
@@ -1216,3 +1284,134 @@ def test_progress_frame_and_health_rollup(spark, tmp_path):
         assert h["max_watermark_lag_s"] is not None
     finally:
         query.stop()
+
+
+def test_offline_monitor_state_survives_crash_restart(spark, tmp_path):
+    """CHAOS on the MONITOR topology (r7 verdict #4): the ingest chaos
+    trio covers foreachBatch ingest; this kills the
+    applyInPandasWithState offline monitor MID-OUTAGE — after the
+    OFFLINE alert's epoch committed — and restarts on the same
+    checkpoint. Contract (the reference's exactly-one-alert,
+    AIRWISEv0.py:85-96, under restart): the alert_sent flag SURVIVES in
+    the state store, so (a) the outage never re-alerts after recovery,
+    and (b) the resumed heartbeat still fires the ONLINE transition —
+    which is also the observable proof the flag survived: a lost state
+    row would make the resumed heartbeat emit NOTHING."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.operators.parse import (
+        extract_nodeinfo,
+        json_envelope_parse,
+    )
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+    from meshtastic_airsensor_database_spark.streaming.monitor import (
+        offline_monitor_stream,
+    )
+
+    landing = str(tmp_path / "cm_landing")
+    ckpt = str(tmp_path / "cm_ckpt")
+    events_path = str(tmp_path / "cm_events")
+
+    def nodeinfo(node, ts, name):
+        return json.dumps({
+            "from": node, "id": ts, "type": "nodeinfo", "timestamp": ts,
+            "payload": {"id": f"!{node:x}", "longname": name},
+        })
+
+    def start(sink_fn):
+        raw = packet_stream_source(spark, landing)
+        heartbeats = extract_nodeinfo(json_envelope_parse(raw)).select(
+            "node", "longname", F.col("updated_ts").alias("ts")
+        )
+        events = offline_monitor_stream(heartbeats, threshold_minutes=0.1 / 60)
+        return (
+            events.writeStream.foreachBatch(sink_fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def record(batch, epoch_id):
+        batch.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            events_path
+        )
+
+    def events_seen():
+        try:
+            return [
+                (r["node"], r["event"], r["epoch"])
+                for r in spark.read.parquet(events_path).collect()
+            ]
+        except Exception:
+            return []  # no events written yet
+
+    def n_offline_node1(up_to_epoch=None):
+        return sum(
+            1
+            for node, event, epoch in events_seen()
+            if node == 1 and event == "OFFLINE"
+            and (up_to_epoch is None or epoch <= up_to_epoch)
+        )
+
+    def wait_for(q, node, event, deadline_s=60.0):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            for n, ev, epoch in events_seen():
+                if (n, ev) == (node, event):
+                    return epoch
+            exc = q.exception()
+            assert exc is None, exc
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for ({node}, {event})")
+
+    # phase 1: node 1 heartbeats, then goes silent -> OFFLINE commits
+    crash = {"armed": False}
+
+    def chaotic(batch, epoch_id):
+        if crash["armed"]:
+            raise RuntimeError("planted crash: monitor mid-outage")
+        record(batch, epoch_id)
+
+    write_packet_fixture(landing, [nodeinfo(1, 1000, "Farm1")], "b0.jsonl")
+    q = start(chaotic)
+    try:
+        wait_for(q, 1, "OFFLINE")
+        # the OFFLINE epoch is committed; kill the NEXT batch (a second
+        # node's heartbeat) mid-flight — offsets WAL written, commit log
+        # not, so the restart replays it against the RECOVERED state
+        crash["armed"] = True
+        write_packet_fixture(landing, [nodeinfo(2, 1100, "Farm2")], "b1.jsonl")
+        end = time.time() + 60
+        while q.exception() is None and time.time() < end:
+            time.sleep(0.2)
+        assert q.exception() is not None, "planted crash never fired"
+    finally:
+        try:
+            q.stop()
+        except StreamingQueryException:
+            pass  # stop() rethrows the terminal exception on stateful paths
+
+    assert n_offline_node1() == 1
+
+    # phase 2: restart on the same checkpoint with a clean sink
+    q2 = start(record)
+    try:
+        # give the recovered timers ample time to (wrongly) re-fire:
+        # threshold is 0.1 s, so 3 s of silence would re-alert if the
+        # alert_sent flag had been lost
+        time.sleep(3.0)
+        assert n_offline_node1() == 1, events_seen()
+        # resumed heartbeat: ONLINE fires IFF the flag survived (a lost
+        # state row would emit nothing for a fresh heartbeat)
+        write_packet_fixture(landing, [nodeinfo(1, 3000, "Farm1")], "b2.jsonl")
+        online_epoch = wait_for(q2, 1, "ONLINE")
+    finally:
+        q2.stop()
+    # exactly one OFFLINE across crash + restart up to the ONLINE
+    # transition (any later OFFLINE is a legitimately NEW outage — the
+    # re-armed 0.1 s timer can fire again before stop())
+    assert n_offline_node1(up_to_epoch=online_epoch) == 1, events_seen()
