@@ -272,6 +272,8 @@ def process_packet_batch(
         | F.col("packet.type").isin("telemetry", "text", "nodeinfo"),
     }
     counts: dict[str, int] = {}
+    pool = None  # sink-thunk executor; drained in the outer finally
+    pending: list = []
     try:
         # ONE stats job replaces every per-route isEmpty() probe (each
         # was a full job re-running the batch plan): it materializes
@@ -294,6 +296,17 @@ def process_packet_batch(
                 F.count(
                     F.when(F.col("packet.type") == F.lit("text"), 1)
                 ).alias("n_v1"),
+                # distinct v0 event DATES, for the rollup maintainer's
+                # partition pruning — riding the same job keeps the
+                # whole rollup maintenance at two jobs (collect_set
+                # skips nulls; a null event_ts contributes no prunable
+                # partition). Bounded by the batch's event-time spread.
+                F.collect_set(
+                    F.when(
+                        telem & ~batt,
+                        F.to_date(F.timestamp_seconds(F.col("packet.timestamp"))),
+                    )
+                ).alias("v0_dates"),
             )
             if plan_probe is not None:
                 plan_probe("stats", stats_df)
@@ -345,7 +358,9 @@ def process_packet_batch(
         # JSON and unknown packet types (AIRWISEv0.py:112-114,155-157);
         # route them to an auditable quarantine table instead, tagged
         # with the violated rule — skipped without a probe job when the
-        # stats row says the batch is clean.
+        # stats row says the batch is clean. Deferred into the parallel
+        # sink pool below: it shares no state with the fact routes.
+        dlq_thunk = None
         if stats["n_dlq"] > 0:
             _, dlq = split_by_rules(enveloped, rules)
             dlq_out = dlq.coalesce(_width(stats["n_dlq"])).select(
@@ -363,12 +378,39 @@ def process_packet_batch(
                 )
             if plan_probe is not None:
                 plan_probe("dlq_write", dlq_out)
-            with _phase(phase_clock, "dlq_write"):
-                dlq_out.write.mode("append").json(paths.table("quarantine"))
-            if obs_dlq is not None:
-                counts["quarantine"] = obs_dlq.get["n"]
+
+            def dlq_thunk(dlq_out=dlq_out, obs_dlq=obs_dlq):
+                with _phase(phase_clock, "dlq_write"):
+                    dlq_out.write.mode("append").json(paths.table("quarantine"))
+                if obs_dlq is not None:
+                    counts["quarantine"] = obs_dlq.get["n"]
 
         routed = route_packets(parsed)
+
+        # Sink concurrency: the quarantine write and the dim snapshot
+        # stage share nothing (enveloped cache vs parsed cache), and
+        # the three fact writes + rollup maintenance are independent of
+        # each other once the dim is promoted — so the driver overlaps
+        # their JOBS (Spark schedules concurrent jobs fine; local[n]
+        # and a real cluster both overlap the per-job fixed costs that
+        # dominate a trickle batch). The ordering that matters is
+        # preserved in the submission structure itself: dim promote
+        # happens-before every enrich build, rollup reads the v0 plan
+        # (not its files). With a plan_probe (test hook) everything
+        # runs serially so probe capture is deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        if plan_probe is None:
+            pool = ThreadPoolExecutor(max_workers=5)
+
+        def _run(thunk):
+            if pool is None:
+                thunk()
+            else:
+                pending.append(pool.submit(thunk))
+
+        if dlq_thunk is not None:
+            _run(dlq_thunk)
 
         # Dimension first, so facts in the same batch see their own
         # nodeinfo updates — matches the reference's callback ordering
@@ -377,11 +419,14 @@ def process_packet_batch(
             dim = _load_node_dim(spark, paths)
         updates = routed["nodeinfo"]
         if stats["n_nodeinfo"] > 0:
-            # localCheckpoint (eager) pins the tiny upserted dim to
-            # executor storage and TRUNCATES lineage before we overwrite
-            # the parquet snapshot it was read from: with a plain
-            # cache(), an evicted partition would recompute against the
-            # already-deleted old files and fail the batch mid-append.
+            # ONE job for the whole upsert: the upsert plan reads the
+            # OLD live snapshot and writes the staging ``._next`` dir —
+            # distinct paths, so no self-overwrite hazard and no
+            # lineage-pinning localCheckpoint needed (that extra job
+            # used to cost ~0.2s/batch). The nodeinfo count rides the
+            # write action as an observed metric. coalesce(1): the
+            # dimension is fleet-sized (it is broadcast on the enrich
+            # side) — one task, one file.
             obs_nodeinfo = None
             if with_counts:
                 from pyspark.sql import Observation
@@ -390,32 +435,30 @@ def process_packet_batch(
                 updates = updates.observe(
                     obs_nodeinfo, F.count(F.lit(1)).alias("n")
                 )
-            # the eager localCheckpoint action evaluates the upsert plan,
-            # firing the observation — no separate count job. coalesce(1)
-            # first: the dimension is fleet-sized (it is broadcast on the
-            # enrich side), so the checkpoint holds one partition and the
-            # snapshot write below is one task / one file.
+            # Stage-then-swap: an in-place overwrite would DELETE the
+            # live dir before the new files commit — a crash in that
+            # window would destroy the snapshot and silently reset the
+            # dimension to the seed. Write to ._next, then atomic-
+            # rename into place; every crash window leaves a complete
+            # copy that _load_node_dim self-heals from.
             with _phase(phase_clock, "dim_upsert"):
-                dim = dim_upsert_latest_wins(dim, updates).coalesce(1)
+                staged = dim_upsert_latest_wins(dim, updates).coalesce(1)
                 if plan_probe is not None:
-                    plan_probe("dim_upsert", dim)
-                dim = dim.localCheckpoint()
-            if obs_nodeinfo is not None:
-                counts["nodeinfo"] = obs_nodeinfo.get["n"]
-            # Stage-then-swap: the eager localCheckpoint above pinned the
-            # upserted rows (so the write doesn't read the files it
-            # replaces), but an in-place overwrite still DELETES the live
-            # dir before the new files commit — a crash (or executor
-            # loss invalidating the checkpoint) in that window would
-            # destroy the snapshot and silently reset the dimension to
-            # the seed. Write to ._next, then atomic-rename into place;
-            # every crash window leaves a complete copy that
-            # _load_node_dim self-heals from.
-            with _phase(phase_clock, "dim_write"):
-                dim.write.mode("overwrite").parquet(
+                    plan_probe("dim_upsert", staged)
+                staged.write.mode("overwrite").parquet(
                     paths.table("node_dim") + "._next"
                 )
+            if obs_nodeinfo is not None:
+                counts["nodeinfo"] = obs_nodeinfo.get["n"]
+            with _phase(phase_clock, "dim_write"):
                 _promote_dim_snapshot(spark, paths.table("node_dim"))
+                # facts in this batch enrich against the batch's own
+                # nodeinfo (the reference's callback ordering): re-read
+                # the freshly promoted snapshot — its files outlive the
+                # batch, so downstream broadcast lineage stays valid.
+                dim = spark.read.schema(NODE_DIM_SCHEMA).parquet(
+                    paths.table("node_dim")
+                )
 
         for slice_name, table in (
             ("battery", "battery_data"),
@@ -443,33 +486,54 @@ def process_packet_batch(
                 facts = facts.observe(obs, F.count(F.lit(1)).alias("n"))
             if plan_probe is not None:
                 plan_probe(f"facts_{table}", facts)
-            with _phase(phase_clock, f"facts_{table}"):
-                parquet_table_sink(
-                    facts, paths.table(table), partition_by=("event_date",)
-                )
-            if obs is not None:
-                counts[table] = obs.get["n"]
+
+            def route_thunk(table=table, facts=facts, obs=obs):
+                with _phase(phase_clock, f"facts_{table}"):
+                    parquet_table_sink(
+                        facts, paths.table(table), partition_by=("event_date",)
+                    )
+                if obs is not None:
+                    counts[table] = obs.get["n"]
+
+            _run(route_thunk)
             if slice_name == "v0_env":
                 # Continuous aggregate: fold this batch's env readings
                 # into the materialized per-node hourly rollup
                 # (streaming/rollup.py — partial aggs, affected-date
                 # partition overwrite). Dashboards read THIS, never the
-                # raw fact table.
+                # raw fact table. Reads the v0 PLAN (from the parsed
+                # cache), not the written files — independent of the
+                # fact write, so it runs as its own concurrent job.
                 from .rollup import maintain_rollup
 
-                with _phase(phase_clock, "rollup"):
-                    maintain_rollup(
-                        facts.select("node", "event_ts", "temperature"),
-                        paths.table("airwise_hourly"),
-                        keys=["node"],
-                        ts_col="event_ts",
-                        value_col="temperature",
-                        # partial rows <= this route's fact rows
-                        width=_width(route_rows[slice_name]),
-                        plan_probe=plan_probe,
-                    )
+                def rollup_thunk(facts=facts, n_rows=route_rows[slice_name]):
+                    with _phase(phase_clock, "rollup"):
+                        maintain_rollup(
+                            facts.select("node", "event_ts", "temperature"),
+                            paths.table("airwise_hourly"),
+                            keys=["node"],
+                            ts_col="event_ts",
+                            value_col="temperature",
+                            # partial rows <= this route's fact rows
+                            width=_width(n_rows),
+                            plan_probe=plan_probe,
+                            # already known from the stats job — the
+                            # maintainer skips its partials checkpoint
+                            affected_dates=list(stats["v0_dates"]),
+                        )
+
+                _run(rollup_thunk)
+
+        for fut in pending:
+            fut.result()  # re-raise the first sink failure
         return counts
     finally:
+        # Drain sink threads FIRST (even when a plan build raised and
+        # the result loop above never ran) so no job still races the
+        # unpersists below; on that failure path the original exception
+        # propagates and the batch replays.
+        if pool is not None:
+            pool.shutdown(wait=True)
         try:
             parsed.unpersist()
         except NameError:
@@ -485,6 +549,7 @@ def run_ingest_stream(
     dedup_within_watermark: bool = False,
     phase_clock: dict | None = None,
     batch_processor=None,
+    state_partitions: int | None = 8,
 ) -> StreamingQuery:
     """Start the ingest streaming query (M3).
 
@@ -495,7 +560,27 @@ def run_ingest_stream(
     ``batch_processor`` overrides the default ledgered foreachBatch
     body (chaos tests inject crash points with it); restarts must keep
     the same topology flags, the processor is free to differ.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` FOR
+    THIS QUERY (Structured Streaming clones the session at start, so
+    the setting is pinned into the query — and its checkpoint — without
+    touching the caller's session): it is the number of state-store
+    instances the watermark dedup maintains AND the width of every
+    in-batch shuffle. Per batch, every state store pays a fixed
+    open/commit/delta-file cost whether or not it holds rows, so the
+    right size tracks the INGEST RATE, not the cluster: the default 8
+    is generous for a sensor-fleet trickle (the reference deployment
+    is ~0.007 msg/s; profiled here, 32 idle stores cost ~0.4s/batch —
+    the single biggest slice of the micro-batch floor). A bulk
+    backfill through the stream should pass a cluster-sized value —
+    the knob exists precisely because one number cannot serve both.
+    NOTE: pinned by the FIRST run's checkpoint; restarts ignore a
+    changed value (Spark reads it back from checkpoint metadata).
     """
+    restore_to = None
+    if state_partitions is not None:
+        restore_to = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     raw = packet_stream_source(spark, paths.landing_dir, max_files_per_trigger)
 
     stream: DataFrame = raw
@@ -527,4 +612,10 @@ def run_ingest_stream(
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    try:
+        return writer.start()
+    finally:
+        # start() clones the session (pinning the width into the
+        # query); the caller's session gets its own value back.
+        if restore_to is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_to)

@@ -102,6 +102,7 @@ def maintain_rollup(
     distinct_col: str | None = None,
     width: int | None = None,
     plan_probe=None,
+    affected_dates: list | None = None,
 ) -> list:
     """Fold one (micro-)batch of raw facts into the materialized hourly
     rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
@@ -114,26 +115,42 @@ def maintain_rollup(
     micro-batch maintains the rollup with single-task stages instead of
     shuffle-width ones; batch backfills leave it None.
 
+    ``affected_dates`` (optional): the distinct non-null event DATES in
+    the batch, when the caller already knows them (the streaming ingest
+    collects them as one more column of its per-batch stats aggregate —
+    zero extra jobs). With them, the whole maintenance is TWO jobs —
+    checkpoint the merged partials (one plan: batch partials ∪ pruned
+    existing), overwrite the affected partitions — instead of three
+    (the partials must otherwise be checkpointed first just to learn
+    which dates they touch).
+
     Returns the list of affected partition dates (for tests/metrics).
     """
     spark = batch.sparkSession
-    # Pin the batch's partials FIRST: they are rollup-grain small
-    # (hours x keys), and every later step — the affected-date collect,
-    # the merge, the overwrite — then reads this checkpoint instead of
-    # re-aggregating the raw batch (which used to run three times per
-    # micro-batch: once for the date collect, once inside the merged
-    # checkpoint, once more if anything re-read it).
     new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
     if width is not None:
         new_parts = new_parts.coalesce(width)
-    if plan_probe is not None:  # tests: structural plan audit hook
-        plan_probe("rollup_partials", new_parts)
-    new_parts = new_parts.localCheckpoint(eager=True)
+    if affected_dates is None:
+        from pyspark.sql import Observation
 
-    # The affected-date set is bounded by the batch's event-time spread
-    # (normally 1-2 dates per micro-batch) — a driver-side collect of a
-    # few scalars over the checkpointed partials, not data movement.
-    affected = [row[0] for row in new_parts.select(ROLLUP_PARTITION_COL).distinct().collect()]
+        # Pin the batch's partials FIRST: they are rollup-grain small
+        # (hours x keys), and the merge + overwrite then read this
+        # checkpoint instead of re-aggregating the raw batch. The
+        # affected-date set RIDES the checkpoint action as an observed
+        # aggregate (bounded by the batch's event-time spread —
+        # normally 1-2 dates per micro-batch): no separate
+        # distinct+collect job, and no data movement beyond a set of
+        # date scalars.
+        obs = Observation("rollup_affected_dates")
+        new_parts = new_parts.observe(
+            obs, F.collect_set(ROLLUP_PARTITION_COL).alias("d")
+        )
+        if plan_probe is not None:  # tests: structural plan audit hook
+            plan_probe("rollup_partials", new_parts)
+        new_parts = new_parts.localCheckpoint(eager=True)
+        affected = list(obs.get["d"])
+    else:
+        affected = list(affected_dates)
     if not affected:
         return []
 
