@@ -30,6 +30,71 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R8 = [
+    # Standing policy: {new or changed this round} ∪ {changed since
+    # last driver row} ∪ oldest-banked evidence refresh.
+    # -- r8 streaming blast radius: process_packet_batch was
+    # restructured again (stats job now also collects v0 event dates,
+    # dim upsert is a single staged write, sinks run concurrently) and
+    # maintain_rollup gained the affected_dates 2-job path + the
+    # observed-metric date collect — every query that replays the
+    # batch core or maintains/reads a rollup re-records under it.
+    "replay_route_counts",
+    "replay_env_enriched",
+    "replay_battery_enriched",
+    "replay_v1_env",
+    "replay_quarantine_counts",
+    "replay_late_dedup",
+    "replay_dim_history",
+    "replay_env_hourly_rollup",
+    "replay_stream_join",
+    "replay_env_asof_names",
+    "incremental_rollup_hourly",
+    "daily_rollup_from_hourly",
+    "incremental_distinct_hourly",
+    # -- evidence refresh, stalest tier first: ALL 24 queries whose
+    # only driver row is r2 (the ledger's oldest green evidence) ...
+    "bpe_token_stats",
+    "conditional_event_counts",
+    "cube_orders",
+    "customers_without_urgent_orders",
+    "distinct_mktsegments",
+    "doc_fingerprints",
+    "doc_split_assignment",
+    "lang_id_confusion",
+    "lead_gap_stats",
+    "nation_keys_except",
+    "nation_keys_intersect",
+    "order_value_quartiles",
+    "pii_scan",
+    "priority_multiset_intersect",
+    "priority_order_extremes",
+    "props_regex_extract",
+    "session_counts",
+    "term_df_topk",
+    "token_stats_by_lang",
+    "top3_orders_per_segment",
+    "top_orders_by_revenue",
+    "topk_expensive_orders",
+    "user_value_trend",
+    "value_percentiles_by_type",
+    # -- ... and the first 13 (alphabetical) of the 29 r3-banked rows;
+    # the remaining 16 are the r9 rotation queue (asof/bpe/chunk/
+    # curation/dedup/timeseries family spread).
+    "asof_view_within_tolerance",
+    "bpe_merge_candidates",
+    "chunk_pack_spans",
+    "contaminated_eval_docs",
+    "curation_funnel",
+    "delta_neardup_pairs",
+    "doc_perplexity",
+    "doc_repetition_signals",
+    "dup_span_stats",
+    "ewma_value_smooth",
+    "funnel_conversion",
+    "gapfill_value_grid",
+    "heavy_hitter_users",
+]
 _DRIVER_WINDOW_R7 = [
     # Standing policy: {new or changed this round} ∪ {changed since
     # last driver row} ∪ oldest-banked evidence refresh.
@@ -338,13 +403,14 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-# r8 rotation queue: the r2-banked rows not refreshed in r7
-# (bpe_token_stats, doc_fingerprints, doc_split_assignment, cube_orders, conditional_event_counts, customers_without_urgent_
-# orders, distinct_mktsegments, lang_id_confusion, lead_gap_stats,
-# nation_keys_intersect/except, order_value_quartiles, pii_scan,
-# priority_multiset_intersect, priority_order_extremes,
-# props_regex_extract, ...) plus anything new/changed in r8.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R7
+# r9 rotation queue: the 16 r3-banked rows not refreshed in r8
+# (interval_event_stats, lang_quota_sample, neardup_components,
+# neardup_pagerank, normalized_dedup_docs, rag_chunk_spans,
+# salted_brand_quantities, seasonal_naive_skill, sliding_hourly_load,
+# temperature_mix_sample, user_copresence_triangles, value_acf_by_type,
+# value_drift_cusum, value_histogram, value_outliers_mad,
+# vocab_encoded_docs) plus anything new/changed in r9.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R8
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

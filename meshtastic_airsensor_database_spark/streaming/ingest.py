@@ -11,9 +11,14 @@ Exactly-once posture: the file source checkpoint tracks consumed files,
 and ``EpochLedger`` markers make replayed epochs a sink-side no-op
 (restart after a crash re-delivers the last epoch; the ledger skips
 it). The residual window — crash between sink write and marker create
-— stays at-least-once; packet-``id`` dedup (`exact_dedup`, mesh
-re-broadcast produces dupes anyway — SURVEY §2.11) absorbs it for
-downstream aggregation correctness.
+— stays at-least-once for the FACT tables; packet-``id`` dedup
+(`exact_dedup`, mesh re-broadcast produces dupes anyway — SURVEY
+§2.11) absorbs it for downstream aggregation correctness. The hourly
+ROLLUP cannot rely on that absorption (it is additive — re-folding a
+replayed batch double-counts), so its maintenance is made idempotent
+outright: every fold stamps the rewritten partitions with a
+(run, epoch) tag and a replayed fold of the same epoch rewrites them
+unchanged (``streaming/rollup.py::maintain_rollup`` ``epoch_tag``).
 """
 
 from __future__ import annotations
@@ -99,6 +104,31 @@ class EpochLedger:
     def committed(self, epoch_id: int) -> bool:
         return bool(self._fs.exists(self._marker(epoch_id)))
 
+    def run_tag(self) -> str:
+        """Stable random id for THIS checkpoint lineage, minted once
+        and persisted in the ledger dir (so it dies with a checkpoint
+        reset, exactly like the epoch markers). Epoch ids restart at 0
+        when a checkpoint is reset, so idempotence stamps derived from
+        them (the rollup maintainer's ``epoch_tag``) must be scoped
+        (run, epoch) — a bare epoch id could collide with a stale
+        stamp left in the rollup table by a previous run. Name-encoded
+        (``run-<hex>`` marker file) so no stream I/O is needed;
+        ``commit``'s pruning only touches ``epoch-*`` files."""
+        if getattr(self, "_run_tag", None) is None:
+            tag = None
+            for status in self._fs.listStatus(self._jpath):
+                name = status.getPath().getName()
+                if name.startswith("run-"):
+                    tag = name[len("run-"):]
+                    break
+            if tag is None:
+                import uuid
+
+                tag = uuid.uuid4().hex[:16]
+                self._fs.createNewFile(self._hpath(self._jpath, f"run-{tag}"))
+            self._run_tag = tag
+        return self._run_tag
+
     def commit(self, epoch_id: int) -> None:
         self._fs.createNewFile(self._marker(epoch_id))
         # prune dead markers (anything older than the previous epoch)
@@ -136,7 +166,17 @@ def idempotent_batch_processor(paths: IngestPaths, phase_clock: dict | None = No
             batch.write.mode("overwrite").format("noop").save()
             return
         process_packet_batch(
-            batch, paths, with_counts=False, phase_clock=phase_clock
+            batch,
+            paths,
+            with_counts=False,
+            phase_clock=phase_clock,
+            # (run, epoch)-scoped idempotence stamp for the rollup
+            # maintainer: the crash window between the sinks below and
+            # the ledger commit replays the epoch, and the stamp is
+            # what keeps the re-fold from double-counting the batch in
+            # the continuous aggregate (facts are absorbed by packet
+            # dedup; an additive rollup needs this guard).
+            epoch_tag=f"{ledger.run_tag()}:{epoch_id}",
         )
         ledger.commit(epoch_id)
 
@@ -236,6 +276,7 @@ def process_packet_batch(
     with_counts: bool = True,
     phase_clock: dict | None = None,
     plan_probe=None,
+    epoch_tag: str | None = None,
 ) -> dict[str, int]:
     """Route one (micro-)batch of raw packet lines to the fact tables.
 
@@ -520,6 +561,8 @@ def process_packet_batch(
                             # already known from the stats job — the
                             # maintainer skips its partials checkpoint
                             affected_dates=list(stats["v0_dates"]),
+                            # replay-idempotence stamp (see caller)
+                            epoch_tag=epoch_tag,
                         )
 
                 _run(rollup_thunk)

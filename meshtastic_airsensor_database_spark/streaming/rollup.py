@@ -88,6 +88,10 @@ def _merge(parts: DataFrame, keys: list[str]) -> DataFrame:
     ]
     if "distinct_sketch" in parts.columns:
         aggs.append(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"))
+    if "last_epoch" in parts.columns:
+        # a date's rows are stamped uniformly (every fold rewrites the
+        # whole partition with one tag), so max() just carries it
+        aggs.append(F.max("last_epoch").alias("last_epoch"))
     return parts.groupBy("hour_ts", *keys).agg(*aggs).withColumn(
         ROLLUP_PARTITION_COL, F.to_date("hour_ts")
     )
@@ -103,6 +107,7 @@ def maintain_rollup(
     width: int | None = None,
     plan_probe=None,
     affected_dates: list | None = None,
+    epoch_tag: str | None = None,
 ) -> list:
     """Fold one (micro-)batch of raw facts into the materialized hourly
     rollup at ``rollup_path``. Designed as a ``foreachBatch`` body (the
@@ -124,10 +129,28 @@ def maintain_rollup(
     (the partials must otherwise be checkpointed first just to learn
     which dates they touch).
 
+    ``epoch_tag`` (optional) makes the fold IDEMPOTENT under epoch
+    replay — the one at-least-once residual the fact tables absorb
+    with packet dedup but an additive aggregate cannot: a crash after
+    this overwrite commits but before the caller's epoch ledger marks
+    the epoch re-delivers the same batch, and an unguarded re-merge
+    would double-count it. With a tag (unique per (run, epoch) — the
+    streaming ingest passes ``EpochLedger.run_tag() + ':' + epoch``),
+    every rewritten partition's rows are stamped ``last_epoch = tag``,
+    and the merge drops the batch's partials for any affected date
+    whose stored stamp ALREADY equals the tag (that date was fully
+    folded by the crashed attempt; its partition is rewritten
+    unchanged). The check rides the same merge plan — a window over
+    rollup-grain rows, zero extra jobs. Tables maintained without tags
+    (batch backfill) never grow the stamp column; one maintainer style
+    per table.
+
     Returns the list of affected partition dates (for tests/metrics).
     """
     spark = batch.sparkSession
     new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
+    if epoch_tag is not None:
+        new_parts = new_parts.withColumn("last_epoch", F.lit(epoch_tag))
     if width is not None:
         new_parts = new_parts.coalesce(width)
     if affected_dates is None:
@@ -159,7 +182,44 @@ def maintain_rollup(
         existing = spark.read.parquet(rollup_path).filter(
             F.col(ROLLUP_PARTITION_COL).isin(affected)
         )
-        merged = _merge(existing.unionByName(new_parts), keys)
+        if epoch_tag is not None:
+            if "last_epoch" not in existing.columns:
+                # first tagged fold over a pre-stamp table
+                existing = existing.withColumn(
+                    "last_epoch", F.lit(None).cast("string")
+                )
+            from pyspark.sql import Window
+
+            # Per-date replay guard: _folded=1 iff the STORED rows of
+            # that date already carry this epoch's tag. Batch partials
+            # for folded dates are dropped (their partition is
+            # rewritten unchanged); everything else folds and gets the
+            # tag. Window over rollup-grain rows inside the same job.
+            both = existing.withColumn("_src", F.lit(0)).unionByName(
+                new_parts.withColumn("_src", F.lit(1))
+            )
+            w = Window.partitionBy(ROLLUP_PARTITION_COL)
+            flagged = both.withColumn(
+                "_folded",
+                F.max(
+                    F.when(
+                        (F.col("_src") == 0)
+                        & (F.col("last_epoch") == F.lit(epoch_tag)),
+                        1,
+                    ).otherwise(0)
+                ).over(w),
+            )
+            kept = flagged.filter(
+                (F.col("_src") == 0) | (F.col("_folded") == 0)
+            ).withColumn(
+                "last_epoch",
+                F.when(F.col("_folded") == 0, F.lit(epoch_tag)).otherwise(
+                    F.col("last_epoch")
+                ),
+            ).drop("_src", "_folded")
+            merged = _merge(kept, keys)
+        else:
+            merged = _merge(existing.unionByName(new_parts), keys)
     else:
         merged = _merge(new_parts, keys)
 

@@ -1009,6 +1009,73 @@ def test_mid_batch_crash_before_ledger_commit_is_absorbed_by_dedup(
     assert env.dropDuplicates(["node", "timestamp_node"]).count() == 1
 
 
+def test_rollup_is_idempotent_under_epoch_replay(spark, tmp_path):
+    """CHAOS on the continuous aggregate: crash AFTER the rollup fold
+    but BEFORE the ledger commit. The fact tables tolerate this window
+    at-least-once (packet-identity dedup absorbs the duplicate append —
+    previous test), but the rollup is ADDITIVE: an unguarded re-fold of
+    the replayed epoch would double-count the batch. The (run, epoch)
+    stamp (maintain_rollup epoch_tag) must make the replayed fold
+    rewrite the affected partitions unchanged: after restart the rollup
+    count equals the fact count pre-duplication, not 2x."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+    from meshtastic_airsensor_database_spark.streaming.ingest import EpochLedger
+    from meshtastic_airsensor_database_spark.streaming.rollup import read_rollup
+
+    landing = str(tmp_path / "ri_landing")
+    out = str(tmp_path / "ri_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    def chaotic(batch, epoch_id):
+        # mirrors idempotent_batch_processor EXCEPT the ledger commit:
+        # the fold lands with the real (run, epoch) tag, then we die in
+        # the documented at-least-once window
+        ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
+        if ledger.committed(epoch_id):
+            return
+        process_packet_batch(
+            batch, paths, with_counts=False,
+            epoch_tag=f"{ledger.run_tag()}:{epoch_id}",
+        )
+        raise RuntimeError("planted crash: after rollup fold, before ledger commit")
+
+    q = (
+        packet_stream_source(spark, landing)
+        .writeStream.foreachBatch(chaotic)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="planted crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()
+    folded_once = read_rollup(
+        spark, paths.table("airwise_hourly"), ["node"]
+    ).agg(F.sum("n").alias("n")).collect()[0]["n"]
+
+    # restart on the same checkpoint: the epoch replays in full (the
+    # default processor derives the SAME run tag from the persisted
+    # ledger dir, so the stamps match and the re-fold is a no-op)
+    q2 = run_ingest_stream(spark, paths)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    env = spark.read.parquet(paths.table("airwise_data"))
+    assert env.count() == 2  # facts: documented at-least-once window
+    roll = read_rollup(spark, paths.table("airwise_hourly"), ["node"])
+    total = roll.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    assert total == folded_once, (total, folded_once)
+    # and the rollup tracks the DEDUPED fact view, not the raw appends
+    assert total == env.dropDuplicates(["node", "timestamp_node"]).count()
+
+
 def test_dim_snapshot_survives_crash_during_swap(spark, tmp_path):
     """CHAOS on the dimension SNAPSHOT itself (ADVICE r7, medium): the
     r7 in-place overwrite deleted the live node_dim dir before the new
