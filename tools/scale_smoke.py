@@ -729,9 +729,33 @@ def main() -> None:
         logreg_quality_gd,
     )
 
+    # The LSH smoke corpus is fixed-width (50 tokens/doc) BY DESIGN —
+    # which makes x1 (token count) collinear with the intercept and the
+    # normal matrix singular (zero pivot). The regression smoke needs
+    # feature VARIANCE, so its corpus varies 20-79 tokens per doc by id
+    # hash (same hashing-trick vocabulary, same factor-x row count).
     reg_dir = "/tmp/spark_graft_scale_regdocs"
     shutil.rmtree(reg_dir, ignore_errors=True)
-    docs.write.parquet(os.path.join(reg_dir, "documents.parquet"))
+    n_tok = (F.pmod(F.xxhash64("id", F.lit(-1)), F.lit(60)) + 20).cast("int")
+    # odd ids draw from a 10-token vocabulary (repetition-heavy, low
+    # diversity -> label 0), even ids from the full one (label 1): the
+    # classifier sees both classes and the diversity target varies.
+    vocab_eff = F.when(F.col("id") % 2 == 1, F.lit(10)).otherwise(F.lit(VOCAB))
+    fan_out(
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), n_tok - 1),
+                    lambda i: F.concat(
+                        F.lit("t"),
+                        F.pmod(F.xxhash64("id", i), vocab_eff).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    ).write.parquet(os.path.join(reg_dir, "documents.parquet"))
     spark._jvm.System.gc()
     t0 = time.time()
     lin = {row["term"]: row for row in
