@@ -667,7 +667,29 @@ def test_streaming_foreachbatch_inner_plans_audit(spark, tmp_path):
 
     landing = str(tmp_path / "pa_landing")
     out = str(tmp_path / "pa_out")
+    # TWO batches (max_files_per_trigger=1): the rollup's epoch-replay
+    # guard subtree (window over existing ∪ new) only exists once a
+    # prior batch created the rollup — batch 2 audits the guarded plan
     write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    # batch 2 needs FRESH packet ids (same composite keys would be
+    # dropped whole by the cross-batch watermark dedup, leaving no v0
+    # rows to maintain the rollup with)
+    import json as _json
+
+    def _shift(line):
+        try:
+            p = _json.loads(line)
+        except ValueError:
+            return line  # keep the corrupt row corrupt
+        if isinstance(p.get("id"), int):
+            p["id"] += 10_000
+        if isinstance(p.get("timestamp"), int):
+            p["timestamp"] += 60
+        return _json.dumps(p)
+
+    write_packet_fixture(
+        landing, [_shift(ln) for ln in as_json_lines()], "b1.jsonl"
+    )
     paths = IngestPaths(landing_dir=landing, out_dir=out)
 
     captured: list[tuple[str, str]] = []
@@ -679,10 +701,15 @@ def test_streaming_foreachbatch_inner_plans_audit(spark, tmp_path):
         )
 
     def processor(batch, epoch_id):
-        process_packet_batch(batch, paths, with_counts=False, plan_probe=probe)
+        # epoch_tag mirrors the real idempotent_batch_processor so the
+        # audited rollup_merged plan includes the (run, epoch) replay
+        # guard's window subtree, not just the untagged merge
+        process_packet_batch(batch, paths, with_counts=False,
+                             plan_probe=probe, epoch_tag=f"audit:{epoch_id}")
 
     q = run_ingest_stream(
-        spark, paths, dedup_within_watermark=True, batch_processor=processor
+        spark, paths, dedup_within_watermark=True, batch_processor=processor,
+        max_files_per_trigger=1,
     )
     try:
         q.processAllAvailable()
@@ -701,6 +728,11 @@ def test_streaming_foreachbatch_inner_plans_audit(spark, tmp_path):
     assert {"stats", "dlq_write", "dim_upsert", "facts_airwise_data",
             "facts_battery_data", "facts_airwise_datav1",
             "rollup_merged"} <= labels, labels
+    # batch 2's rollup plan must carry the epoch-replay guard (window
+    # over existing ∪ new partials) — assert it was actually audited
+    rollup_plans = [p for lbl, p in captured if lbl == "rollup_merged"]
+    assert len(rollup_plans) == 2, len(rollup_plans)
+    assert any("Window" in p for p in rollup_plans), rollup_plans[-1]
     for label, simple in captured:
         bad = unbounded_single_partition_exchanges(simple)
         assert not bad, (label, bad, simple)
