@@ -176,6 +176,67 @@ def calibration(spark) -> float:
     return round(best, 3)
 
 
+def calibration_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Multi-probe machine-speed basket (r8). The single CPU probe
+    above under-captures session-level shifts: r7→r8 it moved 1.046×
+    while the 98-query action median moved 1.245× — sub-second query
+    time is mostly scan setup, shuffle bookkeeping and driver↔JVM
+    latency, none of which a pure-CPU range reduce exercises. One
+    fixed probe per cost class, min-of-3 each, so the next round can
+    normalize each movement against the probe that shares its cost
+    shape (and a genuine plan regression shows up as movement beyond
+    ALL of them):
+
+    - ``cpu``: the classic range hash-reduce (JVM throughput).
+    - ``scan_agg``: parquet scan + hash agg over the bench lineitem
+      (columnar read path + codegen agg).
+    - ``shuffle_join``: orders ⋈ customer on custkey + keyed agg (one
+      real exchange each side + join bookkeeping).
+    - ``latency``: 20 back-to-back 1-row jobs (driver↔JVM roundtrip +
+      scheduler fixed cost — what trickle queries are made of).
+    """
+    from pyspark.sql import functions as F
+
+    def _min3(fn) -> float:
+        best = float("inf")
+        for _ in range(3):
+            spark._jvm.System.gc()
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    od = os.path.join(sf_dir, "orders.parquet")
+    cu = os.path.join(sf_dir, "customer.parquet")
+
+    def scan_agg():
+        (spark.read.parquet(li)
+         .groupBy("l_returnflag")
+         .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+         .write.mode("overwrite").format("noop").save())
+
+    def shuffle_join():
+        o = spark.read.parquet(od).select("o_custkey", "o_totalprice")
+        c = spark.read.parquet(cu).select("c_custkey", "c_mktsegment")
+        # hint both sides large enough semantics: let Catalyst choose;
+        # at sf0.1 this is a real exchange-backed join either way
+        (o.join(c, o.o_custkey == c.c_custkey)
+         .groupBy("c_mktsegment").agg(F.sum("o_totalprice"))
+         .write.mode("overwrite").format("noop").save())
+
+    def latency():
+        for _ in range(20):
+            spark.range(1).write.mode("overwrite").format("noop").save()
+
+    return {
+        "cpu": calibration(spark),
+        "scan_agg": _min3(scan_agg),
+        "shuffle_join": _min3(shuffle_join),
+        "latency": _min3(latency),
+    }
+
+
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, float]:
     # GC fence: collect garbage from the previous query outside the
     # timed region so one query's allocation debt doesn't land as a
@@ -386,8 +447,12 @@ def streaming_main() -> None:
         "value": runs[-1]["rows_per_sec"] if runs else None,
         "unit": "rows/sec",
         "runs": runs,
-        "calibration_sec": calibration(spark),
     }
+    suite = calibration_suite(
+        spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    full["calibration_sec"] = suite["cpu"]
+    full["calibration_suite"] = suite
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_stream.json"
     )
@@ -447,8 +512,12 @@ def main() -> None:
         "queries_action": action,  # action-only clock, the r1-r4 basis
         "action_total": round(sum(action.values()), 3),
         "sf": sf,
-        "calibration_sec": calibration(spark),
     }
+    # one basket, two views: keep the legacy scalar for r1-r7
+    # continuity, publish the per-cost-class probes alongside
+    suite = calibration_suite(spark, sf_dir)
+    full["calibration_sec"] = suite["cpu"]
+    full["calibration_suite"] = suite
     # SPARK_GRAFT_BENCH_JITTER=1: a SECOND independent min-of-3 block in
     # the same session, reporting per-query relative spread between the
     # two minima — the number that adjudicates whether a round-over-
