@@ -624,6 +624,28 @@ def run_ingest_stream(
     if state_partitions is not None:
         restore_to = spark.conf.get("spark.sql.shuffle.partitions", None)
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _start_ingest_stream(
+            spark, paths, trigger_seconds, max_files_per_trigger,
+            dedup_within_watermark, phase_clock, batch_processor,
+        )
+    finally:
+        # start() clones the session (pinning the width into the
+        # query); the caller's session gets its own value back — even
+        # when plan construction raises before start().
+        if restore_to is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_to)
+
+
+def _start_ingest_stream(
+    spark: SparkSession,
+    paths: IngestPaths,
+    trigger_seconds: int | None,
+    max_files_per_trigger: int | None,
+    dedup_within_watermark: bool,
+    phase_clock: dict | None,
+    batch_processor,
+) -> StreamingQuery:
     raw = packet_stream_source(spark, paths.landing_dir, max_files_per_trigger)
 
     stream: DataFrame = raw
@@ -655,10 +677,4 @@ def run_ingest_stream(
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    try:
-        return writer.start()
-    finally:
-        # start() clones the session (pinning the width into the
-        # query); the caller's session gets its own value back.
-        if restore_to is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", restore_to)
+    return writer.start()
