@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="cross-batch packet-id dedup within the watermark")
     p.add_argument("--once", action="store_true",
                    help="process available input, then stop")
+    p.add_argument("--state-partitions", type=int, default=8,
+                   help="state-store / in-batch shuffle width for this "
+                        "query — size to the INGEST RATE (default 8 "
+                        "suits a sensor-fleet trickle; pass a "
+                        "cluster-sized value for bulk backfill; pinned "
+                        "by the first run's checkpoint)")
     args = p.parse_args(argv)
 
     spark = spark or get_spark("ingest")
@@ -42,6 +48,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark, paths,
         trigger_seconds=args.trigger_seconds,
         dedup_within_watermark=args.dedup,
+        state_partitions=args.state_partitions,
     )
     try:
         if args.once:
