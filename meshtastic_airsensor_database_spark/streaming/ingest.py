@@ -408,6 +408,13 @@ def process_packet_batch(
                 F.col(RAW_COLUMN).alias("raw"),
                 "violations",
                 F.current_timestamp().alias("quarantined_at"),
+                # replay forensics: the quarantine is an append-only
+                # audit log, so the at-least-once window duplicates its
+                # rows on epoch replay — the stamp makes those exactly
+                # identifiable (dedup on (raw, epoch_tag) recovers the
+                # exactly-once view; facts get this from packet ids,
+                # an audit log of CORRUPT rows has no id to key on)
+                F.lit(epoch_tag).cast("string").alias("epoch_tag"),
             )
             obs_dlq = None
             if with_counts:

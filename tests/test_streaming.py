@@ -1009,6 +1009,40 @@ def test_mid_batch_crash_before_ledger_commit_is_absorbed_by_dedup(
     assert env.dropDuplicates(["node", "timestamp_node"]).count() == 1
 
 
+def test_pooled_sink_failure_propagates_and_batch_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The r8 sink pool must not swallow a failing sink: one fact
+    write raising inside its driver thread fails the whole batch (so
+    the epoch is NOT committed and will replay), the pool drains
+    before the caches unpersist, and a subsequent clean run of the
+    same batch succeeds end-to-end."""
+    import meshtastic_airsensor_database_spark.streaming.ingest as ingest_mod
+
+    landing = str(tmp_path / "pf_landing")
+    out = str(tmp_path / "pf_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    batch = packet_batch_source(spark, landing)
+
+    orig = ingest_mod.parquet_table_sink
+
+    def failing(df, path, partition_by=None):
+        if path.endswith("airwise_datav1"):
+            raise RuntimeError("planted sink failure")
+        return orig(df, path, partition_by=partition_by)
+
+    monkeypatch.setattr(ingest_mod, "parquet_table_sink", failing)
+    with pytest.raises(RuntimeError, match="planted sink failure"):
+        process_packet_batch(batch, paths, with_counts=False)
+
+    # clean retry (the replay the ledger would trigger) fully succeeds
+    monkeypatch.setattr(ingest_mod, "parquet_table_sink", orig)
+    counts = process_packet_batch(batch, paths)
+    assert counts["airwise_datav1"] == 1
+    assert spark.read.parquet(paths.table("airwise_datav1")).count() == 1
+
+
 def test_rollup_is_idempotent_under_epoch_replay(spark, tmp_path):
     """CHAOS on the continuous aggregate: crash AFTER the rollup fold
     but BEFORE the ledger commit. The fact tables tolerate this window
