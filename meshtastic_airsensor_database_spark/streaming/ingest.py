@@ -293,6 +293,12 @@ def process_packet_batch(
     structural plan audit (tests/test_plans.py walker) can inspect the
     REAL foreachBatch inner plans — the r7 audit covered only the 194
     batch-query plans and eyeballed these.
+
+    ``epoch_tag`` (optional): (run, epoch)-scoped identity of this
+    delivery, from the caller's EpochLedger. It makes the rollup fold
+    idempotent under epoch replay (maintain_rollup's stamp guard) and
+    stamps quarantine rows so at-least-once audit duplicates are
+    identifiable. None (ad-hoc batch callers) keeps both untagged.
     """
     spark = batch.sparkSession
     from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
