@@ -441,17 +441,17 @@ def process_packet_batch(
 
         routed = route_packets(parsed)
 
-        # Sink concurrency: the quarantine write and the dim snapshot
-        # stage share nothing (enveloped cache vs parsed cache), and
-        # the three fact writes + rollup maintenance are independent of
+        # Sink concurrency: the quarantine write, the rollup
+        # maintenance and the dim snapshot stage are mutually
+        # independent, and the three fact writes are independent of
         # each other once the dim is promoted — so the driver overlaps
         # their JOBS (Spark schedules concurrent jobs fine; local[n]
         # and a real cluster both overlap the per-job fixed costs that
         # dominate a trickle batch). The ordering that matters is
         # preserved in the submission structure itself: dim promote
-        # happens-before every enrich build, rollup reads the v0 plan
-        # (not its files). With a plan_probe (test hook) everything
-        # runs serially so probe capture is deterministic.
+        # happens-before every enrich build. With a plan_probe (test
+        # hook) everything runs serially so probe capture is
+        # deterministic.
         from concurrent.futures import ThreadPoolExecutor
 
         if plan_probe is None:
@@ -465,6 +465,39 @@ def process_packet_batch(
 
         if dlq_thunk is not None:
             _run(dlq_thunk)
+
+        # Rollup maintenance kicks off BEFORE the dim phase: its input
+        # (node, event_ts, temperature) comes entirely from the packet
+        # envelope — none of it is dim-derived (the enrich join only
+        # ADDS dim columns, and the latest-wins dim has one row per
+        # node, so enriched facts are row-for-row the routed slice) —
+        # and it reads the v0 PLAN from the parsed cache, not the
+        # written fact files. Overlapping it with the dim stage takes
+        # the whole dim phase off the rollup's critical path.
+        if route_rows["v0_env"] > 0:
+            from .rollup import maintain_rollup
+
+            def rollup_thunk(n_rows=route_rows["v0_env"]):
+                with _phase(phase_clock, "rollup"):
+                    maintain_rollup(
+                        routed["v0_env"].select(
+                            "node", "event_ts", "temperature"
+                        ),
+                        paths.table("airwise_hourly"),
+                        keys=["node"],
+                        ts_col="event_ts",
+                        value_col="temperature",
+                        # partial rows <= this route's fact rows
+                        width=_width(n_rows),
+                        plan_probe=plan_probe,
+                        # already known from the stats job — the
+                        # maintainer skips its partials checkpoint
+                        affected_dates=list(stats["v0_dates"]),
+                        # replay-idempotence stamp (see caller)
+                        epoch_tag=epoch_tag,
+                    )
+
+            _run(rollup_thunk)
 
         # Dimension first, so facts in the same batch see their own
         # nodeinfo updates — matches the reference's callback ordering
@@ -550,35 +583,6 @@ def process_packet_batch(
                     counts[table] = obs.get["n"]
 
             _run(route_thunk)
-            if slice_name == "v0_env":
-                # Continuous aggregate: fold this batch's env readings
-                # into the materialized per-node hourly rollup
-                # (streaming/rollup.py — partial aggs, affected-date
-                # partition overwrite). Dashboards read THIS, never the
-                # raw fact table. Reads the v0 PLAN (from the parsed
-                # cache), not the written files — independent of the
-                # fact write, so it runs as its own concurrent job.
-                from .rollup import maintain_rollup
-
-                def rollup_thunk(facts=facts, n_rows=route_rows[slice_name]):
-                    with _phase(phase_clock, "rollup"):
-                        maintain_rollup(
-                            facts.select("node", "event_ts", "temperature"),
-                            paths.table("airwise_hourly"),
-                            keys=["node"],
-                            ts_col="event_ts",
-                            value_col="temperature",
-                            # partial rows <= this route's fact rows
-                            width=_width(n_rows),
-                            plan_probe=plan_probe,
-                            # already known from the stats job — the
-                            # maintainer skips its partials checkpoint
-                            affected_dates=list(stats["v0_dates"]),
-                            # replay-idempotence stamp (see caller)
-                            epoch_tag=epoch_tag,
-                        )
-
-                _run(rollup_thunk)
 
         for fut in pending:
             fut.result()  # re-raise the first sink failure

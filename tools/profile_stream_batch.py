@@ -5,7 +5,7 @@ wall time go? Replays bench.py's deterministic 20k-packet stream (same
 the residual (trigger time not inside any phase = source discovery +
 watermark dedup + parse/cache + planning).
 
-Usage: python tools/profile_stream_batch.py [n_packets]
+Usage: python tools/profile_stream_batch.py [n_packets] [state_partitions]
 """
 
 from __future__ import annotations
@@ -28,7 +28,8 @@ from meshtastic_airsensor_database_spark.streaming.ingest import (
 )
 
 
-def run_once(spark, root: str, vol: int, label: str) -> None:
+def run_once(spark, root: str, vol: int, label: str,
+             state_partitions: int = 8) -> None:
     n_files, mfpt = 24, 4
     clock: dict[str, float] = {}
     # Per-batch phase snapshots: the shared clock accumulates across
@@ -66,6 +67,7 @@ def run_once(spark, root: str, vol: int, label: str) -> None:
         max_files_per_trigger=mfpt,
         dedup_within_watermark=True,
         batch_processor=snapshotting,
+        state_partitions=state_partitions,
     )
     q.processAllAvailable()
     wall = time.time() - t0
@@ -98,11 +100,12 @@ def run_once(spark, root: str, vol: int, label: str) -> None:
 
 def main() -> None:
     vol = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    sp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark("profile-stream")
     for label in ("warmup", "timed"):
         root = tempfile.mkdtemp(prefix="profile_stream_")
         try:
-            run_once(spark, root, vol, label)
+            run_once(spark, root, vol, label, state_partitions=sp)
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
