@@ -1051,7 +1051,11 @@ def test_rollup_is_idempotent_under_epoch_replay(spark, tmp_path):
     the replayed epoch would double-count the batch. The (run, epoch)
     stamp (maintain_rollup epoch_tag) must make the replayed fold
     rewrite the affected partitions unchanged: after restart the rollup
-    count equals the fact count pre-duplication, not 2x."""
+    count equals the fact count pre-duplication, not 2x.
+
+    Mutation-verified (r8): neutering the guard's tag comparison makes
+    this test fail with the doubled count — it detects the bug class it
+    exists for, not just the happy path."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from meshtastic_airsensor_database_spark.sources.landing import (
