@@ -51,6 +51,35 @@ def test_incremental_slices_equal_full_recompute(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_tagged_slices_with_random_replays_equal_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    """Property over the r8 epoch-stamp guard: a deterministic pseudo-
+    random schedule of slice folds where EVERY fold is replayed 0-2
+    extra times with ITS OWN tag (the crash-then-redeliver shape) must
+    still reproduce the one-pass aggregate exactly. The replays must be
+    no-ops — without the guard each extra fold would double-count its
+    slice. Also exercises affected_dates (the ingest fast path) on
+    every fold."""
+    ev = load(spark, sf_dir, "events")
+    path = str(tmp_path / "hourly_tagged")
+    for i in range(4):
+        batch = ev.filter(F.pmod("event_id", F.lit(4)) == i)
+        dates = [r[0] for r in
+                 batch.select(F.to_date(F.date_trunc("hour", "ts"))).distinct().collect()
+                 if r[0] is not None]
+        # fold once + (i % 3) replays with the SAME tag — the
+        # redelivery schedule is deterministic but varied per slice
+        for _ in range(1 + (i % 3)):
+            maintain_rollup(
+                batch, path, keys=KEYS,
+                affected_dates=dates, epoch_tag=f"run0:{i}",
+            )
+    got = _as_sorted_rounded(read_rollup(spark, path, KEYS))
+    want = _as_sorted_rounded(_direct(ev))
+    assert got == want
+
+
 def test_maintenance_rewrites_only_affected_date_partitions(spark, sf_dir, tmp_path):
     """A batch whose events land in one date must overwrite ONLY that
     date's partition directory — untouched dates keep their files
