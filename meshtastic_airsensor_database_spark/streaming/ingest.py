@@ -143,10 +143,16 @@ class EpochLedger:
                     self._fs.delete(status.getPath(), False)
 
 
-def idempotent_batch_processor(paths: IngestPaths, phase_clock: dict | None = None):
+def idempotent_batch_processor(
+    paths: IngestPaths,
+    phase_clock: dict | None = None,
+    input_deduped: bool = False,
+):
     """The foreachBatch callable: skip epochs the ledger already has,
     commit the epoch after a successful write. ``phase_clock`` (a dict)
-    accumulates per-phase wall seconds across batches for profiling."""
+    accumulates per-phase wall seconds across batches for profiling.
+    ``input_deduped``: the stream already deduped on [from, id]
+    upstream (see process_packet_batch) — skip the in-batch dedup."""
     ledger: EpochLedger | None = None
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -177,6 +183,7 @@ def idempotent_batch_processor(paths: IngestPaths, phase_clock: dict | None = No
             # the continuous aggregate (facts are absorbed by packet
             # dedup; an additive rollup needs this guard).
             epoch_tag=f"{ledger.run_tag()}:{epoch_id}",
+            input_deduped=input_deduped,
         )
         ledger.commit(epoch_id)
 
@@ -277,6 +284,7 @@ def process_packet_batch(
     phase_clock: dict | None = None,
     plan_probe=None,
     epoch_tag: str | None = None,
+    input_deduped: bool = False,
 ) -> dict[str, int]:
     """Route one (micro-)batch of raw packet lines to the fact tables.
 
@@ -299,6 +307,13 @@ def process_packet_batch(
     idempotent under epoch replay (maintain_rollup's stamp guard) and
     stamps quarantine rows so at-least-once audit duplicates are
     identifiable. None (ad-hoc batch callers) keeps both untagged.
+
+    ``input_deduped``: True when the caller's stream topology already
+    deduplicated on the composite [from, id] key upstream
+    (``dropDuplicatesWithinWatermark`` — it drops duplicates WITHIN a
+    batch as well as across batches, on exactly this key with the same
+    null-id passthrough), so the in-batch dedup here would be a no-op
+    paying a full shuffle per micro-batch. Don't dedup twice.
     """
     spark = batch.sparkSession
     from ..operators.parse import PACKET_SCHEMA, RAW_COLUMN
@@ -354,6 +369,18 @@ def process_packet_batch(
                         F.to_date(F.timestamp_seconds(F.col("packet.timestamp"))),
                     )
                 ).alias("v0_dates"),
+                # id-claiming rows with NO event time: they bypassed
+                # any upstream watermark dedup (which keys on event
+                # time), so the in-batch dedup below must still cover
+                # them even when input_deduped — counted here so the
+                # common all-timestamped batch skips that shuffle.
+                F.count(
+                    F.when(
+                        F.col("packet.id").isNotNull()
+                        & F.col("packet.timestamp").isNull(),
+                        1,
+                    )
+                ).alias("n_id_no_ts"),
             )
             if plan_probe is not None:
                 plan_probe("stats", stats_df)
@@ -387,18 +414,27 @@ def process_packet_batch(
         # drops the second node's packet. Re-broadcast dupes share both
         # sender and id. dropDuplicates needs top-level columns; null
         # ids stay undeduped (no id claim means no duplicate claim).
-        parsed = enveloped.filter(
-            rules["parseable_json"]
-        ).withColumn("_pkt_id", F.col("packet.id")).withColumn(
-            "_pkt_from", F.col("packet.from")
-        )
-        with_id = parsed.filter(F.col("_pkt_id").isNotNull()).dropDuplicates(
-            ["_pkt_from", "_pkt_id"]
-        )
-        parsed = with_id.unionByName(parsed.filter(F.col("_pkt_id").isNull())).drop(
-            "_pkt_id", "_pkt_from"
-        )
-        # cache post-dedup (the shuffle runs once) at batch-sized width
+        # When the stream topology already deduped on this key upstream
+        # (input_deduped), the shuffle here would be a per-batch no-op
+        # — EXCEPT for id-claiming rows with no event time, which
+        # bypass the watermark operator (it keys on event time): those
+        # still dedup here, and the stats row lets the common
+        # all-timestamped batch skip even that.
+        parsed = enveloped.filter(rules["parseable_json"])
+        dedup_scope = F.col("_pkt_id").isNotNull()
+        if input_deduped:
+            dedup_scope = dedup_scope & F.col("packet.timestamp").isNull()
+        if not input_deduped or stats["n_id_no_ts"] > 0:
+            parsed = parsed.withColumn(
+                "_pkt_id", F.col("packet.id")
+            ).withColumn("_pkt_from", F.col("packet.from"))
+            in_scope = parsed.filter(dedup_scope).dropDuplicates(
+                ["_pkt_from", "_pkt_id"]
+            )
+            parsed = in_scope.unionByName(
+                parsed.filter(~dedup_scope | F.col("_pkt_id").isNull())
+            ).drop("_pkt_id", "_pkt_from")
+        # cache post-dedup (any shuffle runs once) at batch-sized width
         parsed = parsed.coalesce(_width(stats["n"])).cache()
 
         # Dead-letter quarantine: the reference logs-and-drops corrupt
@@ -690,7 +726,14 @@ def _start_ingest_stream(
         stream = with_id.unionByName(parsed.filter(~dedupable).select("value"))
 
     writer = stream.writeStream.foreachBatch(
-        batch_processor or idempotent_batch_processor(paths, phase_clock=phase_clock)
+        batch_processor
+        or idempotent_batch_processor(
+            paths,
+            phase_clock=phase_clock,
+            # this topology already deduped on [from, id] upstream —
+            # the batch core must not pay the same shuffle again
+            input_deduped=dedup_within_watermark,
+        )
     ).option("checkpointLocation", paths.checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -709,6 +709,33 @@ def test_streaming_dedup_preserves_idless_rows(spark, tmp_path):
     assert spark.read.parquet(paths.table("airwise_data")).count() == 2
 
 
+def test_streaming_dedup_covers_timestampless_id_rows(spark, tmp_path):
+    """Rows that claim an id but carry NO event time bypass the
+    watermark dedup operator (it keys on event time) — the batch core
+    must still dedup exactly that subset even though it skips the
+    redundant full in-batch shuffle when the stream deduped upstream
+    (r8 input_deduped): two copies of an id'd timestampless packet
+    collapse to one fact, while an id-less timestampless pair is
+    preserved (no id claim = no dup claim)."""
+    landing = str(tmp_path / "nt_landing")
+    out = str(tmp_path / "nt_out")
+    no_ts = {k: v for k, v in ALL_GOOD[0].items() if k != "timestamp"}
+    no_ts_no_id = {k: v for k, v in no_ts.items() if k != "id"}
+    write_packet_fixture(
+        landing,
+        [json.dumps(no_ts), json.dumps(no_ts),            # dup pair: -> 1
+         json.dumps(no_ts_no_id), json.dumps(no_ts_no_id)],  # idless: -> 2
+        "b0.jsonl",
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    query = run_ingest_stream(spark, paths, dedup_within_watermark=True)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 3
+
+
 def test_epoch_ledger_makes_replay_a_noop(spark, tmp_path):
     """Re-delivering the same epoch (post-crash foreachBatch replay)
     must not append the facts twice (SURVEY §7.2 hard part (c))."""
