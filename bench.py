@@ -155,6 +155,21 @@ BENCH_QUERIES = [
 ]
 
 
+# Queries with a DOCUMENTED intrinsic same-session spread (README
+# adjudication log): their single-shot minima swing enough to generate
+# a false regression flag every round, so the standard bench gives them
+# extra timed reps (min over sweeps + reps — bounded cost, only for
+# queries carrying a documented spread) and tags them in the output's
+# ``variance_class`` so the next round's comparison can discount them
+# (r8 verdict #2).
+HIGH_VARIANCE = {
+    # ~2x same-session spread, GC-sensitive ObjectHashAggregate chain
+    # (ten same-session reps spanned 0.478-0.935 s, r8 adjudication)
+    "cluster_quality_metrics": "gc_objecthash",
+}
+_EXTRA_REPS = 3
+
+
 def calibration(spark) -> float:
     """Machine-speed probe: a fixed CPU-bound JVM workload (hash-reduce
     over a generated range, no I/O, no Python) whose wall time depends
@@ -448,9 +463,14 @@ def streaming_main() -> None:
         "unit": "rows/sec",
         "runs": runs,
     }
-    suite = calibration_suite(
-        spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    )
+    # The scan/shuffle probes need the TPC-H fixture dir; without it,
+    # fall back to the cpu-only probe instead of crashing AFTER all the
+    # measurement runs completed (r8 ADVICE).
+    cal_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.path.isdir(cal_dir):
+        suite = calibration_suite(spark, cal_dir)
+    else:
+        suite = {"cpu": calibration(spark)}
     full["calibration_sec"] = suite["cpu"]
     full["calibration_suite"] = suite
     out_path = os.path.join(

@@ -431,6 +431,24 @@ def process_packet_batch(
             in_scope = parsed.filter(dedup_scope).dropDuplicates(
                 ["_pkt_from", "_pkt_id"]
             )
+            if input_deduped:
+                # A ts-null duplicate can also shadow a TIMESTAMPED copy
+                # of the same [from, id] in this batch — a pair the old
+                # unconditional in-batch dedup collapsed but the
+                # watermark operator never saw (the ts-null copy bypasses
+                # it). Anti-join the ts-null survivors against the
+                # batch's ts-present keys so the timestamped copy wins
+                # (r8 ADVICE). Only paid when n_id_no_ts > 0; the
+                # cross-BATCH variant of this pair (ts-null copy in a
+                # later batch) remains the documented at-least-once
+                # residual, absorbed like every other late duplicate.
+                ts_present = parsed.filter(
+                    F.col("_pkt_id").isNotNull()
+                    & F.col("packet.timestamp").isNotNull()
+                ).select("_pkt_from", "_pkt_id")
+                in_scope = in_scope.join(
+                    ts_present, ["_pkt_from", "_pkt_id"], "left_anti"
+                )
             parsed = in_scope.unionByName(
                 parsed.filter(~dedup_scope | F.col("_pkt_id").isNull())
             ).drop("_pkt_id", "_pkt_from")
@@ -493,11 +511,35 @@ def process_packet_batch(
         if plan_probe is None:
             pool = ThreadPoolExecutor(max_workers=5)
 
+        # Jobs submitted from pool threads don't inherit this (driver)
+        # thread's job group / scheduling properties — without
+        # propagation, query.stop() mid-batch can't cancel in-flight
+        # pooled sink jobs and they lose UI attribution (r8 ADVICE).
+        # Capture them here and replay onto each worker thread; the pool
+        # is per-batch, so nothing leaks across batches.
+        _sc = spark.sparkContext
+        _job_props = {
+            k: _sc.getLocalProperty(k)
+            for k in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+                "spark.scheduler.pool",
+            )
+        }
+
         def _run(thunk):
             if pool is None:
                 thunk()
-            else:
-                pending.append(pool.submit(thunk))
+                return
+
+            def _with_job_props():
+                for k, v in _job_props.items():
+                    if v is not None:
+                        _sc.setLocalProperty(k, v)
+                thunk()
+
+            pending.append(pool.submit(_with_job_props))
 
         if dlq_thunk is not None:
             _run(dlq_thunk)
@@ -637,6 +679,104 @@ def process_packet_batch(
         enveloped.unpersist()
 
 
+def _checkpoint_pinned_shuffle_partitions(
+    spark: SparkSession, checkpoint_dir: str
+) -> int | None:
+    """The ``spark.sql.shuffle.partitions`` value PINNED by an existing
+    checkpoint, or None for a fresh checkpoint. Structured Streaming
+    records the value in every offset-log entry's metadata and silently
+    reuses it on restart, ignoring the session conf — so a caller who
+    restarts a checkpoint with a different ``state_partitions`` must be
+    told which value actually applies (r8 verdict #5). Reads the latest
+    offset file (line 2 is the metadata JSON); any parse surprise
+    returns None rather than blocking a legitimate restart."""
+    import json as _json
+
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    try:
+        if "://" not in checkpoint_dir:
+            if not os.path.isdir(offsets):
+                return None
+            batches = [n for n in os.listdir(offsets) if n.isdigit()]
+            if not batches:
+                return None
+            latest = os.path.join(offsets, max(batches, key=int))
+            with open(latest, encoding="utf-8") as fh:
+                lines = fh.read().splitlines()
+        else:
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(offsets)
+            fs = jpath.getFileSystem(conf)
+            if not fs.exists(jpath):
+                return None
+            batches = [
+                s.getPath()
+                for s in fs.listStatus(jpath)
+                if s.getPath().getName().isdigit()
+            ]
+            if not batches:
+                return None
+            latest = max(batches, key=lambda p: int(p.getName()))
+            stream = fs.open(latest)
+            try:
+                reader = jvm.java.io.BufferedReader(
+                    jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                lines = []
+                while True:
+                    line = reader.readLine()
+                    if line is None:
+                        break
+                    lines.append(line)
+            finally:
+                stream.close()
+        # format: "v1" / metadata JSON / per-source offsets
+        meta = _json.loads(lines[1])
+        return int(meta["conf"]["spark.sql.shuffle.partitions"])
+    except Exception:
+        return None
+
+
+QUARANTINE_SCHEMA = (
+    "raw string, violations array<string>, "
+    "quarantined_at timestamp, epoch_tag string"
+)
+
+
+def quarantine_view(spark: SparkSession, path: str) -> DataFrame:
+    """Exactly-once reader view over the at-least-once quarantine log.
+
+    The quarantine is an append-only audit of corrupt/unknown packets;
+    a crash between its write and the epoch-ledger commit replays the
+    epoch and appends the same rows again (documented residual —
+    corrupt rows have no packet id for the fact-style dedup to key on).
+    Every streamed row is stamped with its delivery's (run, epoch)
+    ``epoch_tag``, which makes the duplicates exactly identifiable:
+    all rows of one delivery share one ``quarantined_at`` (Spark
+    evaluates current_timestamp once per write), so this view keeps
+    only each (raw, epoch_tag) group's FIRST delivery — a replayed
+    epoch's second append vanishes, while identical corrupt lines
+    WITHIN one batch (legitimately distinct events) all survive. Rows
+    with a null tag (ad-hoc batch callers, which never replay epochs)
+    pass through untouched. A plain ``dropDuplicates`` on the tag pair
+    would silently collapse those legitimate in-batch duplicates.
+    """
+    from pyspark.sql import Window
+
+    log = spark.read.schema(QUARANTINE_SCHEMA).json(path)
+    tagged = log.filter(F.col("epoch_tag").isNotNull())
+    w = Window.partitionBy("raw", "epoch_tag")
+    first_delivery = (
+        tagged.withColumn("_d0", F.min("quarantined_at").over(w))
+        .filter(F.col("quarantined_at") == F.col("_d0"))
+        .drop("_d0")
+    )
+    return first_delivery.unionByName(
+        log.filter(F.col("epoch_tag").isNull())
+    )
+
+
 def run_ingest_stream(
     spark: SparkSession,
     paths: IngestPaths,
@@ -671,10 +811,29 @@ def run_ingest_stream(
     backfill through the stream should pass a cluster-sized value —
     the knob exists precisely because one number cannot serve both.
     NOTE: pinned by the FIRST run's checkpoint; restarts ignore a
-    changed value (Spark reads it back from checkpoint metadata).
+    changed value (Spark reads it back from checkpoint metadata). A
+    restart that requests a DIFFERENT value than the checkpoint pins
+    warns loudly (RuntimeWarning) naming the value that actually
+    applies — changing state width requires a fresh checkpoint.
     """
     restore_to = None
     if state_partitions is not None:
+        pinned = _checkpoint_pinned_shuffle_partitions(
+            spark, paths.checkpoint_dir
+        )
+        if pinned is not None and pinned != int(state_partitions):
+            import warnings
+
+            warnings.warn(
+                f"state_partitions={state_partitions} requested, but the "
+                f"checkpoint at {paths.checkpoint_dir} pins "
+                f"spark.sql.shuffle.partitions={pinned}; the restarted "
+                f"query will run with {pinned} state stores. Changing "
+                "state width requires a fresh checkpoint (reset the "
+                "checkpoint dir, replaying unprocessed landing files).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         restore_to = spark.conf.get("spark.sql.shuffle.partitions", None)
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:

@@ -148,6 +148,14 @@ def maintain_rollup(
     Returns the list of affected partition dates (for tests/metrics).
     """
     spark = batch.sparkSession
+    # Null event times are excluded OUTRIGHT, on every path (r8 ADVICE):
+    # a null ts has no hour bucket and no prunable date partition, so
+    # its partials would land in __HIVE_DEFAULT_PARTITION__ — which the
+    # affected-date pruning can never name (collect_set and isin both
+    # skip nulls), making that partition a last-batch-wins clobber. The
+    # facts keep their null-ts rows; the time-bucketed aggregate simply
+    # has no bucket for them.
+    batch = batch.filter(F.col(ts_col).isNotNull())
     new_parts = _partials(batch, keys, ts_col, value_col, distinct_col)
     if epoch_tag is not None:
         new_parts = new_parts.withColumn("last_epoch", F.lit(epoch_tag))
@@ -177,11 +185,17 @@ def maintain_rollup(
     if not affected:
         return []
 
-    exists = _rollup_exists(spark, rollup_path)
-    if exists:
-        existing = spark.read.parquet(rollup_path).filter(
-            F.col(ROLLUP_PARTITION_COL).isin(affected)
-        )
+    # Read existing state as LITERAL partition directories (basePath
+    # keeps the partition column), not a root scan + isin filter. Same
+    # rows — but the plan's input paths are the subdirectories, never
+    # the table root the write below overwrites, so Spark's
+    # read-own-output guard doesn't trip and the merge + overwrite run
+    # as ONE job with no pre-write localCheckpoint (r9: that checkpoint
+    # was a whole extra job on the micro-batch critical path). A date
+    # with no directory yet has nothing to merge and is simply not read.
+    part_dirs = _affected_partition_dirs(spark, rollup_path, affected)
+    if part_dirs:
+        existing = spark.read.option("basePath", rollup_path).parquet(*part_dirs)
         if epoch_tag is not None:
             if "last_epoch" not in existing.columns:
                 # first tagged fold over a pre-stamp table
@@ -223,28 +237,43 @@ def maintain_rollup(
     else:
         merged = _merge(new_parts, keys)
 
-    # Materialize the merged partials before overwriting: the plan reads
-    # the same parquet path it is about to replace, which Spark rightly
-    # refuses to run lazily. The merged set is rollup-grain small
-    # (hours x keys for the affected dates), so pinning it is cheap.
     if width is not None:
         merged = merged.coalesce(width)
     if plan_probe is not None:
         plan_probe("rollup_merged", merged)
-    merged = merged.localCheckpoint(eager=True)
-
-    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(ROLLUP_PARTITION_COL)
-            .parquet(rollup_path)
-        )
-    finally:
-        if overwrite_mode is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
+    # ONE job: merge + dynamic partition overwrite in the same action.
+    # Temporally safe to read the partitions being replaced — dynamic
+    # overwrite stages task output and only deletes/renames the affected
+    # partition directories in commitJob, after every read task has
+    # finished. The overwrite mode rides the WRITER (not the session
+    # conf, which a concurrent sink thread could observe mid-toggle —
+    # r8 ADVICE) so only this write is dynamic.
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(ROLLUP_PARTITION_COL)
+        .parquet(rollup_path)
+    )
     return affected
+
+
+def _affected_partition_dirs(
+    spark: SparkSession, rollup_path: str, affected: list
+) -> list[str]:
+    """Existing partition directories for the affected dates — the
+    merge's literal read set (see maintain_rollup). Existence is checked
+    per directory (O(affected), normally 1-2 per micro-batch) instead of
+    listing the table root, so the maintainer never pays a full-table
+    listing however old the rollup grows."""
+    dirs = [
+        f"{rollup_path.rstrip('/')}/{ROLLUP_PARTITION_COL}={d}" for d in affected
+    ]
+    if "://" not in rollup_path:
+        return [p for p in dirs if os.path.isdir(p)]
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(rollup_path).getFileSystem(conf)
+    return [p for p in dirs if fs.exists(jvm.org.apache.hadoop.fs.Path(p))]
 
 
 def _rollup_exists(spark: SparkSession, rollup_path: str) -> bool:

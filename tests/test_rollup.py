@@ -113,6 +113,39 @@ def test_maintenance_rewrites_only_affected_date_partitions(spark, sf_dir, tmp_p
     assert part_files(d1) != before_d1  # affected partition: rewritten
 
 
+def test_null_event_ts_rows_never_reach_the_rollup(spark, sf_dir, tmp_path):
+    """Null event times are excluded on EVERY maintenance path (r8
+    ADVICE): they have no prunable date, so their partials would land in
+    __HIVE_DEFAULT_PARTITION__ — a partition the affected-date merge can
+    never name (isin skips nulls), turning it into a last-batch-wins
+    clobber. A mixed batch must fold only its timestamped rows, create
+    no default partition, and an ALL-null batch must be a no-op."""
+    ev = load(spark, sf_dir, "events").limit(400)
+    nullify = F.when(F.pmod("event_id", F.lit(3)) == 0, None).otherwise(F.col("ts"))
+    mixed = ev.withColumn("ts", nullify)
+    path = str(tmp_path / "hourly")
+
+    affected = maintain_rollup(mixed, path, keys=KEYS)
+    assert all(d is not None for d in affected)
+    assert not any("__HIVE_DEFAULT_PARTITION__" in n for n in os.listdir(path))
+    want = _as_sorted_rounded(_direct(mixed.filter(F.col("ts").isNotNull())))
+    assert _as_sorted_rounded(read_rollup(spark, path, KEYS)) == want
+
+    # ALL-null batch: no affected dates, no fold, stored state unchanged
+    assert maintain_rollup(mixed.withColumn("ts", F.lit(None).cast("timestamp")),
+                           path, keys=KEYS) == []
+    assert _as_sorted_rounded(read_rollup(spark, path, KEYS)) == want
+
+    # the streaming fast path (caller-supplied affected_dates + tag)
+    # excludes them identically — re-folding the SAME mixed batch with
+    # its non-null dates and a fresh tag doubles only timestamped rows
+    dates = [r[0] for r in mixed.filter(F.col("ts").isNotNull())
+             .select(F.to_date("ts")).distinct().collect()]
+    maintain_rollup(mixed, path, keys=KEYS, affected_dates=dates, epoch_tag="r:1")
+    doubled = _as_sorted_rounded(read_rollup(spark, path, KEYS))
+    assert [r[-1] for r in doubled] == [2 * r[-1] for r in want]
+
+
 def test_empty_batch_is_noop(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events")
     path = str(tmp_path / "hourly")

@@ -33,7 +33,7 @@ from meshtastic_airsensor_database_spark.streaming.monitor import (
     rearm_delay_after_timeout,
 )
 
-from .fixtures import ALL_GOOD, NODEINFO_PACKET, as_json_lines
+from .fixtures import ALL_GOOD, MALFORMED_JSON, NODEINFO_PACKET, as_json_lines
 
 
 def test_process_packet_batch_routes_all_tables(spark, tmp_path):
@@ -736,6 +736,144 @@ def test_streaming_dedup_covers_timestampless_id_rows(spark, tmp_path):
     assert spark.read.parquet(paths.table("airwise_data")).count() == 3
 
 
+def test_streaming_dedup_collapses_mixed_ts_null_pair(spark, tmp_path):
+    """A duplicate pair sharing [from, id] where one copy carries a
+    timestamp and the other doesn't (r8 ADVICE): the timestamped copy
+    flows through the watermark dedup, the ts-null copy bypasses it —
+    the batch core's anti-join must still collapse the pair, and the
+    TIMESTAMPED copy must be the survivor."""
+    landing = str(tmp_path / "mx_landing")
+    out = str(tmp_path / "mx_out")
+    with_ts = dict(ALL_GOOD[0], id=9100)
+    no_ts = {k: v for k, v in with_ts.items() if k != "timestamp"}
+    write_packet_fixture(
+        landing, [json.dumps(no_ts), json.dumps(with_ts)], "b0.jsonl"
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    query = run_ingest_stream(spark, paths, dedup_within_watermark=True)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = spark.read.parquet(paths.table("airwise_data")).collect()
+    assert len(rows) == 1
+    assert rows[0]["event_ts"] is not None  # the timestamped copy won
+
+
+def test_restart_warns_when_checkpoint_ignores_state_partitions(spark, tmp_path):
+    """A checkpoint pins spark.sql.shuffle.partitions at first start;
+    Spark silently reuses the pinned value on restart whatever the
+    session conf says. A restart requesting a DIFFERENT value must warn
+    loudly naming the value that actually applies (r8 verdict #5); a
+    restart with the SAME value stays silent."""
+    import warnings as warnings_mod
+
+    landing = str(tmp_path / "sp_landing")
+    out = str(tmp_path / "sp_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    q = run_ingest_stream(
+        spark, paths, dedup_within_watermark=True, state_partitions=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # same value: no warning
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        q2 = run_ingest_stream(
+            spark, paths, dedup_within_watermark=True, state_partitions=4
+        )
+        q2.stop()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+    # changed value: loud warning naming the pinned width
+    with pytest.warns(RuntimeWarning, match=r"pins\s+spark\.sql\.shuffle\.partitions=4"):
+        q3 = run_ingest_stream(
+            spark, paths, dedup_within_watermark=True, state_partitions=256
+        )
+    try:
+        # ...and the checkpoint's width is indeed what runs: the state
+        # operator reports 4 shuffle partitions, not 256
+        write_packet_fixture(
+            landing,
+            [json.dumps(dict(ALL_GOOD[0], id=9201,
+                             timestamp=ALL_GOOD[0]["timestamp"] + 60))],
+            "b1.jsonl",
+        )
+        q3.processAllAvailable()
+        ops = (q3.lastProgress or {}).get("stateOperators") or []
+        widths = {op.get("numShufflePartitions") for op in ops}
+        assert widths <= {4, None} and widths, widths
+    finally:
+        q3.stop()
+
+
+def test_quarantine_view_is_exactly_once_under_epoch_replay(spark, tmp_path):
+    """The quarantine log is documented at-least-once (a crash between
+    its append and the ledger commit replays the epoch and appends the
+    same rows again). quarantine_view must recover the exactly-once
+    view from the (raw, epoch_tag) stamps — dropping the replayed
+    delivery's copies while PRESERVING identical corrupt lines that
+    legitimately appeared twice within one batch (r8 verdict #6)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from meshtastic_airsensor_database_spark.sources.landing import (
+        packet_stream_source,
+    )
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        EpochLedger,
+        quarantine_view,
+    )
+
+    landing = str(tmp_path / "qv_landing")
+    out = str(tmp_path / "qv_out")
+    # the corrupt line appears TWICE in the batch: two real events
+    write_packet_fixture(
+        landing, as_json_lines() + [MALFORMED_JSON], "b0.jsonl"
+    )
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+
+    def chaotic(batch, epoch_id):
+        ledger = EpochLedger(batch.sparkSession, paths.ledger_dir)
+        if ledger.committed(epoch_id):
+            return
+        process_packet_batch(
+            batch, paths, with_counts=False,
+            epoch_tag=f"{ledger.run_tag()}:{epoch_id}",
+        )
+        raise RuntimeError("planted crash: after quarantine append, before ledger commit")
+
+    q = (
+        packet_stream_source(spark, landing)
+        .writeStream.foreachBatch(chaotic)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="planted crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()
+
+    q2 = run_ingest_stream(spark, paths)  # same checkpoint: epoch replays
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    log = spark.read.json(paths.table("quarantine"))
+    # underlying audit log shows the duplicate delivery: 3 rows x 2
+    # (malformed x2 + unknown-type x1, appended by both deliveries)
+    assert log.count() == 6
+    rows = quarantine_view(spark, paths.table("quarantine")).collect()
+    assert len(rows) == 3
+    # in-batch duplicate preserved; replay copies gone
+    assert [r["raw"] for r in rows].count(MALFORMED_JSON) == 2
+
+
 def test_epoch_ledger_makes_replay_a_noop(spark, tmp_path):
     """Re-delivering the same epoch (post-crash foreachBatch replay)
     must not append the facts twice (SURVEY §7.2 hard part (c))."""
@@ -1068,6 +1206,34 @@ def test_pooled_sink_failure_propagates_and_batch_recovers(
     counts = process_packet_batch(batch, paths)
     assert counts["airwise_datav1"] == 1
     assert spark.read.parquet(paths.table("airwise_datav1")).count() == 1
+
+
+def test_pooled_sink_jobs_inherit_job_group(spark, tmp_path):
+    """Sink jobs submitted from the batch's driver-thread pool must
+    carry the submitting thread's job group (r8 ADVICE): without
+    propagation, query.stop() can't cancel in-flight pooled jobs and
+    they lose UI attribution. Set a group, run a full batch (dlq +
+    rollup + 3 fact writes all go through the pool), and assert the
+    group saw the pooled jobs too — not just the serial stats/dim ones."""
+    landing = str(tmp_path / "jg_landing")
+    out = str(tmp_path / "jg_out")
+    write_packet_fixture(landing, as_json_lines(), "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    sc = spark.sparkContext
+    sc.setJobGroup("ingest-jobgroup-test", "pooled sink attribution", True)
+    try:
+        process_packet_batch(
+            packet_batch_source(spark, landing), paths, with_counts=False
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+    ids = sc.statusTracker().getJobIdsForGroup("ingest-jobgroup-test")
+    # stats + dim upsert run on the driver thread (2); dlq, rollup and
+    # the 3 fact writes run in the pool (5) — the group must hold them
+    # all, so anything <= 3 means the pooled jobs escaped the group
+    assert len(ids) >= 6, ids
 
 
 def test_rollup_is_idempotent_under_epoch_replay(spark, tmp_path):
