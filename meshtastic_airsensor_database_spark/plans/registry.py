@@ -30,6 +30,76 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R9 = [
+    # Standing policy: {new or changed this round} ∪ {changed since
+    # last driver row} ∪ oldest-banked evidence refresh.
+    # -- r9 streaming blast radius: maintain_rollup was restructured
+    # (null-ts exclusion, literal-partition-dir merge read, one-job
+    # dynamic overwrite via the writer option) and process_packet_batch
+    # gained the mixed-ts dedup anti-join + pooled job-group
+    # propagation — every query replaying the batch core or
+    # maintaining/reading a rollup re-records under the new code.
+    "replay_route_counts",
+    "replay_env_enriched",
+    "replay_battery_enriched",
+    "replay_v1_env",
+    "replay_quarantine_counts",
+    "replay_late_dedup",
+    "replay_dim_history",
+    "replay_env_hourly_rollup",
+    "replay_stream_join",
+    "replay_env_asof_names",
+    "incremental_rollup_hourly",
+    "daily_rollup_from_hourly",
+    "incremental_distinct_hourly",
+    # -- the 16 r3-banked rows queued by the r8 rotation comment (their
+    # only driver evidence was r3)
+    "interval_event_stats",
+    "lang_quota_sample",
+    "neardup_components",
+    "neardup_pagerank",
+    "normalized_dedup_docs",
+    "rag_chunk_spans",
+    "salted_brand_quantities",
+    "seasonal_naive_skill",
+    "sliding_hourly_load",
+    "temperature_mix_sample",
+    "user_copresence_triangles",
+    "value_acf_by_type",
+    "value_drift_cusum",
+    "value_histogram",
+    "value_outliers_mad",
+    "vocab_encoded_docs",
+    # -- the 6 rows-only entries that have NEVER had a driver row of
+    # any kind (stalest evidence in the ledger — the driver records
+    # the weaker rows-only check for them; their exact oracle-backed
+    # siblings carry the value-level evidence)
+    "image_neardup_pairs",
+    "embedding_pca_coords",
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    "frequent_event_props",
+    "ml_minhash_neardups",
+    # -- evidence refresh: 15 of the 21 r4-banked rows (the remaining
+    # 6 — m4_downsample, seasonal_anomaly_flags, table_checksum_report,
+    # token_drift_psi, type_corr_matrix, winsorized_value_stats — have
+    # an in-window family sibling this round and lead the r10 queue)
+    "bigram_pmi_topk",
+    "cluster_quality_metrics",
+    "cms_heavy_hitters",
+    "event_transition_matrix",
+    "events_column_profile",
+    "props_variant_extract",
+    "rollup_quantile_estimate",
+    "seasonal_decomposition",
+    "skew_key_report",
+    "table_constraint_report",
+    "time_weighted_avg",
+    "unpivot_metric_stats",
+    "value_ks_drift",
+    "vocab_growth_by_source",
+    "zipf_token_slope",
+]
 _DRIVER_WINDOW_R8 = [
     # Standing policy: {new or changed this round} ∪ {changed since
     # last driver row} ∪ oldest-banked evidence refresh.
@@ -403,14 +473,13 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-# r9 rotation queue: the 16 r3-banked rows not refreshed in r8
-# (interval_event_stats, lang_quota_sample, neardup_components,
-# neardup_pagerank, normalized_dedup_docs, rag_chunk_spans,
-# salted_brand_quantities, seasonal_naive_skill, sliding_hourly_load,
-# temperature_mix_sample, user_copresence_triangles, value_acf_by_type,
-# value_drift_cusum, value_histogram, value_outliers_mad,
-# vocab_encoded_docs) plus anything new/changed in r9.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R8
+# r10 rotation queue: the 6 r4-banked rows deferred this round
+# (m4_downsample, seasonal_anomaly_flags, table_checksum_report,
+# token_drift_psi, type_corr_matrix, winsorized_value_stats), then the
+# r5-banked tier, plus anything new/changed in r10. After r9 every
+# query's driver evidence is r4+ and every registered query (including
+# the 6 rows-only entries) has at least one driver row.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R9
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

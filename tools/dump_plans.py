@@ -10,6 +10,7 @@ properties mechanically.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -109,6 +110,31 @@ SHOWCASE = [
 ]
 
 
+def normalize_plan(plan: str) -> str:
+    """Make regenerated plans DIFF-STABLE (r8 verdict #7): expression
+    ids are assigned session-globally, so adding one unrelated query
+    shifts every later plan's ``#123`` ids and a regen produces
+    thousands of churn lines that drown real plan-shape changes.
+    Renumber expr ids PER PLAN in order of first appearance (column
+    distinctness within the plan is preserved), normalize the equally
+    session-global ``plan_id``/subquery ids, and collapse run-varying
+    temp paths. Regen on unchanged code is then a zero-line diff."""
+    ids: dict[str, str] = {}
+
+    def sub_id(m: re.Match) -> str:
+        k = m.group(0)
+        if k not in ids:
+            ids[k] = f"#{len(ids) + 1}"
+        return ids[k]
+
+    plan = re.sub(r"#\d+", sub_id, plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=X", plan)
+    plan = re.sub(r"subquery((?:#|\s)?)\d+", r"subquery\g<1>N", plan)
+    # temp dirs (checkpoints, staged artifacts) vary per run
+    plan = re.sub(r"(file:)?/tmp/[^\s,\])]+", "/tmp/...", plan)
+    return plan
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump_plans")
@@ -118,12 +144,14 @@ def main() -> None:
         "",
         "Generated by `python tools/dump_plans.py`; regenerate after plan-affecting",
         "changes. `tests/test_plans.py` asserts these properties mechanically;",
-        "this file is the human-readable evidence.",
+        "this file is the human-readable evidence. Expr ids are renumbered per",
+        "plan (first-appearance order) and temp paths collapsed, so a regen on",
+        "unchanged code is a zero-line diff (r9).",
         "",
     ]
     for name, why in SHOWCASE:
         df = REGISTRY[name].builder(spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(mode)
+        plan = normalize_plan(df._jdf.queryExecution().explainString(mode))
         out += [f"## {name}", "", f"*Why this plan matters: {why}*", "",
                 "```", plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
