@@ -132,6 +132,12 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r"subquery((?:#|\s)?)\d+", r"subquery\g<1>N", plan)
     # temp dirs (checkpoints, staged artifacts) vary per run
     plan = re.sub(r"(file:)?/tmp/[^\s,\])]+", "/tmp/...", plan)
+    # localCheckpoint scan leaves: RDD ids are session-global counters,
+    # and the recorded Python callsite differs by invocation style
+    plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", plan)
+    plan = re.sub(
+        r"at (<unknown>|NativeMethodAccessorImpl\.java):0", "at <callsite>:0", plan
+    )
     return plan
 
 
