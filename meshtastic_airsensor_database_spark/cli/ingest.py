@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         "suits a sensor-fleet trickle; pass a "
                         "cluster-sized value for bulk backfill; pinned "
                         "by the first run's checkpoint)")
+    p.add_argument("--clean-source", choices=("archive", "delete"), default=None,
+                   help="retire PROCESSED landing files so the landing "
+                        "dir (and the per-trigger listing) stays bounded "
+                        "by the unprocessed backlog on long-running "
+                        "deployments; 'archive' moves them under "
+                        "--source-archive-dir, 'delete' removes them")
+    p.add_argument("--source-archive-dir", default=None,
+                   help="destination for --clean-source archive")
     args = p.parse_args(argv)
 
     spark = spark or get_spark("ingest")
@@ -49,6 +57,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         trigger_seconds=args.trigger_seconds,
         dedup_within_watermark=args.dedup,
         state_partitions=args.state_partitions,
+        clean_source=args.clean_source,
+        source_archive_dir=args.source_archive_dir,
     )
     try:
         if args.once:

@@ -29,7 +29,11 @@ def packet_batch_source(spark: SparkSession, landing_dir: str) -> DataFrame:
 
 
 def packet_stream_source(
-    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    source_archive_dir: str | None = None,
 ) -> DataFrame:
     """Stream a landing directory as micro-batches of raw JSON lines.
 
@@ -38,10 +42,28 @@ def packet_stream_source(
     restarts — the durability the reference's in-memory callback loop
     lacks (a crash between MQTT ack and INSERT loses the packet,
     AIRWISEv0.py:276-305).
+
+    ``clean_source`` ('archive' | 'delete') retires PROCESSED landing
+    files (Spark's file-source cleaner, async): without it a
+    long-running deployment's landing dir grows forever and every
+    trigger re-lists it — O(all files ever landed) driver work per
+    batch, the one part of this source that would NOT survive months of
+    production ingest. 'archive' moves processed files under
+    ``source_archive_dir`` (kept for audit/replay — note a replay then
+    needs the archive, not the landing dir); 'delete' removes them (the
+    facts + quarantine tables are the durable record). Cleanup is
+    post-commit, so crash-replayed files are still present for the
+    replayed epoch.
     """
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive":
+            if source_archive_dir is None:
+                raise ValueError("clean_source='archive' needs source_archive_dir")
+            reader = reader.option("sourceArchiveDir", source_archive_dir)
     return reader.text(landing_dir).withColumnRenamed("value", RAW_COLUMN)
 
 

@@ -786,8 +786,16 @@ def run_ingest_stream(
     phase_clock: dict | None = None,
     batch_processor=None,
     state_partitions: int | None = 8,
+    clean_source: str | None = None,
+    source_archive_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest streaming query (M3).
+
+    ``clean_source`` / ``source_archive_dir`` retire processed landing
+    files ('archive' | 'delete' — see packet_stream_source): the
+    production knob that keeps the landing dir, and with it the
+    per-trigger listing cost, bounded by the UNPROCESSED backlog
+    instead of growing with deployment age.
 
     ``dedup_within_watermark`` switches on cross-batch packet-id dedup
     via ``dropDuplicatesWithinWatermark`` upstream of foreachBatch
@@ -840,6 +848,7 @@ def run_ingest_stream(
         return _start_ingest_stream(
             spark, paths, trigger_seconds, max_files_per_trigger,
             dedup_within_watermark, phase_clock, batch_processor,
+            clean_source, source_archive_dir,
         )
     finally:
         # start() clones the session (pinning the width into the
@@ -857,8 +866,13 @@ def _start_ingest_stream(
     dedup_within_watermark: bool,
     phase_clock: dict | None,
     batch_processor,
+    clean_source: str | None = None,
+    source_archive_dir: str | None = None,
 ) -> StreamingQuery:
-    raw = packet_stream_source(spark, paths.landing_dir, max_files_per_trigger)
+    raw = packet_stream_source(
+        spark, paths.landing_dir, max_files_per_trigger,
+        clean_source=clean_source, source_archive_dir=source_archive_dir,
+    )
 
     stream: DataFrame = raw
     if dedup_within_watermark:

@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1206,6 +1207,58 @@ def test_pooled_sink_failure_propagates_and_batch_recovers(
     counts = process_packet_batch(batch, paths)
     assert counts["airwise_datav1"] == 1
     assert spark.read.parquet(paths.table("airwise_datav1")).count() == 1
+
+
+def test_clean_source_archives_processed_landing_files(spark, tmp_path):
+    """clean_source='archive' must retire PROCESSED landing files into
+    the archive dir (async cleaner — poll) while the facts they carried
+    are fully ingested: the production lever that keeps the landing dir
+    and its per-trigger listing bounded by the unprocessed backlog
+    instead of growing with deployment age."""
+    import time as time_mod
+
+    landing = str(tmp_path / "cs_landing")
+    out = str(tmp_path / "cs_out")
+    archive = str(tmp_path / "cs_archive")
+    pkts = [
+        json.dumps(dict(ALL_GOOD[0], id=9300 + i,
+                        timestamp=ALL_GOOD[0]["timestamp"] + 30 * i))
+        for i in range(4)
+    ]
+    write_packet_fixture(landing, pkts[:2], "b0.jsonl")
+    write_packet_fixture(landing, pkts[2:3], "b1.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    q = run_ingest_stream(
+        spark, paths, max_files_per_trigger=1,
+        clean_source="archive", source_archive_dir=archive,
+    )
+    try:
+        q.processAllAvailable()
+        # a batch's files are retired when a LATER batch commits, so the
+        # tail file legitimately lingers until the next trigger — land
+        # one more file to advance the stream, then poll for the async
+        # cleaner to retire the earlier two
+        write_packet_fixture(landing, pkts[3:], "b2.jsonl")
+        q.processAllAvailable()
+        deadline = time_mod.time() + 30
+        while time_mod.time() < deadline:
+            left = {
+                n for n in os.listdir(landing) if n.endswith(".jsonl")
+            } & {"b0.jsonl", "b1.jsonl"}
+            if not left:
+                break
+            time_mod.sleep(0.5)
+        assert not left, f"processed landing files not archived: {left}"
+    finally:
+        q.stop()
+    archived = [
+        n
+        for _, _, names in os.walk(archive)
+        for n in names
+        if n.endswith(".jsonl")
+    ]
+    assert {"b0.jsonl", "b1.jsonl"} <= set(archived), archived
+    assert spark.read.parquet(paths.table("airwise_data")).count() == 4
 
 
 def test_pooled_sink_jobs_inherit_job_group(spark, tmp_path):
