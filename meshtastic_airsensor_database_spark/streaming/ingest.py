@@ -795,7 +795,11 @@ def run_ingest_stream(
     files ('archive' | 'delete' — see packet_stream_source): the
     production knob that keeps the landing dir, and with it the
     per-trigger listing cost, bounded by the UNPROCESSED backlog
-    instead of growing with deployment age.
+    instead of growing with deployment age. SINGLE-CONSUMER: retirement
+    tracks THIS query's progress, so any other stream of the same
+    landing dir (e.g. the offline monitor in the default deploy stack)
+    would silently lose files retired before it processed them — leave
+    it off when the landing dir has multiple consumers.
 
     ``dedup_within_watermark`` switches on cross-batch packet-id dedup
     via ``dropDuplicatesWithinWatermark`` upstream of foreachBatch

@@ -875,6 +875,29 @@ def test_quarantine_view_is_exactly_once_under_epoch_replay(spark, tmp_path):
     assert [r["raw"] for r in rows].count(MALFORMED_JSON) == 2
 
 
+def test_quarantine_view_passes_untagged_rows_through(spark, tmp_path):
+    """Ad-hoc batch callers write quarantine rows with a NULL epoch_tag
+    (they never replay epochs), and two genuine ingests of the same
+    corrupt line are two events — the exactly-once view must NOT
+    collapse untagged rows, only tagged replay deliveries."""
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        quarantine_view,
+    )
+
+    landing = str(tmp_path / "qu_landing")
+    out = str(tmp_path / "qu_out")
+    write_packet_fixture(landing, [MALFORMED_JSON], "b0.jsonl")
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    batch = packet_batch_source(spark, landing)
+    process_packet_batch(batch, paths, with_counts=False)  # no epoch_tag
+    process_packet_batch(batch, paths, with_counts=False)  # genuine re-ingest
+
+    assert spark.read.json(paths.table("quarantine")).count() == 2
+    rows = quarantine_view(spark, paths.table("quarantine")).collect()
+    assert len(rows) == 2  # both kept: no tag, no replay claim
+    assert all(r["epoch_tag"] is None for r in rows)
+
+
 def test_epoch_ledger_makes_replay_a_noop(spark, tmp_path):
     """Re-delivering the same epoch (post-crash foreachBatch replay)
     must not append the facts twice (SURVEY §7.2 hard part (c))."""
