@@ -80,16 +80,22 @@ _DRIVER_WINDOW_R9 = [
     "approx_value_percentiles",
     "frequent_event_props",
     "ml_minhash_neardups",
-    # -- evidence refresh: 15 of the 21 r4-banked rows (the remaining
-    # 6 — m4_downsample, seasonal_anomaly_flags, table_checksum_report,
-    # token_drift_psi, type_corr_matrix, winsorized_value_stats — have
-    # an in-window family sibling this round and lead the r10 queue)
+    # -- r9 NEW query: semantic eval-set decontamination (LSH-pruned
+    # eval x train cosine with an exact mirrored twin) — new work earns
+    # its driver row first; its slot came from props_variant_extract
+    # (r4-green; the props family stays via props_regex_extract, r8
+    # green, and it joins the r10 queue)
+    "semantic_contaminated_evals",
+    # -- evidence refresh: 14 of the 21 r4-banked rows (the remaining
+    # 7 — m4_downsample, props_variant_extract, seasonal_anomaly_flags,
+    # table_checksum_report, token_drift_psi, type_corr_matrix,
+    # winsorized_value_stats — have an in-window family sibling this
+    # round and lead the r10 queue)
     "bigram_pmi_topk",
     "cluster_quality_metrics",
     "cms_heavy_hitters",
     "event_transition_matrix",
     "events_column_profile",
-    "props_variant_extract",
     "rollup_quantile_estimate",
     "seasonal_decomposition",
     "skew_key_report",
@@ -473,12 +479,13 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-# r10 rotation queue: the 6 r4-banked rows deferred this round
-# (m4_downsample, seasonal_anomaly_flags, table_checksum_report,
-# token_drift_psi, type_corr_matrix, winsorized_value_stats), then the
-# r5-banked tier, plus anything new/changed in r10. After r9 every
-# query's driver evidence is r4+ and every registered query (including
-# the 6 rows-only entries) has at least one driver row.
+# r10 rotation queue: the 7 r4-banked rows deferred this round
+# (m4_downsample, props_variant_extract, seasonal_anomaly_flags,
+# table_checksum_report, token_drift_psi, type_corr_matrix,
+# winsorized_value_stats), then the r5-banked tier, plus anything
+# new/changed in r10. After r9 every query's driver evidence is r4+
+# and every registered query (including the 6 rows-only entries) has
+# at least one driver row.
 _DRIVER_WINDOW = _DRIVER_WINDOW_R9
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

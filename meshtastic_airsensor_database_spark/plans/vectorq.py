@@ -2071,6 +2071,175 @@ SELECT id_a, id_b, cosine FROM (
 EMBEDDING_LSH_NEARDUP_PAIRS_SQL = _lsh_neardup_sql()
 
 
+# --- semantic decontamination (LSH-pruned eval x train cosine; exact twin) ----
+
+# deterministic ~10% eval holdout: md5(vec_id) bucket mod 10 == 0 (the
+# content-hash-split convention of textq.py::doc_split_assignment,
+# keyed on the vector id)
+SEMCON_EVAL_MOD = 10
+
+
+def semantic_contaminated_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination — the semantic sibling of
+    ``contaminated_eval_docs``' n-gram overlap: an eval example whose
+    nearest TRAIN neighbor by embedding cosine clears the near-dup
+    threshold is contaminated even when no verbatim n-gram survives
+    (paraphrases, translations, near-duplicates post-normalization).
+    Reports, per contaminated eval vector, the strongest train cosine
+    and how many train neighbors clear the threshold.
+
+    Scale shape (the reason this survives 100 TB): the eval x train
+    pair space is pruned by the SAME derandomized sign-LSH banding as
+    ``embedding_lsh_neardup_pairs`` (24 md5 planes, 8 bands x 3 bits,
+    MAX_BUCKET degenerate-bucket cap) — bands are a narrow transform,
+    candidates come from ONE bipartite equi-join on (band_idx,
+    band_hash), and the full cross product is never materialized. The
+    DuckDB twin mirrors planes, banding, cap, split and rounding, so
+    parity holds at every scale factor."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    dims = F.sequence(F.lit(0), F.size(F.col("_v")) - 1)
+    bucket = None
+    for p in range(LSH_ND_PLANES):
+        proj = F.aggregate(
+            F.zip_with(F.col("_v"), dims, lambda x, i: x * _hplsh_sign(p)(i)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    mask = (1 << LSH_ND_BAND_BITS) - 1
+    is_eval = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % SEMCON_EVAL_MOD
+        == 0
+    )
+    bands = (
+        base.select("vec_id", is_eval.alias("_ev"), bucket.alias("_bkt"))
+        .select(
+            "vec_id",
+            "_ev",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.shiftrightunsigned(
+                                F.col("_bkt"), b * LSH_ND_BAND_BITS
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_hash"),
+                        )
+                        for b in range(LSH_ND_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("vec_id", "_ev", "band.band_idx", "band.band_hash")
+    )
+    from pyspark.sql import Window
+
+    # degenerate-bucket cap on the WHOLE band (before the split), one
+    # rule shared with the near-dup tier and mirrored by the twin
+    w = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= MAX_BUCKET)
+        .drop("_n")
+    )
+    ev = bands.filter(F.col("_ev")).select(
+        F.col("vec_id").alias("eval_id"), "band_idx", "band_hash"
+    )
+    tr = bands.filter(~F.col("_ev")).select(
+        F.col("vec_id").alias("train_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        ev.join(tr, ["band_idx", "band_hash"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_va"))
+    b = emb.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("_vb")
+    )
+    scored = (
+        cands.join(a, "eval_id")
+        .join(b, "train_id")
+        .select(
+            "eval_id",
+            r(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+    )
+    return scored.groupBy("eval_id").agg(
+        F.max("cosine").alias("top_cosine"),
+        F.count(F.lit(1)).alias("n_contaminating"),
+    )
+
+
+def _semcon_sql() -> str:
+    terms = []
+    for p in range(LSH_ND_PLANES):
+        sign = (
+            "CASE WHEN (CAST(concat('0x', substr(md5("
+            f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+            "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            "list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ({sign})))"
+        )
+        terms.append(
+            f"CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "\n           + ".join(terms)
+    cos = _DDB_COS.format(a="ea.v", b="eb.v")
+    mask = (1 << LSH_ND_BAND_BITS) - 1
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id,
+         (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % {SEMCON_EVAL_MOD} = 0) AS is_eval,
+         ({bucket}) AS bkt
+  FROM e
+),
+bands_raw AS (
+  SELECT vec_id, is_eval, CAST(b AS INTEGER) AS band_idx,
+         (bkt >> (CAST(b AS INTEGER) * {LSH_ND_BAND_BITS})) & {mask} AS band_hash
+  FROM bkt, UNNEST(range(0, {LSH_ND_BANDS})) AS u(b)
+),
+bands AS (
+  SELECT * FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
+),
+p AS (
+  SELECT DISTINCT x.vec_id AS eval_id, y.vec_id AS train_id
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.is_eval AND NOT y.is_eval
+),
+s AS (
+  SELECT eval_id,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM p JOIN e ea ON ea.vec_id = eval_id JOIN e eb ON eb.vec_id = train_id
+)
+SELECT eval_id, MAX(cosine) AS top_cosine,
+       CAST(COUNT(*) AS BIGINT) AS n_contaminating
+FROM s WHERE cosine >= {COSINE_PAIR_THRESHOLD}
+GROUP BY eval_id
+"""
+
+
+SEMANTIC_CONTAMINATED_EVALS_SQL = _semcon_sql()
+
+
 # --- trained-centroid IVF ANN (deterministic Lloyd's; exact SQL twin) ---------
 
 ANN_N_CENTROIDS = 8
@@ -3841,6 +4010,12 @@ QUERIES: list[Query] = [
           ("near_dedup", "similarity_search_topk"),
           "sign-LSH pruned + exactly verified cosine near-dups on "
           "derandomized md5 planes (oracle covers prune + verify)"),
+    Query("semantic_contaminated_evals", semantic_contaminated_evals,
+          SEMANTIC_CONTAMINATED_EVALS_SQL,
+          ("near_dedup", "similarity_search_topk"),
+          "semantic eval-set decontamination: LSH-pruned eval x train "
+          "cosine, per-eval strongest-neighbor contamination report "
+          "(oracle mirrors split, planes, banding, cap)"),
     Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes,
           HYPERPLANE_LSH_BUCKET_SIZES_SQL,
           ("similarity_search_topk", "near_dedup"),
