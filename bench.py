@@ -152,6 +152,12 @@ BENCH_QUERIES = [
     # + driver Gauss-Jordan; builder-eager -> e2e clock captures it)
     "linreg_token_diversity",
     "logreg_quality_gd",
+    # (semantic_contaminated_evals stays OFF the headline set for the
+    # same reason as embedding_lsh_neardup_pairs: the synthetic corpus
+    # forces a 0.4 cosine threshold, which makes the banded verify
+    # pair-heavy — 10 s action at sf0.1, measured r9. Production
+    # thresholds >= 0.9 prune far sharper. It remains oracle-backed,
+    # driver-windowed and plan-audited.)
 ]
 
 

@@ -2095,7 +2095,14 @@ def semantic_contaminated_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from ONE bipartite equi-join on (band_idx,
     band_hash), and the full cross product is never materialized. The
     DuckDB twin mirrors planes, banding, cap, split and rounding, so
-    parity holds at every scale factor."""
+    parity holds at every scale factor.
+
+    Cost note (measured r9): the synthetic corpus forces a 0.4 cosine
+    threshold, whose recall-preserving 3-bit bands make the verify
+    pair-heavy (~10 s action at sf0.1) — the same trade recorded for
+    ``embedding_lsh_neardup_pairs``; production thresholds (>=0.9)
+    prune far sharper. Kept off the bench headline set per that
+    standing policy."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("_v")

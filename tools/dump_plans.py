@@ -107,6 +107,8 @@ SHOWCASE = [
     ("pca_power_component", "power-iteration PCA: gram_moments partials (one matmul per Arrow batch, dim^2-bounded exchange) feed a bounded driver iteration; output is a dim-sized local relation rounded in-engine"),
     ("linreg_token_diversity", "exact linear regression: ONE map-side-partial aggregate of 15 integer moments (single-row shuffle), mirrored Gauss-Jordan on the driver, 4-row local output"),
     ("logreg_quality_gd", "logistic regression by mirrored GD: per-iteration map-side-partial aggregate over the cached feature projection (4-double shuffle row per step)"),
+    # r9 addition
+    ("semantic_contaminated_evals", "semantic decontamination: narrow sign-LSH banding + capped band window, ONE bipartite band-key equi-join (eval x train cross product never materialized), exact cosine verify, per-eval agg"),
 ]
 
 
