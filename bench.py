@@ -155,9 +155,12 @@ BENCH_QUERIES = [
     # (semantic_contaminated_evals stays OFF the headline set for the
     # same reason as embedding_lsh_neardup_pairs: the synthetic corpus
     # forces a 0.4 cosine threshold, which makes the banded verify
-    # pair-heavy — 10 s action at sf0.1, measured r9. Production
-    # thresholds >= 0.9 prune far sharper. It remains oracle-backed,
-    # driver-windowed and plan-audited.)
+    # pair-heavy — 10 s action at sf0.1, measured r9. It remains
+    # oracle-backed, driver-windowed and plan-audited.)
+    # r10: the PRODUCTION-threshold tier (>=0.9, sharp 10-bit bands,
+    # precomputed literal sign matrix) carries the semantic-dedup cost
+    # story on the headline set instead (r9 verdict #4).
+    "semantic_contaminated_evals_strict",
 ]
 
 
@@ -180,6 +183,14 @@ HIGH_VARIANCE = {
     "span_deduped_docs": "session_spread",
     "salted_brand_quantities": "session_spread",
     "rfm_segments": "session_spread",
+    # r10 adjudication: many-jobs-per-action queries (6 and 13 jobs —
+    # counted via job groups, README r10 log) whose minima track the
+    # LATENCY calibration probe (per-job fixed cost, persistently
+    # ~1.38x its r8 level since r9) and showed 40%/27% same-session
+    # 10-rep spread with byte-stable plans. Normalize these by the
+    # latency probe before flagging.
+    "vocab_encoded_docs": "multi_job_latency",
+    "table_constraint_report": "multi_job_latency",
 }
 _EXTRA_REPS = 3
 
@@ -520,7 +531,9 @@ def main() -> None:
     # query): machine-load bursts last seconds, so consecutive runs of
     # one query share the same burst — sweeping decorrelates the noise
     # each min() sees at identical total cost.
-    def min_of_sweeps() -> tuple[dict[str, float], dict[str, float]]:
+    def min_of_sweeps() -> tuple[
+        dict[str, float], dict[str, float], dict[str, float]
+    ]:
         timings: dict[str, float] = {}
         action: dict[str, float] = {}
         for _ in range(3):
@@ -532,10 +545,17 @@ def main() -> None:
                     action[name] = ta
         # documented-variance queries: extra back-to-back reps tighten
         # the min (their spread is intrinsic — GC/scheduler-sensitive
-        # plans — so 3 sweep samples under-sample the fast mode)
+        # plans — so 3 sweep samples under-sample the fast mode).
+        # The SWEEP-ONLY minimum is preserved separately
+        # (``queries_sweep_min``) because r1-r8 minima were sweeps-only:
+        # comparing a reps-tightened r9+ min against an r8 sweep-only
+        # min is a one-directional bias that could mask a regression
+        # (r9 ADVICE).
+        sweep_only: dict[str, float] = {}
         for name in HIGH_VARIANCE:
             if name not in timings:
                 continue
+            sweep_only[name] = timings[name]
             for _ in range(_EXTRA_REPS):
                 t, ta = run_query(spark, name, sf_dir)
                 timings[name] = min(timings[name], t)
@@ -543,9 +563,10 @@ def main() -> None:
         return (
             {name: round(t, 3) for name, t in timings.items()},
             {name: round(t, 3) for name, t in action.items()},
+            {name: round(t, 3) for name, t in sweep_only.items()},
         )
 
-    timings, action = min_of_sweeps()
+    timings, action, sweep_min = min_of_sweeps()
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -561,6 +582,10 @@ def main() -> None:
         # these before flagging a regression
         "variance_class": {n: c for n, c in HIGH_VARIANCE.items()
                            if n in timings},
+        # sweep-only minima for the HIGH_VARIANCE queries (the r1-r8
+        # sampling basis, before the extra reps tighten the headline
+        # min) — compare THESE against pre-r9 baselines
+        "queries_sweep_min": sweep_min,
     }
     # one basket, two views: keep the legacy scalar for r1-r7
     # continuity, publish the per-cost-class probes alongside
@@ -574,7 +599,7 @@ def main() -> None:
     # by the driver: doubles bench cost; run locally when a regression
     # needs a verdict.)
     if os.environ.get("SPARK_GRAFT_BENCH_JITTER"):
-        t2, a2 = min_of_sweeps()
+        t2, a2, _s2 = min_of_sweeps()
         jitter = {
             n: round(abs(t2[n] - timings[n]) / max(min(t2[n], timings[n]), 1e-9), 4)
             for n in timings

@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--source-archive-dir", default=None,
                    help="destination for --clean-source archive")
     args = p.parse_args(argv)
+    # validate the pair at parse time: failing later inside
+    # packet_stream_source would first spin up a Spark session just to
+    # die with a ValueError instead of a usage message (r9 ADVICE)
+    if args.clean_source == "archive" and not args.source_archive_dir:
+        p.error("--clean-source archive requires --source-archive-dir")
 
     spark = spark or get_spark("ingest")
     listener = register_lifecycle_alerts(

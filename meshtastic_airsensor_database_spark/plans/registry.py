@@ -30,6 +30,74 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R10 = [
+    # Standing policy: {new or changed this round} ∪ {changed since
+    # last driver row} ∪ oldest-banked evidence refresh. r10 code
+    # changes (quarantine_view max-count delivery pick, landing-file
+    # guard, idempotent JDBC sink, bench sweep-min field) touch NO
+    # registered query's plan — replay_quarantine_counts reads the
+    # quarantine JSON directly, not through quarantine_view — so the
+    # window is the new query plus pure staleness refresh.
+    # -- r10 NEW query: the production-threshold (>=0.9) semantic
+    # decontamination tier (r9 verdict #4) earns its driver row first
+    "semantic_contaminated_evals_strict",
+    # -- the 7 deferred r4-banked rows (queued by the r9 rotation
+    # comment; their only driver evidence is r4)
+    "m4_downsample",
+    "props_variant_extract",
+    "seasonal_anomaly_flags",
+    "table_checksum_report",
+    "token_drift_psi",
+    "type_corr_matrix",
+    "winsorized_value_stats",
+    # -- the full r5-banked tier (28 rows, latest driver evidence r5;
+    # includes dau_wau_stickiness, whose r9 bench flag gets a fresh
+    # correctness row alongside the adjudication)
+    "ab_welch_test",
+    "ann_pq_topk",
+    "benford_digit_audit",
+    "bootstrap_value_ci",
+    "conversion_latency_stats",
+    "corpus_data_card",
+    "dau_wau_stickiness",
+    "debounced_events",
+    "embedding_corr_pairs",
+    "ffd_bin_packing",
+    "hyperplane_lsh_bucket_sizes",
+    "incremental_cms_users",
+    "linear_attribution",
+    "mannwhitney_value_test",
+    "minhash_jaccard_calibration",
+    "nearest_centroid_confusion",
+    "oov_rate_by_source",
+    "orders_per_customer_histogram",
+    "pii_redacted_docs",
+    "pseudonymized_events",
+    "quantized_topk_cosine",
+    "retrieval_rank_overlap",
+    "rolling_fingerprints",
+    "sentiment_by_source",
+    "span_deduped_docs",
+    "sparse_tf_cosine_pairs",
+    "top_session_paths",
+    "type_hour_chi2",
+    # -- 14 of the 38 r6-banked rows (alphabetical; the remaining 24
+    # lead the r11 queue)
+    "ann_ivf_topk",
+    "ann_kmeans_ivf_topk",
+    "bm25_topk_docs",
+    "bpe_encode_compression",
+    "bpe_learned_merges",
+    "ccnet_perplexity_buckets",
+    "cohort_retention",
+    "doc_novelty_scores",
+    "dsir_sampled_docs",
+    "embedding_batch_topk",
+    "embedding_neardup_pairs",
+    "embedding_topk_cosine",
+    "fuzzy_name_matches",
+    "hard_negatives_topk",
+]
 _DRIVER_WINDOW_R9 = [
     # Standing policy: {new or changed this round} ∪ {changed since
     # last driver row} ∪ oldest-banked evidence refresh.
@@ -486,7 +554,7 @@ _DRIVER_WINDOW_R4 = [
 # new/changed in r10. After r9 every query's driver evidence is r4+
 # and every registered query (including the 6 rows-only entries) has
 # at least one driver row.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R9
+_DRIVER_WINDOW = _DRIVER_WINDOW_R10
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

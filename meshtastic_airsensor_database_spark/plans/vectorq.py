@@ -2247,6 +2247,235 @@ GROUP BY eval_id
 SEMANTIC_CONTAMINATED_EVALS_SQL = _semcon_sql()
 
 
+# --- production-threshold decontamination tier (r9 verdict #4) ----------------
+#
+# The loose tier above is pinned to the synthetic corpus's 0.4 cosine
+# threshold, whose recall-preserving 3-bit bands make the verify
+# pair-heavy (~63% of the cross product collides — measured r9, the
+# reason it sits off the bench headline set). Production
+# decontamination thresholds are >=0.9, where narrow bands with MANY
+# bits prune sharply: 8 bands x 10 bits collide on ~8/1024 = 0.8% of
+# random pairs while keeping ~85% per-pair recall at cosine 0.9
+# ((1-(1-0.856^10)^8; 0.856 = 1 - acos(0.9)/pi). This tier IS the
+# benched member — it carries the semantic-dedup cost story.
+SEMCON_STRICT_THRESHOLD = 0.9
+SEMCON_STRICT_BANDS = 8
+SEMCON_STRICT_BAND_BITS = 10  # 80 planes total
+
+
+def _hplsh_sign_py(p: int, i: int) -> float:
+    """Python mirror of ``_hplsh_sign`` — identical md5 formula, so a
+    sign matrix precomputed here equals the one the DuckDB twin (and
+    the loose tier's in-plan expression) derives element by element."""
+    import hashlib
+
+    h = hashlib.md5(f"{HPLSH_ORACLE_SALT}:{p}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) & 1 else -1.0
+
+
+def semantic_contaminated_evals_strict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-threshold (>=0.9) semantic decontamination report.
+
+    Per eval vector that has ANY train neighbor colliding in the sharp
+    banding: the strongest candidate cosine, the candidate count, and
+    how many clear the production contamination threshold. Unlike the
+    loose tier it does NOT filter to contaminated-only — on a corpus
+    with no planted >=0.9 cross pairs (this synthetic one: max cross
+    cosine 0.4355 at sf0.001) the report still proves the prune+verify
+    machinery end to end, and ``n_contaminating`` is the decision
+    column a production run would act on.
+
+    Scale shape: the 80 hyperplane signs are DATA-INDEPENDENT md5
+    constants, so they are precomputed driver-side (one 1-row peek for
+    the dim) and shipped as literal arrays — per-row work is 80
+    dim-length multiply-folds, no per-element md5 like the loose tier
+    pays (the r9-measured cost driver). Candidates come from ONE
+    bipartite equi-join on (band_idx, band_hash) with the shared
+    MAX_BUCKET degenerate cap; the eval x train cross product is never
+    materialized, and collision volume scales with the 0.8% random
+    band-collision rate, not the pair count. The DuckDB twin derives
+    the SAME signs in SQL (md5 formula element by element), so hash
+    parity pins the precompute-vs-in-plan equivalence too."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").head()[0])
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    # the whole 80 x dim sign matrix is ONE nested-array literal and
+    # the 80 projections ONE transform/aggregate expression. Builder
+    # cost mattered here (measured r10): plane-by-plane lit() Columns
+    # = 5,120 py4j calls ~ 10 s; one nested F.lit = 2.95 s of
+    # element-wise py4j conversion; the SQL-text literal below parses
+    # in 0.35 s. The values are ±1.0 exactly, so the text round-trip
+    # is lossless.
+    signs_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            f"{_hplsh_sign_py(p, i):.1f}D" for i in range(dim)
+        )
+        + ")"
+        for p in range(SEMCON_STRICT_BANDS * SEMCON_STRICT_BAND_BITS)
+    ) + ")"
+    projs = F.transform(
+        F.expr(signs_sql),
+        lambda row: F.aggregate(
+            F.zip_with(F.col("_v"), row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+    def _band_hash(b):
+        # sum of bit_j << j over the band's 10 projections (j is a
+        # bounded python int, b a Column) — same value the oracle's
+        # CASE ... THEN 1<<j sum derives
+        acc = F.lit(0).cast("long")
+        for j in range(SEMCON_STRICT_BAND_BITS):
+            idx = b * SEMCON_STRICT_BAND_BITS + (j + 1)  # 1-based
+            acc = acc + F.when(
+                F.element_at(F.col("_p"), idx) > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    is_eval = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % SEMCON_EVAL_MOD
+        == 0
+    )
+    bands = (
+        base.select("vec_id", is_eval.alias("_ev"), projs.alias("_p"))
+        .select(
+            "vec_id",
+            "_ev",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.lit(SEMCON_STRICT_BANDS - 1)
+                    ),
+                    lambda b: F.struct(
+                        b.cast("int").alias("band_idx"),
+                        _band_hash(b).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select("vec_id", "_ev", "band.band_idx", "band.band_hash")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= MAX_BUCKET)
+        .drop("_n")
+    )
+    ev = bands.filter(F.col("_ev")).select(
+        F.col("vec_id").alias("eval_id"), "band_idx", "band_hash"
+    )
+    tr = bands.filter(~F.col("_ev")).select(
+        F.col("vec_id").alias("train_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        ev.join(tr, ["band_idx", "band_hash"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_va")
+    )
+    b2 = emb.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("_vb")
+    )
+    scored = (
+        cands.join(a, "eval_id")
+        .join(b2, "train_id")
+        .select(
+            "eval_id",
+            r(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.groupBy("eval_id").agg(
+        F.max("cosine").alias("top_cosine"),
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("cosine") >= SEMCON_STRICT_THRESHOLD, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_contaminating"),
+    )
+
+
+def _semcon_strict_sql() -> str:
+    band_exprs = []
+    for b in range(SEMCON_STRICT_BANDS):
+        terms = []
+        for j in range(SEMCON_STRICT_BAND_BITS):
+            p = b * SEMCON_STRICT_BAND_BITS + j
+            sign = (
+                "CASE WHEN (CAST(concat('0x', substr(md5("
+                f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+                "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+            )
+            proj = (
+                "list_sum(list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * ({sign})))"
+            )
+            terms.append(
+                f"CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) "
+                "ELSE 0 END"
+            )
+        band_exprs.append(
+            f"SELECT vec_id, is_eval, {b} AS band_idx,\n"
+            "       (" + "\n        + ".join(terms) + ") AS band_hash\n"
+            "  FROM bkt"
+        )
+    bands_raw = "\nUNION ALL\n".join(band_exprs)
+    cos = _DDB_COS.format(a="ea.v", b="eb.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id, v,
+         (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % {SEMCON_EVAL_MOD} = 0) AS is_eval
+  FROM e
+),
+bands_raw AS (
+{bands_raw}
+),
+bands AS (
+  SELECT * FROM bands_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
+),
+p AS (
+  SELECT DISTINCT x.vec_id AS eval_id, y.vec_id AS train_id
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.is_eval AND NOT y.is_eval
+),
+s AS (
+  SELECT eval_id,
+         CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+  FROM p JOIN e ea ON ea.vec_id = eval_id JOIN e eb ON eb.vec_id = train_id
+)
+SELECT eval_id, MAX(cosine) AS top_cosine,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (cosine >= {SEMCON_STRICT_THRESHOLD})
+            AS BIGINT) AS n_contaminating
+FROM s
+GROUP BY eval_id
+"""
+
+
+SEMANTIC_CONTAMINATED_EVALS_STRICT_SQL = _semcon_strict_sql()
+
+
 # --- trained-centroid IVF ANN (deterministic Lloyd's; exact SQL twin) ---------
 
 ANN_N_CENTROIDS = 8
@@ -4023,6 +4252,15 @@ QUERIES: list[Query] = [
           "semantic eval-set decontamination: LSH-pruned eval x train "
           "cosine, per-eval strongest-neighbor contamination report "
           "(oracle mirrors split, planes, banding, cap)"),
+    Query("semantic_contaminated_evals_strict",
+          semantic_contaminated_evals_strict,
+          SEMANTIC_CONTAMINATED_EVALS_STRICT_SQL,
+          ("near_dedup", "similarity_search_topk"),
+          "production-threshold (>=0.9) decontamination report: sharp "
+          "10-bit bands from a precomputed literal sign matrix, "
+          "bipartite band join, per-eval candidate/contamination "
+          "counts (oracle re-derives the signs in SQL — parity pins "
+          "the precompute-vs-in-plan equivalence)"),
     Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes,
           HYPERPLANE_LSH_BUCKET_SIZES_SQL,
           ("similarity_search_topk", "near_dedup"),

@@ -23,9 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.parse import RAW_COLUMN
 
 
-def packet_batch_source(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """Replay a landing directory as a batch DataFrame of raw JSON lines."""
-    return spark.read.text(landing_dir).withColumnRenamed("value", RAW_COLUMN)
+def packet_batch_source(
+    spark: SparkSession, landing_dir: str, recursive: bool = False
+) -> DataFrame:
+    """Replay a landing directory as a batch DataFrame of raw JSON lines.
+
+    ``recursive=True`` descends into subdirectories — the shape a
+    ``cleanSource='archive'`` retirement leaves behind (Spark archives
+    each file under ``sourceArchiveDir`` + its original absolute path),
+    so replaying an ARCHIVE is ``packet_batch_source(spark, archive_dir,
+    recursive=True)``; a live landing dir stays flat.
+    """
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.text(landing_dir).withColumnRenamed("value", RAW_COLUMN)
 
 
 def packet_stream_source(

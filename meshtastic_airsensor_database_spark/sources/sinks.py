@@ -12,6 +12,7 @@ http_alert_sink    — ntfy.sh POST (AIRWISEv0.py:51-68), import-gated.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -156,13 +157,132 @@ def jdbc_table_sink(
     Replaces connection-per-message + commit-per-insert
     (AIRWISEv0.py:162,185) with one connection per partition and
     ``batchsize`` rows per round trip. JDBC appends are not idempotent
-    (SURVEY §7.2c): when used under foreachBatch, include a
-    (batch_id, row_hash) dedup key or make the parquet sink the
-    correctness-bearing one.
+    (SURVEY §7.2c): when used under foreachBatch, use
+    ``jdbc_idempotent_table_sink`` (epoch-keyed delete-then-append,
+    replay-safe) or make the parquet sink the correctness-bearing one.
     """
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
     df.write.jdbc(url, table, mode="append", properties=props)
+
+
+_SQL_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def jdbc_idempotent_table_sink(
+    df: DataFrame,
+    connection_factory,
+    table: str,
+    batch_id,
+    batch_size: int = 10_000,
+    epoch_col: str = "_batch_id",
+    placeholder: str = "?",
+) -> None:
+    """Replay-safe JDBC append for foreachBatch (SURVEY §7.2c — the
+    commitment ``jdbc_table_sink``'s docstring used to discharge by
+    prose; r9 verdict #3 made it code).
+
+    The exactly-once-converging pattern is the one the rollup's
+    EpochLedger already proved (streaming/ingest.py): every row is
+    stamped with its delivery's ``batch_id``, and delivering an epoch
+    first DELETEs any rows carrying that stamp — so a foreachBatch
+    replay after a crash (including a crash MID-append that left a
+    partial delivery) erases its own wreckage before re-appending, and
+    the table converges to exactly one copy of every epoch. Duplicate
+    rows that legitimately occur WITHIN one batch are preserved
+    (nothing is keyed on row content — a (batch_id, row_hash) unique
+    key would collapse them).
+
+    Execution shape: one driver-side DELETE (its own transaction),
+    then executor-side batched ``executemany`` inserts — one
+    connection per PARTITION, ``batch_size`` rows per round trip,
+    commit per partition. Put an index on ``epoch_col`` so the replay
+    DELETE is a range kill, not a table scan.
+
+    Residual visibility caveat (documented, not hidden): the delete
+    and the per-partition inserts are separate transactions, so a
+    reader DURING a replay can observe the epoch partially absent /
+    partially re-appended. The END state is exactly-once; serializable
+    read-your-epoch semantics would need a staging table + rename,
+    which is the parquet sink's job in this engine.
+
+    ``connection_factory`` is a zero-arg callable returning a DB-API
+    connection (cursor/execute/executemany/commit/close) — psycopg2's
+    ``connect`` partial matches (use ``placeholder='%s'``), sqlite3
+    matches the default ``'?'``. The factory is serialized to the
+    executors, so it must construct lazily (never capture a live
+    connection).
+    """
+    from pyspark.sql import functions as F
+
+    for ident in (table, epoch_col, *df.columns):
+        if not _SQL_IDENT.match(ident):
+            raise ValueError(f"unsafe SQL identifier: {ident!r}")
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"frame already has a {epoch_col!r} column — pick another "
+            "epoch_col or drop it"
+        )
+
+    # 1) replay erasure: remove any previous (possibly partial)
+    #    delivery of THIS epoch before re-appending
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"DELETE FROM {table} WHERE {epoch_col} = {placeholder}",
+            (batch_id,),
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+    # 2) stamped, batched, executor-side append
+    cols = [*df.columns, epoch_col]
+    insert_sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) "
+        f"VALUES ({', '.join([placeholder] * len(cols))})"
+    )
+    stamped = df.withColumn(epoch_col, F.lit(batch_id))
+
+    def _write_partition(rows: Iterable[Row]) -> None:
+        pconn = connection_factory()
+        try:
+            pcur = pconn.cursor()
+            buf: list[tuple] = []
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= batch_size:
+                    pcur.executemany(insert_sql, buf)
+                    pconn.commit()
+                    buf = []
+            if buf:
+                pcur.executemany(insert_sql, buf)
+                pconn.commit()
+        finally:
+            pconn.close()
+
+    stamped.foreachPartition(_write_partition)
+
+
+def psycopg2_connection_factory(dsn: str):
+    """Zero-arg factory for ``jdbc_idempotent_table_sink`` backed by
+    psycopg2 (the reference's actual driver, AIRWISEv0.py:162); pass
+    ``placeholder='%s'`` alongside. Import-gated at CALL time on the
+    executor, mirroring ``pymongo_client_factory``.
+    """
+
+    def _factory():
+        try:
+            import psycopg2
+        except ImportError as exc:  # pragma: no cover - absent in CI
+            raise NotImplementedError(
+                "jdbc_idempotent_table_sink's Postgres factory requires "
+                "the 'psycopg2' package"
+            ) from exc
+        return psycopg2.connect(dsn)
+
+    return _factory
 
 
 def jdbc_healthcheck(spark: SparkSession, url: str, properties: dict[str, str] | None = None) -> bool:

@@ -23,6 +23,7 @@ unchanged (``streaming/rollup.py::maintain_rollup`` ``epoch_tag``).
 
 from __future__ import annotations
 
+import json as _json
 import os
 import time
 from contextlib import contextmanager
@@ -738,6 +739,82 @@ def _checkpoint_pinned_shuffle_partitions(
         return None
 
 
+def _other_landing_consumers(landing_dir: str, own_checkpoint: str) -> list[str]:
+    """Best-effort scan for OTHER streaming checkpoints consuming
+    ``landing_dir`` (the single-consumer guard for landing-file
+    retirement, r9 verdict #7).
+
+    A FileStreamSource checkpoint logs every consumed file under
+    ``<ckpt>/sources/<i>/<batch>`` as JSON entries with a ``path``
+    key. The default deploy stack (deploy/compose.yaml) puts the
+    monitor's checkpoint next to the landing dir, so scanning one
+    level under the landing dir's parent (and the out dir's parent)
+    finds it. Local/NFS paths only — remote URIs and checkpoints that
+    have not yet logged a batch are invisible; the compose comment and
+    CLI help remain the contract, this guard just catches the default
+    layout before retirement starves the second consumer.
+    """
+    landing_norm = os.path.normpath(os.path.abspath(landing_dir))
+    own_norm = os.path.normpath(os.path.abspath(own_checkpoint))
+    roots = {
+        os.path.dirname(landing_norm),
+        os.path.dirname(os.path.dirname(own_norm)),
+    }
+    found: list[str] = []
+    for root in roots:
+        try:
+            entries = sorted(os.listdir(root))
+        except OSError:
+            continue
+        for name in entries:
+            ckpt = os.path.join(root, name)
+            if os.path.normpath(ckpt) == own_norm:
+                continue
+            sources = os.path.join(ckpt, "sources")
+            if not os.path.isdir(sources):
+                continue
+            if _checkpoint_reads_landing(sources, landing_norm):
+                found.append(ckpt)
+    return found
+
+
+def _checkpoint_reads_landing(sources_dir: str, landing_norm: str) -> bool:
+    try:
+        source_ids = os.listdir(sources_dir)
+    except OSError:
+        return False
+    for sid in source_ids:
+        sdir = os.path.join(sources_dir, sid)
+        try:
+            batches = [b for b in os.listdir(sdir) if b.isdigit()]
+        except OSError:
+            continue
+        # the first logged batch is enough: a source never changes path
+        for b in sorted(batches, key=int)[:1]:
+            try:
+                with open(os.path.join(sdir, b), encoding="utf-8") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue
+                        try:
+                            entry = _json.loads(line)
+                        except ValueError:
+                            continue
+                        p = str(entry.get("path", ""))
+                        if p.startswith("file:"):
+                            p = p[len("file:"):]
+                            while p.startswith("//"):
+                                p = p[1:]
+                        if os.path.normpath(p).startswith(
+                            landing_norm + os.sep
+                        ):
+                            return True
+            except OSError:
+                continue
+    return False
+
+
 QUARANTINE_SCHEMA = (
     "raw string, violations array<string>, "
     "quarantined_at timestamp, epoch_tag string"
@@ -755,24 +832,45 @@ def quarantine_view(spark: SparkSession, path: str) -> DataFrame:
     ``epoch_tag``, which makes the duplicates exactly identifiable:
     all rows of one delivery share one ``quarantined_at`` (Spark
     evaluates current_timestamp once per write), so this view keeps
-    only each (raw, epoch_tag) group's FIRST delivery — a replayed
+    exactly ONE delivery per (raw, epoch_tag) group — a replayed
     epoch's second append vanishes, while identical corrupt lines
     WITHIN one batch (legitimately distinct events) all survive. Rows
     with a null tag (ad-hoc batch callers, which never replay epochs)
     pass through untouched. A plain ``dropDuplicates`` on the tag pair
     would silently collapse those legitimate in-batch duplicates.
+
+    Which delivery wins: the one with the MOST rows, earliest-timestamp
+    on ties — not simply the earliest. With a per-task-publishing file
+    committer (mapreduce.fileoutputcommitter.algorithm.version=2), a
+    crash mid-append can leave a PARTIAL first delivery; keying on
+    min(quarantined_at) would let that partial prefix suppress the
+    complete replay's rows and silently undercount (r9 ADVICE). The
+    complete delivery always has >= rows of any partial one, and
+    equally-sized deliveries carry identical content, so max-count is
+    the exactly-once choice under both committer versions.
     """
     from pyspark.sql import Window
 
     log = spark.read.schema(QUARANTINE_SCHEMA).json(path)
     tagged = log.filter(F.col("epoch_tag").isNotNull())
     w = Window.partitionBy("raw", "epoch_tag")
-    first_delivery = (
-        tagged.withColumn("_d0", F.min("quarantined_at").over(w))
-        .filter(F.col("quarantined_at") == F.col("_d0"))
-        .drop("_d0")
+    dw = Window.partitionBy("raw", "epoch_tag", "quarantined_at")
+    # min(struct(-count, ts)) = largest delivery, earliest on ties; the
+    # dw window reuses the w exchange (hash on a key subset satisfies
+    # the wider clustering), so this is still a single shuffle
+    scored = tagged.withColumn(
+        "_k",
+        F.struct(
+            (-F.count(F.lit(1)).over(dw)).alias("neg_n"),
+            F.col("quarantined_at").alias("ts"),
+        ),
     )
-    return first_delivery.unionByName(
+    best_delivery = (
+        scored.withColumn("_best", F.min("_k").over(w))
+        .filter(F.col("_k") == F.col("_best"))
+        .drop("_k", "_best")
+    )
+    return best_delivery.unionByName(
         log.filter(F.col("epoch_tag").isNull())
     )
 
@@ -799,7 +897,11 @@ def run_ingest_stream(
     tracks THIS query's progress, so any other stream of the same
     landing dir (e.g. the offline monitor in the default deploy stack)
     would silently lose files retired before it processed them — leave
-    it off when the landing dir has multiple consumers.
+    it off when the landing dir has multiple consumers. At start,
+    a best-effort on-disk scan (``_other_landing_consumers``) looks
+    for foreign file-stream checkpoints that consume this landing dir
+    and warns loudly (RuntimeWarning) naming them — it catches the
+    default deploy layout; it is not a distributed lock.
 
     ``dedup_within_watermark`` switches on cross-batch packet-id dedup
     via ``dropDuplicatesWithinWatermark`` upstream of foreachBatch
@@ -828,6 +930,24 @@ def run_ingest_stream(
     warns loudly (RuntimeWarning) naming the value that actually
     applies — changing state width requires a fresh checkpoint.
     """
+    if clean_source:
+        others = _other_landing_consumers(
+            paths.landing_dir, paths.checkpoint_dir
+        )
+        if others:
+            import warnings
+
+            warnings.warn(
+                f"clean_source={clean_source!r} retires landing files as "
+                f"THIS query processes them, but other streaming "
+                f"checkpoint(s) consume the same landing dir "
+                f"{paths.landing_dir}: {others}. Files retired before "
+                "those consumers read them are silently lost to them — "
+                "disable retirement, or point each consumer at its own "
+                "copy (deploy/compose.yaml documents the constraint).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     restore_to = None
     if state_partitions is not None:
         pinned = _checkpoint_pinned_shuffle_partitions(

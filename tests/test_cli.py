@@ -7,6 +7,8 @@ import glob
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from .fixtures import as_json_lines
@@ -155,6 +157,24 @@ def test_ingest_cli_once(spark, tmp_path):
     assert main(["--landing-dir", landing, "--out-dir", out, "--once"], spark=spark) == 0
     assert spark.read.parquet(os.path.join(out, "airwise_data")).count() >= 1
     assert spark.read.parquet(os.path.join(out, "battery_data")).count() >= 1
+
+
+def test_ingest_cli_rejects_archive_without_dir(capsys):
+    """--clean-source archive without --source-archive-dir must die at
+    argument parsing with a usage message, not later inside
+    packet_stream_source after a Spark session spun up (r9 ADVICE)."""
+    from meshtastic_airsensor_database_spark.cli.ingest import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "--landing-dir", "/tmp/x", "--out-dir", "/tmp/y",
+                "--clean-source", "archive",
+            ],
+            spark=object(),  # must never be touched before the error
+        )
+    assert exc.value.code == 2  # argparse usage error, not a traceback
+    assert "--source-archive-dir" in capsys.readouterr().err
 
 
 def test_querygen_cli(spark, tmp_path):

@@ -792,3 +792,32 @@ def test_streaming_monitor_plan_audit(spark, tmp_path):
     assert "FlatMapGroupsInPandasWithState" in simple, simple
     bad = unbounded_single_partition_exchanges(simple)
     assert not bad, (bad, simple)
+
+
+def test_normalize_plan_keeps_subqueries_distinct():
+    """r9 ADVICE: flattening every subquery id to one literal would
+    regenerate a plan that SWAPS two subqueries as a zero-line diff.
+    The normalizer must renumber them per plan in first-appearance
+    order — distinct ids stay distinct, and the numbering is stable
+    under session-global id shifts."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", os.path.join(root, "tools", "dump_plans.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = mod.normalize_plan("Subquery subquery#40\nreuses subquery#40\nSubquery subquery#55")
+    b = mod.normalize_plan("Subquery subquery#41\nreuses subquery#41\nSubquery subquery#77")
+    # stable under a session-global id shift
+    assert a == b
+    # the two distinct subqueries must NOT collapse to one id
+    lines = a.splitlines()
+    assert lines[0].split()[-1] == lines[1].split()[-1]
+    assert lines[0].split()[-1] != lines[2].split()[-1]
+    # bare spellings get the same treatment
+    c = mod.normalize_plan("subquery 40 then subquery 55 then subquery 40")
+    assert c == "subquery 1 then subquery 2 then subquery 1"

@@ -439,7 +439,9 @@ def test_driver_window_rows_only_entries_displace_no_waiting_oracle():
         return  # all-oracle window: trivially fine
     recorded: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+    # r* not r0*: rNN names sort fine and round 10+ recordings must
+    # stay visible to this guard (r9 ADVICE)
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(f, encoding="utf-8") as fh:
             recorded |= set(json.load(fh))
     waiting = [

@@ -420,3 +420,86 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     m = re.search(r"partitions read: (\d+)", plan)
     if m:  # plan formats vary; when present, assert the prune
         assert m.group(1) == "1"
+
+
+def _sqlite_factory(db_path: str):
+    """Picklable zero-arg DB-API factory (closure captures the path,
+    never a live connection); generous timeout absorbs cross-partition
+    writer lock contention."""
+    def _factory():
+        import sqlite3
+
+        return sqlite3.connect(db_path, timeout=60)
+
+    return _factory
+
+
+def test_jdbc_idempotent_sink_erases_partial_delivery(spark, tmp_path):
+    """SURVEY §7.2c made real (r9 verdict #3): a foreachBatch replay —
+    including one whose FIRST attempt crashed mid-append and left a
+    partial delivery — must converge to exactly one copy of the epoch,
+    while duplicate rows legitimately inside the batch survive."""
+    import sqlite3
+
+    from meshtastic_airsensor_database_spark.sources.sinks import (
+        jdbc_idempotent_table_sink,
+    )
+
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE facts (node INTEGER, value REAL, _batch_id INTEGER)"
+        )
+        # simulate the crashed first delivery of epoch 7: only 1 of 3
+        # rows got published before the crash
+        conn.execute("INSERT INTO facts VALUES (1, 10.0, 7)")
+        conn.commit()
+
+    # the batch: an in-batch duplicate (1, 10.0) is two real events
+    batch = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 20.0)], "node int, value double"
+    )
+    jdbc_idempotent_table_sink(
+        batch, _sqlite_factory(db), "facts", batch_id=7, batch_size=2
+    )
+    with sqlite3.connect(db) as conn:
+        rows = sorted(conn.execute("SELECT * FROM facts").fetchall())
+    # partial wreckage erased, full epoch appended once, dup preserved
+    assert rows == [(1, 10.0, 7), (1, 10.0, 7), (2, 20.0, 7)]
+
+    # full replay of the same epoch: a no-op in the end state
+    jdbc_idempotent_table_sink(
+        batch, _sqlite_factory(db), "facts", batch_id=7
+    )
+    with sqlite3.connect(db) as conn:
+        rows2 = sorted(conn.execute("SELECT * FROM facts").fetchall())
+    assert rows2 == rows
+
+    # a NEW epoch appends without touching the committed one
+    batch8 = spark.createDataFrame([(3, 30.0)], "node int, value double")
+    jdbc_idempotent_table_sink(
+        batch8, _sqlite_factory(db), "facts", batch_id=8
+    )
+    with sqlite3.connect(db) as conn:
+        rows3 = sorted(conn.execute("SELECT * FROM facts").fetchall())
+    assert rows3 == rows + [(3, 30.0, 8)]
+
+
+def test_jdbc_idempotent_sink_rejects_unsafe_identifiers(spark, tmp_path):
+    from meshtastic_airsensor_database_spark.sources.sinks import (
+        jdbc_idempotent_table_sink,
+    )
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        jdbc_idempotent_table_sink(
+            df, _sqlite_factory(str(tmp_path / "x.db")),
+            "facts; DROP TABLE x", batch_id=1,
+        )
+    # a frame that already carries the epoch column is a caller bug
+    stamped = spark.createDataFrame([(1, 2)], "a int, _batch_id int")
+    with pytest.raises(ValueError, match="_batch_id"):
+        jdbc_idempotent_table_sink(
+            stamped, _sqlite_factory(str(tmp_path / "y.db")),
+            "facts", batch_id=1,
+        )

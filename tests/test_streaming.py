@@ -898,6 +898,93 @@ def test_quarantine_view_passes_untagged_rows_through(spark, tmp_path):
     assert all(r["epoch_tag"] is None for r in rows)
 
 
+def test_quarantine_view_prefers_complete_delivery_over_partial(
+    spark, tmp_path
+):
+    """r9 ADVICE: with a per-task-publishing committer
+    (fileoutputcommitter v2), a crash mid-append can leave a PARTIAL
+    first delivery. Keying on min(quarantined_at) would let that
+    partial prefix suppress the complete replay — the view must keep
+    the delivery with the MOST rows, not the earliest one."""
+    import json as _json
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        quarantine_view,
+    )
+
+    qdir = tmp_path / "q_partial"
+    qdir.mkdir()
+
+    def row(raw, ts):
+        return _json.dumps(
+            {
+                "raw": raw,
+                "violations": ["bad_json"],
+                "quarantined_at": ts,
+                "epoch_tag": "run0:0",
+            }
+        )
+
+    # partial first delivery: crash published only 1 of the 3 rows
+    (qdir / "part-partial.json").write_text(
+        row("X", "2026-01-01T00:00:00.000Z") + "\n"
+    )
+    # complete replay: the in-batch duplicate X + Y, later timestamp
+    (qdir / "part-replay.json").write_text(
+        "\n".join(
+            [
+                row("X", "2026-01-01T00:00:05.000Z"),
+                row("X", "2026-01-01T00:00:05.000Z"),
+                row("Y", "2026-01-01T00:00:05.000Z"),
+            ]
+        )
+        + "\n"
+    )
+
+    rows = quarantine_view(spark, str(qdir)).collect()
+    # X's group keeps the 2-row complete delivery (count beats
+    # earliness); the in-batch duplicate survives; Y has one delivery
+    assert len(rows) == 3
+    assert [r["raw"] for r in rows].count("X") == 2
+    assert all(
+        r["quarantined_at"].second == 5 for r in rows if r["raw"] == "X"
+    )
+
+
+def test_quarantine_view_keeps_earliest_among_equal_deliveries(
+    spark, tmp_path
+):
+    """Tie-break contract: equally-sized deliveries carry identical
+    content, and the view deterministically keeps the EARLIEST one
+    (the pre-r10 'first delivery' semantics, now only on ties)."""
+    import json as _json
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        quarantine_view,
+    )
+
+    qdir = tmp_path / "q_tie"
+    qdir.mkdir()
+    for name, ts in (
+        ("part-a.json", "2026-01-01T00:00:00.000Z"),
+        ("part-b.json", "2026-01-01T00:00:09.000Z"),
+    ):
+        (qdir / name).write_text(
+            _json.dumps(
+                {
+                    "raw": "Z",
+                    "violations": ["bad_json"],
+                    "quarantined_at": ts,
+                    "epoch_tag": "run0:1",
+                }
+            )
+            + "\n"
+        )
+    rows = quarantine_view(spark, str(qdir)).collect()
+    assert len(rows) == 1
+    assert rows[0]["quarantined_at"].second == 0
+
+
 def test_epoch_ledger_makes_replay_a_noop(spark, tmp_path):
     """Re-delivering the same epoch (post-crash foreachBatch replay)
     must not append the facts twice (SURVEY §7.2 hard part (c))."""
@@ -1789,3 +1876,164 @@ def test_offline_monitor_state_survives_crash_restart(spark, tmp_path):
     # transition (any later OFFLINE is a legitimately NEW outage — the
     # re-armed 0.1 s timer can fire again before stop())
     assert n_offline_node1(up_to_epoch=online_epoch) == 1, events_seen()
+
+
+def _fake_file_stream_checkpoint(ckpt_dir, consumed_path):
+    """Minimal FileStreamSource checkpoint shape: sources/0/0 logging
+    one consumed file (the on-disk trace a real monitor query leaves)."""
+    src = os.path.join(str(ckpt_dir), "sources", "0")
+    os.makedirs(src)
+    with open(os.path.join(src, "0"), "w", encoding="utf-8") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({
+            "path": "file://" + str(consumed_path),
+            "timestamp": 1700000000000, "batchId": 0,
+        }) + "\n")
+
+
+def test_clean_source_warns_when_another_consumer_shares_landing(
+    spark, tmp_path
+):
+    """r9 verdict #7: the single-consumer constraint of landing-file
+    retirement must be a runtime guard, not just compose prose — a
+    foreign file-stream checkpoint consuming the same landing dir
+    (the default deploy's monitor) triggers a loud RuntimeWarning
+    naming it."""
+    import warnings
+
+    data = tmp_path / "data"
+    landing = data / "landing"
+    out = data / "out"
+    write_packet_fixture(str(landing), as_json_lines(), "b0.jsonl")
+    # the monitor's checkpoint, sibling of the landing dir (compose
+    # layout), already logged a batch from this landing dir
+    _fake_file_stream_checkpoint(
+        data / "monitor_ckpt", landing / "b0.jsonl"
+    )
+
+    paths = IngestPaths(landing_dir=str(landing), out_dir=str(out))
+    with pytest.warns(RuntimeWarning, match="monitor_ckpt"):
+        q = run_ingest_stream(spark, paths, clean_source="delete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # negative control: same layout, but the foreign checkpoint reads a
+    # DIFFERENT landing dir -> no warning (and restarting our own query
+    # must not trip over its own checkpoint either)
+    data2 = tmp_path / "data2"
+    landing2 = data2 / "landing"
+    out2 = data2 / "out"
+    write_packet_fixture(str(landing2), as_json_lines(), "b0.jsonl")
+    _fake_file_stream_checkpoint(
+        data2 / "monitor_ckpt", data2 / "other_landing" / "b0.jsonl"
+    )
+    paths2 = IngestPaths(landing_dir=str(landing2), out_dir=str(out2))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        q2 = run_ingest_stream(spark, paths2, clean_source="delete")
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # restart: our own (now populated) checkpoint is not "another
+        # consumer"
+        q3 = run_ingest_stream(spark, paths2, clean_source="delete")
+        try:
+            q3.processAllAvailable()
+        finally:
+            q3.stop()
+
+
+def test_replay_from_archive_rebuilds_identical_facts(spark, tmp_path):
+    """r9 verdict #2: 'archive' retirement moves processed landing
+    files out of the landing dir — prove the archive stays a SUFFICIENT
+    durable record by replaying it from scratch and asserting the
+    rebuilt fact tables, node dim, rollup and quarantine equal the
+    original streaming ingest's (modulo the wallclock ingest stamp and
+    the epoch tag, both delivery-time identities by design). This is
+    the durability claim the reference cannot make: a crash between
+    MQTT ack and INSERT loses the packet forever (AIRWISEv0.py:276-305)."""
+    import time as time_mod
+
+    landing = str(tmp_path / "ra_landing")
+    out = str(tmp_path / "ra_out")
+    archive = str(tmp_path / "ra_archive")
+    out2 = str(tmp_path / "ra_out_replay")
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1): varied
+    # packet types incl. a corrupt line, then three more env readings
+    write_packet_fixture(
+        landing, as_json_lines() + [MALFORMED_JSON], "b0.jsonl"
+    )
+    write_packet_fixture(
+        landing,
+        [
+            json.dumps(dict(ALL_GOOD[0], id=9400 + i,
+                            timestamp=ALL_GOOD[0]["timestamp"] + 60 * i))
+            for i in range(3)
+        ],
+        "b1.jsonl",
+    )
+
+    paths = IngestPaths(landing_dir=landing, out_dir=out)
+    q = run_ingest_stream(
+        spark, paths, max_files_per_trigger=1,
+        clean_source="archive", source_archive_dir=archive,
+    )
+    try:
+        q.processAllAvailable()
+        # a batch's files are retired when a LATER batch commits: b0
+        # archives once b1's batch commits (async cleaner — poll); the
+        # tail file legitimately stays in the landing dir
+        deadline = time_mod.time() + 30
+        while time_mod.time() < deadline:
+            if not os.path.exists(os.path.join(landing, "b0.jsonl")):
+                break
+            time_mod.sleep(0.5)
+        assert not os.path.exists(os.path.join(landing, "b0.jsonl"))
+    finally:
+        q.stop()
+
+    def snapshot(p: IngestPaths) -> dict:
+        snap: dict = {}
+        for table, drop in (
+            ("airwise_data", ("pst_time",)),
+            ("airwise_datav1", ("pst_time",)),
+            ("battery_data", ("pst_time",)),
+            ("node_dim", ()),
+            ("airwise_hourly", ("last_epoch",)),
+        ):
+            df = spark.read.parquet(p.table(table))
+            df = df.drop(*[c for c in drop if c in df.columns])
+            snap[table] = sorted(
+                tuple(str(v) for v in row)
+                for row in df.select(*sorted(df.columns)).collect()
+            )
+        from meshtastic_airsensor_database_spark.streaming.ingest import (
+            QUARANTINE_SCHEMA,
+        )
+
+        dlq = spark.read.schema(QUARANTINE_SCHEMA).json(
+            p.table("quarantine")
+        )
+        snap["quarantine"] = sorted(
+            (row["raw"], tuple(row["violations"])) for row in dlq.collect()
+        )
+        return snap
+
+    original = snapshot(paths)
+    assert original["airwise_data"], "fixture produced no env facts"
+
+    # replay FROM SCRATCH: the archive (nested under the original
+    # absolute paths — recursive lookup) plus whatever the cleaner had
+    # not yet retired from the landing dir
+    replay = packet_batch_source(spark, archive, recursive=True)
+    if any(n.endswith(".jsonl") for n in os.listdir(landing)):
+        replay = replay.unionByName(packet_batch_source(spark, landing))
+    paths2 = IngestPaths(landing_dir=landing, out_dir=out2)
+    process_packet_batch(replay, paths2, with_counts=False)
+
+    rebuilt = snapshot(paths2)
+    assert rebuilt == original

@@ -109,6 +109,8 @@ SHOWCASE = [
     ("logreg_quality_gd", "logistic regression by mirrored GD: per-iteration map-side-partial aggregate over the cached feature projection (4-double shuffle row per step)"),
     # r9 addition
     ("semantic_contaminated_evals", "semantic decontamination: narrow sign-LSH banding + capped band window, ONE bipartite band-key equi-join (eval x train cross product never materialized), exact cosine verify, per-eval agg"),
+    # r10 addition
+    ("semantic_contaminated_evals_strict", "production-threshold decontamination: 80 data-independent signs shipped as literal arrays (no per-row md5), sharp 10-bit bands, same single bipartite band join + exact verify"),
 ]
 
 
@@ -131,7 +133,23 @@ def normalize_plan(plan: str) -> str:
 
     plan = re.sub(r"#\d+", sub_id, plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=X", plan)
-    plan = re.sub(r"subquery((?:#|\s)?)\d+", r"subquery\g<1>N", plan)
+    # subquery ids: renumber per plan in first-appearance order (the
+    # same scheme as the expr-id map) instead of flattening every one
+    # to a single literal — a plan change that swaps which operator
+    # references which subquery must regenerate as a visible diff
+    # (r9 ADVICE). The ``subquery#N`` form already rides the expr-id
+    # map above (subquery ids share Spark's ExprId counter), so only
+    # the bare ``subquery 40`` / ``subquery40`` spellings need their
+    # own map here.
+    subs: dict[str, str] = {}
+
+    def sub_subq(m: re.Match) -> str:
+        k = m.group(2)
+        if k not in subs:
+            subs[k] = str(len(subs) + 1)
+        return f"subquery{m.group(1)}{subs[k]}"
+
+    plan = re.sub(r"subquery(\s?)(\d+)", sub_subq, plan)
     # temp dirs (checkpoints, staged artifacts) vary per run
     plan = re.sub(r"(file:)?/tmp/[^\s,\])]+", "/tmp/...", plan)
     # localCheckpoint scan leaves: RDD ids are session-global counters,
