@@ -54,8 +54,19 @@ def _land(landing: str, n_files: int) -> None:
         os.rename(tmp, path)
 
 
+TAIL_FILES = 40
+
+
 def run_case(spark, base: str, n_files: int, per_trigger: int,
              retire: bool) -> dict:
+    """Two phases, the second is the measurement. Phase 1 drains an
+    ``n_files`` backlog (months of deployment history, compressed).
+    Phase 2 is the steady state that history leaves behind: a trickle
+    of TAIL_FILES new files at ONE file per trigger — each trigger
+    must re-list the landing dir to find it, so its
+    ``durationMs.latestOffset`` is dominated by how many ALREADY
+    PROCESSED files still sit there: all ``n_files`` with retirement
+    off, ~none with it on."""
     tag = "retire_on" if retire else "retire_off"
     landing = os.path.join(base, f"landing_{tag}")
     out = os.path.join(base, f"out_{tag}")
@@ -69,26 +80,40 @@ def run_case(spark, base: str, n_files: int, per_trigger: int,
         batch_processor=lambda df, eid: None,
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # phase 1: drain the backlog
+        phase1_batches = len(q.recentProgress)
+        # give the async cleaner a beat to retire phase-1 files
+        time.sleep(3.0)
+        for i in range(TAIL_FILES):  # phase 2: trickle, ONE file/trigger
+            tmp = os.path.join(landing, f"tail{i:03d}.jsonl.tmp")
+            dst = os.path.join(landing, f"tail{i:03d}.jsonl")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(PACKET % (90_000 + i, 1_760_800_000 + i) + "\n")
+            os.rename(tmp, dst)
+            q.processAllAvailable()
         wall = time.time() - t0
         progress = []
         for p in q.recentProgress:
             progress.append(json.loads(p) if isinstance(p, str) else p)
     finally:
         q.stop()
+    # numInputRows reads 0 under a no-op foreachBatch (the batch plan
+    # never executes an action), so data-carrying triggers are the ones
+    # that ran addBatch; idle triggers lack it
     listing = [
         p.get("durationMs", {}).get("latestOffset", 0)
         for p in progress
-        if p.get("numInputRows", 0) > 0
+        if p.get("durationMs", {}).get("addBatch") is not None
     ]
+    tail = listing[phase1_batches:]
     left = sum(1 for n in os.listdir(landing) if n.endswith(".jsonl"))
     mean = lambda xs: round(sum(xs) / max(len(xs), 1), 1)  # noqa: E731
     return {
         "mode": tag,
         "n_triggers": len(listing),
-        "latest_offset_ms_first5": mean(listing[:5]),
-        "latest_offset_ms_last5": mean(listing[-5:]),
-        "latest_offset_ms_all": mean(listing),
+        "backlog_listing_ms": mean(listing[:phase1_batches]),
+        "tail_triggers": len(tail),
+        "tail_listing_ms": mean(tail),
         "landing_files_left": left,
         "wall_sec": round(wall, 1),
     }
