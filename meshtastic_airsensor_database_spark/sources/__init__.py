@@ -18,6 +18,7 @@ from .sinks import (
     csv_sink,
     document_sink,
     jdbc_healthcheck,
+    jdbc_idempotent_table_sink,
     jdbc_table_sink,
     parquet_table_sink,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "csv_sink",
     "document_sink",
     "jdbc_healthcheck",
+    "jdbc_idempotent_table_sink",
     "jdbc_table_sink",
     "packet_batch_source",
     "packet_stream_source",

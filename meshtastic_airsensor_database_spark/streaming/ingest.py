@@ -852,12 +852,17 @@ def quarantine_view(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     log = spark.read.schema(QUARANTINE_SCHEMA).json(path)
-    tagged = log.filter(F.col("epoch_tag").isNotNull())
+    # ONE shuffle for both windows: pre-partition on the group key —
+    # hashpartitioning(raw, epoch_tag) satisfies the per-delivery
+    # window's wider (raw, epoch_tag, quarantined_at) clustering too,
+    # so neither window adds an exchange (asserted in
+    # test_quarantine_view_single_shuffle)
+    tagged = log.filter(F.col("epoch_tag").isNotNull()).repartition(
+        "raw", "epoch_tag"
+    )
     w = Window.partitionBy("raw", "epoch_tag")
     dw = Window.partitionBy("raw", "epoch_tag", "quarantined_at")
-    # min(struct(-count, ts)) = largest delivery, earliest on ties; the
-    # dw window reuses the w exchange (hash on a key subset satisfies
-    # the wider clustering), so this is still a single shuffle
+    # min(struct(-count, ts)) = largest delivery, earliest on ties
     scored = tagged.withColumn(
         "_k",
         F.struct(

@@ -2037,3 +2037,32 @@ def test_replay_from_archive_rebuilds_identical_facts(spark, tmp_path):
 
     rebuilt = snapshot(paths2)
     assert rebuilt == original
+
+
+def test_quarantine_view_single_shuffle(spark, tmp_path):
+    """Both windows (per-delivery count, per-group best) must share ONE
+    exchange: the view pre-partitions on (raw, epoch_tag), which also
+    satisfies the wider per-delivery clustering — a second shuffle of
+    the audit log would be pure waste."""
+    import json as _json
+
+    from meshtastic_airsensor_database_spark.streaming.ingest import (
+        quarantine_view,
+    )
+
+    qdir = tmp_path / "q_plan"
+    qdir.mkdir()
+    (qdir / "p.json").write_text(
+        _json.dumps({
+            "raw": "x", "violations": ["v"],
+            "quarantined_at": "2026-01-01T00:00:00.000Z",
+            "epoch_tag": "a:0",
+        }) + "\n"
+    )
+    df = quarantine_view(spark, str(qdir))
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert simple.count("Exchange") == 1, simple
