@@ -1115,3 +1115,77 @@ def test_pca_power_two_components_converge_and_orthogonal(spark, sf_dir):
     assert abs(float(v1 @ v2)) < 1e-2  # deflation keeps the pair orthogonal
     assert rows[0].ev1 == pytest.approx(evals[-1], rel=1e-3)
     assert rows[0].ev2 == pytest.approx(evals[-2], rel=1e-3)
+
+
+def test_semantic_strict_tier_catches_planted_contamination(spark, tmp_path):
+    """The synthetic corpus has NO cross-split pairs near the 0.9
+    production threshold (max cross cosine 0.4355 at sf0.001), so the
+    oracle parity alone never exercises the strict tier's DETECTION
+    claim. Plant real contamination: eval vectors whose train-side
+    near-copies sit at cosine >= 0.9, among random distractors. The
+    8x10-bit banding's theoretical per-pair recall at cosine 0.93-0.97
+    is 0.93-0.97 — require >= 75% of planted pairs surface with
+    n_contaminating >= 1 and top_cosine >= 0.9, and that the sharp
+    bands don't drag in the whole distractor set."""
+    import hashlib
+
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        SEMCON_EVAL_MOD,
+        semantic_contaminated_evals_strict,
+    )
+
+    def is_eval(vec_id: int) -> bool:
+        h = hashlib.md5(str(vec_id).encode()).hexdigest()
+        return int(h[:8], 16) % SEMCON_EVAL_MOD == 0
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    eval_ids = [i for i in range(1, 2000) if is_eval(i)][:40]
+    train_pool = [i for i in range(2001, 6000) if not is_eval(i)]
+
+    rows = []
+    planted = {}  # eval_id -> actual cosine of its planted train copy
+    ti = 0
+    for eid in eval_ids:
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        noise = rng.normal(size=dim) * 0.07
+        w = v + noise
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        rows.append((eid, [float(x) for x in v]))
+        rows.append((train_pool[ti], [float(x) for x in w]))
+        planted[eid] = cos
+        ti += 1
+    n_distractors = 200
+    for _ in range(n_distractors):
+        d = rng.normal(size=dim)
+        rows.append((train_pool[ti], [float(x) for x in d]))
+        ti += 1
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r["eval_id"]: r
+        for r in semantic_contaminated_evals_strict(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    target = {e for e, c in planted.items() if c >= 0.9}
+    assert len(target) >= 30, "fixture drifted: too few >=0.9 plants"
+    caught = {
+        e for e in target
+        if e in out and out[e]["n_contaminating"] >= 1
+    }
+    assert len(caught) >= 0.75 * len(target), (
+        len(caught), len(target)
+    )
+    for e in caught:
+        assert out[e]["top_cosine"] >= 0.9
+    # sharp prune: no eval may see anywhere near the full train side as
+    # candidates (the loose 3-bit tier would collide on ~63% of pairs)
+    n_train = len(planted) + n_distractors
+    for r in out.values():
+        assert r["n_candidates"] <= 0.25 * n_train, r
