@@ -234,6 +234,13 @@ def calibration_suite(spark, sf_dir: str) -> dict[str, float]:
       real exchange each side + join bookkeeping).
     - ``latency``: 20 back-to-back 1-row jobs (driver↔JVM roundtrip +
       scheduler fixed cost — what trickle queries are made of).
+    - ``fsync`` (r10): 40 small create-write-fsync-rename cycles — the
+      durability syscalls a streaming micro-batch's fixed cost is made
+      of (offset WAL, commit log, state-store deltas). Added because
+      the r10 streaming floor moved 1.5× vs r9 while the 80k-packet
+      MARGINAL throughput was identical (6142 vs 6164 rows/s): a
+      fixed-cost-only inflation that the four compute probes cannot
+      attribute, but a disk-sync shift can.
     """
     from pyspark.sql import functions as F
 
@@ -269,11 +276,31 @@ def calibration_suite(spark, sf_dir: str) -> dict[str, float]:
         for _ in range(20):
             spark.range(1).write.mode("overwrite").format("noop").save()
 
+    def fsync_probe():
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_fsync_")
+        try:
+            for i in range(40):
+                p = os.path.join(d, f"f{i}")
+                fd = os.open(p + ".tmp", os.O_WRONLY | os.O_CREAT, 0o644)
+                try:
+                    os.write(fd, b"x" * 4096)
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                os.rename(p + ".tmp", p)
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
     return {
         "cpu": calibration(spark),
         "scan_agg": _min3(scan_agg),
         "shuffle_join": _min3(shuffle_join),
         "latency": _min3(latency),
+        "fsync": _min3(fsync_probe),
     }
 
 
