@@ -293,6 +293,39 @@ def main() -> None:
     timed(spark, "semantic_dedup_pairs",
           semantic_dedup_pairs(emb, threshold=0.9,
                                n_centroids=max(8, 4 * factor)), out)
+    # r10: production-threshold semantic decontamination at factor-x.
+    # The builder is sf_dir-shaped (it peeks the dim to precompute the
+    # literal sign matrix), so the replicated corpus is staged as an
+    # embeddings table. Same KNOWN ARTIFACT as replicate_embeddings'
+    # docstring: every replica family is mutually near-dup, so true
+    # contamination pairs grow quadratically in factor BY CONSTRUCTION
+    # — judge the path by wall per CANDIDATE (banding + verify touch
+    # each candidate exactly once), not by wall alone.
+    import shutil
+    import tempfile
+
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        semantic_contaminated_evals_strict,
+    )
+
+    stage = tempfile.mkdtemp(prefix="strict_decon_")
+    try:
+        emb.write.parquet(os.path.join(stage, "embeddings.parquet"))
+        spark._jvm.System.gc()
+        t0 = time.time()
+        rep = semantic_contaminated_evals_strict(spark, stage).select(
+            F.count(F.lit(1)).alias("evals"),
+            F.sum("n_candidates").alias("cands"),
+            F.sum("n_contaminating").alias("contam"),
+        ).collect()[0]
+        out["semantic_decon_strict"] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": int(rep["evals"]),
+            "candidates": int(rep["cands"] or 0),
+            "contaminating": int(rep["contam"] or 0),
+        }
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     timed(spark, "pq_encode", pq_encode(emb, train_pq_codebooks(emb)), out)
     # r4 late additions over the factor-x corpus: corpus novelty (two
     # hash aggs over hashed grams), source-overlap (one collect_set
