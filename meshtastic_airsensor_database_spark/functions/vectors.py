@@ -8,7 +8,9 @@ DuckDB double oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -96,6 +98,106 @@ def cosine_similarity_arrow(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return _rowcos(ca, cb)
+
+
+# --- derandomized sign-LSH banding ------------------------------------------
+#
+# Shared by plans/vectorq.py's semantic-decontamination tiers (whose
+# DuckDB twins derive the SAME signs element by element, so oracle hash
+# parity pins this precompute) and operators/decon_index.py's persisted
+# band index. Planes are md5-derived ±1 vectors — data-independent,
+# reproducible on any engine, no RNG state to ship.
+
+HPLSH_SALT = "hplsh7"
+
+
+def hplsh_sign_py(p: int, i: int, salt: str = HPLSH_SALT) -> float:
+    """±1 component of hyperplane ``p`` at dim index ``i`` — bit 0 of
+    the first hex digit of md5('{salt}:{p}:{i}'), identically
+    computable in DuckDB (``CAST(concat('0x', substr(md5(...), 1, 1))
+    AS INTEGER) & 1``)."""
+    h = hashlib.md5(f"{salt}:{p}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) & 1 else -1.0
+
+
+def sign_matrix_literal(n_planes: int, dim: int, salt: str = HPLSH_SALT) -> Column:
+    """The whole ``n_planes`` x ``dim`` ±1 sign matrix as ONE SQL-text
+    nested-array literal. Builder cost mattered here (measured r10):
+    plane-by-plane ``lit()`` Columns = thousands of py4j calls (~10 s
+    at 80x64); one nested ``F.lit`` = ~3 s of element-wise py4j
+    conversion; this SQL-text literal parses in ~0.35 s. The values are
+    ±1.0 exactly, so the text round-trip is lossless."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"{hplsh_sign_py(p, i, salt):.1f}D" for i in range(dim))
+            + ")"
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+
+
+def sign_band_rows(
+    df: DataFrame,
+    vec_col: str,
+    n_bands: int,
+    band_bits: int,
+    dim: int,
+    carry: tuple[str, ...],
+    salt: str = HPLSH_SALT,
+) -> DataFrame:
+    """Band rows ``(*carry, band_idx, band_hash)`` of each vector:
+    project ``vec_col`` (array<double>, length ``dim``) onto the
+    ``n_bands * band_bits`` md5 hyperplanes and pack each band's sign
+    bits little-endian (bit j = plane ``band_idx*band_bits + j`` > 0)
+    into a bigint ``band_hash``.
+
+    Per-row work is ``n_planes`` dim-length multiply-folds against the
+    literal sign matrix — no per-element md5 in the plan (the measured
+    cost driver the literal precompute removes). Two vectors share a
+    ``(band_idx, band_hash)`` key iff all ``band_bits`` planes of that
+    band agree in sign, the standard LSH collision structure for
+    cosine similarity."""
+    projs = F.transform(
+        sign_matrix_literal(n_bands * band_bits, dim, salt),
+        lambda row: F.aggregate(
+            F.zip_with(F.col(vec_col), row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+    def _band_hash(b):
+        # sum of bit_j << j over the band's projections (j is a bounded
+        # python int, b a Column) — same value a SQL CASE ... THEN 1<<j
+        # sum derives
+        acc = F.lit(0).cast("long")
+        for j in range(band_bits):
+            idx = b * band_bits + (j + 1)  # 1-based element_at
+            acc = acc + F.when(
+                F.element_at(F.col("_p"), idx) > 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return (
+        df.select(*carry, projs.alias("_p"))
+        .select(
+            *carry,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.struct(
+                        b.cast("int").alias("band_idx"),
+                        _band_hash(b).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(*carry, "band.band_idx", "band.band_hash")
+    )
 
 
 def dot_raw(a: Column, b: Column) -> Column:

@@ -16,11 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import (
+    HPLSH_SALT,
     cosine_similarity,
     dist2_raw,
     dot_raw,
+    hplsh_sign_py,
     l2_norm,
     quantize_int8,
+    sign_band_rows,
 )
 from ..io_utils import fan_out, load, materialize
 from ..operators.dedup import MAX_BUCKET, minhash_lsh_candidates, simhash_buckets
@@ -1926,7 +1929,11 @@ LSH_ND_BANDS = 8
 LSH_ND_BAND_BITS = LSH_ND_PLANES // LSH_ND_BANDS
 
 HPLSH_ORACLE_PLANES = 16
-HPLSH_ORACLE_SALT = "hplsh7"
+# one salt for every md5-derandomized hyperplane family in the engine —
+# the oracle SQL builders below interpolate it, functions/vectors.py's
+# sign helpers and operators/decon_index.py's persisted band index
+# derive the SAME signs from it
+HPLSH_ORACLE_SALT = HPLSH_SALT
 
 
 def _hplsh_sign(p: int):
@@ -2263,14 +2270,12 @@ SEMCON_STRICT_BANDS = 8
 SEMCON_STRICT_BAND_BITS = 10  # 80 planes total
 
 
-def _hplsh_sign_py(p: int, i: int) -> float:
-    """Python mirror of ``_hplsh_sign`` — identical md5 formula, so a
-    sign matrix precomputed here equals the one the DuckDB twin (and
-    the loose tier's in-plan expression) derives element by element."""
-    import hashlib
-
-    h = hashlib.md5(f"{HPLSH_ORACLE_SALT}:{p}:{i}".encode()).hexdigest()
-    return 1.0 if int(h[0], 16) & 1 else -1.0
+# Python mirror of ``_hplsh_sign`` — identical md5 formula, so a sign
+# matrix precomputed driver-side equals the one the DuckDB twin (and
+# the loose tier's in-plan expression) derives element by element.
+# Shared home: functions/vectors.py (operators/decon_index.py reuses
+# it for the persisted band index).
+_hplsh_sign_py = hplsh_sign_py
 
 
 def semantic_contaminated_evals_strict(
@@ -2304,42 +2309,11 @@ def semantic_contaminated_evals_strict(
         "vec_id", F.col("embedding").cast("array<double>").alias("_v")
     )
     # the whole 80 x dim sign matrix is ONE nested-array literal and
-    # the 80 projections ONE transform/aggregate expression. Builder
-    # cost mattered here (measured r10): plane-by-plane lit() Columns
-    # = 5,120 py4j calls ~ 10 s; one nested F.lit = 2.95 s of
-    # element-wise py4j conversion; the SQL-text literal below parses
-    # in 0.35 s. The values are ±1.0 exactly, so the text round-trip
-    # is lossless.
-    signs_sql = "array(" + ",".join(
-        "array("
-        + ",".join(
-            f"{_hplsh_sign_py(p, i):.1f}D" for i in range(dim)
-        )
-        + ")"
-        for p in range(SEMCON_STRICT_BANDS * SEMCON_STRICT_BAND_BITS)
-    ) + ")"
-    projs = F.transform(
-        F.expr(signs_sql),
-        lambda row: F.aggregate(
-            F.zip_with(F.col("_v"), row, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-    )
-
-    def _band_hash(b):
-        # sum of bit_j << j over the band's 10 projections (j is a
-        # bounded python int, b a Column) — same value the oracle's
-        # CASE ... THEN 1<<j sum derives
-        acc = F.lit(0).cast("long")
-        for j in range(SEMCON_STRICT_BAND_BITS):
-            idx = b * SEMCON_STRICT_BAND_BITS + (j + 1)  # 1-based
-            acc = acc + F.when(
-                F.element_at(F.col("_p"), idx) > 0,
-                F.lit(1 << j).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        return acc
-
+    # the 80 projections ONE transform/aggregate expression —
+    # functions/vectors.py::sign_band_rows (shared with the persisted
+    # decontamination index, operators/decon_index.py), whose
+    # sign_matrix_literal docstring records the measured builder-cost
+    # story (plane-by-plane lit() ~10 s -> SQL-text literal 0.35 s).
     is_eval = (
         F.conv(
             F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
@@ -2347,24 +2321,13 @@ def semantic_contaminated_evals_strict(
         % SEMCON_EVAL_MOD
         == 0
     )
-    bands = (
-        base.select("vec_id", is_eval.alias("_ev"), projs.alias("_p"))
-        .select(
-            "vec_id",
-            "_ev",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.lit(SEMCON_STRICT_BANDS - 1)
-                    ),
-                    lambda b: F.struct(
-                        b.cast("int").alias("band_idx"),
-                        _band_hash(b).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
-        .select("vec_id", "_ev", "band.band_idx", "band.band_hash")
+    bands = sign_band_rows(
+        base.select("vec_id", is_eval.alias("_ev"), "_v"),
+        "_v",
+        SEMCON_STRICT_BANDS,
+        SEMCON_STRICT_BAND_BITS,
+        dim,
+        carry=("vec_id", "_ev"),
     )
     from pyspark.sql import Window
 

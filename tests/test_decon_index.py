@@ -1,0 +1,173 @@
+"""Persisted sign-LSH decontamination index (operators/decon_index.py):
+build / extend / probe lifecycle for incremental eval decontamination —
+new eval shards are checked against the full train corpus by reading
+the INDEX, never the train embeddings table, and without shuffling the
+index. The banding math is the shared functions/vectors.py helper the
+oracle-pinned ``semantic_contaminated_evals_strict`` query uses; a
+NumPy recomputation from ``hplsh_sign_py`` pins it here too."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meshtastic_airsensor_database_spark.functions.vectors import (
+    hplsh_sign_py,
+    sign_band_rows,
+)
+from meshtastic_airsensor_database_spark.operators.decon_index import (
+    DECON_BAND_BITS,
+    DECON_BANDS,
+    build_decon_index,
+    extend_decon_index,
+    probe_decon_index,
+)
+
+DIM = 6
+TRAIN = [
+    (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 1.0, 0.0, 0.0]),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return os.path.join(str(tmp_path), "decon_index")
+
+
+def test_build_probe_finds_contaminating_neighbor(spark, index_path):
+    build_decon_index(_df(spark, TRAIN), index_path)
+    evals = _df(
+        spark,
+        [
+            # parallel to train 1 -> identical signs on every plane ->
+            # collides in all bands, exact cosine 1.0 >= 0.9
+            (101, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            # orthogonal to every indexed vector -> any band collision
+            # is pruned by the exact verify (cosine 0 < threshold)
+            (102, [0.0, 0.0, 0.0, 0.0, 1.0, 1.0]),
+        ],
+    )
+    got = {
+        (r.eval_id, r.train_id): r.cosine
+        for r in probe_decon_index(evals, index_path).collect()
+    }
+    assert got == {(101, 1): 1.0}
+
+
+def test_exact_verify_prunes_subthreshold_collisions(spark, index_path):
+    """A pair that collides in EVERY band (the eval vector's dominant
+    first component forces every projection's sign to match train 1's:
+    |sign(p,0)*1.0| > |sign(p,5)*0.99| always) but whose exact cosine
+    1/sqrt(1.9801) ~ 0.7107 is below the production threshold — the
+    exact verify guarantees no false positives however hard the
+    banding collides."""
+    build_decon_index(_df(spark, TRAIN), index_path)
+    evals = _df(spark, [(103, [1.0, 0.0, 0.0, 0.0, 0.0, 0.99])])
+    assert probe_decon_index(evals, index_path).count() == 0
+    # the same probe at a permissive threshold DOES surface the pair —
+    # the banding admitted it; only the verify filter excluded it
+    got = {
+        (r.eval_id, r.train_id): r.cosine
+        for r in probe_decon_index(evals, index_path, threshold=0.5).collect()
+    }
+    assert got == {(103, 1): pytest.approx(0.7107, abs=1e-4)}
+
+
+def test_extend_then_probe_catches_new_train_shard(spark, index_path):
+    build_decon_index(_df(spark, TRAIN), index_path)
+    probe = _df(spark, [(201, [0.0, 0.0, 0.0, 0.0, 0.0, 3.0])])
+    assert probe_decon_index(probe, index_path).count() == 0
+    extend_decon_index(
+        _df(spark, [(4, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0])]), index_path
+    )
+    got = {
+        (r.eval_id, r.train_id): r.cosine
+        for r in probe_decon_index(probe, index_path).collect()
+    }
+    assert got == {(201, 4): 1.0}
+    # and the original corpus is still indexed (append did not clobber)
+    again = _df(spark, [(202, [5.0, 0.0, 0.0, 0.0, 0.0, 0.0])])
+    got2 = {
+        (r.eval_id, r.train_id)
+        for r in probe_decon_index(again, index_path).collect()
+    }
+    assert got2 == {(202, 1)}
+
+
+def test_probe_plan_broadcasts_shard_never_shuffles_index(spark, index_path):
+    """The 100-TB contract: every probe join broadcasts the EVAL side;
+    the stored band/vector tables are scanned once each and never
+    sort-merge-joined (which would shuffle the whole index per probe)."""
+    build_decon_index(_df(spark, TRAIN), index_path)
+    evals = _df(spark, [(101, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0])])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        probe_decon_index(evals, index_path)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_probe_drops_degenerate_index_buckets(spark, index_path):
+    """The MAX_BUCKET guard, probe-side: a band key held by more than
+    max_bucket indexed vectors (zero-ish/boilerplate embeddings) is
+    dropped whole before the candidate join — one degenerate key must
+    not fan a probe out by the bucket's size."""
+    boiler = [1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+    build_decon_index(
+        _df(spark, [(i, list(boiler)) for i in range(5)]), index_path
+    )
+    probe = _df(spark, [(900, list(boiler))])
+    # bucket size 5 > cap 4 -> dropped -> no candidates at all
+    assert probe_decon_index(probe, index_path, max_bucket=4).count() == 0
+    # with the cap above the bucket size the duplicates are all found
+    got = {
+        (r.eval_id, r.train_id)
+        for r in probe_decon_index(probe, index_path, max_bucket=5).collect()
+    }
+    assert got == {(900, i) for i in range(5)}
+
+
+def test_band_rows_match_numpy_recompute(spark):
+    """Pin the shared banding helper against an independent Python
+    recomputation from the md5 sign formula — projections fold in
+    array order on both sides, so equality is exact. This also pins
+    the refactored ``semantic_contaminated_evals_strict`` banding
+    (same helper, same parameters) beyond its DuckDB oracle."""
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.5, -1.5, 2.0, 0.0, 3.0, -0.25]),
+        (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+    ]
+    df = _df(spark, vecs).select("vec_id", F.col("embedding").alias("_v"))
+    got = {
+        (r.vec_id, r.band_idx): r.band_hash
+        for r in sign_band_rows(
+            df, "_v", DECON_BANDS, DECON_BAND_BITS, DIM, carry=("vec_id",)
+        ).collect()
+    }
+    n_planes = DECON_BANDS * DECON_BAND_BITS
+    for vid, v in vecs:
+        projs = [
+            sum(x * hplsh_sign_py(p, i) for i, x in enumerate(v))
+            for p in range(n_planes)
+        ]
+        for b in range(DECON_BANDS):
+            want = sum(
+                (1 << j)
+                for j in range(DECON_BAND_BITS)
+                if projs[b * DECON_BAND_BITS + j] > 0
+            )
+            assert got[(vid, b)] == want, (vid, b)

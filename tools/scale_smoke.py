@@ -326,6 +326,42 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    # r10: persisted decon index — build over the factor-x corpus (the
+    # index grows with factor), then probe a FIXED 200-vector eval
+    # shard (the base table's first 200, re-idd clear of the corpus).
+    # Each probe vector is near-parallel to its `factor` replicas in
+    # the index, so candidate pairs grow LINEARLY in factor BY
+    # CONSTRUCTION — judge the probe by wall per candidate (banding +
+    # exact-cosine verify touch each once; the broadcast-probe contract
+    # keeps everything else eval-sized + one scan of the index).
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+        probe_decon_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="decon_idx_")
+    try:
+        spark._jvm.System.gc()
+        t0 = time.time()
+        build_decon_index(emb, idx)
+        build_sec = round(time.time() - t0, 2)
+        fixed_eval = (
+            load(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(200)
+            .select((F.col("vec_id") + F.lit(10**9)).alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        spark._jvm.System.gc()
+        t0 = time.time()
+        n_pairs = probe_decon_index(fixed_eval, idx).count()
+        out["decon_index"] = {
+            "build_sec": build_sec,
+            "probe_sec": round(time.time() - t0, 2),
+            "probe_pairs": n_pairs,
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     timed(spark, "pq_encode", pq_encode(emb, train_pq_codebooks(emb)), out)
     # r4 late additions over the factor-x corpus: corpus novelty (two
     # hash aggs over hashed grams), source-overlap (one collect_set
