@@ -26,6 +26,7 @@ it. Policy + mechanism:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -331,3 +332,155 @@ def erase_key(
         rollup_dates_rewritten=rollup_dates,
         rollup_mode=rollup_mode,
     )
+
+
+# --- unpartitioned index compaction ------------------------------------------
+#
+# The persisted indexes (operators/dedup_index.py bands/sigs,
+# operators/decon_index.py bands/vecs) grow by APPEND-only extends —
+# one file set per ingested shard. Months of shards re-create the
+# small-file problem on the index itself: probe scans open thousands
+# of tiny footers and the broadcast-probed groupBy reads degenerate
+# row groups whose statistics prune nothing. compact_partitions above
+# can't help (these tables are unpartitioned — there is no partition
+# column to dynamically overwrite), and a plain mode("overwrite") of
+# the same path is read-your-own-input AND leaves a crash window with
+# the data deleted. This is the crash-safe rewrite for that layout.
+
+
+@dataclass(frozen=True)
+class DirCompactionReport:
+    files_before: int
+    files_after: int
+    rows: int
+    compacted: bool  # False = already healthy, nothing rewritten
+
+
+def _dir_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_parquet_files, total_bytes) of one unpartitioned table dir."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    n, total = 0, 0
+    for f in fs.listStatus(root):
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def _recover_compaction(path: str) -> None:
+    """Finish or roll back an interrupted compact_unpartitioned swap.
+
+    States (staging = <path>.compact-staging, trash = <path>.compact-trash):
+    - trash exists, path missing, staging complete  -> crash BETWEEN the
+      two renames: finish (staging -> path), drop trash;
+    - trash exists, path missing, staging gone/incomplete -> roll back
+      (trash -> path);
+    - trash exists, path exists -> crash after both renames: drop trash;
+    - staging exists (path intact) -> crashed mid-write or pre-swap:
+      drop staging; the caller re-runs the rewrite from the intact
+      original either way.
+    """
+    import shutil
+
+    staging = path + ".compact-staging"
+    trash = path + ".compact-trash"
+    staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
+    if os.path.exists(trash):
+        if not os.path.exists(path):
+            if staged_ok:
+                os.rename(staging, path)
+            else:
+                os.rename(trash, path)
+        if os.path.exists(trash) and os.path.exists(path):
+            shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_unpartitioned(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    small_file_mb: float = 32.0,
+) -> DirCompactionReport:
+    """Compact an UNpartitioned append-grown parquet dir, crash-safely.
+
+    Policy mirrors compact_partitions: rewrite when the dir holds more
+    than one file AND the mean file size is under ``small_file_mb``;
+    output ``ceil(bytes / target_mb)`` files via coalesce (narrow — no
+    shuffle; a compaction is a rewrite, not a re-cluster). The rewrite
+    lands fully in ``<path>.compact-staging`` and is row-count-verified
+    against the original BEFORE any swap; the swap is two directory
+    renames (original -> trash, staging -> original) with every crash
+    point recoverable by ``_recover_compaction`` (run automatically at
+    entry, so a re-run after ANY crash converges). Concurrent readers
+    of the same path can observe a missing directory for the instant
+    between the renames — run this in the ingest maintenance window,
+    the same single-maintainer discipline landing-file retirement
+    documents (deploy/compose.yaml).
+
+    Local/posix paths only (the versioned.py::write_snapshot caveat:
+    object stores need a manifest or conditional-put swap)."""
+    import shutil
+
+    if "://" in path and not path.startswith("file:"):  # pragma: no cover
+        raise NotImplementedError(
+            "compact_unpartitioned targets a local/posix path in this "
+            "container; object stores need a manifest-based swap"
+        )
+    _recover_compaction(path)
+    n_files, total = _dir_file_stats(spark, path)
+    rows_before = spark.read.parquet(path).count()
+    if n_files <= 1 or total / n_files >= small_file_mb * 1024 * 1024:
+        return DirCompactionReport(n_files, n_files, rows_before, False)
+
+    staging = path + ".compact-staging"
+    trash = path + ".compact-trash"
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_out).write.parquet(staging)
+    rows_staged = spark.read.parquet(staging).count()
+    if rows_staged != rows_before:  # pragma: no cover - defensive
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch under {path}: "
+            f"{rows_before} original vs {rows_staged} staged; "
+            "original left untouched"
+        )
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    n_after, _ = _dir_file_stats(spark, path)
+    return DirCompactionReport(n_files, n_after, rows_before, True)
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    small_file_mb: float = 32.0,
+) -> dict[str, DirCompactionReport]:
+    """Compact every unpartitioned parquet subtable of a persisted
+    index directory (dedup_index's bands/sigs, decon_index's
+    bands/vecs). Subdirectories in partitioned layout (``key=value``
+    children — e.g. vindex's cluster-partitioned vectors) are SKIPPED:
+    their maintenance tool is compact_partitions, whose dynamic
+    overwrite preserves the partition pruning the layout exists for.
+    Probe results are unchanged by construction (same rows, fewer
+    files); the lifecycle tests pin this."""
+    out: dict[str, DirCompactionReport] = {}
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        if not os.path.isdir(sub) or name.endswith(
+            (".compact-staging", ".compact-trash")
+        ):
+            continue
+        children = os.listdir(sub)
+        if any("=" in c and os.path.isdir(os.path.join(sub, c)) for c in children):
+            continue  # partitioned layout -> compact_partitions territory
+        if not any(c.endswith(".parquet") for c in children):
+            continue
+        out[name] = compact_unpartitioned(spark, sub, target_mb, small_file_mb)
+    return out

@@ -250,3 +250,146 @@ def test_overwrite_partitions_restores_unset_conf(spark, tmp_path):
     _overwrite_partitions(df, str(tmp_path / "t2"), "p")
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+# --- unpartitioned index compaction ------------------------------------------
+
+from meshtastic_airsensor_database_spark.sources.maintenance import (  # noqa: E402
+    compact_index,
+    compact_unpartitioned,
+)
+
+
+def _pq_files(d: str) -> list[str]:
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def _append_grown_table(spark, path: str, n_appends: int = 6):
+    for i in range(n_appends):
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(2).write.mode("append").parquet(path)
+
+
+def test_compact_unpartitioned_preserves_rows_and_cuts_files(spark, tmp_path):
+    path = str(tmp_path / "idx_sub")
+    _append_grown_table(spark, path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert len(_pq_files(path)) >= 6
+    rep = compact_unpartitioned(spark, path)
+    assert rep.compacted and rep.files_before >= 6 and rep.files_after == 1
+    assert rep.rows == 60
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert len(_pq_files(path)) == 1
+    # no residue from the swap
+    assert not os.path.exists(path + ".compact-staging")
+    assert not os.path.exists(path + ".compact-trash")
+
+
+def test_compact_unpartitioned_noop_when_healthy(spark, tmp_path):
+    path = str(tmp_path / "idx_sub")
+    _append_grown_table(spark, path)
+    assert compact_unpartitioned(spark, path).compacted
+    files = set(_pq_files(path))
+    rep2 = compact_unpartitioned(spark, path)
+    assert not rep2.compacted and rep2.files_before == rep2.files_after == 1
+    assert set(_pq_files(path)) == files  # byte-identical layout, no rewrite
+
+
+def test_compact_index_preserves_decon_probe_results(spark, tmp_path):
+    """The lifecycle contract: build + many extends (append-grown index),
+    probe, compact, probe again — identical pairs, fewer files."""
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+        extend_decon_index,
+        probe_decon_index,
+    )
+
+    idx = str(tmp_path / "decon_idx")
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    build_decon_index(emb([(1, [1.0, 0.0, 0.0, 0.0])]), idx)
+    for i in range(2, 6):
+        vec = [0.0] * 4
+        vec[i % 4] = 1.0
+        extend_decon_index(emb([(i, vec)]), idx)
+    probe = emb([(100, [2.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 3.0, 0.0])])
+    before = {
+        (r.eval_id, r.train_id, r.cosine)
+        for r in probe_decon_index(probe, idx).collect()
+    }
+    assert before  # the probe finds the parallel train vectors
+    files_before = len(_pq_files(os.path.join(idx, "bands")))
+    assert files_before > 1
+    reps = compact_index(spark, idx)
+    assert set(reps) == {"bands", "vecs"}
+    assert all(r.compacted and r.files_after == 1 for r in reps.values())
+    after = {
+        (r.eval_id, r.train_id, r.cosine)
+        for r in probe_decon_index(probe, idx).collect()
+    }
+    assert after == before
+
+
+def test_compact_index_skips_partitioned_subtables(spark, tmp_path):
+    idx = str(tmp_path / "mixed_idx")
+    flat = os.path.join(idx, "bands")
+    _append_grown_table(spark, flat)
+    part = os.path.join(idx, "vectors")
+    spark.range(20).withColumn("cluster", F.col("id") % 4).write.partitionBy(
+        "cluster"
+    ).parquet(part)
+    reps = compact_index(spark, idx)
+    assert set(reps) == {"bands"}  # the cluster-partitioned layout is untouched
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(part).collect()
+    ) == sorted((i, i % 4) for i in range(20))
+
+
+def test_compact_recovers_every_crash_state(spark, tmp_path):
+    """Simulate each crash point of the two-rename swap and assert a
+    re-run converges with no data loss."""
+    import shutil
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        _append_grown_table(spark, path)
+        rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        return path, rows
+
+    # crash mid-staging-write (no _SUCCESS): stale staging dropped, rewrite redone
+    path, rows = fresh("t1")
+    os.makedirs(path + ".compact-staging")
+    open(path + ".compact-staging/part-garbage.parquet", "w").write("junk")
+    rep = compact_unpartitioned(spark, path)
+    assert rep.compacted and rep.rows == 60
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+
+    # crash BETWEEN the renames (original in trash, staging complete):
+    # recovery must FINISH the swap (the staged rewrite is verified data)
+    path, rows = fresh("t2")
+    spark.read.parquet(path).coalesce(1).write.parquet(path + ".compact-staging")
+    os.rename(path, path + ".compact-trash")
+    rep = compact_unpartitioned(spark, path)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    assert not rep.compacted  # recovery completed the swap; dir now healthy
+    assert not os.path.exists(path + ".compact-trash")
+
+    # crash between the renames with an INCOMPLETE staging: roll back
+    path, rows = fresh("t3")
+    os.makedirs(path + ".compact-staging")
+    os.rename(path, path + ".compact-trash")
+    rep = compact_unpartitioned(spark, path)
+    assert rep.compacted
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+
+    # crash AFTER both renames, before trash cleanup: trash dropped
+    path, rows = fresh("t4")
+    shutil.copytree(path, path + ".compact-trash")
+    rep = compact_unpartitioned(spark, path)
+    assert rep.compacted
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(path + ".compact-trash")
