@@ -393,3 +393,45 @@ def test_compact_recovers_every_crash_state(spark, tmp_path):
     assert rep.compacted
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
     assert not os.path.exists(path + ".compact-trash")
+
+
+def test_compact_partitions_preserves_ivf_search(spark, tmp_path, sf_dir):
+    """The vindex maintenance story: extend appends one file set per
+    batch into the cluster partitions, compact_partitions repairs the
+    layout, and search results (and the partition-pruned probe shape)
+    are unchanged — same rows, fewer files."""
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=4, n_iters=1)
+    # many tiny extend batches -> append-grown cluster partitions
+    for m in range(5):
+        extend_ivf_index(
+            emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 7 == m)),
+            path,
+        )
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    before = [
+        tuple(r) for r in search_ivf_index(spark, path, q, k=10).collect()
+    ]
+    vec_dir = os.path.join(path, "vectors")
+    n_files_before = sum(
+        len(_pq_files(os.path.join(vec_dir, d)))
+        for d in os.listdir(vec_dir)
+        if d.startswith("cluster=")
+    )
+    rep = compact_partitions(
+        spark, vec_dir, "cluster", target_mb=256, small_file_mb=32.0
+    )
+    assert rep.partitions_compacted > 0 and rep.files_after < n_files_before
+    after = [
+        tuple(r) for r in search_ivf_index(spark, path, q, k=10).collect()
+    ]
+    assert after == before
