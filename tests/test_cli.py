@@ -325,3 +325,79 @@ def test_run_query_metrics_mode(spark, sf_dir, monkeypatch, capsys):
     assert "Scan parquet" in out
     assert "numOutputRows=" in out
     assert "AdaptiveSparkPlan" not in out  # descended through AQE roots
+
+
+def test_maintain_cli_compact_index(spark, tmp_path, capsys):
+    """compact-index over an append-grown decon index: JSON report per
+    subtable, files collapse, probe results preserved (the library test
+    pins equivalence; here the CLI wiring + report shape)."""
+    import json
+
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+        extend_decon_index,
+    )
+
+    idx = str(tmp_path / "decon_idx")
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    build_decon_index(emb([(1, [1.0, 0.0, 0.0, 0.0])]), idx)
+    for i in range(2, 5):
+        extend_decon_index(emb([(i, [0.0, float(i), 0.0, 0.0])]), idx)
+    assert mmain(["compact-index", idx], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "compact-index"
+    assert set(rep["subtables"]) == {"bands", "vecs"}
+    for sub in rep["subtables"].values():
+        assert sub["compacted"] and sub["files_after"] == 1
+
+
+def test_maintain_cli_erase_key_and_validation(spark, tmp_path, capsys):
+    import json
+
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+    from tests.test_maintenance import _erasure_fixture
+
+    fact_path, rollup_path = _erasure_fixture(spark, tmp_path)
+    # --rollup-path without --rollup-keys is a usage error BEFORE any work
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        mmain(
+            ["erase-key", fact_path, "--partition-by", "event_date",
+             "--key-col", "user_id", "--key-value", "7",
+             "--rollup-path", rollup_path],
+            spark=spark,
+        )
+    capsys.readouterr()
+    rc = mmain(
+        ["erase-key", fact_path, "--partition-by", "event_date",
+         "--key-col", "user_id", "--key-value", "7",
+         "--rollup-path", rollup_path, "--rollup-keys", "user_id"],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_deleted"] == 4 and rep["rollup_mode"] == "row-drop"
+    assert spark.read.parquet(fact_path).filter(F.col("user_id") == 7).count() == 0
+
+
+def test_maintain_cli_expire_snapshots(spark, tmp_path, capsys):
+    import json
+
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+    from meshtastic_airsensor_database_spark.sources.versioned import (
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    snap = str(tmp_path / "corpus")
+    for n in (10, 20, 30):
+        write_snapshot(spark.range(n), snap)
+    assert mmain(["expire-snapshots", snap, "--keep-last", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["expired_versions"] == [1, 2] and rep["latest"] == 3
+    assert snapshot_versions(snap) == [3]
