@@ -352,7 +352,7 @@ def erase_key(
 class DirCompactionReport:
     files_before: int
     files_after: int
-    rows: int
+    rows: int | None  # None = healthy noop (row count never computed)
     compacted: bool  # False = already healthy, nothing rewritten
 
 
@@ -433,10 +433,13 @@ def compact_unpartitioned(
         )
     _recover_compaction(path)
     n_files, total = _dir_file_stats(spark, path)
-    rows_before = spark.read.parquet(path).count()
     if n_files <= 1 or total / n_files >= small_file_mb * 1024 * 1024:
-        return DirCompactionReport(n_files, n_files, rows_before, False)
+        # healthy noop costs a directory LISTING, never a table scan —
+        # the maintenance pass over a 100-TB index must be free to run
+        # on a schedule (rows=None: the count was never computed)
+        return DirCompactionReport(n_files, n_files, None, False)
 
+    rows_before = spark.read.parquet(path).count()
     staging = path + ".compact-staging"
     trash = path + ".compact-trash"
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))

@@ -294,6 +294,7 @@ def test_compact_unpartitioned_noop_when_healthy(spark, tmp_path):
     files = set(_pq_files(path))
     rep2 = compact_unpartitioned(spark, path)
     assert not rep2.compacted and rep2.files_before == rep2.files_after == 1
+    assert rep2.rows is None  # a healthy noop never scans the table
     assert set(_pq_files(path)) == files  # byte-identical layout, no rewrite
 
 
