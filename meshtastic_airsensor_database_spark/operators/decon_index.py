@@ -41,12 +41,13 @@ LLM-data-pipeline extension mandate).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, sign_band_rows
+from ..functions.vectors import HPLSH_SALT, cosine_similarity, sign_band_rows
 from .dedup import MAX_BUCKET
 
 # the strict decontamination tier's banding (plans/vectorq.py::
@@ -63,7 +64,7 @@ def _index_rows(
     emb_col: str,
     n_bands: int,
     band_bits: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     dim = len(embs.select(emb_col).head()[0])
     base = embs.select(
         F.col(id_col).alias("_id"),
@@ -71,7 +72,27 @@ def _index_rows(
     )
     bands = sign_band_rows(base, "_v", n_bands, band_bits, dim, carry=("_id",))
     vecs = base.select("_id", F.col("_v").alias("vec"))
-    return bands, vecs
+    return bands, vecs, dim
+
+
+def _check_meta(path: str, dim: int, n_bands: int, band_bits: int) -> None:
+    """Refuse a silently-corrupting extend/probe: a dim mismatch makes
+    ``zip_with`` truncate against the sign matrix (garbage projections,
+    no error) and a banding-parameter mismatch makes the new band keys
+    live in a different key space than the stored ones — both would
+    just produce wrong candidates. The build stamps ``_meta.json``;
+    every later writer/reader must match it."""
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return  # pre-meta index: caller owns parameter discipline
+    meta = json.load(open(meta_path))
+    got = {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
+           "salt": HPLSH_SALT}
+    if got != meta:
+        raise ValueError(
+            f"decon index at {path} was built with {meta}, "
+            f"but this call supplies {got}"
+        )
 
 
 def build_decon_index(
@@ -82,10 +103,18 @@ def build_decon_index(
     n_bands: int = DECON_BANDS,
     band_bits: int = DECON_BAND_BITS,
 ) -> None:
-    """Band the train corpus once and persist bands + vectors."""
-    bands, vecs = _index_rows(train, id_col, emb_col, n_bands, band_bits)
+    """Band the train corpus once and persist bands + vectors, plus a
+    ``_meta.json`` stamp (dim + banding parameters) that every later
+    extend/probe is validated against."""
+    bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
     bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     vecs.write.mode("overwrite").parquet(os.path.join(path, "vecs"))
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
+             "salt": HPLSH_SALT},
+            f,
+        )
 
 
 def extend_decon_index(
@@ -97,10 +126,12 @@ def extend_decon_index(
     band_bits: int = DECON_BAND_BITS,
 ) -> None:
     """Append a new train shard's rows — existing files are never
-    rewritten (the IVF-index append regime). Callers must pass the
-    SAME banding parameters the index was built with; a mismatch makes
-    the new shard invisible to probes of the old bands' keys."""
-    bands, vecs = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
+    rewritten (the IVF-index append regime). The shard's dim and the
+    banding parameters are validated against the build's ``_meta.json``
+    stamp: a mismatch would corrupt the index silently (wrong-keyspace
+    band rows), so it raises instead."""
+    bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
+    _check_meta(path, dim, n_bands, band_bits)
     bands.write.mode("append").parquet(os.path.join(path, "bands"))
     vecs.write.mode("append").parquet(os.path.join(path, "vecs"))
 
@@ -140,7 +171,10 @@ def probe_decon_index(
     eval-sized work, independent of probe count.
     """
     spark = evals.sparkSession
-    eval_bands, eval_vecs = _index_rows(evals, id_col, emb_col, n_bands, band_bits)
+    eval_bands, eval_vecs, dim = _index_rows(
+        evals, id_col, emb_col, n_bands, band_bits
+    )
+    _check_meta(path, dim, n_bands, band_bits)
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
 
     probe_keys = eval_bands.select("band_idx", "band_hash").distinct()

@@ -171,3 +171,21 @@ def test_band_rows_match_numpy_recompute(spark):
                 if projs[b * DECON_BAND_BITS + j] > 0
             )
             assert got[(vid, b)] == want, (vid, b)
+
+
+def test_mismatched_params_or_dim_refused(spark, index_path):
+    """A dim or banding-parameter mismatch vs the build's _meta.json
+    stamp would corrupt the index silently (zip_with truncates against
+    the sign matrix; different band-bit widths are a different key
+    space) — extend and probe must refuse instead."""
+    build_decon_index(_df(spark, TRAIN), index_path)
+    wrong_dim = _df(spark, [(50, [1.0, 0.0])])  # dim 2 vs built dim 6
+    with pytest.raises(ValueError, match="built with"):
+        extend_decon_index(wrong_dim, index_path)
+    with pytest.raises(ValueError, match="built with"):
+        probe_decon_index(wrong_dim, index_path)
+    ok = _df(spark, [(51, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="built with"):
+        probe_decon_index(ok, index_path, n_bands=4, band_bits=20)
+    # matching parameters still work after the refusals
+    assert probe_decon_index(ok, index_path, threshold=0.99).count() == 1
