@@ -35,6 +35,14 @@ derives, so the query's DuckDB-oracle hash parity pins this index's
 candidate structure too (tests additionally pin the band rows against
 a NumPy recomputation from hplsh_sign_py).
 
+The bipartite roles are SYMMETRIC (cosine is), so pick the side that
+is big and static to index: decontamination REPORTING indexes the
+train corpus and probes each new eval release (the framing above);
+curation-time FILTERING inverts it — index the eval/benchmark suite
+(small, changes rarely) once and probe every incoming TRAIN shard,
+dropping probe hits ≥ threshold before the shard enters the corpus.
+Same operator, same plan shape, opposite argument order.
+
 No counterpart in the reference (decontamination is this engine's
 LLM-data-pipeline extension mandate).
 """

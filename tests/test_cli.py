@@ -401,3 +401,22 @@ def test_maintain_cli_expire_snapshots(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["expired_versions"] == [1, 2] and rep["latest"] == 3
     assert snapshot_versions(snap) == [3]
+
+
+def test_maintain_cli_compact_partitions(spark, tmp_path, capsys):
+    import json
+
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+
+    path = str(tmp_path / "facts")
+    for i in range(4):  # append-grown partitions -> degenerate layout
+        spark.range(i * 5, i * 5 + 5).withColumn(
+            "day", F.lit("2024-01-01")
+        ).write.mode("append").partitionBy("day").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    rc = mmain(["compact-partitions", path, "--partition-by", "day"], spark=spark)
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["partitions_compacted"] == 1
+    assert rep["files_after"] < rep["files_before"]
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before

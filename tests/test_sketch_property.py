@@ -275,3 +275,56 @@ def test_md5_hyperplane_bucket_matches_python_model(spark):
                 ) & mask
 
     check()
+
+
+def test_sign_band_rows_matches_python_model(spark):
+    """Property pin of the SHARED sign-LSH banding helper
+    (functions/vectors.py::sign_band_rows — the strict decontamination
+    query and the persisted decon index both ride it): for random
+    vectors of a random dim, the Spark band rows equal a pure-Python
+    recompute from the same md5 sign formula with the same sequential
+    left-fold projection order. Non-default (3 bands x 5 bits) banding
+    so parameter plumbing is exercised, not just the 8x10 default."""
+    from meshtastic_airsensor_database_spark.functions.vectors import (
+        hplsh_sign_py,
+        sign_band_rows,
+    )
+
+    n_bands, band_bits = 3, 5
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def check(data):
+        dim = data.draw(st.integers(min_value=1, max_value=10))
+        vec = st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=64),
+            min_size=dim,
+            max_size=dim,
+        )
+        vecs = data.draw(st.lists(vec, min_size=1, max_size=5))
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        ).select("vec_id", F.col("embedding").alias("_v"))
+        got = {
+            (r["vec_id"], r["band_idx"]): r["band_hash"]
+            for r in sign_band_rows(
+                df, "_v", n_bands, band_bits, dim, carry=("vec_id",)
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            projs = []
+            for p in range(n_bands * band_bits):
+                acc = 0.0
+                for j, x in enumerate(v):
+                    acc += x * hplsh_sign_py(p, j)
+                projs.append(acc)
+            for b in range(n_bands):
+                want = sum(
+                    1 << j
+                    for j in range(band_bits)
+                    if projs[b * band_bits + j] > 0
+                )
+                assert got[(i, b)] == want, (i, b, v)
+
+    check()
