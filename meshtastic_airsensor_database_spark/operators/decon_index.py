@@ -55,7 +55,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import HPLSH_SALT, cosine_similarity, sign_band_rows
+from ..functions.vectors import (
+    HPLSH_SALT,
+    cosine_similarity,
+    quantize_int8,
+    sign_band_rows,
+)
 from .dedup import MAX_BUCKET
 
 # the strict decontamination tier's banding (plans/vectorq.py::
@@ -64,6 +69,7 @@ from .dedup import MAX_BUCKET
 DECON_BANDS = 8
 DECON_BAND_BITS = 10
 DECON_THRESHOLD = 0.9
+_STORAGES = ("float64", "int8")
 
 
 def _index_rows(
@@ -83,24 +89,38 @@ def _index_rows(
     return bands, vecs, dim
 
 
-def _check_meta(path: str, dim: int, n_bands: int, band_bits: int) -> None:
+def _check_meta(path: str, dim: int, n_bands: int, band_bits: int) -> str:
     """Refuse a silently-corrupting extend/probe: a dim mismatch makes
     ``zip_with`` truncate against the sign matrix (garbage projections,
     no error) and a banding-parameter mismatch makes the new band keys
     live in a different key space than the stored ones — both would
     just produce wrong candidates. The build stamps ``_meta.json``;
-    every later writer/reader must match it."""
+    every later writer/reader must match it. Returns the index's
+    storage tier (extend MUST append in the same encoding or the vecs
+    table's parquet schema forks)."""
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
-        return  # pre-meta index: caller owns parameter discipline
+        return "float64"  # pre-meta index: caller owns parameter discipline
     meta = json.load(open(meta_path))
+    storage = meta.get("storage", "float64")
     got = {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
-           "salt": HPLSH_SALT}
-    if got != meta:
+           "salt": HPLSH_SALT, "storage": storage}
+    if got != {**{"storage": "float64"}, **meta}:
         raise ValueError(
             f"decon index at {path} was built with {meta}, "
             f"but this call supplies {got}"
         )
+    return storage
+
+
+def _stored_vecs(vecs: DataFrame, storage: str) -> DataFrame:
+    if storage == "int8":
+        # per-vector symmetric int8 (functions/vectors.py semantics):
+        # the scale multiplies every element, so it cancels in cosine —
+        # no dequantization on the probe path, 8x less verify-scan
+        # bandwidth than float64
+        return vecs.select("_id", quantize_int8(F.col("vec")).alias("vec"))
+    return vecs
 
 
 def build_decon_index(
@@ -110,17 +130,31 @@ def build_decon_index(
     emb_col: str = "embedding",
     n_bands: int = DECON_BANDS,
     band_bits: int = DECON_BAND_BITS,
+    storage: str = "float64",
 ) -> None:
     """Band the train corpus once and persist bands + vectors, plus a
-    ``_meta.json`` stamp (dim + banding parameters) that every later
-    extend/probe is validated against."""
+    ``_meta.json`` stamp (dim + banding parameters + storage tier) that
+    every later extend/probe is validated against.
+
+    ``storage='int8'`` stores per-vector symmetrically-quantized
+    int8 vectors instead of float64 — 8x less verify-scan bandwidth
+    (the ONLY probe cost proportional to index size), with cosine
+    computed directly on the int arrays because the per-vector scale
+    cancels. The trade: verify cosines carry ~1e-3 quantization error,
+    so pairs within that margin of ``threshold`` can flip — production
+    decontamination thresholds should leave that margin (the same
+    contract as the oracle-pinned ``quantized_topk_cosine`` tier)."""
+    if storage not in _STORAGES:
+        raise ValueError(f"storage must be one of {_STORAGES}, got {storage!r}")
     bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
     bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    vecs.write.mode("overwrite").parquet(os.path.join(path, "vecs"))
+    _stored_vecs(vecs, storage).write.mode("overwrite").parquet(
+        os.path.join(path, "vecs")
+    )
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
-             "salt": HPLSH_SALT},
+             "salt": HPLSH_SALT, "storage": storage},
             f,
         )
 
@@ -136,12 +170,15 @@ def extend_decon_index(
     """Append a new train shard's rows — existing files are never
     rewritten (the IVF-index append regime). The shard's dim and the
     banding parameters are validated against the build's ``_meta.json``
-    stamp: a mismatch would corrupt the index silently (wrong-keyspace
-    band rows), so it raises instead."""
+    stamp (a mismatch would corrupt the index silently — wrong-keyspace
+    band rows — so it raises), and the shard's vectors are encoded in
+    the index's OWN storage tier, never the caller's choice."""
     bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
-    _check_meta(path, dim, n_bands, band_bits)
+    storage = _check_meta(path, dim, n_bands, band_bits)
     bands.write.mode("append").parquet(os.path.join(path, "bands"))
-    vecs.write.mode("append").parquet(os.path.join(path, "vecs"))
+    _stored_vecs(vecs, storage).write.mode("append").parquet(
+        os.path.join(path, "vecs")
+    )
 
 
 def probe_decon_index(
@@ -156,9 +193,12 @@ def probe_decon_index(
 ) -> DataFrame:
     """Contaminating train neighbors of an EVAL shard against the
     indexed corpus: (eval_id, train_id, cosine) with cosine >=
-    threshold — exact cosine, so no false positives; misses only pairs
-    the banding prunes (~15% at cosine exactly 0.9 with the default
-    8x10-bit banding, vanishing as cosine -> 1).
+    threshold — cosine computed against the stored vectors (exact on a
+    float64 index; within ~1e-3 quantization error on an int8 one,
+    where the per-vector scale cancels so no dequantization runs), so
+    no banding false positives survive; misses only pairs the banding
+    prunes (~15% at cosine exactly 0.9 with the default 8x10-bit
+    banding, vanishing as cosine -> 1).
 
     Candidates: the shard's band rows (small) broadcast-join one scan
     of the stored band table on (band_idx, band_hash). Degenerate

@@ -189,3 +189,44 @@ def test_mismatched_params_or_dim_refused(spark, index_path):
         probe_decon_index(ok, index_path, n_bands=4, band_bits=20)
     # matching parameters still work after the refusals
     assert probe_decon_index(ok, index_path, threshold=0.99).count() == 1
+
+
+def test_int8_storage_tier(spark, index_path):
+    """storage='int8' stores quantized vectors (8x smaller verify
+    scans); cosine runs directly on the int arrays because the
+    per-vector scale cancels. Parallel pairs still score exactly 1.0,
+    general pairs match the float64 tier within quantization error,
+    and extend follows the INDEX's storage tier, not the caller's."""
+    build_decon_index(_df(spark, TRAIN), index_path, storage="int8")
+    stored = spark.read.parquet(os.path.join(index_path, "vecs"))
+    assert dict(stored.dtypes)["vec"] == "array<int>"
+    evals = _df(
+        spark,
+        [
+            (101, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # parallel to train 1
+            (103, [1.0, 0.0, 0.0, 0.0, 0.0, 0.99]),  # ~0.7107 with train 1
+        ],
+    )
+    got = {
+        (r.eval_id, r.train_id): r.cosine
+        for r in probe_decon_index(evals, index_path, threshold=0.5).collect()
+    }
+    assert got[(101, 1)] == 1.0
+    assert got[(103, 1)] == pytest.approx(0.7107, abs=2e-3)
+    # extend encodes in the index's own tier -> schema does not fork
+    extend_decon_index(
+        _df(spark, [(4, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0])]), index_path
+    )
+    stored2 = spark.read.parquet(os.path.join(index_path, "vecs"))
+    assert dict(stored2.dtypes)["vec"] == "array<int>"
+    probe = _df(spark, [(201, [0.0, 0.0, 0.0, 0.0, 0.0, 3.0])])
+    got2 = {
+        (r.eval_id, r.train_id): r.cosine
+        for r in probe_decon_index(probe, index_path).collect()
+    }
+    assert got2 == {(201, 4): 1.0}
+
+
+def test_invalid_storage_rejected(spark, index_path):
+    with pytest.raises(ValueError, match="storage must be one of"):
+        build_decon_index(_df(spark, TRAIN), index_path, storage="fp4")
