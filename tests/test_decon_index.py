@@ -230,3 +230,90 @@ def test_int8_storage_tier(spark, index_path):
 def test_invalid_storage_rejected(spark, index_path):
     with pytest.raises(ValueError, match="storage must be one of"):
         build_decon_index(_df(spark, TRAIN), index_path, storage="fp4")
+
+
+def test_probe_matches_duckdb_twin_on_real_embeddings(spark, sf_dir, index_path):
+    """Oracle-grade pin of the PROBE math without registry load: build
+    the index over the even-id half of the real sf0.001 embeddings,
+    probe the odd-id half, and compare every (eval_id, train_id,
+    cosine) pair against a DuckDB twin that derives the same md5 sign
+    matrix element by element, applies the probe's TRAIN-side-only
+    degenerate-bucket cap, and rounds cosine through the same decimal
+    route. threshold=-1 keeps every banded candidate so the verify
+    math is checked on all of them; a second pass at max_bucket=1
+    exercises the cap in both engines."""
+    import duckdb
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        DECON_BAND_BITS,
+        DECON_BANDS,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        _DDB_COS,
+        HPLSH_ORACLE_SALT,
+    )
+
+    # deterministic subset (an unordered limit() may pick different
+    # rows for the build, probe, and toPandas jobs)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 240)
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    evals = emb.filter(F.col("vec_id") % 2 == 1)
+    build_decon_index(train, index_path)
+
+    def band_sql(src):
+        selects = []
+        for b in range(DECON_BANDS):
+            terms = []
+            for j in range(DECON_BAND_BITS):
+                p = b * DECON_BAND_BITS + j
+                sign = (
+                    "CASE WHEN (CAST(concat('0x', substr(md5("
+                    f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+                    "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+                )
+                proj = (
+                    "list_sum(list_transform(range(1, len(v) + 1), "
+                    f"i -> v[i] * ({sign})))"
+                )
+                terms.append(
+                    f"CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+                )
+            selects.append(
+                f"SELECT vec_id, {b} AS band_idx, ("
+                + " + ".join(terms)
+                + f") AS band_hash FROM {src}"
+            )
+        return "\nUNION ALL\n".join(selects)
+
+    con = duckdb.connect()
+    con.register("train_pdf", train.toPandas())
+    con.register("evals_pdf", evals.toPandas())
+    cos = _DDB_COS.format(a="a.v", b="b.v")
+
+    def twin(cap):
+        return con.sql(f"""
+WITH tr AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM train_pdf),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM evals_pdf),
+tb_raw AS ({band_sql('tr')}),
+tb AS (SELECT * FROM tb_raw
+       QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {cap}),
+eb AS ({band_sql('ev')}),
+p AS (SELECT DISTINCT e.vec_id AS eval_id, t.vec_id AS train_id
+      FROM eb e JOIN tb t USING (band_idx, band_hash))
+SELECT eval_id, train_id,
+       CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+FROM p JOIN ev a ON a.vec_id = eval_id JOIN tr b ON b.vec_id = train_id
+""").fetchall()
+
+    for cap in (100, 1):
+        got = {
+            (r.eval_id, r.train_id, r.cosine)
+            for r in probe_decon_index(
+                evals, index_path, threshold=-1.0, max_bucket=cap
+            ).collect()
+        }
+        want = {tuple(r) for r in twin(cap)}
+        assert got == want, (cap, len(got), len(want))
+    # the parity must be over real work, not empty sets
+    assert len(twin(100)) > 0
