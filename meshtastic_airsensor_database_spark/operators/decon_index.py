@@ -79,7 +79,13 @@ def _index_rows(
     n_bands: int,
     band_bits: int,
 ) -> tuple[DataFrame, DataFrame, int]:
-    dim = len(embs.select(emb_col).head()[0])
+    first = embs.select(emb_col).head()
+    if first is None:
+        raise ValueError(
+            "empty input: the sign-matrix dim is peeked from the first "
+            "row (callers handle the empty case before banding)"
+        )
+    dim = len(first[0])
     base = embs.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).cast("array<double>").alias("_v"),
@@ -146,6 +152,8 @@ def build_decon_index(
     contract as the oracle-pinned ``quantized_topk_cosine`` tier)."""
     if storage not in _STORAGES:
         raise ValueError(f"storage must be one of {_STORAGES}, got {storage!r}")
+    if train.isEmpty():
+        raise ValueError("cannot build a decon index from an empty corpus")
     bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
     bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
     _stored_vecs(vecs, storage).write.mode("overwrite").parquet(
@@ -172,7 +180,11 @@ def extend_decon_index(
     banding parameters are validated against the build's ``_meta.json``
     stamp (a mismatch would corrupt the index silently — wrong-keyspace
     band rows — so it raises), and the shard's vectors are encoded in
-    the index's OWN storage tier, never the caller's choice."""
+    the index's OWN storage tier, never the caller's choice. An empty
+    shard is a no-op (automated pipelines extend with whatever the
+    upstream delta produced, sometimes nothing)."""
+    if new_train.isEmpty():
+        return
     bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
     storage = _check_meta(path, dim, n_bands, band_bits)
     bands.write.mode("append").parquet(os.path.join(path, "bands"))
@@ -219,6 +231,19 @@ def probe_decon_index(
     eval-sized work, independent of probe count.
     """
     spark = evals.sparkSession
+    if evals.isEmpty():
+        # empty eval shard -> empty report with the right schema
+        # (train_id typed from the index's own footer, no data read) —
+        # automated pipelines probe whatever the upstream delta holds
+        train_id_type = (
+            spark.read.parquet(os.path.join(path, "vecs"))
+            .schema["_id"].dataType.simpleString()
+        )
+        return evals.select(
+            F.col(id_col).alias("eval_id"),
+            F.col(id_col).cast(train_id_type).alias("train_id"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     eval_bands, eval_vecs, dim = _index_rows(
         evals, id_col, emb_col, n_bands, band_bits
     )

@@ -317,3 +317,25 @@ FROM p JOIN ev a ON a.vec_id = eval_id JOIN tr b ON b.vec_id = train_id
         assert got == want, (cap, len(got), len(want))
     # the parity must be over real work, not empty sets
     assert len(twin(100)) > 0
+
+
+def test_empty_inputs_handled_per_lifecycle_stage(spark, index_path):
+    """Automated pipelines hand the index whatever the upstream delta
+    produced — sometimes nothing. build(empty) is a caller mistake and
+    raises; extend(empty) is a no-op; probe(empty) returns an empty,
+    schema-correct report instead of crashing on the dim peek."""
+    empty = _df(spark, []).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_decon_index(empty, index_path)
+    build_decon_index(_df(spark, TRAIN), index_path)
+    n_band_rows = spark.read.parquet(
+        os.path.join(index_path, "bands")
+    ).count()
+    extend_decon_index(empty, index_path)  # no-op, no new files/rows
+    assert (
+        spark.read.parquet(os.path.join(index_path, "bands")).count()
+        == n_band_rows
+    )
+    out = probe_decon_index(empty, index_path)
+    assert out.columns == ["eval_id", "train_id", "cosine"]
+    assert out.count() == 0
