@@ -224,8 +224,9 @@ def probe_decon_index(
     share files with good rows) but the exchange carries one partial
     row per key per partition, so nothing bucket-sized ever shuffles.
     Verify: the distinct candidate pairs (small) broadcast-join one
-    scan of the stored vector table; cosine is exact (decimal-rounded
-    to 4, the engine-wide scored-column convention). The index side is
+    scan of the stored vector table; cosine goes through the decimal
+    round-to-4 route, the engine-wide scored-column convention (its
+    accuracy is the storage tier's, per above). The index side is
     never sort-merge-joined and the train embeddings table is never
     read; per-probe cost is three broadcast-probed index scans +
     eval-sized work, independent of probe count.
