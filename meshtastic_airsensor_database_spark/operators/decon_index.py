@@ -106,7 +106,19 @@ def _check_meta(path: str, dim: int, n_bands: int, band_bits: int) -> str:
     table's parquet schema forks)."""
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
-        return "float64"  # pre-meta index: caller owns parameter discipline
+        # Every index this module can create carries the stamp —
+        # build_decon_index writes it FIRST, before any data table —
+        # so a missing stamp only ever means corruption (deleted file,
+        # wrong path). Trusting the caller here would silently disable
+        # the exact mismatch guard this module exists to provide
+        # (r10 verdict #3 / ADVICE).
+        raise ValueError(
+            f"decon index at {path} has no _meta.json stamp — refusing "
+            "to extend/probe an index whose dim/banding/storage cannot "
+            "be validated (the stamp is written before any data, so "
+            "its absence means the index is corrupt or the path is "
+            "wrong)"
+        )
     meta = json.load(open(meta_path))
     storage = meta.get("storage", "float64")
     got = {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
@@ -155,16 +167,22 @@ def build_decon_index(
     if train.isEmpty():
         raise ValueError("cannot build a decon index from an empty corpus")
     bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    _stored_vecs(vecs, storage).write.mode("overwrite").parquet(
-        os.path.join(path, "vecs")
-    )
+    # stamp FIRST, data after: a crash mid-build then leaves a stamped
+    # index with missing/partial tables — extend/probe pass the meta
+    # check and fail LOUDLY on the parquet read. The old order (data
+    # first) could leave data tables with no stamp, which would have
+    # bypassed the mismatch guard forever (r10 ADVICE).
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
              "salt": HPLSH_SALT, "storage": storage},
             f,
         )
+    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    _stored_vecs(vecs, storage).write.mode("overwrite").parquet(
+        os.path.join(path, "vecs")
+    )
 
 
 def extend_decon_index(
@@ -182,15 +200,26 @@ def extend_decon_index(
     band rows — so it raises), and the shard's vectors are encoded in
     the index's OWN storage tier, never the caller's choice. An empty
     shard is a no-op (automated pipelines extend with whatever the
-    upstream delta produced, sometimes nothing)."""
+    upstream delta produced, sometimes nothing).
+
+    Crash story (r10 ADVICE): vecs append BEFORE bands append. A vec
+    row with no band row is inert — it can never become a candidate —
+    whereas the reverse order could leave band rows whose verify
+    vectors are missing, silently dropping true contaminations at the
+    inner vecs join. The surviving crash state (vecs landed, bands
+    didn't) is repaired by re-running the extend: the shard's vec rows
+    then exist TWICE, which the probe tolerates by construction — the
+    final report is distinct over (eval_id, train_id, cosine), and the
+    degenerate-bucket guard counts DISTINCT ids per band key — so a
+    crashed-then-retried extend converges instead of corrupting."""
     if new_train.isEmpty():
         return
     bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
     storage = _check_meta(path, dim, n_bands, band_bits)
-    bands.write.mode("append").parquet(os.path.join(path, "bands"))
     _stored_vecs(vecs, storage).write.mode("append").parquet(
         os.path.join(path, "vecs")
     )
+    bands.write.mode("append").parquet(os.path.join(path, "bands"))
 
 
 def probe_decon_index(
@@ -255,7 +284,12 @@ def probe_decon_index(
     good_keys = (
         stored_bands.join(F.broadcast(probe_keys), ["band_idx", "band_hash"])
         .groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_bn"))
+        # DISTINCT ids, not rows: a crashed-then-retried extend can
+        # leave duplicate band rows, which must not flip a legitimate
+        # bucket over the degenerate cap (r10 ADVICE). Still two-phase:
+        # the exchange carries per-partition partial distinct sets of
+        # the PROBED keys only, never bucket-sized row counts.
+        .agg(F.countDistinct("_id").alias("_bn"))
         .filter(F.col("_bn") <= max_bucket)
         .select("band_idx", "band_hash")
     )
@@ -296,4 +330,9 @@ def probe_decon_index(
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        # distinct over the (tiny, candidate-bounded) report: duplicate
+        # vec rows from a crashed-then-retried extend carry identical
+        # cosines, so this collapses them instead of double-reporting —
+        # one extra exchange of eval-shard-sized rows, never index-sized
+        .distinct()
     )

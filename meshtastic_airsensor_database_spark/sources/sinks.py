@@ -195,9 +195,19 @@ def jdbc_idempotent_table_sink(
 
     Execution shape: one driver-side DELETE (its own transaction),
     then executor-side batched ``executemany`` inserts — one
-    connection per PARTITION, ``batch_size`` rows per round trip,
-    commit per partition. Put an index on ``epoch_col`` so the replay
-    DELETE is a range kill, not a table scan.
+    connection per PARTITION, ``batch_size`` rows per round trip, and
+    exactly ONE commit at the end of the partition. The single commit
+    is what makes a Spark task RETRY safe: a retried (or speculative
+    duplicate) attempt that died mid-partition left only an
+    uncommitted transaction behind, which its connection close rolled
+    back — nothing persisted, so the retry's own full append is the
+    only copy. Committing per chunk instead would persist a prefix
+    that no replay erases (the query never failed, so foreachBatch
+    never re-runs the epoch DELETE) — permanent duplicates. The cost
+    is one open transaction holding up to a partition's rows; size
+    partitions for the DB's transaction appetite, not ``batch_size``.
+    Put an index on ``epoch_col`` so the replay DELETE is a range
+    kill, not a table scan.
 
     Residual visibility caveat (documented, not hidden): the delete
     and the per-partition inserts are separate transactions, so a
@@ -254,11 +264,19 @@ def jdbc_idempotent_table_sink(
                 buf.append(tuple(row))
                 if len(buf) >= batch_size:
                     pcur.executemany(insert_sql, buf)
-                    pconn.commit()
                     buf = []
             if buf:
                 pcur.executemany(insert_sql, buf)
-                pconn.commit()
+            # ONE commit per partition (task-retry safety — see
+            # docstring). Any failure above skips this, and the
+            # rollback below discards the whole attempt.
+            pconn.commit()
+        except BaseException:
+            try:
+                pconn.rollback()
+            except Exception:
+                pass  # close() discards the open transaction anyway
+            raise
         finally:
             pconn.close()
 

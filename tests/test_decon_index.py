@@ -191,6 +191,79 @@ def test_mismatched_params_or_dim_refused(spark, index_path):
     assert probe_decon_index(ok, index_path, threshold=0.99).count() == 1
 
 
+def test_missing_meta_stamp_refused(spark, index_path):
+    """r10 verdict #3 / ADVICE: build writes _meta.json BEFORE any data
+    table, so a missing stamp only ever means corruption — extend and
+    probe must raise, never silently downgrade the mismatch guard to
+    'caller owns discipline'."""
+    build_decon_index(_df(spark, TRAIN), index_path)
+    os.remove(os.path.join(index_path, "_meta.json"))
+    shard = _df(spark, [(4, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0])])
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
+        extend_decon_index(shard, index_path)
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
+        probe_decon_index(shard, index_path)
+
+
+def test_meta_stamp_written_before_data(spark, index_path, monkeypatch):
+    """Crash-order pin: if the build dies after its first data write,
+    the stamp must already be on disk (the reverse order would leave a
+    stamp-less index that bypasses validation forever). Kill the build
+    at the first parquet write and check."""
+    # patch the CONCRETE class — pyspark 4's classic DataFrame defines
+    # its own `write` property shadowing pyspark.sql.DataFrame's
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    def _exploding_write(self):
+        assert os.path.exists(os.path.join(index_path, "_meta.json")), (
+            "data write started before the _meta.json stamp landed"
+        )
+        raise RuntimeError("simulated crash at first data write")
+
+    monkeypatch.setattr(ClassicDF, "write", property(_exploding_write))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_decon_index(_df(spark, TRAIN), index_path)
+    monkeypatch.undo()
+    # the crashed index is stamped but table-less: probe fails LOUDLY
+    # on the parquet read instead of silently returning nothing
+    with pytest.raises(Exception):
+        probe_decon_index(_df(spark, TRAIN), index_path).collect()
+
+
+def test_crashed_extend_retry_converges(spark, index_path):
+    """r10 ADVICE: extend appends vecs BEFORE bands, so the only crash
+    state is vec rows with no band rows — inert (never candidates).
+    Re-running the extend repairs it; the duplicate vec rows it leaves
+    must not double-report pairs, and duplicate band rows (a retry of a
+    COMPLETED extend) must not flip a legitimate bucket over the
+    degenerate cap."""
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        _index_rows,
+    )
+
+    build_decon_index(_df(spark, TRAIN), index_path)
+    shard = _df(spark, [(4, [0.0, 0.0, 0.0, 0.0, 0.0, 1.0])])
+    probe = _df(spark, [(201, [0.0, 0.0, 0.0, 0.0, 0.0, 3.0])])
+
+    # simulate the crash: vecs landed, bands did not
+    _, vecs, _ = _index_rows(shard, "vec_id", "embedding", DECON_BANDS, DECON_BAND_BITS)
+    vecs.write.mode("append").parquet(os.path.join(index_path, "vecs"))
+    # the orphaned vec rows are inert — the shard is not yet probed
+    assert probe_decon_index(probe, index_path).count() == 0
+
+    # the retry completes the extend; shard vec rows now exist twice
+    extend_decon_index(shard, index_path)
+    rows = probe_decon_index(probe, index_path).collect()
+    assert [(r.eval_id, r.train_id, r.cosine) for r in rows] == [(201, 4, 1.0)]
+
+    # retry of a COMPLETED extend: band rows duplicated too — the
+    # distinct-id bucket count keeps the (single-vector) bucket alive
+    # at max_bucket=1 where a raw row count of 2-3 would drop it
+    extend_decon_index(shard, index_path)
+    rows2 = probe_decon_index(probe, index_path, max_bucket=1).collect()
+    assert [(r.eval_id, r.train_id, r.cosine) for r in rows2] == [(201, 4, 1.0)]
+
+
 def test_int8_storage_tier(spark, index_path):
     """storage='int8' stores quantized vectors (8x smaller verify
     scans); cosine runs directly on the int arrays because the

@@ -485,6 +485,92 @@ def test_jdbc_idempotent_sink_erases_partial_delivery(spark, tmp_path):
     assert rows3 == rows + [(3, 30.0, 8)]
 
 
+def _flaky_sqlite_factory(db_path: str, marker: str, fail_at_call: int):
+    """Factory whose FIRST attempt dies on the ``fail_at_call``-th
+    executemany (marker file makes 'first' visible across executor
+    processes); later attempts behave normally. Models a Spark task
+    retry / speculative duplicate whose predecessor crashed
+    mid-partition."""
+
+    def _factory():
+        import os
+        import sqlite3
+
+        conn = sqlite3.connect(db_path, timeout=60)
+
+        class _Cursor:
+            def __init__(self, cur):
+                self._cur = cur
+                self._calls = 0
+
+            def executemany(self, sql, rows):
+                self._calls += 1
+                if not os.path.exists(marker) and self._calls >= fail_at_call:
+                    open(marker, "w").close()
+                    raise RuntimeError("simulated task death mid-partition")
+                return self._cur.executemany(sql, rows)
+
+            def execute(self, sql, params=()):
+                return self._cur.execute(sql, params)
+
+        class _Conn:
+            def cursor(self):
+                return _Cursor(conn.cursor())
+
+            def commit(self):
+                conn.commit()
+
+            def rollback(self):
+                conn.rollback()
+
+            def close(self):
+                conn.close()
+
+        return _Conn()
+
+    return _factory
+
+
+def test_jdbc_idempotent_sink_task_retry_leaves_no_partial_commit(spark, tmp_path):
+    """r10 ADVICE (medium): a task attempt that dies mid-partition must
+    persist NOTHING — the sink commits once per partition, so the
+    failed attempt's executed chunks roll back and the retry's append
+    is the only copy. Per-chunk commits would have persisted a prefix
+    that no replay erases (the query itself needn't fail on a task
+    retry, so foreachBatch never re-runs the epoch DELETE)."""
+    import sqlite3
+
+    from meshtastic_airsensor_database_spark.sources.sinks import (
+        jdbc_idempotent_table_sink,
+    )
+
+    db = str(tmp_path / "retry.db")
+    marker = str(tmp_path / "first_attempt_died")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE facts (node INTEGER, value REAL, _batch_id INTEGER)"
+        )
+        conn.commit()
+
+    rows5 = [(i, float(i) * 10) for i in range(1, 6)]
+    batch = spark.createDataFrame(rows5, "node int, value double").coalesce(1)
+    flaky = _flaky_sqlite_factory(db, marker, fail_at_call=2)
+    # attempt 1: chunk 1 (2 rows) executes, chunk 2 raises -> the task
+    # fails; local mode has no task retries, so the job error surfaces.
+    with pytest.raises(Exception, match="simulated task death"):
+        jdbc_idempotent_table_sink(batch, flaky, "facts", batch_id=3, batch_size=2)
+    with sqlite3.connect(db) as conn:
+        leaked = conn.execute("SELECT COUNT(*) FROM facts").fetchone()[0]
+    assert leaked == 0, "dead attempt leaked a committed chunk"
+
+    # attempt 2 (the retry — marker now exists, factory behaves):
+    # exactly one full copy of the epoch lands.
+    jdbc_idempotent_table_sink(batch, flaky, "facts", batch_id=3, batch_size=2)
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT node, value FROM facts").fetchall())
+    assert got == rows5
+
+
 def test_jdbc_idempotent_sink_rejects_unsafe_identifiers(spark, tmp_path):
     from meshtastic_airsensor_database_spark.sources.sinks import (
         jdbc_idempotent_table_sink,
