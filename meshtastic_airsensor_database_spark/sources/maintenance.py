@@ -89,20 +89,37 @@ def compact_partitions(
 
     df = spark.read.parquet(path)
     values = [pv for pv in bad]
+    # the isin literal list prunes the SCAN to the bad partitions (the
+    # broadcast join below restricts rows too, but only the static
+    # filter reaches the file listing)
     subset = df.filter(F.col(partition_by).cast("string").isin(values))
     # per-partition output file count: ceil(partition_bytes / target) —
     # most compacted partitions collapse to ONE file (they were small
     # by selection); a large backlog partition still splits into
-    # target-sized files. The write is bucketed by (partition, bucket)
-    # so each output task writes one file of one partition.
-    n_out = F.lit(1)
-    for pv, (_, total) in bad.items():
-        n_out = F.when(
-            F.col(partition_by).cast("string") == pv,
-            math.ceil(total / (target_mb * 1024 * 1024)),
-        ).otherwise(n_out)
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_out)
-    rewritten = subset.repartition(F.col(partition_by), bucket)
+    # target-sized files. The counts ride in as a broadcast-joined tiny
+    # (partition -> n_out) frame, NOT a chained CASE WHEN per bad
+    # partition — thousands of bad partitions would build a
+    # thousands-deep expression tree (analyzer cost, codegen blowup);
+    # the join keeps the plan constant-size at any backlog (r10 verdict
+    # #6). The write is bucketed by (partition, bucket) so each output
+    # task writes one file of one partition.
+    n_out_map = spark.createDataFrame(
+        [
+            (pv, math.ceil(total / (target_mb * 1024 * 1024)) or 1)
+            for pv, (_, total) in bad.items()
+        ],
+        "_pv string, _n_out int",
+    )
+    joined = subset.join(
+        F.broadcast(n_out_map),
+        subset[partition_by].cast("string") == n_out_map["_pv"],
+    )
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.col("_n_out")
+    )
+    rewritten = joined.repartition(F.col(partition_by), bucket).drop(
+        "_pv", "_n_out"
+    )
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -178,6 +195,218 @@ def _drop_partition_dirs(
     return removed
 
 
+def _erase_marker_path(fact_path: str) -> str:
+    # underscore-prefixed so parquet readers ignore it (the _SUCCESS
+    # convention); lives under the fact path so the intent travels with
+    # the table it mutates
+    return os.path.join(fact_path, "_erase-intent.json")
+
+
+def _write_erase_marker(fact_path: str, intent: dict) -> None:
+    """Durable intent write: temp file + fsync + atomic rename, so a
+    crash during the write itself can never leave a half-written
+    marker that recovery would misread."""
+    import json
+
+    marker = _erase_marker_path(fact_path)
+    tmp = marker + ".tmp"
+    try:
+        payload = json.dumps(intent)
+    except TypeError as exc:
+        raise ValueError(
+            "erase_key: key_value (and rollup parameters) must be "
+            "JSON-serializable so the erasure intent can be persisted "
+            f"for crash recovery; got {intent.get('key_value')!r}"
+        ) from exc
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+
+
+def _read_erase_marker(fact_path: str) -> dict | None:
+    import json
+
+    marker = _erase_marker_path(fact_path)
+    if not os.path.exists(marker):
+        return None
+    return json.load(open(marker))
+
+
+def _repair_rollup(
+    spark: SparkSession,
+    fact_path: str,
+    partition_by: str,
+    rollup_path: str,
+    rollup_keys: list[str],
+    key_col: str,
+    key_value,
+    ts_col: str,
+    value_col: str,
+    distinct_col: str | None,
+    touched_dates: list[str],
+) -> str:
+    """Phase 3: retract the subject from the materialized rollup,
+    bounded by ``touched_dates`` (the subject's event-time spread,
+    captured before its fact rows vanished). Two regimes, both
+    IDEMPOTENT — safe to re-run from the intent marker after any crash:
+    row-drop (subject is a rollup key: its rows are simply gone from
+    the affected dates) and rebuild (non-retractable min/max/sketch
+    partials: affected dates recomputed from the post-erasure facts).
+    Returns the mode used."""
+    from ..streaming.rollup import ROLLUP_PARTITION_COL, _merge, _partials
+
+    roll = spark.read.parquet(rollup_path)
+    in_dates = F.col(ROLLUP_PARTITION_COL).cast("string").isin(touched_dates)
+    if key_col in rollup_keys:
+        mode = "row-drop"
+        subject = F.col(key_col).eqNullSafe(F.lit(key_value))
+        kept_roll = roll.filter(in_dates).filter(~subject)
+    elif not _partition_file_stats(spark, fact_path, partition_by):
+        # the subject owned the ENTIRE fact table (every partition dir
+        # is gone, only the intent marker remains) — nothing to rebuild
+        # from; the repair reduces to dropping every touched date
+        mode = "rebuild"
+        kept_roll = roll.filter(F.lit(False))
+    else:
+        mode = "rebuild"
+        post = spark.read.parquet(fact_path).filter(
+            F.to_date(F.col(ts_col)).cast("string").isin(touched_dates)
+        )
+        kept_roll = _merge(
+            _partials(post, rollup_keys, ts_col, value_col, distinct_col),
+            rollup_keys,
+        )
+    kept_roll = kept_roll.localCheckpoint(eager=True)
+    nonempty_dates = {
+        str(r["_d"])
+        for r in kept_roll.select(
+            F.col(ROLLUP_PARTITION_COL).cast("string").alias("_d")
+        )
+        .distinct()
+        .collect()
+    }
+    if nonempty_dates:
+        _overwrite_partitions(
+            kept_roll.filter(
+                F.col(ROLLUP_PARTITION_COL).cast("string").isin(list(nonempty_dates))
+            ),
+            rollup_path,
+            ROLLUP_PARTITION_COL,
+        )
+    _drop_partition_dirs(
+        spark,
+        rollup_path,
+        ROLLUP_PARTITION_COL,
+        [d for d in touched_dates if d not in nonempty_dates],
+    )
+    return mode
+
+
+def _erase_fact_rows(
+    spark: SparkSession,
+    fact_path: str,
+    partition_by: str,
+    key_col: str,
+    key_value,
+    affected: list[str],
+) -> tuple[int, int]:
+    """Phase 2: rewrite the affected partitions without the subject's
+    rows (dynamic partition overwrite), removing wholly-owned partition
+    dirs at the filesystem level. Idempotent: with the subject already
+    gone, every affected partition rewrites to itself. Returns
+    (partitions_rewritten, partitions_removed)."""
+    facts = spark.read.parquet(fact_path)
+    subject = F.col(key_col).eqNullSafe(F.lit(key_value))
+    kept = facts.filter(
+        F.col(partition_by).cast("string").isin(affected)
+    ).filter(~subject)
+    kept = kept.localCheckpoint(eager=True)  # plan reads the path it overwrites
+    nonempty = {
+        str(r["_pv"])
+        for r in kept.select(F.col(partition_by).cast("string").alias("_pv"))
+        .distinct()
+        .collect()
+    }
+    if nonempty:
+        _overwrite_partitions(
+            kept.filter(F.col(partition_by).cast("string").isin(list(nonempty))),
+            fact_path,
+            partition_by,
+        )
+    removed = _drop_partition_dirs(
+        spark, fact_path, partition_by, [pv for pv in affected if pv not in nonempty]
+    )
+    return len(nonempty), removed
+
+
+def recover_erasure(spark: SparkSession, fact_path: str) -> ErasureReport | None:
+    """Complete a crashed ``erase_key`` from its persisted intent
+    marker. Returns None when no intent is pending; otherwise re-runs
+    the unfinished phases with the MARKER's parameters (not the current
+    caller's) and clears the marker.
+
+    Every crash point converges: a crash before/mid phase 2 leaves
+    subject rows that this pass re-locates and erases; a crash between
+    phase 2 and phase 3 — the state that used to leave the subject's
+    contribution in the rollup FOREVER (the retry found zero fact rows
+    and skipped the repair) — is repaired from the marker's recorded
+    ``touched_dates``; a crash after phase 3 just re-runs the
+    idempotent repair and clears the marker. ``erase_key`` calls this
+    at entry, so a plain re-run after any crash is the recovery."""
+    intent = _read_erase_marker(fact_path)
+    if intent is None:
+        return None
+    partition_by = intent["partition_by"]
+    key_col, key_value = intent["key_col"], intent["key_value"]
+    affected: list[str] = []
+    rows_deleted = 0
+    if _partition_file_stats(spark, fact_path, partition_by):
+        facts = spark.read.parquet(fact_path)
+        subject = F.col(key_col).eqNullSafe(F.lit(key_value))
+        located = (
+            facts.filter(subject)
+            .groupBy(F.col(partition_by).cast("string").alias("_pv"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        affected = [r["_pv"] for r in located]
+        rows_deleted = int(sum(r["_n"] for r in located))
+    n_rewritten, n_removed = (
+        _erase_fact_rows(spark, fact_path, partition_by, key_col, key_value, affected)
+        if affected
+        else (0, 0)
+    )
+    rollup_mode, rollup_dates = "none", 0
+    if intent.get("rollup_path") is not None:
+        rollup_mode = _repair_rollup(
+            spark,
+            fact_path,
+            partition_by,
+            intent["rollup_path"],
+            intent["rollup_keys"],
+            key_col,
+            key_value,
+            intent["ts_col"],
+            intent["value_col"],
+            intent.get("distinct_col"),
+            intent["touched_dates"],
+        )
+        rollup_dates = len(intent["touched_dates"])
+    os.remove(_erase_marker_path(fact_path))
+    return ErasureReport(
+        rows_deleted=rows_deleted,
+        fact_partitions_total=len(
+            _partition_file_stats(spark, fact_path, partition_by)
+        ),
+        fact_partitions_rewritten=n_rewritten,
+        fact_partitions_removed=n_removed,
+        rollup_dates_rewritten=rollup_dates,
+        rollup_mode=rollup_mode,
+    )
+
+
 def erase_key(
     spark: SparkSession,
     fact_path: str,
@@ -216,9 +445,18 @@ def erase_key(
     min/max and HLL sketches are NOT retractable, so the affected dates
     are REBUILT from the post-erasure facts — bounded by the subject's
     event-time spread, never the table.
-    """
-    from ..streaming.rollup import ROLLUP_PARTITION_COL, _merge, _partials
 
+    Crash recovery (r10 verdict #2): phases 2 and 3 are separate
+    writes, so an intent marker (subject key + ``touched_dates`` +
+    rollup parameters, ``_erase-intent.json`` under the fact path) is
+    persisted BEFORE phase 2 and cleared only after phase 3 completes.
+    Entry runs ``recover_erasure`` first: a leftover marker completes
+    the unfinished phases with the MARKER's parameters — in particular
+    the rollup repair still happens when a phase-2/phase-3 crash left
+    zero subject fact rows, the state that previously made the
+    subject's rollup contribution permanent. A plain re-run after any
+    crash therefore converges to the fully-erased end state.
+    """
     # Validate BEFORE any mutation: a rollup maintained with an HLL
     # distinct sketch must be rebuilt WITH it (rollup 'rebuild' regime),
     # and discovering that after the fact rows are already rewritten
@@ -235,6 +473,9 @@ def erase_key(
             "column; pass distinct_col=<tracked column> so the "
             "rebuilt date partitions preserve it" % rollup_path
         )
+
+    # complete any crashed prior erasure FIRST (its intent, its params)
+    recover_erasure(spark, fact_path)
 
     facts = spark.read.parquet(fact_path)
     subject = F.col(key_col).eqNullSafe(F.lit(key_value))
@@ -259,75 +500,42 @@ def erase_key(
         .collect()
     ]
 
-    kept = facts.filter(
-        F.col(partition_by).cast("string").isin(affected)
-    ).filter(~subject)
-    kept = kept.localCheckpoint(eager=True)  # plan reads the path it overwrites
-    nonempty = {
-        str(r["_pv"])
-        for r in kept.select(F.col(partition_by).cast("string").alias("_pv"))
-        .distinct()
-        .collect()
-    }
-    if nonempty:
-        _overwrite_partitions(
-            kept.filter(F.col(partition_by).cast("string").isin(list(nonempty))),
-            fact_path,
-            partition_by,
-        )
-    removed = _drop_partition_dirs(
-        spark, fact_path, partition_by, [pv for pv in affected if pv not in nonempty]
+    # intent marker BEFORE the first mutation: everything phase 3 needs
+    # survives the fact rows' disappearance
+    _write_erase_marker(
+        fact_path,
+        {
+            "partition_by": partition_by,
+            "key_col": key_col,
+            "key_value": key_value,
+            "touched_dates": touched_dates,
+            "rollup_path": rollup_path if rollup_keys is not None else None,
+            "rollup_keys": rollup_keys,
+            "ts_col": ts_col,
+            "value_col": value_col,
+            "distinct_col": distinct_col,
+        },
+    )
+
+    n_rewritten, removed = _erase_fact_rows(
+        spark, fact_path, partition_by, key_col, key_value, affected
     )
 
     rollup_mode = "none"
     rollup_dates = 0
     if rollup_path is not None and rollup_keys is not None:
-        roll = spark.read.parquet(rollup_path)
-        in_dates = F.col(ROLLUP_PARTITION_COL).cast("string").isin(touched_dates)
-        if key_col in rollup_keys:
-            rollup_mode = "row-drop"
-            kept_roll = roll.filter(in_dates).filter(~subject)
-        else:
-            rollup_mode = "rebuild"
-            # distinct_col validity was checked BEFORE phase 2 (a
-            # rollup carrying distinct_sketch without a declared
-            # distinct_col fails up front, not after the fact rewrite).
-            post = spark.read.parquet(fact_path).filter(
-                F.to_date(F.col(ts_col)).cast("string").isin(touched_dates)
-            )
-            kept_roll = _merge(
-                _partials(post, rollup_keys, ts_col, value_col, distinct_col),
-                rollup_keys,
-            )
-        kept_roll = kept_roll.localCheckpoint(eager=True)
-        nonempty_dates = {
-            str(r["_d"])
-            for r in kept_roll.select(
-                F.col(ROLLUP_PARTITION_COL).cast("string").alias("_d")
-            )
-            .distinct()
-            .collect()
-        }
-        if nonempty_dates:
-            _overwrite_partitions(
-                kept_roll.filter(
-                    F.col(ROLLUP_PARTITION_COL).cast("string").isin(list(nonempty_dates))
-                ),
-                rollup_path,
-                ROLLUP_PARTITION_COL,
-            )
-        _drop_partition_dirs(
-            spark,
-            rollup_path,
-            ROLLUP_PARTITION_COL,
-            [d for d in touched_dates if d not in nonempty_dates],
+        rollup_mode = _repair_rollup(
+            spark, fact_path, partition_by, rollup_path, rollup_keys,
+            key_col, key_value, ts_col, value_col, distinct_col,
+            touched_dates,
         )
         rollup_dates = len(touched_dates)
 
+    os.remove(_erase_marker_path(fact_path))
     return ErasureReport(
         rows_deleted=rows_deleted,
         fact_partitions_total=n_parts_total,
-        fact_partitions_rewritten=len(nonempty),
+        fact_partitions_rewritten=n_rewritten,
         fact_partitions_removed=removed,
         rollup_dates_rewritten=rollup_dates,
         rollup_mode=rollup_mode,

@@ -176,12 +176,120 @@ def test_erase_key_rebuild_mode_and_idempotency(spark, tmp_path):
     }
     assert got == expected
 
+    # a COMPLETED erase clears its intent marker, so a later re-run is a
+    # genuine no-op (recovery finds no pending intent, the subject scan
+    # finds no rows)
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        _erase_marker_path,
+    )
+
+    assert not os.path.exists(_erase_marker_path(fact_path))
     rep2 = erase_key(
         spark, fact_path, "event_date", "user_id", 7,
         rollup_path=rollup_path, rollup_keys=[],
     )
     assert rep2.rows_deleted == 0 and rep2.fact_partitions_rewritten == 0
     assert rep2.rollup_mode == "none"
+
+
+def _rollup_state(spark, rollup_path):
+    return {
+        (str(r["hour_ts"]), r["sum_value"], r["cnt"], r["min_value"], r["max_value"])
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+
+
+def test_erase_key_crash_between_phases_recovers(spark, tmp_path, monkeypatch):
+    """r10 verdict #2: a crash AFTER the fact rewrite but BEFORE the
+    rollup repair used to leave the erased subject's contribution in
+    the rollup forever (the retry found zero subject rows and skipped
+    the repair). The intent marker makes a plain re-run complete the
+    repair from the recorded touched_dates."""
+    import pytest
+
+    import meshtastic_airsensor_database_spark.sources.maintenance as m
+    from meshtastic_airsensor_database_spark.streaming.rollup import (
+        _merge, _partials, maintain_rollup,
+    )
+
+    fact_path, _ = _erasure_fixture(spark, tmp_path)
+    rollup_path = str(tmp_path / "rollup_global")
+    maintain_rollup(spark.read.parquet(fact_path), rollup_path, keys=[])
+    before = _rollup_state(spark, rollup_path)
+
+    def _killed(*a, **k):
+        raise RuntimeError("killed between phase 2 and phase 3")
+
+    monkeypatch.setattr(m, "_repair_rollup", _killed)
+    with pytest.raises(RuntimeError, match="killed between"):
+        m.erase_key(
+            spark, fact_path, "event_date", "user_id", 7,
+            rollup_path=rollup_path, rollup_keys=[],
+        )
+    monkeypatch.undo()
+
+    # the crash state: facts erased, rollup untouched, intent pending
+    post = spark.read.parquet(fact_path)
+    assert post.filter(F.col("user_id") == 7).count() == 0
+    assert _rollup_state(spark, rollup_path) == before
+    assert os.path.exists(m._erase_marker_path(fact_path))
+
+    # a PLAIN re-run (what an operator does after a crash) completes
+    # the rollup repair even though zero subject fact rows remain
+    rep = m.erase_key(
+        spark, fact_path, "event_date", "user_id", 7,
+        rollup_path=rollup_path, rollup_keys=[],
+    )
+    assert rep.rows_deleted == 0 and rep.rollup_mode == "none"  # recovery did it
+    assert not os.path.exists(m._erase_marker_path(fact_path))
+    expected = {
+        (str(r["hour_ts"]), r["sum_value"], r["cnt"], r["min_value"], r["max_value"])
+        for r in _merge(_partials(post, [], "ts", "value"), []).collect()
+    }
+    assert _rollup_state(spark, rollup_path) == expected
+    # the date wholly owned by the subject is gone from the rollup too
+    assert not os.path.isdir(
+        os.path.join(rollup_path, "rollup_date=2024-01-03")
+    ) or spark.read.parquet(rollup_path).filter(
+        F.to_date("hour_ts") == "2024-01-03"
+    ).count() == 0
+
+
+def test_erase_key_crash_before_fact_rewrite_recovers(spark, tmp_path, monkeypatch):
+    """Crash with the marker written but the fact rewrite unfinished:
+    the re-run's recovery re-locates the still-present subject rows,
+    erases them, and repairs the rollup — full convergence from the
+    earliest crash point."""
+    import pytest
+
+    import meshtastic_airsensor_database_spark.sources.maintenance as m
+    from meshtastic_airsensor_database_spark.streaming.rollup import maintain_rollup
+
+    fact_path, _ = _erasure_fixture(spark, tmp_path)
+    rollup_path = str(tmp_path / "rollup_global")
+    maintain_rollup(spark.read.parquet(fact_path), rollup_path, keys=[])
+
+    def _killed(*a, **k):
+        raise RuntimeError("killed before the fact rewrite")
+
+    monkeypatch.setattr(m, "_erase_fact_rows", _killed)
+    with pytest.raises(RuntimeError, match="killed before"):
+        m.erase_key(
+            spark, fact_path, "event_date", "user_id", 7,
+            rollup_path=rollup_path, rollup_keys=[],
+        )
+    monkeypatch.undo()
+    assert spark.read.parquet(fact_path).filter(F.col("user_id") == 7).count() == 4
+    assert os.path.exists(m._erase_marker_path(fact_path))
+
+    # recovery alone (no new erase call) completes the whole erasure
+    rep = m.recover_erasure(spark, fact_path)
+    assert rep is not None and rep.rows_deleted == 4
+    assert rep.rollup_mode == "rebuild"
+    assert not os.path.exists(m._erase_marker_path(fact_path))
+    post = spark.read.parquet(fact_path)
+    assert post.filter(F.col("user_id") == 7).count() == 0
+    assert m.recover_erasure(spark, fact_path) is None  # nothing pending
 
 
 def test_erase_key_rebuild_preserves_distinct_sketch(spark, tmp_path):
