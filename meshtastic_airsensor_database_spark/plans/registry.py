@@ -30,6 +30,72 @@ for _mod in (relational, events, textq, vectorq, streamq, curateq, tsq):
 # (tools/check_correctness.py runs ALL queries); redundant variants of
 # in-window operators (second top-k / grouping / set-op forms, etc.)
 # are what got demoted.
+_DRIVER_WINDOW_R11 = [
+    # Standing policy: {new or changed this round} ∪ {changed since
+    # last driver row} ∪ oldest-banked evidence refresh. r11 code
+    # changes (erase_key intent marker, compaction broadcast map,
+    # idempotent-sink single commit, decon-index lifecycle hardening)
+    # touch NO registered query's plan — decon_index/maintenance are
+    # not query-facing and quarantine_view itself is unchanged — so
+    # the window is the new query plus pure staleness refresh.
+    # -- r11 NEW query: the exactly-once quarantine reader view on the
+    # planted partial-then-complete delivery fixture (r10 verdict #4 —
+    # the max-count/earliest-tie pick finally gets a driver hash)
+    "replay_quarantine_view",
+    # -- the 24 remaining r6-banked rows (latest driver evidence r6;
+    # ordered by the r10 verdict's rotation queue)
+    "hll_distinct_users_rollup",
+    "hybrid_search_rrf",
+    "last_touch_attribution",
+    "length_grouped_batches",
+    "line_numbering",
+    "minhash_verified_neardups",
+    "mmr_diversified_topk",
+    "multimodal_binary_meta",
+    "pareto_user_share",
+    "prefix_jaccard_neardups",
+    "pricing_summary",
+    "quality_survivor_docs",
+    "rfm_segments",
+    "semantic_dedup_pairs",
+    "session_window_stats",
+    "simhash_dedup_buckets",
+    "snapshot_diff_customers",
+    "source_overlap_jaccard",
+    "split_leakage_report",
+    "standardized_embedding_probe",
+    "tfidf_top_terms",
+    "token_budget_selection",
+    "value_equidepth_bins",
+    "weighted_quality_sample",
+    # -- 25 of the 37 r7-banked rows (alphabetical through
+    # pca_explained_variance; the remaining 12 lead the r12 queue)
+    "aligned_type_buckets",
+    "asof_latest_view_value",
+    "audio_fingerprint_exact",
+    "char_jaccard_neardup_pairs",
+    "cross_shard_neardup_probe",
+    "customers_with_urgent_orders",
+    "embedding_lsh_neardup_pairs",
+    "embedding_norms",
+    "epoch_roundtrip",
+    "exact_dedup_docs",
+    "f_to_c_values",
+    "fact_dim_join",
+    "grouping_sets_revenue",
+    "hourly_avg_by_node",
+    "image_neardup_pairs_exact",
+    "jaccard_neardup_pairs",
+    "latest_reading_per_node",
+    "linreg_token_diversity",
+    "logreg_quality_gd",
+    "minhash_neardup_candidates",
+    "monthly_order_trend",
+    "outage_episodes",
+    "pacific_daily_counts",
+    "parts_above_avg_price",
+    "pca_explained_variance",
+]
 _DRIVER_WINDOW_R10 = [
     # Standing policy: {new or changed this round} ∪ {changed since
     # last driver row} ∪ oldest-banked evidence refresh. r10 code
@@ -547,14 +613,15 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-# r10 rotation queue: the 7 r4-banked rows deferred this round
-# (m4_downsample, props_variant_extract, seasonal_anomaly_flags,
-# table_checksum_report, token_drift_psi, type_corr_matrix,
-# winsorized_value_stats), then the r5-banked tier, plus anything
-# new/changed in r10. After r9 every query's driver evidence is r4+
-# and every registered query (including the 6 rows-only entries) has
-# at least one driver row.
-_DRIVER_WINDOW = _DRIVER_WINDOW_R10
+# r12 rotation queue: the 12 r7-banked rows deferred this round
+# (pca_power_component, pca_power_coords, pca_power_two_components,
+# pivot_priority_by_status, props_json_extract, quality_scores,
+# reading_gap_detect, region_supplier_revenue, rolling_avg_value,
+# rollup_lineitem, tz_suffix_roundtrip, union_order_slices), then the
+# r8-banked tier (37 rows), plus anything new/changed in r12. After
+# r11 the staleness floor is r7 and every registered query has a
+# green driver row at r4+.
+_DRIVER_WINDOW = _DRIVER_WINDOW_R11
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -683,6 +683,80 @@ def replay_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUARANTINE_VIEW_FIXTURE = FIXTURE_DIR / "quarantine_view.jsonl"
+
+
+def replay_quarantine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once reader view over the at-least-once quarantine
+    log (streaming/ingest.py::quarantine_view), hash-pinned on a
+    COMMITTED fixture that plants every delivery shape the view's
+    max-row-count/earliest-tie rule must distinguish (r10 verdict #4 —
+    the r9 complete-delivery rewrite previously had pytest evidence
+    only):
+
+    - epoch run1-7: a PARTIAL first delivery (1 of 2 ``corruptA`` rows
+      at 10:00 — the v2-committer crash shape) then the complete
+      replay at 10:05 (both rows, a legitimate in-batch duplicate,
+      plus ``position``). The view must keep the 10:05 delivery — the
+      old min(quarantined_at) rule would keep the partial prefix and
+      undercount;
+    - epoch run1-8: a complete delivery replayed identically (size
+      tie) — the EARLIEST must win, visible in the output timestamp;
+    - null-tag rows: ad-hoc batch callers pass through untouched,
+      including their exact duplicates.
+
+    ``quarantined_at`` is rendered as a wall-clock string (fixture
+    timestamps are fixed, so it is deterministic here and pins WHICH
+    delivery won); violations arrays are joined for engine-neutral
+    hashing. The DuckDB twin re-derives the best-delivery choice with
+    an independent dense_rank over per-delivery counts."""
+    from ..streaming.ingest import quarantine_view
+
+    view = quarantine_view(spark, str(QUARANTINE_VIEW_FIXTURE))
+    return view.select(
+        "raw",
+        F.array_join("violations", "|").alias("violations"),
+        F.date_format("quarantined_at", "yyyy-MM-dd HH:mm:ss").alias(
+            "quarantined_at"
+        ),
+        "epoch_tag",
+    )
+
+
+REPLAY_QUARANTINE_VIEW_SQL = f"""
+WITH q AS (
+  SELECT * FROM read_json('{QUARANTINE_VIEW_FIXTURE}',
+    format='newline_delimited',
+    columns={{'raw': 'VARCHAR', 'violations': 'VARCHAR[]',
+              'quarantined_at': 'TIMESTAMP', 'epoch_tag': 'VARCHAR'}})
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (
+    PARTITION BY raw, epoch_tag, quarantined_at
+  ) AS _n
+  FROM q WHERE epoch_tag IS NOT NULL
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY raw, epoch_tag
+    ORDER BY _n DESC, quarantined_at ASC
+  ) AS _r
+  FROM sized
+),
+best AS (
+  SELECT raw, violations, quarantined_at, epoch_tag FROM ranked WHERE _r = 1
+  UNION ALL BY NAME
+  SELECT raw, violations, quarantined_at, epoch_tag FROM q
+  WHERE epoch_tag IS NULL
+)
+SELECT raw,
+       array_to_string(violations, '|') AS violations,
+       strftime(quarantined_at, '%Y-%m-%d %H:%M:%S') AS quarantined_at,
+       epoch_tag
+FROM best
+"""
+
+
 REPLAY_QUARANTINE_COUNTS_SQL = f"""
 WITH lines AS (
   SELECT raw FROM read_csv('{FIXTURE_PATH}', header=false, delim='\t',
@@ -714,6 +788,12 @@ QUERIES: list[Query] = [
           ("malformed_row_skip", "stream_route_multiplex"),
           "dead-letter quarantine counts per violated rule (DuckDB twin "
           "re-derives both rules from the raw fixture lines)"),
+    Query("replay_quarantine_view", replay_quarantine_view,
+          REPLAY_QUARANTINE_VIEW_SQL,
+          ("malformed_row_skip", "stream_route_multiplex"),
+          "exactly-once quarantine reader view on a planted "
+          "partial-then-complete delivery fixture (max-count/"
+          "earliest-tie pick, null-tag passthrough)"),
     Query("replay_route_counts", replay_route_counts, REPLAY_ROUTE_COUNTS_SQL,
           ("stream_route_multiplex", "packet_type_filter", "exact_dedup"),
           "golden-replay per-table routing counts"),

@@ -57,6 +57,54 @@ def _land(landing: str, n_files: int) -> None:
 TAIL_FILES = 40
 
 
+class _ProgressCollector:
+    """StreamingQueryListener that keeps EVERY progress event (r10
+    ADVICE: ``recentProgress`` is capped at
+    spark.sql.streaming.numRecentProgressUpdates entries — 100 by
+    default — which silently truncated phase-1 counts at larger
+    n_files/per_trigger settings)."""
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+        self.events: list[dict] = []
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = event.progress
+                outer.events.append(json.loads(p.json))
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self.listener = _L()
+
+    def for_query(self, query_id: str) -> list[dict]:
+        return [p for p in self.events if str(p.get("id")) == str(query_id)]
+
+
+def _data_batches(progress: list[dict]) -> list[int]:
+    """latestOffset ms of the DATA-CARRYING triggers only — idle
+    triggers have no addBatch slice (numInputRows reads 0 under a
+    no-op foreachBatch, so addBatch presence is the discriminator).
+    Phase boundaries and the tail slice must use THIS filter on both
+    sides (r10 ADVICE: mixing a raw recentProgress count with a
+    filtered list shifted the slice whenever an idle trigger fired in
+    phase 1, leaking backlog samples into the tail mean)."""
+    return [
+        p.get("durationMs", {}).get("latestOffset", 0)
+        for p in progress
+        if p.get("durationMs", {}).get("addBatch") is not None
+    ]
+
+
 def run_case(spark, base: str, n_files: int, per_trigger: int,
              retire: bool) -> dict:
     """Two phases, the second is the measurement. Phase 1 drains an
@@ -72,6 +120,8 @@ def run_case(spark, base: str, n_files: int, per_trigger: int,
     out = os.path.join(base, f"out_{tag}")
     _land(landing, n_files)
     paths = IngestPaths(landing_dir=landing, out_dir=out)
+    collector = _ProgressCollector()
+    spark.streams.addListener(collector.listener)
     t0 = time.time()
     q = run_ingest_stream(
         spark, paths,
@@ -81,9 +131,11 @@ def run_case(spark, base: str, n_files: int, per_trigger: int,
     )
     try:
         q.processAllAvailable()  # phase 1: drain the backlog
-        phase1_batches = len(q.recentProgress)
-        # give the async cleaner a beat to retire phase-1 files
+        # the listener bus is async AND the cleaner needs a beat to
+        # retire phase-1 files — the sleep serves both
         time.sleep(3.0)
+        # SAME addBatch filter as the final slice (r10 ADVICE)
+        phase1_batches = len(_data_batches(collector.for_query(q.id)))
         for i in range(TAIL_FILES):  # phase 2: trickle, ONE file/trigger
             tmp = os.path.join(landing, f"tail{i:03d}.jsonl.tmp")
             dst = os.path.join(landing, f"tail{i:03d}.jsonl")
@@ -92,19 +144,16 @@ def run_case(spark, base: str, n_files: int, per_trigger: int,
             os.rename(tmp, dst)
             q.processAllAvailable()
         wall = time.time() - t0
-        progress = []
-        for p in q.recentProgress:
-            progress.append(json.loads(p) if isinstance(p, str) else p)
+        time.sleep(2.0)  # drain the async listener bus before reading
+        qid = q.id
     finally:
         q.stop()
-    # numInputRows reads 0 under a no-op foreachBatch (the batch plan
-    # never executes an action), so data-carrying triggers are the ones
-    # that ran addBatch; idle triggers lack it
-    listing = [
-        p.get("durationMs", {}).get("latestOffset", 0)
-        for p in progress
-        if p.get("durationMs", {}).get("addBatch") is not None
-    ]
+        spark.streams.removeListener(collector.listener)
+    listing = _data_batches(collector.for_query(qid))
+    assert len(listing) >= phase1_batches + TAIL_FILES, (
+        "listener missed progress events",
+        len(listing), phase1_batches, TAIL_FILES,
+    )
     tail = listing[phase1_batches:]
     left = sum(1 for n in os.listdir(landing) if n.endswith(".jsonl"))
     mean = lambda xs: round(sum(xs) / max(len(xs), 1), 1)  # noqa: E731
