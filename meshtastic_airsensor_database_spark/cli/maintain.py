@@ -9,6 +9,8 @@ Postgres vacuums itself — a parquet lake needs the engine to do it).
         erase-key FACT_PATH --partition-by COL --key-col COL --key-value V
         [--rollup-path P --rollup-keys a,b --distinct-col c]
     python -m meshtastic_airsensor_database_spark.cli.maintain \
+        recover-erasure FACT_PATH
+    python -m meshtastic_airsensor_database_spark.cli.maintain \
         expire-snapshots PATH [--keep-last 2]
 
 One JSON report line per run on stdout — the scriptable form of the
@@ -86,6 +88,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ek.add_argument("--value-col", default="value")
     ek.add_argument("--distinct-col")
 
+    rc = sub.add_parser(
+        "recover-erasure",
+        help="complete a crashed erase-key from its persisted intent "
+        "marker (erase-key also recovers automatically at entry; this "
+        "is the standalone form for operators who only know the path)",
+    )
+    rc.add_argument("fact_path")
+
     ex = sub.add_parser(
         "expire-snapshots", help="drop old versioned-corpus snapshots"
     )
@@ -142,6 +152,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "subtables": {
                         k: dataclasses.asdict(v) for k, v in reps.items()
                     },
+                }
+            )
+        )
+    elif args.cmd == "recover-erasure":
+        from ..sources.maintenance import recover_erasure
+
+        rep = recover_erasure(spark, args.fact_path)
+        print(
+            json.dumps(
+                {
+                    "cmd": args.cmd,
+                    "pending_intent": rep is not None,
+                    **(dataclasses.asdict(rep) if rep is not None else {}),
                 }
             )
         )

@@ -385,6 +385,44 @@ def test_maintain_cli_erase_key_and_validation(spark, tmp_path, capsys):
     assert spark.read.parquet(fact_path).filter(F.col("user_id") == 7).count() == 0
 
 
+def test_maintain_cli_recover_erasure(spark, tmp_path, capsys):
+    """The standalone recovery entry point: completes a pending intent
+    (reporting its phases) and is a no-op when nothing is pending."""
+    import json
+
+    import meshtastic_airsensor_database_spark.sources.maintenance as m
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+    from tests.test_maintenance import _erasure_fixture
+
+    fact_path, rollup_path = _erasure_fixture(spark, tmp_path)
+    # nothing pending -> report says so, touches nothing
+    assert mmain(["recover-erasure", fact_path], spark=spark) == 0
+    rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep0 == {"cmd": "recover-erasure", "pending_intent": False}
+
+    # plant a pending intent (the crash-before-rewrite state), recover
+    m._write_erase_marker(
+        fact_path,
+        {
+            "partition_by": "event_date",
+            "key_col": "user_id",
+            "key_value": 7,
+            "touched_dates": ["2024-01-01", "2024-01-02", "2024-01-03"],
+            "rollup_path": rollup_path,
+            "rollup_keys": ["user_id"],
+            "ts_col": "ts",
+            "value_col": "value",
+            "distinct_col": None,
+        },
+    )
+    assert mmain(["recover-erasure", fact_path], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pending_intent"] and rep["rows_deleted"] == 4
+    assert rep["rollup_mode"] == "row-drop"
+    assert spark.read.parquet(fact_path).filter(F.col("user_id") == 7).count() == 0
+    assert not os.path.exists(m._erase_marker_path(fact_path))
+
+
 def test_maintain_cli_expire_snapshots(spark, tmp_path, capsys):
     import json
 

@@ -111,6 +111,8 @@ SHOWCASE = [
     ("semantic_contaminated_evals", "semantic decontamination: narrow sign-LSH banding + capped band window, ONE bipartite band-key equi-join (eval x train cross product never materialized), exact cosine verify, per-eval agg"),
     # r10 addition
     ("semantic_contaminated_evals_strict", "production-threshold decontamination: 80 data-independent signs shipped as literal arrays (no per-row md5), sharp 10-bit bands, same single bipartite band join + exact verify"),
+    # r11 addition
+    ("replay_quarantine_view", "exactly-once quarantine reader: both delivery windows (per-delivery count, per-group best) share ONE (raw, epoch_tag) exchange; null-tag rows union in untouched"),
 ]
 
 
