@@ -683,7 +683,12 @@ def replay_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUARANTINE_VIEW_FIXTURE = FIXTURE_DIR / "quarantine_view.jsonl"
+# in a SUBDIRECTORY: the golden replay uses fixtures/ itself as its
+# landing dir, and packet_batch_source ingests every top-level *.jsonl
+# — a quarantine-log fixture at the top level would leak 8 fake
+# parseable_json rows into replay_quarantine_counts (caught by the r11
+# sweep; subdirs like bridge/ and late_replay/ are not listed)
+QUARANTINE_VIEW_FIXTURE = FIXTURE_DIR / "quarantine_view" / "quarantine_view.jsonl"
 
 
 def replay_quarantine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
