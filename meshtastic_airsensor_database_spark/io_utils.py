@@ -128,6 +128,88 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# --- staged index (re)builds --------------------------------------------------
+#
+# A persisted multi-table index (operators/dedup_index.py bands+sigs,
+# operators/vindex.py centroids+vectors) cannot be REBUILT in place
+# with two sequential overwrites: a crash between them leaves table A
+# from the new build and table B from the old one — mutually
+# inconsistent in a way every probe then trusts silently (new bands
+# verified against old signatures; new centroids pruning old
+# assignments). The fix is the compact_unpartitioned discipline
+# (sources/maintenance.py): build EVERYTHING into <path>.build-staging,
+# stamp a completion marker, then swap with two directory renames —
+# every crash point is recovered by ``recover_staged_build`` at the
+# next build/extend entry. Local/posix rename semantics (the same
+# caveat as compaction: object stores need a manifest swap).
+
+_STAGING_SUFFIX = ".build-staging"
+_TRASH_SUFFIX = ".build-trash"
+_BUILD_MARKER = "_BUILD_COMPLETE"
+
+
+def begin_staged_build(path: str) -> str:
+    """Start a staged (re)build: recover any prior crash state, then
+    return a CLEAN staging dir the caller writes the whole index into."""
+    import shutil
+
+    recover_staged_build(path)
+    staging = path + _STAGING_SUFFIX
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    return staging
+
+
+def commit_staged_build(path: str) -> None:
+    """Atomically (two renames) publish the staged build over ``path``.
+    The completion marker is fsync'd BEFORE any rename, so recovery can
+    always tell a finished staging from a half-written one."""
+    import shutil
+
+    staging = path + _STAGING_SUFFIX
+    trash = path + _TRASH_SUFFIX
+    marker = os.path.join(staging, _BUILD_MARKER)
+    with open(marker, "w") as f:
+        f.flush()
+        os.fsync(f.fileno())
+    if os.path.exists(path):
+        os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def recover_staged_build(path: str) -> None:
+    """Converge from ANY crash point of a staged build/swap:
+
+    - trash exists, path missing, staging complete -> crash between the
+      two renames: finish (staging -> path), drop trash;
+    - trash exists, path missing, staging absent/incomplete -> roll
+      back (trash -> path);
+    - trash exists, path exists -> crash after both renames: drop trash;
+    - staging complete, path missing, no trash -> fresh build crashed
+      between marker and rename: finish it;
+    - any other staging remnant -> drop it (the original — if any — is
+      intact; the caller re-runs the build).
+    """
+    import shutil
+
+    staging = path + _STAGING_SUFFIX
+    trash = path + _TRASH_SUFFIX
+    staged_ok = os.path.exists(os.path.join(staging, _BUILD_MARKER))
+    if os.path.exists(trash):
+        if not os.path.exists(path):
+            if staged_ok:
+                os.rename(staging, path)
+            else:
+                os.rename(trash, path)
+        if os.path.exists(trash) and os.path.exists(path):
+            shutil.rmtree(trash, ignore_errors=True)
+    elif staged_ok and not os.path.exists(path):
+        os.rename(staging, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a small input is spread across the cluster before a
     CPU-heavy narrow stage (shingle hashing, all-pairs joins, sketches).

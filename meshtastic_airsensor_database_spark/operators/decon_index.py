@@ -61,6 +61,7 @@ from ..functions.vectors import (
     quantize_int8,
     sign_band_rows,
 )
+from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_build
 from .dedup import MAX_BUCKET
 
 # the strict decontamination tier's banding (plans/vectorq.py::
@@ -167,22 +168,24 @@ def build_decon_index(
     if train.isEmpty():
         raise ValueError("cannot build a decon index from an empty corpus")
     bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
-    # stamp FIRST, data after: a crash mid-build then leaves a stamped
-    # index with missing/partial tables — extend/probe pass the meta
-    # check and fail LOUDLY on the parquet read. The old order (data
-    # first) could leave data tables with no stamp, which would have
-    # bypassed the mismatch guard forever (r10 ADVICE).
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_meta.json"), "w") as f:
+    # Stamp FIRST, data after: a crash mid-build leaves a stamped
+    # staging with missing/partial tables, never a data dir with no
+    # stamp that would bypass the mismatch guard forever (r10 ADVICE).
+    # And the whole build lands in a STAGED directory swapped in with
+    # two renames: two in-place overwrites would give a REBUILD a crash
+    # window where new bands meet old vectors — candidates verified
+    # against the wrong embeddings, silently wrong cosines (r11, shared
+    # io_utils staged-build discipline).
+    staging = begin_staged_build(path)
+    with open(os.path.join(staging, "_meta.json"), "w") as f:
         json.dump(
             {"dim": dim, "n_bands": n_bands, "band_bits": band_bits,
              "salt": HPLSH_SALT, "storage": storage},
             f,
         )
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    _stored_vecs(vecs, storage).write.mode("overwrite").parquet(
-        os.path.join(path, "vecs")
-    )
+    bands.write.parquet(os.path.join(staging, "bands"))
+    _stored_vecs(vecs, storage).write.parquet(os.path.join(staging, "vecs"))
+    commit_staged_build(path)
 
 
 def extend_decon_index(
@@ -214,6 +217,7 @@ def extend_decon_index(
     crashed-then-retried extend converges instead of corrupting."""
     if new_train.isEmpty():
         return
+    recover_staged_build(path)  # converge any crashed (re)build first
     bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
     storage = _check_meta(path, dim, n_bands, band_bits)
     _stored_vecs(vecs, storage).write.mode("append").parquet(

@@ -27,16 +27,64 @@ build/extend/probe lifecycle).
 No counterpart in the reference (dedup is this engine's extension
 mandate); estimator semantics match minhash_jaccard_calibration's
 oracle-pinned matching-minima estimate.
+
+Lifecycle durability (r11, the decon_index discipline): builds land in
+a staged directory and swap in with two renames (a crashed REBUILD can
+never mix new bands with old signatures), ``_meta.json`` stamps the
+sketch parameters and extend/probe refuse a missing or mismatched
+stamp, extend appends sigs before bands (the only crash state is
+inert), and the probe absorbs a retried extend's duplicates
+(distinct-id bucket counts, distinct report).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import MAX_BUCKET, N_PERMUTATIONS, minhash_bands, minhash_signature_df
+from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_build
+from .dedup import (
+    _MINHASH_P,
+    MAX_BUCKET,
+    N_BANDS,
+    N_PERMUTATIONS,
+    minhash_bands,
+    minhash_signature_df,
+)
+
+# the sketch's identity: rows written under one parameterization are
+# meaningless under another (different permutations = different minima;
+# different banding = a different band-key space). The stamp pins the
+# MODULE CONSTANTS the sketch derives from, so an index built by an
+# older code version with different constants refuses loudly instead of
+# estimating garbage (the decon_index._check_meta discipline, r11).
+_META = {
+    "n_permutations": N_PERMUTATIONS,
+    "n_bands": N_BANDS,
+    "shingle_k": 3,
+    "hash_p": _MINHASH_P,
+}
+
+
+def _check_meta(path: str) -> None:
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"minhash index at {path} has no _meta.json stamp — refusing "
+            "to extend/probe an index whose sketch parameters cannot be "
+            "validated (build_minhash_index writes the stamp before any "
+            "data since r11; a pre-r11 index needs one rebuild)"
+        )
+    meta = json.load(open(meta_path))
+    if meta != _META:
+        raise ValueError(
+            f"minhash index at {path} was built with {meta}, but this "
+            f"code sketches with {_META} — the band keys/minima are a "
+            "different space; rebuild the index"
+        )
 
 
 def _index_rows(
@@ -50,10 +98,24 @@ def _index_rows(
 def build_minhash_index(
     docs: DataFrame, path: str, id_col: str = "doc_id", content_col: str = "text"
 ) -> None:
-    """Sketch + band the corpus once and persist both tables."""
+    """Sketch + band the corpus once and persist both tables, plus the
+    ``_meta.json`` sketch-parameter stamp.
+
+    The whole build lands in a STAGED directory and swaps in with two
+    renames (io_utils.begin/commit_staged_build): two in-place
+    overwrites would leave a crash window where new bands meet old
+    signatures — candidates verified against the wrong sketch, silently
+    wrong estimates. Any crash state converges at the next
+    build/extend entry (``recover_staged_build``)."""
+    if docs.isEmpty():
+        raise ValueError("cannot build a minhash index from an empty corpus")
+    staging = begin_staged_build(path)
+    with open(os.path.join(staging, "_meta.json"), "w") as f:
+        json.dump(_META, f)
     bands, sigs = _index_rows(docs, id_col, content_col)
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    sigs.write.parquet(os.path.join(staging, "sigs"))
+    bands.write.parquet(os.path.join(staging, "bands"))
+    commit_staged_build(path)
 
 
 def extend_minhash_index(
@@ -63,10 +125,22 @@ def extend_minhash_index(
     content_col: str = "text",
 ) -> None:
     """Append a new shard's rows — existing files are never rewritten
-    (the IVF-index append regime)."""
+    (the IVF-index append regime). Empty shards are a no-op.
+
+    Crash order (the decon_index r11 discipline): sigs append BEFORE
+    bands. A signature with no band rows is inert — it can never become
+    a candidate — whereas the reverse order could leave band rows whose
+    verify signatures are missing, silently dropping true near-dups at
+    the inner sigs join. Re-running the extend repairs the crash state;
+    the duplicate sig/band rows a retry leaves are absorbed by the
+    probe (distinct-id bucket counts, distinct report)."""
+    if new_docs.isEmpty():
+        return
+    recover_staged_build(path)
+    _check_meta(path)
     bands, sigs = _index_rows(new_docs, id_col, content_col)
-    bands.write.mode("append").parquet(os.path.join(path, "bands"))
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    bands.write.mode("append").parquet(os.path.join(path, "bands"))
 
 
 def dedup_new_batch(
@@ -99,6 +173,19 @@ def dedup_new_batch(
     work, independent of shard count.
     """
     spark = new_docs.sparkSession
+    _check_meta(path)
+    if new_docs.isEmpty():
+        # empty shard -> empty report with the right schema (indexed_id
+        # typed from the index's own footer; no sketching work)
+        indexed_id_type = (
+            spark.read.parquet(os.path.join(path, "sigs"))
+            .schema["_id"].dataType.simpleString()
+        )
+        return new_docs.select(
+            F.col(id_col).alias("new_id"),
+            F.col(id_col).cast(indexed_id_type).alias("indexed_id"),
+            F.lit(0.0).alias("est_jaccard"),
+        ).limit(0)
     new_bands, new_sigs = _index_rows(new_docs, id_col, content_col)
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
 
@@ -106,7 +193,10 @@ def dedup_new_batch(
     good_keys = (
         stored_bands.join(F.broadcast(probe_keys), ["band_idx", "band_hash"])
         .groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_bn"))
+        # DISTINCT ids, not rows: a crashed-then-retried extend can
+        # leave duplicate band rows, which must not flip a legitimate
+        # bucket over the degenerate cap (still two-phase map-side)
+        .agg(F.countDistinct("_id").alias("_bn"))
         .filter(F.col("_bn") <= max_bucket)
         .select("band_idx", "band_hash")
     )
@@ -152,4 +242,8 @@ def dedup_new_batch(
             .alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        # distinct over the (tiny, candidate-bounded) report: duplicate
+        # sig rows from a crashed-then-retried extend carry identical
+        # estimates, so this collapses them instead of double-reporting
+        .distinct()
     )

@@ -25,16 +25,41 @@ operators/similarity.py::lloyd_ivf_topk, pinned by tests.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_build
 from .similarity import (
     assign_to_centroids_euclidean,
     lloyd_kmeans_centroids,
 )
+
+
+def _check_meta(path: str, dim: int | None) -> dict:
+    """Refuse silent corruption (the decon_index discipline, r11): a
+    dim mismatch makes the zip_with-based distance/cosine TRUNCATE
+    against the shorter array — plausible-looking garbage, no error.
+    Returns the stamp for callers that validate more."""
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"IVF index at {path} has no _meta.json stamp — refusing to "
+            "extend/search an index whose vector dim cannot be validated "
+            "(build_ivf_index writes the stamp since r11; a pre-r11 "
+            "index needs one rebuild)"
+        )
+    meta = json.load(open(meta_path))
+    if dim is not None and dim != meta["dim"]:
+        raise ValueError(
+            f"IVF index at {path} holds dim={meta['dim']} vectors, but "
+            f"this call supplies dim={dim} — zip_with would silently "
+            "truncate; wrong index or wrong embedding column"
+        )
+    return meta
 
 
 def build_ivf_index(
@@ -46,17 +71,32 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> None:
     """Train deterministic Lloyd's centroids, assign every vector, and
-    persist both tables. The vectors write is one shuffle on the
-    cluster key (the partitionBy); centroids are C rows."""
+    persist both tables plus a ``_meta.json`` stamp (dim, n_centroids —
+    extend/search validate against it). The vectors write is one
+    shuffle on the cluster key (the partitionBy); centroids are C rows.
+
+    The whole build lands in a STAGED directory and swaps in with two
+    renames (io_utils.begin/commit_staged_build): two in-place
+    overwrites would leave a crash window where NEW centroids prune OLD
+    assignments — probes read the wrong clusters, silently. Any crash
+    state converges at the next build/extend entry."""
+    first = emb.select(vec_col).head()
+    if first is None:
+        raise ValueError("cannot build an IVF index from an empty corpus")
+    dim = len(first[0])
+    staging = begin_staged_build(path)
+    with open(os.path.join(staging, "_meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_centroids": n_centroids}, f)
     cents = lloyd_kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cents.write.parquet(os.path.join(staging, "centroids"))
     # re-read so assignment uses exactly what a later extend will see
     # (parquet round-trip, not the in-flight plan)
-    stored = emb.sparkSession.read.parquet(os.path.join(path, "centroids"))
+    stored = emb.sparkSession.read.parquet(os.path.join(staging, "centroids"))
     assigned = assign_to_centroids_euclidean(emb, stored, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "vectors")
+    assigned.write.partitionBy("cluster").parquet(
+        os.path.join(staging, "vectors")
     )
+    commit_staged_build(path)
 
 
 def extend_ivf_index(
@@ -67,7 +107,15 @@ def extend_ivf_index(
 ) -> None:
     """Assign a new batch against the FROZEN centroids and append.
     Existing cluster partitions are never rewritten — dynamic append
-    only adds files to the partitions the batch lands in."""
+    only adds files to the partitions the batch lands in. Empty batches
+    are a no-op; the batch's dim is validated against the build stamp
+    (a mismatch would assign via silently-truncated distances). The
+    append is ONE write (all-or-nothing at job commit), so there is no
+    multi-table crash window here."""
+    if new_emb.isEmpty():
+        return
+    recover_staged_build(path)
+    _check_meta(path, len(new_emb.select(vec_col).head()[0]))
     spark = new_emb.sparkSession
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = assign_to_centroids_euclidean(new_emb, cents, id_col, vec_col)
@@ -91,7 +139,10 @@ def search_ivf_index(
     same class as the ANN training caps), then exact-cosine re-rank
     ONLY the probed clusters. The cluster membership test is a
     partition filter, so unprobed clusters are pruned at file-listing
-    time (asserted in tests via the input-file set)."""
+    time (asserted in tests via the input-file set). The query vector's
+    dim is validated against the build stamp (a mismatch would rank by
+    silently-truncated distances)."""
+    _check_meta(path, len(query_vec))
     cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     q = [float(x) for x in query_vec]
 

@@ -206,16 +206,20 @@ def test_missing_meta_stamp_refused(spark, index_path):
 
 
 def test_meta_stamp_written_before_data(spark, index_path, monkeypatch):
-    """Crash-order pin: if the build dies after its first data write,
-    the stamp must already be on disk (the reverse order would leave a
-    stamp-less index that bypasses validation forever). Kill the build
-    at the first parquet write and check."""
+    """Crash-order pin: if the build dies at its first data write, the
+    stamp must already be on disk IN THE STAGING DIR (the reverse order
+    could leave data with no stamp, bypassing validation forever) — and
+    since the whole build is staged (r11), the crash publishes NOTHING:
+    no index appears at the path, probe refuses loudly, and a re-run
+    build converges."""
     # patch the CONCRETE class — pyspark 4's classic DataFrame defines
     # its own `write` property shadowing pyspark.sql.DataFrame's
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
+    staging = index_path + ".build-staging"
+
     def _exploding_write(self):
-        assert os.path.exists(os.path.join(index_path, "_meta.json")), (
+        assert os.path.exists(os.path.join(staging, "_meta.json")), (
             "data write started before the _meta.json stamp landed"
         )
         raise RuntimeError("simulated crash at first data write")
@@ -224,10 +228,53 @@ def test_meta_stamp_written_before_data(spark, index_path, monkeypatch):
     with pytest.raises(RuntimeError, match="simulated crash"):
         build_decon_index(_df(spark, TRAIN), index_path)
     monkeypatch.undo()
-    # the crashed index is stamped but table-less: probe fails LOUDLY
-    # on the parquet read instead of silently returning nothing
-    with pytest.raises(Exception):
+    # nothing was published: no index dir, probe refuses loudly
+    assert not os.path.exists(index_path)
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
         probe_decon_index(_df(spark, TRAIN), index_path).collect()
+    # a re-run build sweeps the staging remnant and succeeds
+    build_decon_index(_df(spark, TRAIN), index_path)
+    assert not os.path.exists(staging)
+    evals = _df(spark, [(101, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0])])
+    assert probe_decon_index(evals, index_path).count() == 1
+
+
+def test_rebuild_crash_never_mixes_generations(spark, index_path, monkeypatch):
+    """The staged-swap contract (r11): a REBUILD that crashes mid-way
+    leaves the ORIGINAL index fully intact — never new bands over old
+    vectors (which would verify candidates against the wrong embeddings
+    silently). Kill the rebuild at its second data write and probe."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    build_decon_index(_df(spark, TRAIN), index_path)
+    evals = _df(spark, [(101, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0])])
+    before = {(r.eval_id, r.train_id, r.cosine)
+              for r in probe_decon_index(evals, index_path).collect()}
+
+    real_write = ClassicDF.write
+    calls = {"n": 0}
+
+    def _second_write_dies(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-rebuild")
+        return real_write.fget(self)
+
+    monkeypatch.setattr(ClassicDF, "write", property(_second_write_dies))
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        build_decon_index(
+            _df(spark, [(9, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0])]), index_path
+        )
+    monkeypatch.undo()
+    # the original generation is intact and untouched
+    after = {(r.eval_id, r.train_id, r.cosine)
+             for r in probe_decon_index(evals, index_path).collect()}
+    assert after == before
+    # the next (non-empty) lifecycle entry sweeps the dead staging
+    extend_decon_index(
+        _df(spark, [(9, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0])]), index_path
+    )
+    assert not os.path.exists(index_path + ".build-staging")
 
 
 def test_crashed_extend_retry_converges(spark, index_path):

@@ -117,3 +117,104 @@ def test_probe_drops_degenerate_index_buckets(spark, index_path):
         for r in dedup_new_batch(batch, index_path, max_bucket=5).collect()
     }
     assert got == {(900, i) for i in range(5)}
+
+
+def test_lifecycle_durability_r11(spark, index_path, tmp_path):
+    """The decon_index discipline applied here (r11): missing/mismatched
+    _meta.json refused, empty extend a no-op, empty probe schema-correct,
+    crashed-then-retried extend converges (sigs append first; duplicates
+    absorbed by distinct-id bucket counts + distinct report)."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        _index_rows,
+    )
+
+    build_minhash_index(_df(spark, CORPUS), index_path)
+    assert os.path.exists(os.path.join(index_path, "_meta.json"))
+
+    # missing stamp -> refusal on both lifecycle verbs
+    os.rename(
+        os.path.join(index_path, "_meta.json"), str(tmp_path / "stamp_bak")
+    )
+    shard = _df(spark, [(201, "a brand new document for the retry test here")])
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
+        extend_minhash_index(shard, index_path)
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
+        dedup_new_batch(shard, index_path)
+    # mismatched stamp (an index built under different sketch constants)
+    with open(os.path.join(index_path, "_meta.json"), "w") as f:
+        f.write('{"n_permutations": 16, "n_bands": 4, "shingle_k": 3, "hash_p": 7}')
+    with pytest.raises(ValueError, match="built with"):
+        dedup_new_batch(shard, index_path)
+    os.replace(str(tmp_path / "stamp_bak"), os.path.join(index_path, "_meta.json"))
+
+    # empty shard: extend no-op, probe returns the right (empty) shape
+    empty = _df(spark, []).filter(F.lit(False))
+    n_band_rows = spark.read.parquet(os.path.join(index_path, "bands")).count()
+    extend_minhash_index(empty, index_path)
+    assert (
+        spark.read.parquet(os.path.join(index_path, "bands")).count()
+        == n_band_rows
+    )
+    out = dedup_new_batch(empty, index_path)
+    assert out.columns == ["new_id", "indexed_id", "est_jaccard"]
+    assert out.count() == 0
+
+    # crashed extend (sigs landed, bands did not): orphan sigs are inert
+    bands, sigs = _index_rows(shard, "doc_id", "text")
+    sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
+    probe = _df(spark, [(301, "a brand new document for the retry test here")])
+    assert dedup_new_batch(probe, index_path).count() == 0
+    # the retry completes it; duplicate sig rows do not double-report
+    extend_minhash_index(shard, index_path)
+    rows = dedup_new_batch(probe, index_path).collect()
+    assert [(r.new_id, r.indexed_id, r.est_jaccard) for r in rows] == [(301, 201, 1.0)]
+    # a retry of a COMPLETED extend duplicates band rows too: the
+    # distinct-id bucket count keeps the bucket alive at max_bucket=1
+    extend_minhash_index(shard, index_path)
+    rows2 = dedup_new_batch(probe, index_path, max_bucket=1).collect()
+    assert [(r.new_id, r.indexed_id, r.est_jaccard) for r in rows2] == [(301, 201, 1.0)]
+
+
+def test_rebuild_crash_never_mixes_generations(spark, index_path, monkeypatch):
+    """A rebuild that dies between its two table writes must leave the
+    ORIGINAL index intact (staged swap) — never new bands over old
+    signatures, which would estimate against the wrong sketch silently."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    build_minhash_index(_df(spark, CORPUS), index_path)
+    probe = _df(spark, [(101, CORPUS[0][1])])
+    before = {(r.new_id, r.indexed_id, r.est_jaccard)
+              for r in dedup_new_batch(probe, index_path, threshold=0.5).collect()}
+
+    real_write = ClassicDF.write
+    calls = {"n": 0}
+
+    def _second_write_dies(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-rebuild")
+        return real_write.fget(self)
+
+    monkeypatch.setattr(ClassicDF, "write", property(_second_write_dies))
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        build_minhash_index(
+            _df(spark, [(9, "totally different corpus generation")]), index_path
+        )
+    monkeypatch.undo()
+    after = {(r.new_id, r.indexed_id, r.est_jaccard)
+             for r in dedup_new_batch(probe, index_path, threshold=0.5).collect()}
+    assert after == before
+    # the next lifecycle entry sweeps the dead staging
+    extend_minhash_index(
+        _df(spark, [(401, "one more shard to trigger the sweep now")]), index_path
+    )
+    assert not os.path.exists(index_path + ".build-staging")
+
+
+def test_empty_build_refused(spark, index_path):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_minhash_index(_df(spark, []).filter(F.lit(False)), index_path)

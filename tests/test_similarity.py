@@ -519,6 +519,78 @@ def test_ivf_index_extend_appends_without_rewrite(spark, sf_dir, tmp_path):
     assert got == exact
 
 
+def test_ivf_index_lifecycle_durability_r11(spark, sf_dir, tmp_path, monkeypatch):
+    """The decon/dedup-index discipline applied to the IVF index (r11):
+    _meta.json stamps dim + n_centroids (missing/mismatched dim refused
+    on extend AND search — zip_with would truncate silently), empty
+    build refused / empty extend a no-op, and a crashed REBUILD leaves
+    the original generation fully intact (staged swap) — never new
+    centroids pruning old assignments."""
+    import os
+
+    import pytest
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ivf_index(emb.filter(F.lit(False)), path)
+    build_ivf_index(emb, path, n_centroids=4, n_iters=1)
+    assert os.path.exists(os.path.join(path, "_meta.json"))
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # wrong-dim query / batch refused (silent zip_with truncation class)
+    with pytest.raises(ValueError, match="dim"):
+        search_ivf_index(spark, path, qvec[:3], k=5)
+    wrong_dim = emb.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        extend_ivf_index(wrong_dim, path)
+    # missing stamp refused
+    os.rename(os.path.join(path, "_meta.json"), str(tmp_path / "stamp_bak"))
+    with pytest.raises(ValueError, match="no _meta.json stamp"):
+        search_ivf_index(spark, path, qvec, k=5)
+    os.replace(str(tmp_path / "stamp_bak"), os.path.join(path, "_meta.json"))
+
+    # empty extend: no-op, no new files
+    files_before = set(spark.read.parquet(f"{path}/vectors").inputFiles())
+    extend_ivf_index(emb.filter(F.lit(False)), path)
+    assert set(spark.read.parquet(f"{path}/vectors").inputFiles()) == files_before
+
+    # crashed rebuild: original generation intact, next entry sweeps
+    before = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in search_ivf_index(spark, path, qvec, k=5, n_probe=2).collect()
+    ]
+    real_write = ClassicDF.write
+    calls = {"n": 0}
+
+    def _second_write_dies(self):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-rebuild")
+        return real_write.fget(self)
+
+    monkeypatch.setattr(ClassicDF, "write", property(_second_write_dies))
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        build_ivf_index(emb, path, n_centroids=8, n_iters=2)
+    monkeypatch.undo()
+    after = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in search_ivf_index(spark, path, qvec, k=5, n_probe=2).collect()
+    ]
+    assert after == before
+    extend_ivf_index(emb.limit(3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    ), path)
+    assert not os.path.exists(path + ".build-staging")
+
+
 # --- MMR re-ranking ------------------------------------------------------------
 
 
