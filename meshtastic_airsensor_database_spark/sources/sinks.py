@@ -169,6 +169,18 @@ def jdbc_table_sink(
 _SQL_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 
 
+def _speculation_enabled(spark) -> bool:
+    """spark.speculation is a context-level conf (not settable per
+    query); read it from the SparkContext the way the scheduler does."""
+    try:
+        return (
+            spark.sparkContext.getConf().get("spark.speculation", "false").lower()
+            == "true"
+        )
+    except Exception:  # pragma: no cover - exotic session wrappers
+        return False
+
+
 def jdbc_idempotent_table_sink(
     df: DataFrame,
     connection_factory,
@@ -209,6 +221,15 @@ def jdbc_idempotent_table_sink(
     Put an index on ``epoch_col`` so the replay DELETE is a range
     kill, not a table scan.
 
+    SPECULATION IS REFUSED: a speculative duplicate attempt that runs
+    to completion concurrently with the original commits the partition
+    TWICE — the kill of the losing attempt races with its commit, and
+    no replay erases the extra copy (the query never failed). A failed
+    attempt is safe (rollback-on-close), but two successful ones are
+    not, so the sink raises when ``spark.speculation`` is on rather
+    than documenting a foot-gun. Spark's own DataSource JDBC writer
+    has the same duplication exposure; it just doesn't check.
+
     Residual visibility caveat (documented, not hidden): the delete
     and the per-partition inserts are separate transactions, so a
     reader DURING a replay can observe the epoch partially absent /
@@ -232,6 +253,14 @@ def jdbc_idempotent_table_sink(
         raise ValueError(
             f"frame already has a {epoch_col!r} column — pick another "
             "epoch_col or drop it"
+        )
+    if _speculation_enabled(df.sparkSession):
+        raise ValueError(
+            "jdbc_idempotent_table_sink cannot run with "
+            "spark.speculation=true: a speculative duplicate attempt "
+            "that also reaches its commit appends the partition twice "
+            "and no replay erases it — disable speculation for the "
+            "session running this sink"
         )
 
     # 1) replay erasure: remove any previous (possibly partial)

@@ -571,6 +571,23 @@ def test_jdbc_idempotent_sink_task_retry_leaves_no_partial_commit(spark, tmp_pat
     assert got == rows5
 
 
+def test_jdbc_idempotent_sink_refuses_speculation(spark, tmp_path, monkeypatch):
+    """A speculative duplicate that ALSO reaches its commit appends the
+    partition twice and no replay erases it — the sink must refuse to
+    run under spark.speculation rather than document a foot-gun."""
+    import meshtastic_airsensor_database_spark.sources.sinks as sinks
+
+    monkeypatch.setattr(sinks, "_speculation_enabled", lambda s: True)
+    df = spark.createDataFrame([(1, 1.0)], "node int, value double")
+    with pytest.raises(ValueError, match="spark.speculation"):
+        sinks.jdbc_idempotent_table_sink(
+            df, _sqlite_factory(str(tmp_path / "spec.db")), "facts", batch_id=1
+        )
+    monkeypatch.undo()
+    # the real context-level read reports false on this test session
+    assert sinks._speculation_enabled(spark) is False
+
+
 def test_jdbc_idempotent_sink_rejects_unsafe_identifiers(spark, tmp_path):
     from meshtastic_airsensor_database_spark.sources.sinks import (
         jdbc_idempotent_table_sink,
