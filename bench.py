@@ -161,6 +161,12 @@ BENCH_QUERIES = [
     # precomputed literal sign matrix) carries the semantic-dedup cost
     # story on the headline set instead (r9 verdict #4).
     "semantic_contaminated_evals_strict",
+    # r11: the persisted indexes' build/extend/probe lifecycles — the
+    # cost story for the static-corpus-plus-deltas production regime
+    # (job-count-bound, many sequential jobs; HIGH_VARIANCE
+    # multi_job_latency on arrival)
+    "decon_index_report",
+    "ivf_index_topk",
 ]
 
 
@@ -191,6 +197,13 @@ HIGH_VARIANCE = {
     # latency probe before flagging.
     "vocab_encoded_docs": "multi_job_latency",
     "table_constraint_report": "multi_job_latency",
+    # r11: the persisted-index lifecycle queries run many SEQUENTIAL
+    # jobs per action (build staging writes + renames + extend append
+    # + probe scans), so their wall is per-job fixed cost, not data —
+    # classed on arrival rather than waiting for a flag (decon
+    # measured 6-7 s warm at BOTH sf0.001 and sf0.01: pure latency).
+    "decon_index_report": "multi_job_latency",
+    "ivf_index_topk": "multi_job_latency",
 }
 _EXTRA_REPS = 3
 

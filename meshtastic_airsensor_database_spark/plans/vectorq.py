@@ -2439,6 +2439,123 @@ GROUP BY eval_id
 SEMANTIC_CONTAMINATED_EVALS_STRICT_SQL = _semcon_strict_sql()
 
 
+def decon_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED decontamination index's full lifecycle under a
+    driver hash: build the sign-LSH band index over two thirds of the
+    train corpus, EXTEND it with the remaining shard (the incremental
+    path a static-corpus-plus-deltas production regime runs), then
+    probe the eval holdout — (eval_id, train_id, cosine) for every
+    banded candidate pair, cosine exact off the index's stored
+    vectors.
+
+    ``semantic_contaminated_evals_strict`` pins the banding MATH (same
+    shared sign_band_rows helper, same 8x10-bit parameters); what it
+    cannot pin is the operators/decon_index.py PERSISTENCE path — the
+    staged build + meta stamp + parquet round-trip + append-extend +
+    broadcast-probed index scans (r10's new tier, pytest-verified
+    until now). This query runs that actual lifecycle against a
+    throwaway index dir and returns the probe report, so the DuckDB
+    twin's hash check covers build/extend/probe end to end, the same
+    promotion cross_shard_neardup_probe gave the MinHash band index.
+    Threshold is -1.0 (report every candidate, not just contaminated
+    ones) because the synthetic corpus plants no >=0.9 cross pairs —
+    same rationale as the strict tier's unfiltered report.
+
+    Probe semantics the twin mirrors exactly: the degenerate-bucket
+    cap counts the STORED side only (the strict query caps the
+    combined banding — a real index knows nothing about future eval
+    shards), and the report is distinct over (eval_id, train_id,
+    cosine). Scale shape is the module's: the index is never
+    shuffled; probing costs three broadcast-probed index scans +
+    eval-sized work (plan-pinned in test_decon_index.py)."""
+    import os
+    import tempfile
+
+    from ..operators.decon_index import (
+        build_decon_index,
+        extend_decon_index,
+        probe_decon_index,
+    )
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    is_eval = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % SEMCON_EVAL_MOD
+        == 0
+    )
+    evals = emb.filter(is_eval)
+    train = emb.filter(~is_eval)
+    path = os.path.join(tempfile.mkdtemp(prefix="decon_idx_q_"), "idx")
+    build_decon_index(train.filter(F.col("vec_id") % 3 != 0), path)
+    extend_decon_index(train.filter(F.col("vec_id") % 3 == 0), path)
+    return probe_decon_index(evals, path, threshold=-1.0)
+
+
+def _decon_index_report_sql() -> str:
+    # identical per-plane md5 sign derivation to _semcon_strict_sql
+    # (the index uses the same shared banding helper and parameters);
+    # the CTE structure differs where the PROBE's semantics differ
+    # from the one-shot query's: the bucket cap partitions over the
+    # STORED (train) side only, and the output is the distinct
+    # candidate-pair report, not a per-eval aggregate.
+    band_exprs = []
+    for b in range(SEMCON_STRICT_BANDS):
+        terms = []
+        for j in range(SEMCON_STRICT_BAND_BITS):
+            p = b * SEMCON_STRICT_BAND_BITS + j
+            sign = (
+                "CASE WHEN (CAST(concat('0x', substr(md5("
+                f"'{HPLSH_ORACLE_SALT}:{p}:' || CAST(i - 1 AS VARCHAR)"
+                "), 1, 1)) AS INTEGER) & 1) = 1 THEN 1.0 ELSE -1.0 END"
+            )
+            proj = (
+                "list_sum(list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * ({sign})))"
+            )
+            terms.append(
+                f"CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) "
+                "ELSE 0 END"
+            )
+        band_exprs.append(
+            f"SELECT vec_id, is_eval, {b} AS band_idx,\n"
+            "       (" + "\n        + ".join(terms) + ") AS band_hash\n"
+            "  FROM bkt"
+        )
+    bands_raw = "\nUNION ALL\n".join(band_exprs)
+    cos = _DDB_COS.format(a="ea.v", b="eb.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id, v,
+         (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % {SEMCON_EVAL_MOD} = 0) AS is_eval
+  FROM e
+),
+bands_raw AS (
+{bands_raw}
+),
+tb AS (
+  SELECT vec_id, band_idx, band_hash FROM bands_raw WHERE NOT is_eval
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
+),
+p AS (
+  SELECT DISTINCT x.vec_id AS eval_id, y.vec_id AS train_id
+  FROM bands_raw x JOIN tb y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.is_eval
+)
+SELECT eval_id, train_id,
+       CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+FROM p JOIN e ea ON ea.vec_id = eval_id JOIN e eb ON eb.vec_id = train_id
+WHERE CAST(ROUND(CAST({cos} AS DECIMAL(38,9)), 4) AS DOUBLE) >= -1.0
+"""
+
+
+DECON_INDEX_REPORT_SQL = _decon_index_report_sql()
+
+
 # --- trained-centroid IVF ANN (deterministic Lloyd's; exact SQL twin) ---------
 
 ANN_N_CENTROIDS = 8
@@ -2524,6 +2641,104 @@ WHERE af.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, af.vec_id
 LIMIT {TOP_K}
 """
+
+
+def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index's full lifecycle under a driver hash:
+    train + build over the base corpus (every vec_id < n_centroids
+    plus two thirds of the rest — init needs the first-N vectors),
+    EXTEND with the remaining shard assigned against the FROZEN
+    centroids (the standard IVF continuous-ingestion regime), then
+    search the query vector through the partition-pruned probe.
+
+    ``ann_kmeans_ivf_topk`` pins the Lloyd's MATH; what it cannot pin
+    is the operators/vindex.py PERSISTENCE path — staged build, the
+    centroids parquet round-trip, the cluster-partitioned vectors
+    layout, append-extend against frozen centroids, and the
+    driver-side probe pick (pytest-verified until now). This query
+    runs that actual lifecycle against a throwaway index dir; the
+    DuckDB twin unrolls training over the BASE subset only and
+    assigns the shard against the final centroids, so a hash match
+    proves frozen-centroid extend semantics end to end (a twin that
+    trained on everything would catch it: the shard must not move the
+    centroids). Same promotion decon_index_report gives the decon
+    index."""
+    import os
+    import tempfile
+
+    from ..operators.vindex import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    in_base = (F.col("vec_id") % 3 != 2) | (
+        F.col("vec_id") < ANN_N_CENTROIDS
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_q_"), "idx")
+    build_ivf_index(
+        emb.filter(in_base), path,
+        n_centroids=ANN_N_CENTROIDS, n_iters=LLOYD_ITERS,
+    )
+    extend_ivf_index(emb.filter(~in_base), path)
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]
+    return search_ivf_index(
+        spark, path, [float(x) for x in qv],
+        k=TOP_K, n_probe=ANN_N_PROBE, exclude_id=QUERY_VEC_ID,
+    )
+
+
+def _ivf_index_topk_sql() -> str:
+    # the ann_kmeans_ivf_topk twin with training restricted to the
+    # BASE subset: assignments read their source table as a parameter
+    # because the extend shard is assigned against the FINAL centroids
+    # without participating in any training round.
+    def assign(cents: str, src: str, out: str) -> str:
+        d2 = _DDB_D2.format(a=f"{src}.v", b=f"{cents}.cv")
+        return f"""
+{out} AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT {src}.vec_id, {src}.v, {cents}.cid,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id ORDER BY {d2} ASC, {cents}.cid
+           ) AS rn
+    FROM {src}, {cents}
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v FROM e
+      WHERE vec_id % 3 <> 2 OR vec_id < {ANN_N_CENTROIDS}),
+s AS (SELECT vec_id, v FROM e
+      WHERE NOT (vec_id % 3 <> 2 OR vec_id < {ANN_N_CENTROIDS})),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM b
+       WHERE vec_id < {ANN_N_CENTROIDS}),
+{assign("c0", "b", "a1")},
+{_kmeans_sql_iter("a1", "c1", "m1")},
+{assign("c1", "b", "a2")},
+{_kmeans_sql_iter("a2", "c2", "m2")},
+{assign("c2", "b", "ab")},
+{assign("c2", "s", "ash")},
+af AS (SELECT * FROM ab UNION ALL SELECT * FROM ash),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cid AS cluster FROM c2, q
+  ORDER BY {_DDB_D2.format(a="c2.cv", b="q.qv")} ASC, c2.cid
+  LIMIT {ANN_N_PROBE}
+)
+SELECT af.vec_id, af.cluster,
+       CAST(ROUND(CAST({_DDB_COS.format(a="af.v", b="q.qv")}
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS cosine
+FROM af JOIN probe USING (cluster), q
+WHERE af.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, af.vec_id
+LIMIT {TOP_K}
+"""
+
+
+IVF_INDEX_TOPK_SQL = _ivf_index_topk_sql()
 
 
 # --- hyperplane-LSH buckets (derandomized md5 planes; exact SQL twin) ---------
@@ -4224,6 +4439,21 @@ QUERIES: list[Query] = [
           "bipartite band join, per-eval candidate/contamination "
           "counts (oracle re-derives the signs in SQL — parity pins "
           "the precompute-vs-in-plan equivalence)"),
+    Query("decon_index_report", decon_index_report,
+          DECON_INDEX_REPORT_SQL,
+          ("near_dedup", "similarity_search_topk"),
+          "the persisted decon index's full lifecycle (staged build "
+          "over 2/3 of train, append-extend with the rest, "
+          "broadcast-probed eval probe) returning the candidate-pair "
+          "report — the DuckDB twin hashes the parquet round-trip, "
+          "not just the banding math"),
+    Query("ivf_index_topk", ivf_index_topk, IVF_INDEX_TOPK_SQL,
+          ("similarity_search_topk",),
+          "the persisted IVF index's full lifecycle (staged "
+          "train+build over the base corpus, frozen-centroid "
+          "append-extend, partition-pruned probe + exact cosine "
+          "re-rank) — the twin trains on the base subset only, so "
+          "the hash pins frozen-extend semantics"),
     Query("hyperplane_lsh_bucket_sizes", hyperplane_lsh_bucket_sizes,
           HYPERPLANE_LSH_BUCKET_SIZES_SQL,
           ("similarity_search_topk", "near_dedup"),

@@ -459,3 +459,42 @@ def test_empty_inputs_handled_per_lifecycle_stage(spark, index_path):
     out = probe_decon_index(empty, index_path)
     assert out.columns == ["eval_id", "train_id", "cosine"]
     assert out.count() == 0
+
+
+def test_registered_lifecycle_query_equals_single_build(spark, sf_dir):
+    """The registered ``decon_index_report`` query (driver-hash
+    evidence for THIS module) must return exactly what a one-shot
+    build over the full train corpus returns — i.e. the 2/3-build +
+    1/3-extend split it runs internally is invisible in the report.
+    Catches any extend-path divergence (encoding, banding, append
+    clobber) the moment it would reach the driver's oracle gate."""
+    import tempfile
+
+    from meshtastic_airsensor_database_spark.io_utils import fan_out, load
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        SEMCON_EVAL_MOD,
+        decon_index_report,
+    )
+
+    got = {
+        (r.eval_id, r.train_id, r.cosine)
+        for r in decon_index_report(spark, sf_dir).collect()
+    }
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    is_eval = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % SEMCON_EVAL_MOD
+        == 0
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="decon_idx_t_"), "idx")
+    build_decon_index(emb.filter(~is_eval), path)
+    want = {
+        (r.eval_id, r.train_id, r.cosine)
+        for r in probe_decon_index(
+            emb.filter(is_eval), path, threshold=-1.0
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -647,3 +647,75 @@ def test_mmr_matches_python_greedy_reference(spark):
     # pure-relevance top-3
     diverse = mmr_rerank(pool, k=3, lam=0.3, mu=0.7)
     assert {g[1] for g in diverse} != {1, 2, 6}
+
+
+def test_registered_ivf_lifecycle_query_pins_frozen_extend(spark, sf_dir):
+    """The registered ``ivf_index_topk`` query (driver-hash evidence
+    for the PERSISTED path) must equal the in-memory composition of
+    the same semantics: Lloyd centroids trained on the BASE subset
+    only, base AND shard assigned against those frozen centroids,
+    partition-independent probe + exact cosine re-rank. Catches any
+    divergence between the parquet/partitionBy round-trip and the
+    declarative math — and, because the twin's training set excludes
+    the shard, any accidental retraining during extend."""
+    from meshtastic_airsensor_database_spark.operators.similarity import (
+        assign_to_centroids_euclidean,
+        lloyd_kmeans_centroids,
+    )
+    from meshtastic_airsensor_database_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        ANN_N_CENTROIDS,
+        ANN_N_PROBE,
+        LLOYD_ITERS,
+        QUERY_VEC_ID,
+        TOP_K,
+        ivf_index_topk,
+    )
+
+    got = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in ivf_index_topk(spark, sf_dir).collect()
+    ]
+
+    emb = load(spark, sf_dir, "embeddings")
+    in_base = (F.col("vec_id") % 3 != 2) | (F.col("vec_id") < ANN_N_CENTROIDS)
+    cents = lloyd_kmeans_centroids(
+        emb.filter(in_base), ANN_N_CENTROIDS, LLOYD_ITERS
+    )
+    assigned = assign_to_centroids_euclidean(emb, cents)
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    q = [float(x) for x in qv]
+    probed = [
+        int(r["cid"])
+        for r in sorted(
+            cents.collect(),
+            key=lambda r: (
+                sum((float(a) - b) ** 2 for a, b in zip(r["cv"], q)),
+                int(r["cid"]),
+            ),
+        )
+    ][:ANN_N_PROBE]
+    qcol = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    want = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in assigned.filter(F.col("cluster").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(
+                cosine_similarity(F.col("embedding"), qcol).cast(
+                    "decimal(38,9)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    ]
+    assert got == want and len(got) == TOP_K

@@ -111,8 +111,10 @@ SHOWCASE = [
     ("semantic_contaminated_evals", "semantic decontamination: narrow sign-LSH banding + capped band window, ONE bipartite band-key equi-join (eval x train cross product never materialized), exact cosine verify, per-eval agg"),
     # r10 addition
     ("semantic_contaminated_evals_strict", "production-threshold decontamination: 80 data-independent signs shipped as literal arrays (no per-row md5), sharp 10-bit bands, same single bipartite band join + exact verify"),
-    # r11 addition
+    # r11 additions
     ("replay_quarantine_view", "exactly-once quarantine reader: both delivery windows (per-delivery count, per-group best) share ONE (raw, epoch_tag) exchange; null-tag rows union in untouched"),
+    ("decon_index_report", "persisted decon index lifecycle: the probe plan is all broadcast hash joins against parquet scans of the just-built index — the index side is never shuffled (the staged build/extend jobs run before this final probe plan)"),
+    ("ivf_index_topk", "persisted IVF index lifecycle: the search plan is a partition-pruned scan of ONLY the probed clusters' directories + TakeOrdered — no join, no full-index read (the staged train/build/extend jobs run before this final search plan)"),
 ]
 
 
