@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     # multi_job_latency on arrival)
     "decon_index_report",
     "ivf_index_topk",
+    "minhash_index_report",
 ]
 
 
@@ -204,6 +205,7 @@ HIGH_VARIANCE = {
     # measured 6-7 s warm at BOTH sf0.001 and sf0.01: pure latency).
     "decon_index_report": "multi_job_latency",
     "ivf_index_topk": "multi_job_latency",
+    "minhash_index_report": "multi_job_latency",
 }
 _EXTRA_REPS = 3
 

@@ -58,6 +58,65 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 _MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
 
 
+# --- derandomized md5 MinHash sketch (the ORACLE-TWINNED tier) ----------------
+# xxhash64 has no DuckDB counterpart, so everything built on the scale
+# sketch above is pytest-verified; this md5 sketch is engine-neutral —
+# one digest per (salt, element) yields four independent u32 draws, so
+# 16 permutations cost 4 md5s — and every structure derived from it
+# (banding, matching-minima estimator) has an exact SQL twin. Shared
+# home since r11 (plans/vectorq.py's calibration/candidate queries and
+# operators/dedup_index.py's md5 index tier import from here).
+
+MHJ_PERMS = 16  # 4 md5 digests x 4 u32 windows per token
+MHJ_SALTS = [f"mhj{g}" for g in range(MHJ_PERMS // 4)]
+MH_CAND_BANDS = 4  # 16 permutations -> 4 bands of 4 minima
+
+
+def md5_minhash_sketch(
+    docs: DataFrame,
+    basis: str = "tokens",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(id, toks, mh0..mh15): the derandomized-md5 MinHash sketch. The
+    set basis is ``tokens`` (calibration: duplicate-heavy sets give the
+    estimator a full similarity spread) or 3-word ``shingles``
+    (candidates: near-unique per doc, so banding is selective — the
+    same basis the xxhash64 scale tier uses). Elements materialize
+    once; every HOF lambda captures only bare attributes (the
+    zipped_ngrams discipline)."""
+    from ..functions.text import tokens, word_shingles
+
+    if basis == "shingles":
+        elems = word_shingles(F.col(content_col), 3)
+    else:
+        elems = F.array_distinct(
+            tokens(F.coalesce(F.col(content_col), F.lit("")))
+        )
+    base = fan_out(docs).select(F.col(id_col).alias("doc_id"), elems.alias("_toks"))
+
+    # factories, not default-arg lambdas: F.transform dispatches on the
+    # callable's arity, so a (t, s=salt) lambda would be invoked as the
+    # two-arg (element, index) form and receive the INDEX as s
+    def _dig(salt: str):
+        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
+
+    def _u32(off: int):
+        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
+
+    for g, salt in enumerate(MHJ_SALTS):
+        base = base.withColumn(f"_dig{g}", F.transform(F.col("_toks"), _dig(salt)))
+    mh_cols = []
+    for g in range(len(MHJ_SALTS)):
+        for w in range(4):
+            mh_cols.append(
+                F.array_min(
+                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
+                ).alias(f"mh{4 * g + w}")
+            )
+    return base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
+
+
 def _perm_params(n_perm: int) -> list[tuple[int, int]]:
     # deterministic LCG-derived (a, b) pairs, a != 0
     params = []

@@ -49,8 +49,12 @@ from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_b
 from .dedup import (
     _MINHASH_P,
     MAX_BUCKET,
+    MH_CAND_BANDS,
+    MHJ_PERMS,
+    MHJ_SALTS,
     N_BANDS,
     N_PERMUTATIONS,
+    md5_minhash_sketch,
     minhash_bands,
     minhash_signature_df,
 )
@@ -61,15 +65,37 @@ from .dedup import (
 # MODULE CONSTANTS the sketch derives from, so an index built by an
 # older code version with different constants refuses loudly instead of
 # estimating garbage (the decon_index._check_meta discipline, r11).
-_META = {
-    "n_permutations": N_PERMUTATIONS,
-    "n_bands": N_BANDS,
-    "shingle_k": 3,
-    "hash_p": _MINHASH_P,
+# Two sketch tiers (r11): ``xxhash64`` is the scale default (one JVM
+# hash per shingle, 32 permutations); ``md5`` is the ORACLE-TWINNED
+# tier — the same derandomized digest sketch the oracle-pinned
+# calibration/candidate queries use (operators/dedup.py::
+# md5_minhash_sketch), so an md5 index's whole persisted lifecycle has
+# an exact DuckDB twin (the ``minhash_index_report`` registered query).
+# The stamp records which tier built the index; mixing tiers would put
+# band keys and minima in different spaces, so extend/probe dispatch on
+# the STAMP, never on a caller argument.
+_META_BY_SKETCH = {
+    "xxhash64": {
+        "sketch": "xxhash64",
+        "n_permutations": N_PERMUTATIONS,
+        "n_bands": N_BANDS,
+        "shingle_k": 3,
+        "hash_p": _MINHASH_P,
+    },
+    "md5": {
+        "sketch": "md5",
+        "n_permutations": MHJ_PERMS,
+        "n_bands": MH_CAND_BANDS,
+        "shingle_k": 3,
+        "salts": MHJ_SALTS,
+    },
 }
 
 
-def _check_meta(path: str) -> None:
+def _check_meta(path: str) -> str:
+    """Validate the stamp and return the index's sketch tier. A stamp
+    without a ``sketch`` key is a pre-r11 xxhash64 index (the only tier
+    that existed when those stamps were written)."""
     meta_path = os.path.join(path, "_meta.json")
     if not os.path.exists(meta_path):
         raise ValueError(
@@ -79,27 +105,66 @@ def _check_meta(path: str) -> None:
             "data since r11; a pre-r11 index needs one rebuild)"
         )
     meta = json.load(open(meta_path))
-    if meta != _META:
+    sketch = meta.get("sketch", "xxhash64")
+    expected = _META_BY_SKETCH.get(sketch)
+    if expected is None or {**{"sketch": "xxhash64"}, **meta} != expected:
         raise ValueError(
             f"minhash index at {path} was built with {meta}, but this "
-            f"code sketches with {_META} — the band keys/minima are a "
-            "different space; rebuild the index"
+            f"code sketches with {_META_BY_SKETCH} — the band keys/"
+            "minima are a different space; rebuild the index"
         )
+    return sketch
 
 
 def _index_rows(
-    docs: DataFrame, id_col: str, content_col: str
+    docs: DataFrame, id_col: str, content_col: str, sketch: str
 ) -> tuple[DataFrame, DataFrame]:
+    if sketch == "md5":
+        sk = md5_minhash_sketch(
+            docs, basis="shingles", id_col=id_col, content_col=content_col
+        )
+        sigs = sk.select(
+            F.col("doc_id").alias("_id"),
+            F.array(*[F.col(f"mh{k}") for k in range(MHJ_PERMS)]).alias("sig"),
+        )
+        rows_per_band = MHJ_PERMS // MH_CAND_BANDS
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                # ':'-joined decimal minima — byte-identical to the SQL
+                # twin's CAST(mh AS VARCHAR) || ':' || ... band key
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{rows_per_band * b + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(MH_CAND_BANDS)
+        ]
+        bands = sk.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(F.array(*band_structs)).alias("band"),
+        ).select("_id", "band.band_idx", "band.band_hash")
+        return bands, sigs
     sigs = minhash_signature_df(docs, id_col, content_col)
     bands = minhash_bands(docs, id_col, content_col)
     return bands, sigs
 
 
 def build_minhash_index(
-    docs: DataFrame, path: str, id_col: str = "doc_id", content_col: str = "text"
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    sketch: str = "xxhash64",
 ) -> None:
     """Sketch + band the corpus once and persist both tables, plus the
-    ``_meta.json`` sketch-parameter stamp.
+    ``_meta.json`` sketch-parameter stamp. ``sketch`` picks the tier:
+    ``xxhash64`` (default — cheapest per shingle, 32 permutations) or
+    ``md5`` (the oracle-twinned derandomized sketch, 16 permutations);
+    extend/probe read the tier from the stamp, never from the caller.
 
     The whole build lands in a STAGED directory and swaps in with two
     renames (io_utils.begin/commit_staged_build): two in-place
@@ -107,12 +172,16 @@ def build_minhash_index(
     signatures — candidates verified against the wrong sketch, silently
     wrong estimates. Any crash state converges at the next
     build/extend entry (``recover_staged_build``)."""
+    if sketch not in _META_BY_SKETCH:
+        raise ValueError(
+            f"sketch must be one of {sorted(_META_BY_SKETCH)}, got {sketch!r}"
+        )
     if docs.isEmpty():
         raise ValueError("cannot build a minhash index from an empty corpus")
     staging = begin_staged_build(path)
     with open(os.path.join(staging, "_meta.json"), "w") as f:
-        json.dump(_META, f)
-    bands, sigs = _index_rows(docs, id_col, content_col)
+        json.dump(_META_BY_SKETCH[sketch], f)
+    bands, sigs = _index_rows(docs, id_col, content_col, sketch)
     sigs.write.parquet(os.path.join(staging, "sigs"))
     bands.write.parquet(os.path.join(staging, "bands"))
     commit_staged_build(path)
@@ -137,8 +206,8 @@ def extend_minhash_index(
     if new_docs.isEmpty():
         return
     recover_staged_build(path)
-    _check_meta(path)
-    bands, sigs = _index_rows(new_docs, id_col, content_col)
+    sketch = _check_meta(path)
+    bands, sigs = _index_rows(new_docs, id_col, content_col, sketch)
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
     bands.write.mode("append").parquet(os.path.join(path, "bands"))
 
@@ -173,7 +242,7 @@ def dedup_new_batch(
     work, independent of shard count.
     """
     spark = new_docs.sparkSession
-    _check_meta(path)
+    sketch = _check_meta(path)
     if new_docs.isEmpty():
         # empty shard -> empty report with the right schema (indexed_id
         # typed from the index's own footer; no sketching work)
@@ -186,7 +255,7 @@ def dedup_new_batch(
             F.col(id_col).cast(indexed_id_type).alias("indexed_id"),
             F.lit(0.0).alias("est_jaccard"),
         ).limit(0)
-    new_bands, new_sigs = _index_rows(new_docs, id_col, content_col)
+    new_bands, new_sigs = _index_rows(new_docs, id_col, content_col, sketch)
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
 
     probe_keys = new_bands.select("band_idx", "band_hash").distinct()
@@ -224,6 +293,8 @@ def dedup_new_batch(
     pairs = stored_sigs.join(
         F.broadcast(with_new), stored_sigs["_id"] == F.col("indexed_id")
     )
+    # denominator = the sig's own length (32 xxhash64 / 16 md5), not a
+    # module constant: the estimator must follow the index's tier
     match_frac = (
         F.size(
             F.filter(
@@ -231,7 +302,7 @@ def dedup_new_batch(
                 lambda m: m,
             )
         ).cast("double")
-        / F.lit(float(N_PERMUTATIONS))
+        / F.size("sig").cast("double")
     )
     return (
         pairs.select(

@@ -37,7 +37,7 @@ _DRIVER_WINDOW_R11 = [
     # idempotent-sink single commit, decon-index lifecycle hardening)
     # touch NO registered query's plan — decon_index/maintenance are
     # not query-facing and quarantine_view itself is unchanged — so
-    # the window is the three new queries plus pure staleness refresh.
+    # the window is the four new queries plus pure staleness refresh.
     # -- r11 NEW queries: the exactly-once quarantine reader view on
     # the planted partial-then-complete delivery fixture (r10 verdict
     # #4 — the max-count/earliest-tie pick finally gets a driver
@@ -47,6 +47,7 @@ _DRIVER_WINDOW_R11 = [
     "replay_quarantine_view",
     "decon_index_report",
     "ivf_index_topk",
+    "minhash_index_report",
     # -- the 24 remaining r6-banked rows (latest driver evidence r6;
     # ordered by the r10 verdict's rotation queue)
     "hll_distinct_users_rollup",
@@ -73,8 +74,8 @@ _DRIVER_WINDOW_R11 = [
     "token_budget_selection",
     "value_equidepth_bins",
     "weighted_quality_sample",
-    # -- 23 of the 37 r7-banked rows (alphabetical through
-    # pacific_daily_counts; the remaining 14 lead the r12 queue)
+    # -- 22 of the 37 r7-banked rows (alphabetical through
+    # outage_episodes; the remaining 15 lead the r12 queue)
     "aligned_type_buckets",
     "asof_latest_view_value",
     "audio_fingerprint_exact",
@@ -97,7 +98,6 @@ _DRIVER_WINDOW_R11 = [
     "minhash_neardup_candidates",
     "monthly_order_trend",
     "outage_episodes",
-    "pacific_daily_counts",
 ]
 _DRIVER_WINDOW_R10 = [
     # Standing policy: {new or changed this round} ∪ {changed since
@@ -616,8 +616,8 @@ _DRIVER_WINDOW_R4 = [
 # driver row} ∪ family reps ∪ the oldest banked rows as refresh.
 # Rotation pool (green, banked, rotate back in when their plans
 # change): everything in _DRIVER_WINDOW_R5/_R4 not in _R6.
-# r12 rotation queue: the 14 r7-banked rows deferred this round
-# (parts_above_avg_price, pca_explained_variance,
+# r12 rotation queue: the 15 r7-banked rows deferred this round
+# (pacific_daily_counts, parts_above_avg_price, pca_explained_variance,
 # pca_power_component, pca_power_coords, pca_power_two_components,
 # pivot_priority_by_status, props_json_extract, quality_scores,
 # reading_gap_detect, region_supplier_revenue, rolling_avg_value,

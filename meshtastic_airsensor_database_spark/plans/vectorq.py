@@ -26,7 +26,15 @@ from ..functions.vectors import (
     sign_band_rows,
 )
 from ..io_utils import fan_out, load, materialize
-from ..operators.dedup import MAX_BUCKET, minhash_lsh_candidates, simhash_buckets
+from ..operators.dedup import (
+    MAX_BUCKET,
+    MH_CAND_BANDS,
+    MHJ_PERMS,
+    MHJ_SALTS,
+    md5_minhash_sketch as _md5_minhash_sketch,
+    minhash_lsh_candidates,
+    simhash_buckets,
+)
 from ..operators.similarity import (
     embedding_dim_stats,
     gram_moments,
@@ -1200,50 +1208,12 @@ def frequent_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- derandomized md5 MinHash sketch (shared by candidates + calibration) -----
 
-MHJ_PERMS = 16  # 4 md5 digests x 4 u32 windows per token
-MHJ_SALTS = [f"mhj{g}" for g in range(MHJ_PERMS // 4)]
+# the sketch itself (MHJ_* constants, _md5_minhash_sketch) lives in
+# operators/dedup.py since r11, shared with the persisted index's md5
+# tier and imported at the top; the oracle-budget sampling constants
+# are query-side concerns and stay here
 MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
 MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
-MH_CAND_BANDS = 4  # 16 permutations -> 4 bands of 4 minima
-
-
-def _md5_minhash_sketch(docs: DataFrame, basis: str = "tokens") -> DataFrame:
-    """(doc_id, toks, mh0..mh15): the derandomized-md5 MinHash sketch —
-    one digest per (salt, element) yields four independent u32 draws,
-    so 16 permutations cost 4 md5s. The set basis is ``tokens``
-    (calibration: duplicate-heavy sets give the estimator a full
-    similarity spread) or 3-word ``shingles`` (candidates: near-unique
-    per doc, so banding is selective — the same basis the xxhash64
-    scale tier uses). Elements materialize once; every HOF lambda
-    captures only bare attributes (the zipped_ngrams discipline)."""
-    from ..functions.text import tokens, word_shingles
-
-    if basis == "shingles":
-        elems = word_shingles(F.col("text"), 3)
-    else:
-        elems = F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
-    base = fan_out(docs).select("doc_id", elems.alias("_toks"))
-
-    # factories, not default-arg lambdas: F.transform dispatches on the
-    # callable's arity, so a (t, s=salt) lambda would be invoked as the
-    # two-arg (element, index) form and receive the INDEX as s
-    def _dig(salt: str):
-        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
-
-    def _u32(off: int):
-        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
-
-    for g, salt in enumerate(MHJ_SALTS):
-        base = base.withColumn(f"_dig{g}", F.transform(F.col("_toks"), _dig(salt)))
-    mh_cols = []
-    for g in range(len(MHJ_SALTS)):
-        for w in range(4):
-            mh_cols.append(
-                F.array_min(
-                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
-                ).alias(f"mh{4 * g + w}")
-            )
-    return base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
 
 
 # shared SQL fragments of the sketch twin
@@ -1500,6 +1470,109 @@ WHERE n_match >= {CROSS_SHARD_MIN_MATCH}
 
 
 CROSS_SHARD_NEARDUP_PROBE_SQL = _cross_shard_sql()
+
+
+def minhash_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED MinHash index's full lifecycle under a driver
+    hash: build the md5-tier index over half the even-id corpus,
+    EXTEND it with the other half, then probe the odd-id shard —
+    (new_id, indexed_id, est_jaccard) for every banded candidate.
+
+    ``cross_shard_neardup_probe`` pins the probe MATH (same sketch,
+    banding, cap, matching-minima estimator); what it cannot pin is
+    the operators/dedup_index.py PERSISTENCE path — staged build +
+    meta stamp + parquet round-trip + sigs-before-bands append-extend
+    (pytest-verified until now). The xxhash64 scale tier has no DuckDB
+    counterpart, which is exactly why the index grew the ORACLE-TWINNED
+    md5 sketch tier (r11): this query runs that tier's real lifecycle
+    against a throwaway dir, completing the set — all three persisted
+    indexes (minhash, decon, IVF) now carry oracle-gated lifecycles.
+    threshold=0.25 is the banding's structural floor (a band match
+    guarantees 4 of 16 matching minima), so the report carries every
+    candidate the index surfaces."""
+    import os
+    import tempfile
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+        extend_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    even = F.col("doc_id") % 2 == 0
+    path = os.path.join(tempfile.mkdtemp(prefix="mh_idx_q_"), "idx")
+    build_minhash_index(
+        docs.filter(even & (F.col("doc_id") % 4 == 0)), path, sketch="md5"
+    )
+    extend_minhash_index(docs.filter(even & (F.col("doc_id") % 4 != 0)), path)
+    return dedup_new_batch(docs.filter(~even), path, threshold=0.25)
+
+
+def _minhash_index_report_sql() -> str:
+    # the cross_shard twin's structure with the probe's OUTPUT shape
+    # (no n_match column, threshold filter on the rounded estimate) —
+    # the indexed side is the union of the build and extend halves, so
+    # the SQL needs no split: append-extend must be invisible.
+    from .textq import _SHINGLE_LIST_SQL
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band_idx, "
+            + " || ':' || ".join(
+                f"CAST(mh{4 * b + j} AS VARCHAR)" for j in range(4)
+            )
+            + f" AS band_hash FROM {src}"
+            for b in range(MH_CAND_BANDS)
+        )
+
+    n_match = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END"
+        for k in range(MHJ_PERMS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {_SHINGLE_LIST_SQL} AS toks
+  FROM documents
+),
+dig AS (
+  SELECT doc_id, toks,
+         {_MHJ_DIGS_SQL}
+  FROM base
+),
+sk AS (
+  SELECT doc_id,
+         {_MHJ_MINS_SQL}
+  FROM dig
+),
+ske AS (SELECT * FROM sk WHERE doc_id % 2 = 0),
+sko AS (SELECT * FROM sk WHERE doc_id % 2 = 1),
+ib_raw AS (
+{band_rows('ske')}
+),
+ib AS (
+  SELECT * FROM ib_raw
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= {MAX_BUCKET}
+),
+nb AS (
+{band_rows('sko')}
+),
+p AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS indexed_id
+  FROM nb n JOIN ib i
+    ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+)
+SELECT new_id, indexed_id,
+       CAST(ROUND(CAST(CAST({n_match} AS DOUBLE) / {float(MHJ_PERMS)}
+            AS DECIMAL(38,9)), 4) AS DOUBLE) AS est_jaccard
+FROM p JOIN sk a ON a.doc_id = new_id JOIN sk b ON b.doc_id = indexed_id
+WHERE CAST(ROUND(CAST(CAST({n_match} AS DOUBLE) / {float(MHJ_PERMS)}
+      AS DECIMAL(38,9)), 4) AS DOUBLE) >= 0.25
+"""
+
+
+MINHASH_INDEX_REPORT_SQL = _minhash_index_report_sql()
 
 
 def ml_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4447,6 +4520,15 @@ QUERIES: list[Query] = [
           "broadcast-probed eval probe) returning the candidate-pair "
           "report — the DuckDB twin hashes the parquet round-trip, "
           "not just the banding math"),
+    Query("minhash_index_report", minhash_index_report,
+          MINHASH_INDEX_REPORT_SQL,
+          ("near_dedup",),
+          "the persisted MinHash index's full lifecycle on its "
+          "oracle-twinned md5 sketch tier (staged build over half the "
+          "indexed corpus, sigs-before-bands append-extend with the "
+          "rest, broadcast-probed shard report) — the twin makes no "
+          "build/extend distinction, so append-extend must be "
+          "invisible in the hash"),
     Query("ivf_index_topk", ivf_index_topk, IVF_INDEX_TOPK_SQL,
           ("similarity_search_topk",),
           "the persisted IVF index's full lifecycle (staged "

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from meshtastic_airsensor_database_spark.operators.dedup_index import (
     build_minhash_index,
@@ -162,7 +163,7 @@ def test_lifecycle_durability_r11(spark, index_path, tmp_path):
     assert out.count() == 0
 
     # crashed extend (sigs landed, bands did not): orphan sigs are inert
-    bands, sigs = _index_rows(shard, "doc_id", "text")
+    bands, sigs = _index_rows(shard, "doc_id", "text", "xxhash64")
     sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
     probe = _df(spark, [(301, "a brand new document for the retry test here")])
     assert dedup_new_batch(probe, index_path).count() == 0
@@ -218,3 +219,65 @@ def test_empty_build_refused(spark, index_path):
 
     with pytest.raises(ValueError, match="empty corpus"):
         build_minhash_index(_df(spark, []).filter(F.lit(False)), index_path)
+
+
+def test_md5_tier_lifecycle_query_equals_single_build(spark, sf_dir):
+    """The registered ``minhash_index_report`` query (driver-hash
+    evidence for THIS module's md5 tier) must return exactly what a
+    one-shot md5 build over the full even-id corpus returns — the
+    half-build + half-extend split it runs internally is invisible in
+    the report. Catches any extend-path divergence before it reaches
+    the driver's oracle gate."""
+    import tempfile
+
+    from meshtastic_airsensor_database_spark.io_utils import load
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        minhash_index_report,
+    )
+
+    got = {
+        (r.new_id, r.indexed_id, r.est_jaccard)
+        for r in minhash_index_report(spark, sf_dir).collect()
+    }
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="mh_idx_t_"), "idx")
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path, sketch="md5"
+    )
+    want = {
+        (r.new_id, r.indexed_id, r.est_jaccard)
+        for r in dedup_new_batch(
+            docs.filter(F.col("doc_id") % 2 == 1), path, threshold=0.25
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sketch_tiers_never_mix(spark, index_path, tmp_path):
+    """An md5 index refuses an xxhash64-era stamp and vice versa —
+    extend/probe read the tier from the STAMP, so a caller cannot
+    accidentally append minima from the wrong hash family (the band
+    keys and signatures would live in different spaces, estimating
+    garbage instead of erroring)."""
+    import json as _json
+
+    build_minhash_index(_df(spark, CORPUS), index_path, sketch="md5")
+    meta_path = os.path.join(index_path, "_meta.json")
+    meta = _json.load(open(meta_path))
+    assert meta["sketch"] == "md5" and meta["n_permutations"] == 16
+    # md5 probe works end to end on the tiny corpus
+    shard = _df(spark, [(900, CORPUS[0][1])])
+    dup = dedup_new_batch(shard, index_path, threshold=0.8)
+    assert {(r.new_id, r.indexed_id) for r in dup.collect()} == {(900, CORPUS[0][0])}
+    assert dup.collect()[0].est_jaccard == 1.0
+    # forging the OTHER tier's stamp onto this index must refuse:
+    # the validator checks the stamp's internal consistency per tier,
+    # and a hand-mixed stamp (md5 perms under an xxhash64 kind) fails
+    with open(meta_path, "w") as f:
+        _json.dump({"sketch": "xxhash64", "n_permutations": 16,
+                    "n_bands": 4, "shingle_k": 3, "hash_p": 7}, f)
+    with pytest.raises(ValueError, match="built with"):
+        extend_minhash_index(shard, index_path)
+    with pytest.raises(ValueError, match="built with"):
+        dedup_new_batch(shard, index_path)

@@ -115,6 +115,7 @@ SHOWCASE = [
     ("replay_quarantine_view", "exactly-once quarantine reader: both delivery windows (per-delivery count, per-group best) share ONE (raw, epoch_tag) exchange; null-tag rows union in untouched"),
     ("decon_index_report", "persisted decon index lifecycle: the probe plan is all broadcast hash joins against parquet scans of the just-built index — the index side is never shuffled (the staged build/extend jobs run before this final probe plan)"),
     ("ivf_index_topk", "persisted IVF index lifecycle: the search plan is a partition-pruned scan of ONLY the probed clusters' directories + TakeOrdered — no join, no full-index read (the staged train/build/extend jobs run before this final search plan)"),
+    ("minhash_index_report", "persisted MinHash index lifecycle (md5 oracle tier): the probe plan is all broadcast hash joins against parquet scans of the just-built index — the index side is never shuffled (the staged build/extend jobs run before this final probe plan)"),
 ]
 
 
