@@ -35,6 +35,12 @@ sketch parameters and extend/probe refuse a missing or mismatched
 stamp, extend appends sigs before bands (the only crash state is
 inert), and the probe absorbs a retried extend's duplicates
 (distinct-id bucket counts, distinct report).
+
+Sketch tiers (r11): ``xxhash64`` (default, cheapest per shingle) and
+``md5`` — the oracle-twinned derandomized sketch shared with the
+calibration/candidate queries, giving the whole persisted lifecycle an
+exact DuckDB twin via the registered ``minhash_index_report`` query.
+The stamp records the tier; extend/probe dispatch on it.
 """
 
 from __future__ import annotations
