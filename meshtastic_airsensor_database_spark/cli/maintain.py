@@ -11,6 +11,8 @@ Postgres vacuums itself — a parquet lake needs the engine to do it).
     python -m meshtastic_airsensor_database_spark.cli.maintain \
         recover-erasure FACT_PATH
     python -m meshtastic_airsensor_database_spark.cli.maintain \
+        erase-index INDEX_PATH --ids 1,2,3 [--id-type auto]
+    python -m meshtastic_airsensor_database_spark.cli.maintain \
         expire-snapshots PATH [--keep-last 2]
 
 One JSON report line per run on stdout — the scriptable form of the
@@ -96,6 +98,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     rc.add_argument("fact_path")
 
+    ei = sub.add_parser(
+        "erase-index",
+        help="right-to-erasure over a persisted index directory "
+        "(dedup_index / decon_index / vindex subtables)",
+    )
+    ei.add_argument("index_path")
+    ei.add_argument(
+        "--ids", required=True,
+        help="comma-separated subject ids to remove from every subtable",
+    )
+    ei.add_argument(
+        "--id-type",
+        choices=["auto", "int", "float", "str"],
+        default="auto",
+        help="how to type each id for the column comparison",
+    )
+
     ex = sub.add_parser(
         "expire-snapshots", help="drop old versioned-corpus snapshots"
     )
@@ -168,6 +187,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 }
             )
         )
+    elif args.cmd == "erase-index":
+        from ..sources.maintenance import erase_from_index
+
+        rep = erase_from_index(
+            spark,
+            args.index_path,
+            [_typed(v, args.id_type) for v in args.ids.split(",")],
+        )
+        print(json.dumps({"cmd": args.cmd, **dataclasses.asdict(rep)}))
     else:  # erase-key
         from ..sources.maintenance import erase_key
 

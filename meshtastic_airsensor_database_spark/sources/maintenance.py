@@ -695,3 +695,174 @@ def compact_index(
             continue
         out[name] = compact_unpartitioned(spark, sub, target_mb, small_file_mb)
     return out
+
+
+# --- right-to-erasure for persisted indexes (r11) -----------------------------
+
+
+@dataclass(frozen=True)
+class IndexErasureReport:
+    removed: dict[str, int]  # subtable -> rows removed
+    partitions_rewritten: int  # partitioned subtables (vindex vectors)
+    partitions_removed: int  # wholly-owned partition dirs deleted
+    skipped: tuple[str, ...]  # subtables with no id column (aggregates)
+
+
+def _erase_unpartitioned_rows(
+    spark: SparkSession, path: str, ids: list, id_col: str
+) -> int:
+    """Staged filtered rewrite of one unpartitioned subtable (the
+    compact_unpartitioned swap discipline — staging + trash renames,
+    every crash state converged by ``_recover_compaction`` at entry).
+    Row-count verified: staged == before - subject, or the original is
+    left untouched. A zero-subject table is a NOOP (one columnar count
+    of the id column, no rewrite). Returns rows removed."""
+    import shutil
+
+    _recover_compaction(path)
+    df = spark.read.parquet(path)
+    subject = F.col(id_col).isin(ids)
+    n_subject = df.filter(subject).count()
+    if n_subject == 0:
+        return 0
+    n_before = df.count()
+    staging = path + ".compact-staging"
+    trash = path + ".compact-trash"
+    df.filter(~subject).write.parquet(staging)
+    n_staged = spark.read.parquet(staging).count()
+    if n_staged != n_before - n_subject:  # pragma: no cover - defensive
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"index erasure row-count mismatch under {path}: expected "
+            f"{n_before - n_subject}, staged {n_staged}; original left "
+            "untouched"
+        )
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n_subject
+
+
+def erase_from_index(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    id_cols: tuple[str, ...] = ("_id", "vec_id"),
+) -> IndexErasureReport:
+    """Right-to-erasure for a persisted index directory: remove every
+    row carrying one of ``ids`` from every subtable that stores
+    per-subject rows. ``erase_key`` scrubs the fact lake; a subject's
+    data ALSO lives in the indexes built over it — dedup_index's
+    bands/sigs, decon_index's bands/vecs (unpartitioned, id ``_id``),
+    vindex's cluster-partitioned vectors (id ``vec_id``) — and an
+    erasure that stops at the facts leaves the subject discoverable by
+    every probe. ``ids`` is an erasure request: subject-sized and
+    driver-known (the erase_key regime), shipped as an ``isin``
+    literal.
+
+    Mechanics per subtable, reusing the maintenance disciplines:
+
+    - UNpartitioned: staged filtered rewrite with staging + trash
+      renames and row-count verification (``_recover_compaction``
+      converges every crash state at entry); zero-subject tables are
+      noops that never rewrite a byte.
+    - Partitioned (``key=value`` children): partition-SELECTIVE — the
+      affected partitions come from a columnar (id, partition)
+      projection, only they are rewritten via dynamic partition
+      overwrite, and partitions wholly owned by the subject are
+      removed at the filesystem level (dynamic overwrite cannot write
+      an empty partition — the ``_erase_fact_rows`` lesson). Healthy
+      partitions are never read or touched.
+    - Subtables with NO id column (vindex's ``centroids``) are skipped
+      and reported: trained centroids are statistical AGGREGATES
+      (per-dimension means), not per-subject rows — the subject's
+      residual influence on centroid coordinates is the same
+      retractability question ``erase_key`` documents for sketch
+      rollups; a caller under a strict interpretation rebuilds the
+      index (``build_ivf_index``) after erasure.
+
+    Ordering: unpartitioned DATA tables (sigs/vecs) are erased before
+    their BAND tables — a crash in between leaves band rows whose
+    verify rows are gone, which makes the subject UNREPORTABLE (the
+    inner verify join drops it), i.e. the crash state already honors
+    the erasure; the re-run cleans the rest. Idempotent throughout: a
+    second run finds zero subject rows everywhere and touches nothing.
+
+    Cost honesty: an UNpartitioned subtable has no subject-aligned
+    layout, so a positive erase rewrites the WHOLE subtable (the
+    noop check itself is only a columnar id scan). Batch erasure
+    requests into one call where regulation allows — each call's
+    rewrite cost is the subtable's size, not the request's; only the
+    cluster-partitioned vectors table erases proportionally to the
+    subject's footprint.
+    """
+    sub_names = sorted(
+        n
+        for n in os.listdir(path)
+        if os.path.isdir(os.path.join(path, n))
+        and not n.endswith((".compact-staging", ".compact-trash"))
+    )
+    # bands LAST (see ordering note); relative order otherwise stable
+    sub_names.sort(key=lambda n: (n == "bands", n))
+    removed: dict[str, int] = {}
+    skipped: list[str] = []
+    parts_rewritten = 0
+    parts_removed = 0
+    for name in sub_names:
+        sub = os.path.join(path, name)
+        children = os.listdir(sub)
+        partitioned = [
+            c for c in children if "=" in c and os.path.isdir(os.path.join(sub, c))
+        ]
+        if not partitioned and not any(c.endswith(".parquet") for c in children):
+            continue
+        df = spark.read.parquet(sub)
+        id_col = next((c for c in id_cols if c in df.columns), None)
+        if id_col is None:
+            skipped.append(name)
+            continue
+        if partitioned:
+            partition_by = partitioned[0].split("=", 1)[0]
+            subject = F.col(id_col).isin(ids)
+            affected = [
+                str(r["_pv"])
+                for r in df.filter(subject)
+                .select(F.col(partition_by).cast("string").alias("_pv"))
+                .distinct()
+                .collect()
+            ]
+            if not affected:
+                removed[name] = 0
+                continue
+            n_subject = df.filter(subject).count()
+            kept = df.filter(
+                F.col(partition_by).cast("string").isin(affected)
+            ).filter(~subject)
+            kept = kept.localCheckpoint(eager=True)  # reads the path it overwrites
+            nonempty = {
+                str(r["_pv"])
+                for r in kept.select(
+                    F.col(partition_by).cast("string").alias("_pv")
+                )
+                .distinct()
+                .collect()
+            }
+            if nonempty:
+                _overwrite_partitions(
+                    kept.filter(
+                        F.col(partition_by).cast("string").isin(list(nonempty))
+                    ),
+                    sub,
+                    partition_by,
+                )
+            parts_rewritten += len(nonempty)
+            parts_removed += _drop_partition_dirs(
+                spark, sub, partition_by,
+                [pv for pv in affected if pv not in nonempty],
+            )
+            removed[name] = n_subject
+        else:
+            removed[name] = _erase_unpartitioned_rows(spark, sub, ids, id_col)
+    return IndexErasureReport(
+        removed, parts_rewritten, parts_removed, tuple(skipped)
+    )

@@ -458,3 +458,36 @@ def test_maintain_cli_compact_partitions(spark, tmp_path, capsys):
     assert rep["partitions_compacted"] == 1
     assert rep["files_after"] < rep["files_before"]
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_maintain_cli_erase_index(spark, tmp_path, capsys):
+    """erase-index over a persisted decon index: JSON report with
+    per-subtable removal counts, and the probe is blind to the subject
+    afterward (the library test pins semantics; here the CLI wiring +
+    id typing + report shape)."""
+    import json
+
+    from meshtastic_airsensor_database_spark.cli.maintain import main as mmain
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+        probe_decon_index,
+    )
+
+    idx = str(tmp_path / "decon_idx")
+
+    def emb(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    build_decon_index(
+        emb([(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]), idx
+    )
+    assert mmain(["erase-index", idx, "--ids", "1"], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "erase-index"
+    assert rep["removed"]["vecs"] == 1 and rep["removed"]["bands"] > 0
+    assert rep["skipped"] == []
+    probe = emb([(100, [2.0, 0.0, 0.0, 0.0]), (101, [0.0, 3.0, 0.0, 0.0])])
+    assert {
+        (r.eval_id, r.train_id)
+        for r in probe_decon_index(probe, idx).collect()
+    } == {(101, 2)}

@@ -544,3 +544,192 @@ def test_compact_partitions_preserves_ivf_search(spark, tmp_path, sf_dir):
         tuple(r) for r in search_ivf_index(spark, path, q, k=10).collect()
     ]
     assert after == before
+
+
+def test_erase_from_index_scrubs_minhash_and_decon(spark, tmp_path):
+    """Erasing a subject's ids from a persisted index makes every probe
+    blind to it, removes its rows from every subtable, and leaves other
+    subjects' rows (and results) intact."""
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+        probe_decon_index,
+    )
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    # minhash: two indexed docs, a shard duplicating both
+    mh = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "meshtastic nodes report air quality telemetry every minute"),
+        ],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, mh, sketch="md5")
+    shard = spark.createDataFrame(
+        [(901, docs.collect()[0].text), (902, docs.collect()[1].text)],
+        "doc_id long, text string",
+    )
+    before = {
+        (r.new_id, r.indexed_id)
+        for r in dedup_new_batch(shard, mh, threshold=0.8).collect()
+    }
+    assert before == {(901, 1), (902, 2)}
+    rep = erase_from_index(spark, mh, [1])
+    assert rep.removed["sigs"] == 1 and rep.removed["bands"] == 4
+    assert rep.skipped == ()
+    after = {
+        (r.new_id, r.indexed_id)
+        for r in dedup_new_batch(shard, mh, threshold=0.8).collect()
+    }
+    assert after == {(902, 2)}  # erased subject gone, other intact
+    # idempotent: second run removes nothing
+    rep2 = erase_from_index(spark, mh, [1])
+    assert rep2.removed == {"bands": 0, "sigs": 0}
+
+    # decon: parallel-vector contamination pair, then erase the train id
+    dc = str(tmp_path / "dc_idx")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    build_decon_index(emb, dc)
+    probe = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0, 0.0]), (101, [0.0, 3.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert {
+        (r.eval_id, r.train_id)
+        for r in probe_decon_index(probe, dc).collect()
+    } == {(100, 1), (101, 2)}
+    erase_from_index(spark, dc, [1])
+    assert {
+        (r.eval_id, r.train_id)
+        for r in probe_decon_index(probe, dc).collect()
+    } == {(101, 2)}
+
+
+def test_erase_from_index_vindex_is_partition_selective(spark, tmp_path):
+    """vindex: only the subject's cluster partitions are rewritten
+    (healthy partition files byte-untouched), a cluster wholly owned by
+    the subject is REMOVED at the filesystem level, and the aggregate
+    centroids table is skipped with a report."""
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    idx = str(tmp_path / "ivf_idx")
+    # 2 centroids (ids 0,1); id 10 joins cluster 0's corner, id 11
+    # cluster 1's; id 0/1 are the init vectors themselves
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (10, [0.1, 0.0]),
+            (11, [10.0, 9.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(emb, idx, n_centroids=2, n_iters=1)
+    vec_dir = os.path.join(idx, "vectors")
+    parts = sorted(d for d in os.listdir(vec_dir) if d.startswith("cluster="))
+    assert len(parts) == 2
+    hits = {
+        r.vec_id
+        for r in search_ivf_index(spark, idx, [0.0, 0.0], k=4, n_probe=2).collect()
+    }
+    assert hits == {0, 1, 10, 11}
+
+    # files of the cluster NOT containing vec 10 must stay byte-identical
+    def part_files(p):
+        d = os.path.join(vec_dir, p)
+        return {
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    owner = {}
+    rows = spark.read.parquet(vec_dir).select("vec_id", "cluster").collect()
+    for r in rows:
+        owner.setdefault(int(r.cluster), set()).add(r.vec_id)
+    c10 = next(c for c, ids in owner.items() if 10 in ids)
+    healthy_part = next(p for p in parts if p != f"cluster={c10}")
+    healthy_before = part_files(healthy_part)
+
+    rep = erase_from_index(spark, idx, [10])
+    assert rep.removed["vectors"] == 1
+    assert rep.skipped == ("centroids",)
+    assert rep.partitions_rewritten == 1 and rep.partitions_removed == 0
+    assert part_files(healthy_part) == healthy_before
+    assert {
+        r.vec_id
+        for r in search_ivf_index(spark, idx, [0.0, 0.0], k=4, n_probe=2).collect()
+    } == {0, 1, 11}
+
+    # erase the remaining sole occupant of cluster c10's partner rows:
+    # wiping every member of a cluster must DELETE its directory
+    sole = owner[c10] - {10}
+    rep2 = erase_from_index(spark, idx, list(sole))
+    assert rep2.partitions_removed == 1
+    assert not os.path.exists(os.path.join(vec_dir, f"cluster={c10}"))
+    assert {
+        r.vec_id
+        for r in search_ivf_index(spark, idx, [0.0, 0.0], k=4, n_probe=2).collect()
+    } == {0, 1, 11} - sole
+
+
+def test_erase_from_index_noop_and_crash_convergence(spark, tmp_path):
+    """An absent subject rewrites nothing (file mtimes untouched), and
+    a leftover crashed staging dir converges at the next erase entry
+    (the shared _recover_compaction discipline)."""
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    mh = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, mh, sketch="md5")
+
+    def table_files(name):
+        d = os.path.join(mh, name)
+        return {
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {n: table_files(n) for n in ("bands", "sigs")}
+    rep = erase_from_index(spark, mh, [999])
+    assert rep.removed == {"bands": 0, "sigs": 0}
+    assert {n: table_files(n) for n in ("bands", "sigs")} == before
+
+    # simulate a crash mid-rewrite: stray staging dir under sigs
+    staging = os.path.join(mh, "sigs") + ".compact-staging"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    rep2 = erase_from_index(spark, mh, [1])
+    assert rep2.removed["sigs"] == 1
+    assert not os.path.exists(staging)
+    shard = spark.createDataFrame(
+        [(901, docs.collect()[0].text)], "doc_id long, text string"
+    )
+    assert dedup_new_batch(shard, mh, threshold=0.8).count() == 0

@@ -777,6 +777,27 @@ def main() -> None:
                             "shard_rows": n_shard}
     assert dups >= n_shard // 100, (dups, n_shard)
     shutil.rmtree(mh_path, ignore_errors=True)
+    # r11: the md5 ORACLE tier of the same lifecycle at factor-x — 4
+    # md5 digests per shingle instead of one xxhash64 per shingle, so
+    # the build delta quantifies what SQL-twinnability costs (the tier
+    # exists for oracle-gated lifecycles, not as the scale default).
+    # Probe semantics are identical (matching-minima estimator over
+    # the tier's own 16 perms), so the planted shard must surface here
+    # too; probe cost must stay shard+scan-shaped like the main tier.
+    md5_path = "/tmp/spark_graft_scale_mhindex_md5"
+    shutil.rmtree(md5_path, ignore_errors=True)
+    spark._jvm.System.gc()
+    t0 = time.time()
+    build_minhash_index(docs, md5_path, sketch="md5")
+    out["mhindex_md5_build"] = {"sec": round(time.time() - t0, 2),
+                                "rows": n_docs}
+    spark._jvm.System.gc()
+    t0 = time.time()
+    dups_md5 = dedup_new_batch(shard, md5_path, threshold=0.9).count()
+    out["mhindex_md5_probe"] = {"sec": round(time.time() - t0, 2),
+                                "rows": dups_md5, "shard_rows": n_shard}
+    assert dups_md5 >= n_shard // 100, (dups_md5, n_shard)
+    shutil.rmtree(md5_path, ignore_errors=True)
     # r8: the two exact regression twins at factor-x (r7 verdict item
     # 7). Both are latency-bound at sf0.01 (fixed #jobs: linreg is ONE
     # 15-moment aggregate; logreg is LOGREG_ITERS+2 single-row
