@@ -1216,6 +1216,22 @@ MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
 MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
 
 
+def _ephemeral_dir(prefix: str) -> str:
+    """Session-lifetime temp dir for the index-lifecycle queries. The
+    returned DataFrame lazily scans the dir, so it cannot be removed at
+    query-build time, and an eager checkpoint would erase the probe
+    plan EXPLAIN.md exists to show; atexit bounds the residue to the
+    process lifetime instead — bench reps and driver sweeps clean up
+    on exit rather than accumulating throwaway indexes under /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # shared SQL fragments of the sketch twin
 _MHJ_DIGS_SQL = ",\n         ".join(
     f"list_transform(toks, t -> md5('{salt}:' || t)) AS dig{g}"
@@ -1491,7 +1507,6 @@ def minhash_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees 4 of 16 matching minima), so the report carries every
     candidate the index surfaces."""
     import os
-    import tempfile
 
     from ..operators.dedup_index import (
         build_minhash_index,
@@ -1501,7 +1516,7 @@ def minhash_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     even = F.col("doc_id") % 2 == 0
-    path = os.path.join(tempfile.mkdtemp(prefix="mh_idx_q_"), "idx")
+    path = os.path.join(_ephemeral_dir("mh_idx_q_"), "idx")
     build_minhash_index(
         docs.filter(even & (F.col("doc_id") % 4 == 0)), path, sketch="md5"
     )
@@ -2542,7 +2557,6 @@ def decon_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled; probing costs three broadcast-probed index scans +
     eval-sized work (plan-pinned in test_decon_index.py)."""
     import os
-    import tempfile
 
     from ..operators.decon_index import (
         build_decon_index,
@@ -2560,7 +2574,7 @@ def decon_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evals = emb.filter(is_eval)
     train = emb.filter(~is_eval)
-    path = os.path.join(tempfile.mkdtemp(prefix="decon_idx_q_"), "idx")
+    path = os.path.join(_ephemeral_dir("decon_idx_q_"), "idx")
     build_decon_index(train.filter(F.col("vec_id") % 3 != 0), path)
     extend_decon_index(train.filter(F.col("vec_id") % 3 == 0), path)
     return probe_decon_index(evals, path, threshold=-1.0)
@@ -2737,7 +2751,6 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids). Same promotion decon_index_report gives the decon
     index."""
     import os
-    import tempfile
 
     from ..operators.vindex import (
         build_ivf_index,
@@ -2749,7 +2762,7 @@ def ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_base = (F.col("vec_id") % 3 != 2) | (
         F.col("vec_id") < ANN_N_CENTROIDS
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_q_"), "idx")
+    path = os.path.join(_ephemeral_dir("ivf_idx_q_"), "idx")
     build_ivf_index(
         emb.filter(in_base), path,
         n_centroids=ANN_N_CENTROIDS, n_iters=LLOYD_ITERS,

@@ -304,22 +304,23 @@ def _repair_rollup(
     return mode
 
 
-def _erase_fact_rows(
+def _rewrite_partitions_without(
     spark: SparkSession,
-    fact_path: str,
+    path: str,
     partition_by: str,
-    key_col: str,
-    key_value,
+    subject,
     affected: list[str],
 ) -> tuple[int, int]:
-    """Phase 2: rewrite the affected partitions without the subject's
-    rows (dynamic partition overwrite), removing wholly-owned partition
-    dirs at the filesystem level. Idempotent: with the subject already
-    gone, every affected partition rewrites to itself. Returns
-    (partitions_rewritten, partitions_removed)."""
-    facts = spark.read.parquet(fact_path)
-    subject = F.col(key_col).eqNullSafe(F.lit(key_value))
-    kept = facts.filter(
+    """Shared tail of BOTH erasure paths (facts and indexes): rewrite
+    the affected partitions without the subject's rows (dynamic
+    partition overwrite), removing wholly-owned partition dirs at the
+    filesystem level. Idempotent: with the subject already gone, every
+    affected partition rewrites to itself. The caller owns the subject
+    predicate — it must be NULL-SAFE (a NULL id row must evaluate
+    subject=False, never NULL, or ``~subject`` silently drops it from
+    the rewrite). Returns (partitions_rewritten, partitions_removed)."""
+    df = spark.read.parquet(path)
+    kept = df.filter(
         F.col(partition_by).cast("string").isin(affected)
     ).filter(~subject)
     kept = kept.localCheckpoint(eager=True)  # plan reads the path it overwrites
@@ -332,13 +333,32 @@ def _erase_fact_rows(
     if nonempty:
         _overwrite_partitions(
             kept.filter(F.col(partition_by).cast("string").isin(list(nonempty))),
-            fact_path,
+            path,
             partition_by,
         )
     removed = _drop_partition_dirs(
-        spark, fact_path, partition_by, [pv for pv in affected if pv not in nonempty]
+        spark, path, partition_by, [pv for pv in affected if pv not in nonempty]
     )
     return len(nonempty), removed
+
+
+def _erase_fact_rows(
+    spark: SparkSession,
+    fact_path: str,
+    partition_by: str,
+    key_col: str,
+    key_value,
+    affected: list[str],
+) -> tuple[int, int]:
+    """Phase 2 of ``erase_key``: the shared partition rewrite with the
+    fact subject predicate (eqNullSafe — NULL-safe by construction)."""
+    return _rewrite_partitions_without(
+        spark,
+        fact_path,
+        partition_by,
+        F.col(key_col).eqNullSafe(F.lit(key_value)),
+        affected,
+    )
 
 
 def recover_erasure(spark: SparkSession, fact_path: str) -> ErasureReport | None:
@@ -708,6 +728,15 @@ class IndexErasureReport:
     skipped: tuple[str, ...]  # subtables with no id column (aggregates)
 
 
+def _null_safe_isin(id_col: str, ids: list):
+    """Subject predicate for erasure: NULL ids are NEVER the subject.
+    Bare ``isin`` is three-valued — NULL.isin(...) is NULL, and
+    ``~NULL`` is NULL, so a filter(~subject) would silently DROP
+    NULL-id rows from a rewrite (data loss) and break the staged
+    row-count verification. Coalescing to False keeps them."""
+    return F.coalesce(F.col(id_col).isin(ids), F.lit(False))
+
+
 def _erase_unpartitioned_rows(
     spark: SparkSession, path: str, ids: list, id_col: str
 ) -> int:
@@ -715,17 +744,21 @@ def _erase_unpartitioned_rows(
     compact_unpartitioned swap discipline — staging + trash renames,
     every crash state converged by ``_recover_compaction`` at entry).
     Row-count verified: staged == before - subject, or the original is
-    left untouched. A zero-subject table is a NOOP (one columnar count
-    of the id column, no rewrite). Returns rows removed."""
+    left untouched. A zero-subject table is a NOOP detected by ONE
+    aggregate scan (total + subject counts in the same job — no second
+    pass). Returns rows removed."""
     import shutil
 
     _recover_compaction(path)
     df = spark.read.parquet(path)
-    subject = F.col(id_col).isin(ids)
-    n_subject = df.filter(subject).count()
+    subject = _null_safe_isin(id_col, ids)
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(subject, 1).otherwise(0)).alias("s"),
+    ).first()
+    n_before, n_subject = int(counts["n"]), int(counts["s"] or 0)
     if n_subject == 0:
         return 0
-    n_before = df.count()
     staging = path + ".compact-staging"
     trash = path + ".compact-trash"
     df.filter(~subject).write.parquet(staging)
@@ -796,13 +829,21 @@ def erase_from_index(
     cluster-partitioned vectors table erases proportionally to the
     subject's footprint.
     """
-    sub_names = sorted(
+    from ..io_utils import recover_staged_build
+
+    # Converge any crashed staged BUILD first: a build that crashed
+    # between commit_staged_build's renames can leave the complete OLD
+    # index (subject's rows included) readable in <path>.build-trash —
+    # a residue an erasure tool must clear, not leave for the next
+    # build/extend to find.
+    recover_staged_build(path)
+    sub_names = [
         n
         for n in os.listdir(path)
         if os.path.isdir(os.path.join(path, n))
         and not n.endswith((".compact-staging", ".compact-trash"))
-    )
-    # bands LAST (see ordering note); relative order otherwise stable
+    ]
+    # bands LAST (see ordering note); alphabetical otherwise
     sub_names.sort(key=lambda n: (n == "bands", n))
     removed: dict[str, int] = {}
     skipped: list[str] = []
@@ -823,44 +864,25 @@ def erase_from_index(
             continue
         if partitioned:
             partition_by = partitioned[0].split("=", 1)[0]
-            subject = F.col(id_col).isin(ids)
-            affected = [
-                str(r["_pv"])
-                for r in df.filter(subject)
-                .select(F.col(partition_by).cast("string").alias("_pv"))
-                .distinct()
+            subject = _null_safe_isin(id_col, ids)
+            # ONE columnar scan yields both the affected partitions and
+            # the subject row count
+            per_part = (
+                df.filter(subject)
+                .groupBy(F.col(partition_by).cast("string").alias("_pv"))
+                .count()
                 .collect()
-            ]
-            if not affected:
-                removed[name] = 0
-                continue
-            n_subject = df.filter(subject).count()
-            kept = df.filter(
-                F.col(partition_by).cast("string").isin(affected)
-            ).filter(~subject)
-            kept = kept.localCheckpoint(eager=True)  # reads the path it overwrites
-            nonempty = {
-                str(r["_pv"])
-                for r in kept.select(
-                    F.col(partition_by).cast("string").alias("_pv")
-                )
-                .distinct()
-                .collect()
-            }
-            if nonempty:
-                _overwrite_partitions(
-                    kept.filter(
-                        F.col(partition_by).cast("string").isin(list(nonempty))
-                    ),
-                    sub,
-                    partition_by,
-                )
-            parts_rewritten += len(nonempty)
-            parts_removed += _drop_partition_dirs(
-                spark, sub, partition_by,
-                [pv for pv in affected if pv not in nonempty],
             )
+            affected = [str(r["_pv"]) for r in per_part]
+            n_subject = sum(int(r["count"]) for r in per_part)
             removed[name] = n_subject
+            if not affected:
+                continue
+            rw, rm = _rewrite_partitions_without(
+                spark, sub, partition_by, subject, affected
+            )
+            parts_rewritten += rw
+            parts_removed += rm
         else:
             removed[name] = _erase_unpartitioned_rows(spark, sub, ids, id_col)
     return IndexErasureReport(

@@ -733,3 +733,70 @@ def test_erase_from_index_noop_and_crash_convergence(spark, tmp_path):
         [(901, docs.collect()[0].text)], "doc_id long, text string"
     )
     assert dedup_new_batch(shard, mh, threshold=0.8).count() == 0
+
+
+def test_erase_from_index_null_ids_survive(spark, tmp_path):
+    """Three-valued-logic regression: a NULL-id row is NEVER the
+    subject. Bare ``isin`` makes NULL.isin(...) NULL and ``~NULL``
+    NULL, which would silently DROP NULL-id rows from a partitioned
+    rewrite and break the unpartitioned row-count verification — the
+    null-safe predicate must keep them in both paths."""
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    # partitioned subtable (the vindex layout) with a NULL-id row in
+    # the SAME partition as the subject
+    spark.createDataFrame(
+        [(10, 0, 1.0), (None, 0, 2.0), (11, 1, 3.0)],
+        "vec_id long, cluster int, v double",
+    ).write.partitionBy("cluster").parquet(os.path.join(idx, "vectors"))
+    # unpartitioned subtable with a NULL id alongside the subject
+    spark.createDataFrame(
+        [(10, "a"), (None, "b"), (12, "c")], "_id long, payload string"
+    ).write.parquet(os.path.join(idx, "sigs"))
+
+    rep = erase_from_index(spark, idx, [10])
+    assert rep.removed == {"sigs": 1, "vectors": 1}
+    left_vec = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(os.path.join(idx, "vectors")).collect()
+    }
+    assert left_vec == {(None, 0), (11, 1)}
+    left_sig = {
+        r._id for r in spark.read.parquet(os.path.join(idx, "sigs")).collect()
+    }
+    assert left_sig == {None, 12}
+
+
+def test_erase_from_index_clears_crashed_build_trash(spark, tmp_path):
+    """A build that crashed between commit_staged_build's renames
+    leaves the complete OLD index — subject rows included — readable in
+    <path>.build-trash; an erasure must converge that residue at entry
+    rather than reporting success while the bytes survive."""
+    import shutil
+
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    mh = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, mh, sketch="md5")
+    # simulate the crash window: the old generation still in trash
+    shutil.copytree(mh, mh + ".build-trash")
+    rep = erase_from_index(spark, mh, [1])
+    assert rep.removed["sigs"] == 1
+    assert not os.path.exists(mh + ".build-trash")
+    shard = spark.createDataFrame(
+        [(901, docs.collect()[0].text)], "doc_id long, text string"
+    )
+    assert dedup_new_batch(shard, mh, threshold=0.8).count() == 0
