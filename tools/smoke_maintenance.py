@@ -26,6 +26,13 @@ Sections:
    (thousands-deep tree); it is now a broadcast-joined tiny map, so
    this must complete in ordinary time with all partitions compacted.
 
+4. ``index_erase`` (r11) — erase_from_index on a 32-cluster persisted
+   IVF index: a 2-cluster-footprint subject must rewrite exactly those
+   2 cluster partitions (mtime check on the other 30), with the only
+   whole-index cost an id-column scan to locate the footprint; the
+   same subject against a decon index measures the documented
+   unpartitioned full-rewrite price for contrast.
+
 Usage::
 
     python tools/smoke_maintenance.py [n_dates] [n_wide]
@@ -261,6 +268,97 @@ def wide_section(spark, n_wide: int) -> dict:
     return out
 
 
+def index_erasure_section(spark, n_vecs: int) -> dict:
+    """erase_from_index cost tracks the subject's partition footprint
+    on the cluster-partitioned vindex layout; the decon contrast pays
+    the documented unpartitioned full-rewrite price."""
+    from pyspark.sql import functions as F
+
+    from meshtastic_airsensor_database_spark.operators.decon_index import (
+        build_decon_index,
+    )
+    from meshtastic_airsensor_database_spark.operators.vindex import (
+        build_ivf_index,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    dim, n_cent = 16, 32
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)).cast("double")
+                / 1000.0
+            ),
+        ).alias("embedding"),
+    )
+    ivf = os.path.join(ROOT, "ivf_erase_idx")
+    t0 = time.time()
+    build_ivf_index(emb, ivf, n_centroids=n_cent, n_iters=1)
+    build_sec = round(time.time() - t0, 2)
+    vec_dir = os.path.join(ivf, "vectors")
+    # a subject with a TWO-cluster footprint: one vec from each of the
+    # first two clusters that actually materialized
+    rows = (
+        spark.read.parquet(vec_dir)
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .orderBy("cluster")
+        .limit(2)
+        .collect()
+    )
+    subject = [int(r["vec_id"]) for r in rows]
+    touched = {f"cluster={int(r['cluster'])}" for r in rows}
+    parts = [d for d in os.listdir(vec_dir) if d.startswith("cluster=")]
+    untouched = [d for d in parts if d not in touched]
+
+    def part_mtimes(ds):
+        return {
+            d: tuple(
+                sorted(
+                    os.path.getmtime(os.path.join(vec_dir, d, f))
+                    for f in os.listdir(os.path.join(vec_dir, d))
+                    if f.endswith(".parquet")
+                )
+            )
+            for d in ds
+        }
+
+    before = part_mtimes(untouched)
+    spark._jvm.System.gc()
+    t0 = time.time()
+    rep = erase_from_index(spark, ivf, subject)
+    ivf_sec = round(time.time() - t0, 2)
+    assert rep.removed["vectors"] == 2 and rep.partitions_rewritten == 2, rep
+    assert rep.skipped == ("centroids",), rep
+    assert part_mtimes(untouched) == before, (
+        "clusters outside the subject's footprint were touched"
+    )
+    n_left = spark.read.parquet(vec_dir).count()
+    assert n_left == n_vecs - 2, n_left
+
+    dc = os.path.join(ROOT, "decon_erase_idx")
+    build_decon_index(emb, dc)
+    spark._jvm.System.gc()
+    t0 = time.time()
+    rep2 = erase_from_index(spark, dc, subject)
+    dc_sec = round(time.time() - t0, 2)
+    assert rep2.removed == {"vecs": 2, "bands": 16}, rep2
+    shutil.rmtree(ivf, ignore_errors=True)
+    shutil.rmtree(dc, ignore_errors=True)
+    return {
+        "n_vecs": n_vecs,
+        "n_clusters": len(parts),
+        "ivf_build_sec": build_sec,
+        "ivf_erase_sec": ivf_sec,
+        "clusters_rewritten": rep.partitions_rewritten,
+        "decon_erase_sec_full_rewrite": dc_sec,
+    }
+
+
 def main() -> None:
     n_dates = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     n_wide = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
@@ -270,6 +368,7 @@ def main() -> None:
         "compaction": compaction_section(spark, n_dates),
         "erasure": erasure_section(spark, n_dates),
         "wide": wide_section(spark, n_wide),
+        "index_erase": index_erasure_section(spark, 200_000),
     }
     shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps(out))
