@@ -237,3 +237,21 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if width >= target:
         return df
     return df.repartition(target)
+
+
+def ephemeral_dir(prefix: str) -> str:
+    """Session-lifetime temp dir for queries that materialize real
+    side state (index-lifecycle builds, streaming-replay landing/output
+    dirs, rollup maintenance). The returned DataFrame lazily scans the
+    dir, so it cannot be removed at query-build time — and an eager
+    checkpoint would erase the plan evidence EXPLAIN.md exists to
+    show; atexit bounds the residue to the process lifetime instead,
+    so bench reps and driver sweeps clean up on exit rather than
+    accumulating throwaway dirs under /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

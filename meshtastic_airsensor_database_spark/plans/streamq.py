@@ -22,12 +22,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io_utils import ephemeral_dir
 from ..schemas import NODE_DIM_SEED, V1_TEXT_FIELDS
 from .base import Query
 
@@ -49,7 +49,7 @@ def _replayed_out_dir(spark: SparkSession) -> str:
     out = _REPLAY_CACHE.get(key)
     if out is not None and os.path.isdir(os.path.join(out, "airwise_data")):
         return out
-    out = tempfile.mkdtemp(prefix="golden_replay_")
+    out = ephemeral_dir("golden_replay_")
     paths = IngestPaths(landing_dir=str(FIXTURE_DIR), out_dir=out)
     batch = packet_batch_source(spark, str(FIXTURE_DIR))
     process_packet_batch(batch, paths, with_counts=False)
@@ -325,8 +325,8 @@ def _late_replayed_out_dir(spark: SparkSession) -> str:
     out = _LATE_REPLAY_CACHE.get(key)
     if out is not None and os.path.isdir(os.path.join(out, "airwise_data")):
         return out
-    landing = tempfile.mkdtemp(prefix="late_landing_")
-    out = tempfile.mkdtemp(prefix="late_replay_")
+    landing = ephemeral_dir("late_landing_")
+    out = ephemeral_dir("late_replay_")
     for i, src in enumerate(_LATE_FILES):
         dst = os.path.join(landing, src.name)
         shutil.copyfile(src, dst)
@@ -491,8 +491,8 @@ def _join_replayed_out_dir(spark: SparkSession) -> str:
     out = _JOIN_REPLAY_CACHE.get(key)
     if out is not None and os.path.isdir(os.path.join(out, "env_battery_joined")):
         return out
-    landing = tempfile.mkdtemp(prefix="join_landing_")
-    out = tempfile.mkdtemp(prefix="join_replay_")
+    landing = ephemeral_dir("join_landing_")
+    out = ephemeral_dir("join_replay_")
     shutil.copyfile(FIXTURE_PATH, os.path.join(landing, FIXTURE_PATH.name))
     # Tiny fixture through a stateful two-stream join: pin a small
     # shuffle width for the replay (see _late_replayed_out_dir).

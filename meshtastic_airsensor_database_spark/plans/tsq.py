@@ -14,12 +14,11 @@ bucket axes, identical aliases).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io_utils import fan_out, load, materialize
+from ..io_utils import ephemeral_dir, fan_out, load, materialize
 from ..operators.align import sessionize
 from ..operators.intervals import bucketed_range_join
 from ..operators.ordered import global_ntile, global_rank_cumsum
@@ -380,7 +379,7 @@ def _maintained_rollup_path(
     path = _ROLLUP_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    path = os.path.join(tempfile.mkdtemp(prefix="rollup_maint_"), tag)
+    path = os.path.join(ephemeral_dir("rollup_maint_"), tag)
     ev = load(spark, sf_dir, "events")
     # Slice by event-id residue, NOT by time: every slice then scatters
     # events across the full date range, forcing each maintenance pass
@@ -482,7 +481,7 @@ def _maintained_cms_path(spark: SparkSession, sf_dir: str) -> str:
     path = _ROLLUP_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
-    path = os.path.join(tempfile.mkdtemp(prefix="rollup_maint_"), "cms_users")
+    path = os.path.join(ephemeral_dir("rollup_maint_"), "cms_users")
     ev = load(spark, sf_dir, "events")
     for i in range(ROLLUP_SLICES):
         part = cms_counters(

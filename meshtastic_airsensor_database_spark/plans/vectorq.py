@@ -25,7 +25,7 @@ from ..functions.vectors import (
     quantize_int8,
     sign_band_rows,
 )
-from ..io_utils import fan_out, load, materialize
+from ..io_utils import ephemeral_dir, fan_out, load, materialize
 from ..operators.dedup import (
     MAX_BUCKET,
     MH_CAND_BANDS,
@@ -1216,20 +1216,10 @@ MHJ_SAMPLE_MAX_ID = 250  # oracle-budget all-pairs sample (textq convention)
 MHJ_MIN_INTER_X20 = 1  # keep pairs with exact Jaccard >= 1/20 (integer test)
 
 
-def _ephemeral_dir(prefix: str) -> str:
-    """Session-lifetime temp dir for the index-lifecycle queries. The
-    returned DataFrame lazily scans the dir, so it cannot be removed at
-    query-build time, and an eager checkpoint would erase the probe
-    plan EXPLAIN.md exists to show; atexit bounds the residue to the
-    process lifetime instead — bench reps and driver sweeps clean up
-    on exit rather than accumulating throwaway indexes under /tmp."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+# session-lifetime temp dirs for the index-lifecycle queries — shared
+# io_utils helper since late r11 (streamq/tsq replay queries use it
+# too); atexit-bounded residue, lazy scans stay valid
+_ephemeral_dir = ephemeral_dir
 
 
 # shared SQL fragments of the sketch twin

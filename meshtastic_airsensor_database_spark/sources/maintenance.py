@@ -733,8 +733,12 @@ def _null_safe_isin(id_col: str, ids: list):
     Bare ``isin`` is three-valued — NULL.isin(...) is NULL, and
     ``~NULL`` is NULL, so a filter(~subject) would silently DROP
     NULL-id rows from a rewrite (data loss) and break the staged
-    row-count verification. Coalescing to False keeps them."""
-    return F.coalesce(F.col(id_col).isin(ids), F.lit(False))
+    row-count verification. ``isNotNull() & isin`` is equally
+    null-safe (FALSE AND NULL = FALSE, so ~subject is TRUE for NULL
+    ids) and — unlike a coalesce() wrapper, which Catalyst cannot
+    translate to a data-source filter — keeps the footprint-locate
+    scan eligible for parquet In/IsNotNull row-group pruning."""
+    return F.col(id_col).isNotNull() & F.col(id_col).isin(ids)
 
 
 def _erase_unpartitioned_rows(
@@ -837,6 +841,17 @@ def erase_from_index(
     # a residue an erasure tool must clear, not leave for the next
     # build/extend to find.
     recover_staged_build(path)
+    # ... and any crashed per-subtable COMPACT/ERASE rewrite: a kill
+    # between that swap's two renames leaves the base dir MISSING and
+    # only <sub>.compact-trash on disk — a listing that filters the
+    # suffix dirs would silently skip the subtable (reporting success
+    # while the subject's rows survive in trash), so recover every
+    # base name the suffix dirs imply BEFORE listing subtables.
+    for entry in os.listdir(path):
+        if entry.endswith((".compact-staging", ".compact-trash")):
+            _recover_compaction(
+                os.path.join(path, entry.rsplit(".compact-", 1)[0])
+            )
     sub_names = [
         n
         for n in os.listdir(path)
@@ -873,6 +888,20 @@ def erase_from_index(
                 .count()
                 .collect()
             )
+            if any(r["_pv"] is None for r in per_part):
+                # A NULL partition value would dodge BOTH downstream
+                # mechanisms (the cast-string isin rewrite filter and
+                # the key=value dir probe use the string form) — the
+                # rows would survive while the report counted them as
+                # removed. No index writer here emits NULL partitions;
+                # refuse loudly rather than misreport.
+                raise ValueError(
+                    f"subject rows in {sub} carry a NULL "
+                    f"{partition_by!r} partition value — this erasure "
+                    "path cannot address the null partition "
+                    "(__HIVE_DEFAULT_PARTITION__); rewrite the table "
+                    "with a non-null partition key first"
+                )
             affected = [str(r["_pv"]) for r in per_part]
             n_subject = sum(int(r["count"]) for r in per_part)
             removed[name] = n_subject

@@ -800,3 +800,42 @@ def test_erase_from_index_clears_crashed_build_trash(spark, tmp_path):
         [(901, docs.collect()[0].text)], "doc_id long, text string"
     )
     assert dedup_new_batch(shard, mh, threshold=0.8).count() == 0
+
+
+def test_erase_from_index_recovers_mid_swap_crash(spark, tmp_path):
+    """The reproduced r11 review finding: a kill BETWEEN the rewrite
+    swap's two renames leaves the subtable's base dir missing and the
+    old generation (subject rows included) in <sub>.compact-trash — a
+    listing that filters suffix dirs would silently skip the subtable
+    and report success while the data survives. Entry recovery must
+    restore the base from trash and the re-run must then erase it."""
+    import shutil as _sh
+
+    from meshtastic_airsensor_database_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_new_batch,
+    )
+    from meshtastic_airsensor_database_spark.sources.maintenance import (
+        erase_from_index,
+    )
+
+    mh = str(tmp_path / "mh_idx")
+    docs = spark.createDataFrame(
+        [(1, "uno dos tres cuatro cinco seis siete ocho nueve diez")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(docs, mh, sketch="md5")
+    sigs = os.path.join(mh, "sigs")
+    # the kill window: base renamed to trash, replacement never landed
+    os.rename(sigs, sigs + ".compact-trash")
+    assert not os.path.exists(sigs)
+
+    rep = erase_from_index(spark, mh, [1])
+    assert rep.removed["sigs"] == 1, rep  # NOT silently skipped
+    assert os.path.exists(sigs)
+    assert not os.path.exists(sigs + ".compact-trash")
+    shard = spark.createDataFrame(
+        [(901, docs.collect()[0].text)], "doc_id long, text string"
+    )
+    assert dedup_new_batch(shard, mh, threshold=0.8).count() == 0
+    _sh.rmtree(mh, ignore_errors=True)

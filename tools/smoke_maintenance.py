@@ -35,7 +35,7 @@ Sections:
 
 Usage::
 
-    python tools/smoke_maintenance.py [n_dates] [n_wide]
+    python tools/smoke_maintenance.py [n_dates] [n_wide] [n_vecs]
 
 Prints one JSON line; the README scale-evidence table records it.
 """
@@ -362,13 +362,14 @@ def index_erasure_section(spark, n_vecs: int) -> dict:
 def main() -> None:
     n_dates = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     n_wide = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
     spark = get_spark("smoke_maintenance")
     shutil.rmtree(ROOT, ignore_errors=True)
     out = {
         "compaction": compaction_section(spark, n_dates),
         "erasure": erasure_section(spark, n_dates),
         "wide": wide_section(spark, n_wide),
-        "index_erase": index_erasure_section(spark, 200_000),
+        "index_erase": index_erasure_section(spark, n_vecs),
     }
     shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps(out))
