@@ -1899,7 +1899,15 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def md5_simhash_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band_0..3) on the md5 hex-digit bit basis —
     the reusable core of ``simhash_dedup_buckets`` (property-tested
-    against a pure-Python model in tests/test_sketch_property.py)."""
+    against a pure-Python model in tests/test_sketch_property.py).
+
+    Every wide expression family (16 digit extractions, 64 counter
+    aggregates, the 64-term mask packings) is built as SQL TEXT parsed
+    by one ``F.expr`` per column, not as nested py4j ``Column`` calls:
+    the Column formulation cost ~2.5 s of driver time per builder call
+    (hundreds of py4j round-trips — the sign_matrix_literal lesson),
+    while the parsed text is semantically identical integer arithmetic.
+    """
     from ..functions.text import tokens
 
     toks = fan_out(docs).select(
@@ -1908,39 +1916,46 @@ def md5_simhash_buckets(docs: DataFrame) -> DataFrame:
             F.array_distinct(tokens(F.coalesce(F.col("text"), F.lit(""))))
         ).alias("_tok"),
     )
-    hx = F.md5(F.col("_tok"))
-    digits = [
-        F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"_d{i}")
-        for i in range(16)
-    ]
-    hexed = toks.select("doc_id", *digits)
+    hexed = toks.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(CONV(SUBSTRING(md5(_tok), {i + 1}, 1), 16, 10) AS INT) AS _d{i}"
+            for i in range(16)
+        ],
+    )
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"_d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"_c{b}")
+        F.expr(
+            f"SUM(CASE WHEN (SHIFTRIGHT(_d{b // 4}, {b % 4}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS _c{b}"
+        )
         for b in range(SIMHASH_ORACLE_BITS)
     ]
     counters = hexed.groupBy("doc_id").agg(*aggs)
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(SIMHASH_ORACLE_BITS)]
-    sig = None
-    for b in range(SIMHASH_ORACLE_BITS):
-        term = F.when(F.col(f"_c{b}") > 0, F.lit(masks[b]).cast("long")).otherwise(
-            F.lit(0).cast("long")
+
+    def _packed(terms: list[tuple[int, int]]) -> str:
+        # (counter b, mask) -> CASE term adding mask when counter b is
+        # positive; bitwiseOR of disjoint masks == the Column chain it
+        # replaces. Bands pack on LOCAL bit positions (1 << j), the
+        # signature on global ones — same as the DuckDB twin below.
+        return " | ".join(
+            f"(CASE WHEN _c{b} > 0 THEN CAST({m} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b, m in terms
         )
-        sig = term if sig is None else sig.bitwiseOR(term)
-    bands = []
-    for k in range(SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BAND_BITS):
-        bexpr = None
-        for j in range(SIMHASH_ORACLE_BAND_BITS):
-            t = F.when(
-                F.col(f"_c{k * SIMHASH_ORACLE_BAND_BITS + j}") > 0,
-                F.lit(1 << j).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            bexpr = t if bexpr is None else bexpr.bitwiseOR(t)
-        bands.append(bexpr.alias(f"band_{k}"))
+
+    sig = F.expr(_packed([(b, masks[b]) for b in range(SIMHASH_ORACLE_BITS)]))
+    bands = [
+        F.expr(
+            _packed(
+                [
+                    (k * SIMHASH_ORACLE_BAND_BITS + j, 1 << j)
+                    for j in range(SIMHASH_ORACLE_BAND_BITS)
+                ]
+            )
+        ).alias(f"band_{k}")
+        for k in range(SIMHASH_ORACLE_BITS // SIMHASH_ORACLE_BAND_BITS)
+    ]
     return counters.select("doc_id", sig.alias("simhash"), *bands)
 
 
