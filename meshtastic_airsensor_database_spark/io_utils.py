@@ -106,7 +106,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a multi-consumed intermediate and truncate lineage.
 
     Spark's exchange reuse only collapses IDENTICAL subplans; an
@@ -121,11 +121,17 @@ def materialize(df: DataFrame) -> DataFrame:
     runs); falls back to ``localCheckpoint`` (executor-pinned blocks)
     otherwise. Same policy as connected_components' per-round
     truncation.
+
+    ``eager=False`` truncates the lineage immediately but defers the
+    materializing job to the FIRST downstream action — the right mode
+    for driver-loop shapes (BPE rounds) where the next action is the
+    very next statement: one job then both materializes the checkpoint
+    and computes the round, instead of two back-to-back jobs per round.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 # --- staged index (re)builds --------------------------------------------------

@@ -101,7 +101,12 @@ def train_bpe_merges(
     early when the best pair drops below ``min_pair_count`` (merging
     singletons only memorizes the corpus).
     """
-    vocab = materialize(init_word_vocab(docs, text_col))
+    # eager=False: each round's argmax collect is the action that both
+    # materializes the (lineage-truncated) vocab checkpoint and counts
+    # the pairs — one job per round instead of two (the eager variant
+    # ran a checkpoint job AND a collect job per round; values are
+    # identical either way).
+    vocab = materialize(init_word_vocab(docs, text_col), eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -114,7 +119,7 @@ def train_bpe_merges(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         merges.append((rank, a, b, int(n)))
-        vocab = materialize(apply_merge(vocab, a, b))
+        vocab = materialize(apply_merge(vocab, a, b), eager=False)
     return merges
 
 

@@ -79,14 +79,16 @@ def _index_rows(
     emb_col: str,
     n_bands: int,
     band_bits: int,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
-    first = embs.select(emb_col).head()
-    if first is None:
-        raise ValueError(
-            "empty input: the sign-matrix dim is peeked from the first "
-            "row (callers handle the empty case before banding)"
-        )
-    dim = len(first[0])
+    if dim is None:
+        first = embs.select(emb_col).head()
+        if first is None:
+            raise ValueError(
+                "empty input: the sign-matrix dim is peeked from the first "
+                "row (callers handle the empty case before banding)"
+            )
+        dim = len(first[0])
     base = embs.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).cast("array<double>").alias("_v"),
@@ -165,9 +167,14 @@ def build_decon_index(
     contract as the oracle-pinned ``quantized_topk_cosine`` tier)."""
     if storage not in _STORAGES:
         raise ValueError(f"storage must be one of {_STORAGES}, got {storage!r}")
-    if train.isEmpty():
+    # one head() is both the emptiness probe and the dim sample (the
+    # separate isEmpty() was a second job for the same answer)
+    first = train.select(emb_col).head()
+    if first is None:
         raise ValueError("cannot build a decon index from an empty corpus")
-    bands, vecs, dim = _index_rows(train, id_col, emb_col, n_bands, band_bits)
+    bands, vecs, dim = _index_rows(
+        train, id_col, emb_col, n_bands, band_bits, dim=len(first[0])
+    )
     # Stamp FIRST, data after: a crash mid-build leaves a stamped
     # staging with missing/partial tables, never a data dir with no
     # stamp that would bypass the mismatch guard forever (r10 ADVICE).
@@ -183,8 +190,16 @@ def build_decon_index(
              "salt": HPLSH_SALT, "storage": storage},
             f,
         )
-    bands.write.parquet(os.path.join(staging, "bands"))
-    _stored_vecs(vecs, storage).write.parquet(os.path.join(staging, "vecs"))
+    # rebalance before each write: the band/vec frames inherit the
+    # input's partitioning (fan_out width locally), so every task would
+    # emit its own tiny file and every later probe pays the listing +
+    # footer count. AQE sizes rebalanced partitions by
+    # advisoryPartitionSizeInBytes — one file here, target-sized files
+    # at 100 TB.
+    bands.hint("rebalance").write.parquet(os.path.join(staging, "bands"))
+    _stored_vecs(vecs, storage).hint("rebalance").write.parquet(
+        os.path.join(staging, "vecs")
+    )
     commit_staged_build(path)
 
 
@@ -215,15 +230,20 @@ def extend_decon_index(
     final report is distinct over (eval_id, train_id, cosine), and the
     degenerate-bucket guard counts DISTINCT ids per band key — so a
     crashed-then-retried extend converges instead of corrupting."""
-    if new_train.isEmpty():
+    first = new_train.select(emb_col).head()
+    if first is None:
         return
     recover_staged_build(path)  # converge any crashed (re)build first
-    bands, vecs, dim = _index_rows(new_train, id_col, emb_col, n_bands, band_bits)
+    bands, vecs, dim = _index_rows(
+        new_train, id_col, emb_col, n_bands, band_bits, dim=len(first[0])
+    )
     storage = _check_meta(path, dim, n_bands, band_bits)
-    _stored_vecs(vecs, storage).write.mode("append").parquet(
+    _stored_vecs(vecs, storage).hint("rebalance").write.mode("append").parquet(
         os.path.join(path, "vecs")
     )
-    bands.write.mode("append").parquet(os.path.join(path, "bands"))
+    bands.hint("rebalance").write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
 
 
 def probe_decon_index(
@@ -265,7 +285,8 @@ def probe_decon_index(
     eval-sized work, independent of probe count.
     """
     spark = evals.sparkSession
-    if evals.isEmpty():
+    first = evals.select(emb_col).head()
+    if first is None:
         # empty eval shard -> empty report with the right schema
         # (train_id typed from the index's own footer, no data read) —
         # automated pipelines probe whatever the upstream delta holds
@@ -279,7 +300,7 @@ def probe_decon_index(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
     eval_bands, eval_vecs, dim = _index_rows(
-        evals, id_col, emb_col, n_bands, band_bits
+        evals, id_col, emb_col, n_bands, band_bits, dim=len(first[0])
     )
     _check_meta(path, dim, n_bands, band_bits)
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))

@@ -188,8 +188,14 @@ def build_minhash_index(
     with open(os.path.join(staging, "_meta.json"), "w") as f:
         json.dump(_META_BY_SKETCH[sketch], f)
     bands, sigs = _index_rows(docs, id_col, content_col, sketch)
-    sigs.write.parquet(os.path.join(staging, "sigs"))
-    bands.write.parquet(os.path.join(staging, "bands"))
+    # rebalance before each write (the decon_index convention): the
+    # sig/band frames inherit the input's partitioning, so every task
+    # would emit its own tiny file — paid again by every probe's
+    # listing. AQE sizes rebalanced partitions by
+    # advisoryPartitionSizeInBytes: one file locally, target-sized
+    # files at 100 TB.
+    sigs.hint("rebalance").write.parquet(os.path.join(staging, "sigs"))
+    bands.hint("rebalance").write.parquet(os.path.join(staging, "bands"))
     commit_staged_build(path)
 
 
@@ -214,8 +220,12 @@ def extend_minhash_index(
     recover_staged_build(path)
     sketch = _check_meta(path)
     bands, sigs = _index_rows(new_docs, id_col, content_col, sketch)
-    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
-    bands.write.mode("append").parquet(os.path.join(path, "bands"))
+    sigs.hint("rebalance").write.mode("append").parquet(
+        os.path.join(path, "sigs")
+    )
+    bands.hint("rebalance").write.mode("append").parquet(
+        os.path.join(path, "bands")
+    )
 
 
 def dedup_new_batch(

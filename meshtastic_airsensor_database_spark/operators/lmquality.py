@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, zipped_ngrams
+from ..io_utils import materialize
 
 # Additive-smoothing constant for the bigram LM (add-k; k=0.5 is the
 # usual Lidstone compromise between add-one's over-smoothing and MLE's
@@ -109,8 +110,14 @@ def perplexity_scores(
     Returns ``(id, n_bigrams, avg_nll, ppl)``; docs with <2 tokens are
     absent (no bigrams to score).
     """
-    bg = _doc_bigrams(docs, text_col, id_col)
-    bigram_counts, context_counts = train_bigram_lm(docs, text_col, id_col)
+    # The bigram-instance table feeds FIVE consumers (scoring join,
+    # bigram counts, context counts, both vocab arms). The explode is
+    # narrow, so without truncation every consumer re-runs the
+    # tokenize+zip+explode over the corpus — materialize it once (the
+    # multi-consumed-intermediate rule, io_utils.materialize).
+    bg = materialize(_doc_bigrams(docs, text_col, id_col))
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
         bg.select(F.col("w1").alias("w"))
         .union(bg.select(F.col("w2").alias("w")))

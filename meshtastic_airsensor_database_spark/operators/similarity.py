@@ -636,6 +636,7 @@ def lloyd_kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic DataFrame-native Lloyd's k-means: init = the first
     ``n_centroids`` vectors by id, then ``n_iters`` rounds of
@@ -652,44 +653,76 @@ def lloyd_kmeans_centroids(
     summation order.
 
     Scale shape: assignment is the narrow broadcast argmin (zero
-    shuffle); the update is posexplode -> groupBy(cluster, dim) avg —
-    map-side partials reduce every partition to <= C x dim rows before
-    the exchange — then a C-row repack. The driver never touches
-    vectors; clusters that lose all members simply drop out (same
-    semantics both engines)."""
+    shuffle); the update is ONE groupBy(cluster) with a per-dimension
+    AVG column each (``dim`` is a static property of the embedding
+    space, so the posexplode → (cluster, dim) → repack double-exchange
+    formulation is unnecessary) — map-side partials reduce every
+    partition to <= C rows × dim columns before the exchange, the same
+    bytes as the exploded form in half the exchanges. The driver never
+    touches vectors; clusters that lose all members simply drop out
+    (same semantics both engines)."""
+    if dim is None:
+        first = emb.select(vec_col).head()
+        if first is None:
+            return emb.sparkSession.createDataFrame(
+                [], "cid int, cv array<double>"
+            )
+        dim = len(first[0])
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("int").alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
+    # SQL-text expressions (one parse each), not nested Column calls:
+    # dim × (avg, round, cast, alias) via py4j is hundreds of driver
+    # round-trips per round (the simhash/sign-matrix lesson)
+    avg_exprs = [
+        F.expr(
+            f"CAST(ROUND(CAST(AVG(_v[{i}]) AS DECIMAL(38,9)), "
+            f"{round_digits}) AS DOUBLE) AS _m{i}"
+        )
+        for i in range(dim)
+    ]
+    repack = F.expr("array(" + ",".join(f"_m{i}" for i in range(dim)) + ")")
     for _ in range(n_iters):
         assigned = assign_to_centroids_euclidean(emb, cents, id_col, vec_col)
-        dims = assigned.select(
-            "cluster",
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
-        )
-        means = dims.groupBy("cluster", "dim").agg(
-            F.round(F.avg("val").cast("decimal(38,9)"), round_digits)
-            .cast("double")
-            .alias("m")
-        )
         cents = (
-            means.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
+            assigned.select(
+                "cluster", F.col(vec_col).cast("array<double>").alias("_v")
             )
-            .select(F.col("cluster").alias("cid"), "cv")
+            .groupBy("cluster")
+            .agg(*avg_exprs)
+            .select(F.col("cluster").alias("cid"), repack.alias("cv"))
         )
         # Iterative-lineage truncation (the connected_components
         # convention): each round's centroid table is C rows — pinning
         # it stops round N+1's plan (and every downstream consumer:
         # final assignment, probe, index write) from re-running the
         # whole training prefix per evaluation. Values are identical;
-        # this is purely a plan-shape fix.
-        cents = cents.localCheckpoint(eager=True)
+        # this is purely a plan-shape fix. Collect + inline-VALUES
+        # rebuild instead of localCheckpoint: same one job per round,
+        # but the result is a true LocalRelation — broadcasting it
+        # downstream needs NO extra Spark job (the checkpointed RDD
+        # needed one per consumer) and every consumer's plan is flat.
+        cents = centroid_local_relation(emb.sparkSession, cents.collect())
     return cents
+
+
+def centroid_local_relation(spark, rows) -> DataFrame:
+    """(cid, cv) centroid rows rebuilt as a true LocalRelation via an
+    inline VALUES table. Doubles round-trip through ``repr`` (shortest
+    repr re-parses to the identical double), so values are bit-exact;
+    the payoff is plan shape: a BroadcastExchange over a LocalRelation
+    collects driver-side without launching a job, where a
+    LogicalRDD/checkpoint child costs one job per broadcast consumer.
+    Bounded driver data by construction (C centroid rows)."""
+    if not rows:
+        return spark.createDataFrame([], "cid int, cv array<double>")
+    vals = ", ".join(
+        "(CAST(%d AS INT), array(%s))"
+        % (int(row["cid"]), ", ".join(f"{float(x)!r}D" for x in row["cv"]))
+        for row in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(cid, cv)")
 
 
 def lloyd_ivf_topk(
@@ -923,45 +956,87 @@ def mmr_rerank(
     twin writes the same decimal text, and ``1 - 0.7`` differs from
     ``0.3`` in the last ulp.
 
+    The pool is collected ONCE (it is LIMIT-bounded — k·pool rows of
+    driver data, the same bounded class as the per-round 1-row collects
+    this replaces) and the greedy loop runs in Python with the
+    bit-identical arithmetic: the sequential-fold cosine mirrors
+    ``cosine_similarity``'s aggregate order op for op, and every
+    rounding goes through the same double → DECIMAL(38,9) → round(4)
+    route (``_r4_py``). The previous formulation ran one Spark job per
+    selection step (plus an eager localCheckpoint) and rebuilt a
+    dim-length ``F.lit`` array per selected vector per round — ~14
+    driver↔JVM jobs and thousands of py4j round-trips to re-rank 20
+    rows.
+
     Returns plain rows ``(rank, id, rel, mmr)`` — bounded driver data.
     """
-    from ..plans.base import r
+    import math
 
-    # materialize the pool ONCE: each round's argmax collect would
-    # otherwise re-execute the whole upstream pipeline (scan + cosine +
-    # TakeOrdered) k times — localCheckpoint keeps it distributed and
-    # makes every round a genuinely narrow pass over the bounded pool
-    pool = pool.localCheckpoint(eager=True)
+    pool_rows = pool.select(id_col, vec_col, rel_col).collect()
+    cands = [
+        (row[id_col], [float(x) for x in row[vec_col]], row[rel_col])
+        for row in pool_rows
+    ]
+
+    def _cos(a: list[float], b: list[float]) -> float | None:
+        # sequential left folds, same op order as functions/vectors.py
+        # dot/l2_norm (zip_with + aggregate): bit-identical doubles
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return dot / denom if denom > 0 else None
+
     selected: list[tuple] = []  # (id, vector)
     out: list[tuple[int, int, float, float]] = []
     for step in range(1, k + 1):
-        cands = pool
-        if selected:
-            cands = cands.filter(
-                ~F.col(id_col).isin([sid for sid, _ in selected])
-            )
-            sims = [
-                r(
-                    cosine_similarity(
-                        F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
-                    ),
-                    4,
-                )
-                for _, vec in selected
-            ]
-            msim = F.greatest(*sims) if len(sims) > 1 else sims[0]
-            mmr = r(F.lit(lam) * F.col(rel_col) - F.lit(mu) * msim, 4)
-        else:
-            mmr = r(F.lit(lam) * F.col(rel_col), 4)
-        rows = (
-            cands.select(id_col, vec_col, rel_col, mmr.alias("mmr"))
-            .orderBy(F.col("mmr").desc(), id_col)
-            .limit(1)
-            .collect()
-        )
-        if not rows:  # pool exhausted before k picks: return the picks made
+        remaining = [
+            c for c in cands if all(c[0] != sid for sid, _ in selected)
+        ]
+        if not remaining:  # pool exhausted before k picks
             break
-        row = rows[0]
-        selected.append((row[id_col], row[vec_col]))
-        out.append((step, row[id_col], row[rel_col], row["mmr"]))
+        scored = []
+        for vid, vec, rel in remaining:
+            if selected:
+                sims = [_r4_py(_cos(vec, svec)) for _, svec in selected]
+                nonnull = [s for s in sims if s is not None]
+                # F.greatest semantics: max of the non-null sims,
+                # null when every sim is null
+                msim = max(nonnull) if nonnull else None
+                mmr = (
+                    _r4_py(lam * rel - mu * msim)
+                    if rel is not None and msim is not None
+                    else None
+                )
+            else:
+                mmr = _r4_py(lam * rel) if rel is not None else None
+            scored.append((mmr, vid, rel))
+        # orderBy(mmr DESC NULLS LAST, id ASC) . limit(1)
+        mmr_v, vid, rel = min(
+            scored,
+            key=lambda t: (t[0] is None, -t[0] if t[0] is not None else 0.0, t[1]),
+        )
+        vec = next(v for i, v, _ in remaining if i == vid)
+        selected.append((vid, vec))
+        out.append((step, vid, rel, mmr_v))
     return out
+
+
+def _r4_py(x: float | None) -> float | None:
+    """Driver-side mirror of plans/base.py::r(col, 4): double →
+    DECIMAL(38,9) (half away from zero) → ROUND(.., 4) (half away from
+    zero) → double; None propagates like SQL null. ``Decimal(float)``
+    is the exact binary value, so this reproduces both engines' decimal
+    route bit-for-bit (the plans/textq.py::_r6_py convention)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None:
+        return None
+    d = Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    return float(d.quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP))

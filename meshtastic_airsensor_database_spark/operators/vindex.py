@@ -87,13 +87,21 @@ def build_ivf_index(
     staging = begin_staged_build(path)
     with open(os.path.join(staging, "_meta.json"), "w") as f:
         json.dump({"dim": dim, "n_centroids": n_centroids}, f)
-    cents = lloyd_kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
+    cents = lloyd_kmeans_centroids(
+        emb, n_centroids, n_iters, id_col, vec_col, dim=dim
+    )
     cents.write.parquet(os.path.join(staging, "centroids"))
     # re-read so assignment uses exactly what a later extend will see
     # (parquet round-trip, not the in-flight plan)
     stored = emb.sparkSession.read.parquet(os.path.join(staging, "centroids"))
     assigned = assign_to_centroids_euclidean(emb, stored, id_col, vec_col)
-    assigned.write.partitionBy("cluster").parquet(
+    # rebalance before the partitioned write: without it every upstream
+    # task writes a file into every cluster partition it touches (tasks
+    # × clusters tiny files — paid again by every probe's listing).
+    # AQE sizes the rebalanced partitions by advisoryPartitionSizeInBytes,
+    # so locally this lands ~one file per cluster and at 100 TB it lands
+    # target-sized files — scale-adaptive, not a local[32] constant.
+    assigned.hint("rebalance", "cluster").write.partitionBy("cluster").parquet(
         os.path.join(staging, "vectors")
     )
     commit_staged_build(path)
@@ -112,16 +120,20 @@ def extend_ivf_index(
     (a mismatch would assign via silently-truncated distances). The
     append is ONE write (all-or-nothing at job commit), so there is no
     multi-table crash window here."""
-    if new_emb.isEmpty():
+    # one head() doubles as the emptiness probe AND the dim sample —
+    # the separate isEmpty() was a second job for the same answer
+    first = new_emb.select(vec_col).head()
+    if first is None:
         return
     recover_staged_build(path)
-    _check_meta(path, len(new_emb.select(vec_col).head()[0]))
+    _check_meta(path, len(first[0]))
     spark = new_emb.sparkSession
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assigned = assign_to_centroids_euclidean(new_emb, cents, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(path, "vectors")
-    )
+    # same rebalance-before-partitioned-write rationale as the build
+    assigned.hint("rebalance", "cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(path, "vectors"))
 
 
 def search_ivf_index(

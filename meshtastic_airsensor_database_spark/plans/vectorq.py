@@ -622,17 +622,28 @@ def md5_image_media_from_ids(ids: DataFrame, bases: int = IMG_X_BASES) -> DataFr
     side, nd = IMG_X_SIDE, IMG_X_DIGESTS
 
     def synth(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                did = int(doc_id)
-                base = did % bases
+        # docs sharing doc_id % bases share their md5 pixel stream:
+        # derive each base's bytes ONCE per task (bases × nd digests
+        # instead of rows × nd — the per-task heavyweight-init rule),
+        # then stamp only the per-doc corner edit per row
+        base_raw: dict[int, bytes] = {}
+
+        def raw_for(base: int) -> bytes:
+            raw = base_raw.get(base)
+            if raw is None:
                 raw = b"".join(
                     hashlib.md5(f"{IMG_X_SALT}:{base}:{j}".encode()).digest()
                     for j in range(nd)
                 )
+                base_raw[base] = raw
+            return raw
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
                 px = (
-                    np.frombuffer(raw, dtype=np.uint8)
+                    np.frombuffer(raw_for(did % bases), dtype=np.uint8)
                     .copy()
                     .reshape(side, side, 3)
                 )
