@@ -196,10 +196,27 @@ def build_decon_index(
     # footer count. AQE sizes rebalanced partitions by
     # advisoryPartitionSizeInBytes — one file here, target-sized files
     # at 100 TB.
-    bands.hint("rebalance").write.parquet(os.path.join(staging, "bands"))
-    _stored_vecs(vecs, storage).hint("rebalance").write.parquet(
-        os.path.join(staging, "vecs")
-    )
+    #
+    # The two writes are INDEPENDENT jobs inside one atomic staged
+    # build (ordering is irrelevant before commit_staged_build's
+    # rename), so they run concurrently from two driver threads — the
+    # second write's tasks back-fill the first's stragglers instead of
+    # waiting for them (guide §2.6 overlap-independent-jobs).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            lambda: bands.hint("rebalance").write.parquet(
+                os.path.join(staging, "bands")
+            )
+        )
+        fv = pool.submit(
+            lambda: _stored_vecs(vecs, storage)
+            .hint("rebalance")
+            .write.parquet(os.path.join(staging, "vecs"))
+        )
+        fb.result()
+        fv.result()
     commit_staged_build(path)
 
 

@@ -549,7 +549,11 @@ def connected_components(
         # preserved by both operators — Kiveris et al. Lemma 1/2);
         # large-star wants both directions, small-star orients itself
         grown = _large_star(edges).distinct()
-        half = _truncate(_small_star(grown))
+        # eager=False: the checksum aggregate on the next line is the
+        # action that BOTH materializes the round's lineage-truncated
+        # edge set and computes the convergence probe — one job per
+        # round instead of two (the bpetrain convention)
+        half = _truncate(_small_star(grown), eager=False)
         cur = checksum(half)
         if cur == prev:
             break

@@ -194,8 +194,27 @@ def build_minhash_index(
     # listing. AQE sizes rebalanced partitions by
     # advisoryPartitionSizeInBytes: one file locally, target-sized
     # files at 100 TB.
-    sigs.hint("rebalance").write.parquet(os.path.join(staging, "sigs"))
-    bands.hint("rebalance").write.parquet(os.path.join(staging, "bands"))
+    #
+    # Both writes are INDEPENDENT jobs inside one atomic staged build
+    # (ordering is irrelevant before commit_staged_build's rename), so
+    # they run concurrently from two driver threads (guide §2.6) —
+    # extend keeps its sigs-BEFORE-bands ordering because its appends
+    # are not staged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(
+            lambda: sigs.hint("rebalance").write.parquet(
+                os.path.join(staging, "sigs")
+            )
+        )
+        fb = pool.submit(
+            lambda: bands.hint("rebalance").write.parquet(
+                os.path.join(staging, "bands")
+            )
+        )
+        fs.result()
+        fb.result()
     commit_staged_build(path)
 
 

@@ -54,10 +54,17 @@ def ranged_frame(
     two passes only require that both read ONE materialized layout."""
     spark = df.sparkSession
     p = n_parts or max(int(spark.sparkContext.defaultParallelism), 1)
+    # eager=False: every caller's NEXT statement is the
+    # _prefix_offsets collect, a full pass that both materializes the
+    # pinned layout and computes the per-partition counts — one job
+    # instead of two per ranged pass (the bpetrain convention). The
+    # pin itself is unchanged: after that first action the blocks are
+    # fixed, so repartitionByRange's boundary re-sampling can never
+    # split the two passes.
     return (
         df.repartitionByRange(p, *order_exprs)
         .sortWithinPartitions(*order_exprs)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -585,6 +585,69 @@ def kmeans_ivf_topk(
     )
 
 
+# Above this many literal doubles the centroid pack stops being inlined
+# as expression text (parser cost grows with the literal) and ships as a
+# broadcast instead. C x dim is bounded by the training caps everywhere
+# in this repo (8x64, 32x16), far below the cutover.
+_CENT_LITERAL_MAX_DOUBLES = 200_000
+
+
+def _cents_array_literal(rows) -> "F.Column":
+    """Collected (cid, cv) centroid rows as ONE parsed array literal of
+    named_structs, sorted by cid — byte-identical to the agg
+    ``sort_array(collect_list(struct(cid, cv)))`` pack (cids are unique
+    so the struct sort IS the cid sort). Doubles round-trip through
+    ``repr`` (shortest repr re-parses to the identical double), the
+    same exactness argument as ``centroid_local_relation``. The payoff
+    is plan shape: the assignment becomes a NARROW projection — no
+    crossJoin, no BroadcastExchange, no broadcast-build job."""
+    parts = []
+    for row in sorted(rows, key=lambda r: int(r["cid"])):
+        cv = ", ".join(f"{float(x)!r}D" for x in row["cv"])
+        parts.append(
+            f"named_struct('cid', CAST({int(row['cid'])} AS INT), "
+            f"'cv', array({cv}))"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def assign_to_centroid_rows(
+    emb: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against ALREADY-COLLECTED (cid, cv)
+    rows: the centroid pack is a driver-built array literal, so the
+    whole assignment is one narrow projection (scan -> argmin) — zero
+    joins, zero exchanges, zero broadcast jobs. Tie-break: lowest
+    distance, then lowest centroid id. Returns (id, vec, cluster)."""
+    if not cent_rows:
+        # argmax over an empty pack is NULL — same as the broadcast form
+        return fan_out(emb).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("int").alias("cluster"),
+        )
+    scored = F.transform(
+        _cents_array_literal(cent_rows),
+        lambda c: F.struct(
+            (-dist2_raw(F.col("_v"), c["cv"])).alias("s"),
+            (-c["cid"]).alias("t"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return (
+        fan_out(emb)
+        .withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_max(scored)["cid"].alias("cluster"),
+        )
+    )
+
+
 def assign_to_centroids_euclidean(
     emb: DataFrame,
     cents: DataFrame,
@@ -592,12 +655,20 @@ def assign_to_centroids_euclidean(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment by squared L2 against an arbitrary
-    (cid, cv) centroid frame — the Euclidean twin of
-    ``assign_ivf_clusters``'s cosine argmax, with the same scale shape:
-    centroids packed into ONE broadcast row, per-vector argmin as a
-    narrow transform + array_max projection (no fan-out, no shuffle).
-    Tie-break: lowest distance, then lowest centroid id (negated id in
-    the struct comparison). Returns (id, vec, cluster)."""
+    (cid, cv) centroid frame. The centroid table is bounded by
+    construction (the training caps), so it is collected once and
+    inlined as an array literal — the assignment plan is then a NARROW
+    projection with no crossJoin/broadcast (one job fewer per call; a
+    LocalRelation input collects driver-side with no job at all). A
+    pack larger than the literal cutover ships as the classic
+    one-row broadcast instead. Tie-break: lowest distance, then lowest
+    centroid id (negated id in the struct comparison). Returns
+    (id, vec, cluster)."""
+    rows = cents.select(
+        F.col("cid"), F.col("cv").cast("array<double>").alias("cv")
+    ).collect()
+    if rows and len(rows) * len(rows[0]["cv"]) <= _CENT_LITERAL_MAX_DOUBLES:
+        return assign_to_centroid_rows(emb, rows, id_col, vec_col)
     cent_row = cents.agg(
         F.sort_array(
             F.collect_list(
@@ -668,9 +739,16 @@ def lloyd_kmeans_centroids(
                 [], "cid int, cv array<double>"
             )
         dim = len(first[0])
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    # init = the first-N vectors, collected once: every round then runs
+    # as ONE aggregate job over a narrow literal-pack assignment (no
+    # crossJoin, no broadcast-build job, no checkpoint job per round)
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .collect()
     )
     # SQL-text expressions (one parse each), not nested Column calls:
     # dim × (avg, round, cast, alias) via py4j is hundreds of driver
@@ -684,27 +762,23 @@ def lloyd_kmeans_centroids(
     ]
     repack = F.expr("array(" + ",".join(f"_m{i}" for i in range(dim)) + ")")
     for _ in range(n_iters):
-        assigned = assign_to_centroids_euclidean(emb, cents, id_col, vec_col)
-        cents = (
+        assigned = assign_to_centroid_rows(emb, rows, id_col, vec_col)
+        # each round's collect IS the lineage truncation (the
+        # connected_components convention, degenerated to C bounded
+        # rows of driver data): round N+1's plan — and every
+        # downstream consumer — starts from literal centroids, never
+        # re-running the training prefix. Values are identical; this
+        # is purely a plan/job-shape fix.
+        rows = (
             assigned.select(
                 "cluster", F.col(vec_col).cast("array<double>").alias("_v")
             )
             .groupBy("cluster")
             .agg(*avg_exprs)
             .select(F.col("cluster").alias("cid"), repack.alias("cv"))
+            .collect()
         )
-        # Iterative-lineage truncation (the connected_components
-        # convention): each round's centroid table is C rows — pinning
-        # it stops round N+1's plan (and every downstream consumer:
-        # final assignment, probe, index write) from re-running the
-        # whole training prefix per evaluation. Values are identical;
-        # this is purely a plan-shape fix. Collect + inline-VALUES
-        # rebuild instead of localCheckpoint: same one job per round,
-        # but the result is a true LocalRelation — broadcasting it
-        # downstream needs NO extra Spark job (the checkpointed RDD
-        # needed one per consumer) and every consumer's plan is flat.
-        cents = centroid_local_relation(emb.sparkSession, cents.collect())
-    return cents
+    return centroid_local_relation(emb.sparkSession, rows)
 
 
 def centroid_local_relation(spark, rows) -> DataFrame:

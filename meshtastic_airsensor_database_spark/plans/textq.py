@@ -2153,7 +2153,7 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(yi * 2 >= ti, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     ).cache()
     try:
-        n = float(f.count())
+        n = None
         w = [0.0, 0.0, 0.0, 0.0]
         for _ in range(LOGREG_ITERS):
             z = (
@@ -2164,12 +2164,18 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             p = r(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
             e = p - F.col("y")
+            # n rides the FIRST gradient aggregate (the job that also
+            # materializes the cache) instead of a separate count() —
+            # the update divisor only matters from iteration 1 on
             g = f.agg(
                 r(F.sum(e), 6).alias("g0"),
                 r(F.sum(e * F.col("z1")), 6).alias("g1"),
                 r(F.sum(e * F.col("z2")), 6).alias("g2"),
                 r(F.sum(e * F.col("z3")), 6).alias("g3"),
+                F.count(F.lit(1)).alias("_n"),
             ).collect()[0]
+            if n is None:
+                n = float(g["_n"])
             w = [
                 _r6_py(w[j] - LOGREG_LR * float(g[f"g{j}"]) / n)
                 for j in range(4)

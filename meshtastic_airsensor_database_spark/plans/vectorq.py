@@ -3023,70 +3023,99 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("vec_id", "p.s", "p.v")
 
-    def _assign(cents: DataFrame) -> DataFrame:
-        pack = (
-            cents.groupBy("s")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-                ).alias("lst")
+    def _arr_lit(vals) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    def _assign_rows(cent_rows) -> DataFrame:
+        # the M codebooks as ONE parsed map literal s -> sorted
+        # (cid, cv) structs (byte-identical to the old
+        # sort_array(collect_list) pack — cids are unique per s): the
+        # assignment is then a NARROW projection, no crossJoin, no
+        # broadcast-build job, no per-round checkpoint job. Bounded by
+        # construction (M x K x subspace-dim literal doubles).
+        by_s: dict[int, list] = {}
+        for row in cent_rows:
+            by_s.setdefault(int(row["s"]), []).append(row)
+        entries = []
+        for s in sorted(by_s):
+            arr = ", ".join(
+                "named_struct('cid', CAST(%d AS INT), 'cv', %s)"
+                % (int(rw["cid"]), _arr_lit(rw["cv"]))
+                for rw in sorted(by_s[s], key=lambda rw: int(rw["cid"]))
             )
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("s", "lst"))
-                ).alias("_cm")
-            )
-        )
+            entries.append(f"{s}, array({arr})")
+        cm = F.expr("map(" + ", ".join(entries) + ")")
         scored = F.transform(
-            F.element_at(F.col("_cm"), F.col("s")),
+            F.element_at(cm, F.col("s")),
             lambda c: F.struct(
                 (-dist2_raw(F.col("v"), c["cv"])).alias("d"),
                 (-c["cid"]).alias("t"),
                 c["cid"].alias("cid"),
             ),
         )
-        return sub.crossJoin(F.broadcast(pack)).select(
+        return sub.select(
             "vec_id", "s", "v", F.array_max(scored)["cid"].alias("cluster")
         )
 
-    cents = sub.filter(F.col("vec_id") < PQD_K).select(
-        "s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    cent_rows = (
+        sub.filter(F.col("vec_id") < PQD_K)
+        .select("s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+        .collect()
     )
+    # per-dimension AVG columns over groupBy(s, cluster) — half the
+    # exchanges of the posexplode -> (s, cluster, dim) -> repack form
+    # (same per-dim value sets, same decimal rounding); the per-round
+    # collect IS the lineage truncation (M x K bounded rows)
+    avg_exprs = [
+        F.expr(
+            f"CAST(ROUND(CAST(AVG(v[{i}]) AS DECIMAL(38,9)), 6) "
+            f"AS DOUBLE) AS _m{i}"
+        )
+        for i in range(w)
+    ]
+    repack = F.expr("array(" + ",".join(f"_m{i}" for i in range(w)) + ")")
     for _ in range(PQD_ITERS):
-        asg = _assign(cents)
-        means = (
-            asg.select("s", "cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("s", "cluster", "dim")
-            .agg(
-                F.round(F.avg("val").cast("decimal(38,9)"), 6)
-                .cast("double")
-                .alias("m")
-            )
+        cent_rows = (
+            _assign_rows(cent_rows)
+            .groupBy("s", "cluster")
+            .agg(*avg_exprs)
+            .select("s", F.col("cluster").alias("cid"), repack.alias("cv"))
+            .collect()
         )
-        cents = (
-            means.groupBy("s", "cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda x: x["m"],
-                ).alias("cv")
-            )
-            .select("s", F.col("cluster").alias("cid"), "cv")
-            .localCheckpoint(eager=True)  # M x K rows; truncates lineage
-        )
-    codes = _assign(cents).select("vec_id", "s", "cluster")
-    qsub = sub.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("s").alias("_qs_s"), F.col("v").alias("_qs")
+    codes = _assign_rows(cent_rows).select("vec_id", "s", "cluster")
+    # ADC term via two more map literals (query subvectors keyed by s,
+    # codebook vectors keyed by s*K+cid — cids are < K by construction):
+    # the old broadcast joins attached the SAME bounded data with two
+    # broadcast-build jobs; the lookup keeps the scan -> ADC pipeline
+    # one narrow pass
+    qsub_rows = (
+        sub.filter(F.col("vec_id") == QUERY_VEC_ID).select("s", "v").collect()
     )
-    d = (
-        codes.join(
-            F.broadcast(
-                cents.select("s", F.col("cid").alias("cluster"), "cv")
-            ),
-            ["s", "cluster"],
+    qmap = F.expr(
+        "map("
+        + ", ".join(
+            f"{int(rw['s'])}, {_arr_lit(rw['v'])}"
+            for rw in sorted(qsub_rows, key=lambda rw: int(rw["s"]))
         )
-        .join(F.broadcast(qsub), F.col("s") == F.col("_qs_s"))
-        .select("vec_id", "s", dist2_raw(F.col("_qs"), F.col("cv")).alias("d"))
+        + ")"
+    )
+    cvmap = F.expr(
+        "map("
+        + ", ".join(
+            f"{int(rw['s']) * PQD_K + int(rw['cid'])}, {_arr_lit(rw['cv'])}"
+            for rw in sorted(
+                cent_rows, key=lambda rw: (int(rw["s"]), int(rw["cid"]))
+            )
+        )
+        + ")"
+    )
+    d = codes.select(
+        "vec_id",
+        "s",
+        dist2_raw(
+            F.element_at(qmap, F.col("s")),
+            F.element_at(cvmap, F.col("s") * PQD_K + F.col("cluster")),
+        ).alias("d"),
     )
     # one row per (vec, s): conditional sums pick each subspace's term,
     # then a FIXED-ORDER left-assoc add mirrors the twin exactly (a
@@ -3106,16 +3135,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_approx").asc(), "vec_id")
         .limit(PQD_CAND)
     )
-    qfull = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("_qv")
-    )
+    # raw query vector as a literal (cosine_similarity casts both sides
+    # to array<double>, so the collected floats are value-identical to
+    # the crossJoin+broadcast column this replaces — one head() job
+    # instead of one broadcast-build job, and the re-rank stays narrow)
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]
     return (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
-        .crossJoin(F.broadcast(qfull))
         .select(
             "vec_id",
             r(F.col("_approx"), 6).alias("adc_d2"),
-            r(cosine_similarity(F.col("embedding"), F.col("_qv")), 4).alias("cosine"),
+            r(
+                cosine_similarity(F.col("embedding"), F.expr(_arr_lit(qv))), 4
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
