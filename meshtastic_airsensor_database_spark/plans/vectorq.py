@@ -623,33 +623,39 @@ def md5_image_media_from_ids(ids: DataFrame, bases: int = IMG_X_BASES) -> DataFr
 
     def synth(batches):
         # docs sharing doc_id % bases share their md5 pixel stream:
-        # derive each base's bytes ONCE per task (bases × nd digests
-        # instead of rows × nd — the per-task heavyweight-init rule),
-        # then stamp only the per-doc corner edit per row
-        base_raw: dict[int, bytes] = {}
+        # derive each base's ENCODED bytes once per task (bases × nd
+        # digests instead of rows × nd — the per-task heavyweight-init
+        # rule). The per-doc edit sets pixel (0, 0) on all three
+        # channels, which in P6 row-major layout is exactly the first
+        # 3 payload bytes — so each row is three byte-slices
+        # (header + edit + shared tail), no per-row numpy, no per-row
+        # encode. Byte-identical to encode_ppm(px-with-corner-edit):
+        # pinned by the equality test in tests/test_plans.py.
+        header_tail: dict[int, tuple[bytes, bytes]] = {}
 
-        def raw_for(base: int) -> bytes:
-            raw = base_raw.get(base)
-            if raw is None:
+        def parts_for(base: int) -> tuple[bytes, bytes]:
+            parts = header_tail.get(base)
+            if parts is None:
                 raw = b"".join(
                     hashlib.md5(f"{IMG_X_SALT}:{base}:{j}".encode()).digest()
                     for j in range(nd)
                 )
-                base_raw[base] = raw
-            return raw
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(side, side, 3)
+                enc = encode_ppm(px)
+                hdr_len = len(enc) - len(raw)
+                parts = (enc[:hdr_len], raw[3:])
+                header_tail[base] = parts
+            return parts
 
         for pdf in batches:
-            rows = []
+            mids, contents = [], []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
-                px = (
-                    np.frombuffer(raw_for(did % bases), dtype=np.uint8)
-                    .copy()
-                    .reshape(side, side, 3)
-                )
-                px[0, 0] = (did * 37) % 256
-                rows.append({"media_id": did, "content": encode_ppm(px)})
-            yield pd.DataFrame(rows, columns=["media_id", "content"])
+                header, tail = parts_for(did % bases)
+                e = (did * 37) % 256
+                mids.append(did)
+                contents.append(header + bytes((e, e, e)) + tail)
+            yield pd.DataFrame({"media_id": mids, "content": contents})
 
     return ids.select("doc_id").mapInPandas(synth, "media_id long, content binary")
 

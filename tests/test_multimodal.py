@@ -460,3 +460,46 @@ def test_audio_features_int_matches_python_model(spark):
     assert got[2] == model(loud_tail)
     assert got[2][4] == 0xFF00  # energy entirely in the top 8 windows
     assert got[3] == model(stereo_l)
+
+
+def test_md5_image_synth_byte_splice_matches_encode(spark):
+    """The byte-splicing fast path of md5_image_media_from_ids must be
+    byte-identical to the reference formulation it replaced: derive the
+    base pixels from the md5 stream, stamp the (doc_id*37)%256 corner
+    edit on all three channels, encode_ppm the edited array."""
+    import hashlib
+
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.functions.codecs import encode_ppm
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        IMG_X_BASES,
+        IMG_X_DIGESTS,
+        IMG_X_SALT,
+        IMG_X_SIDE,
+        md5_image_media_from_ids,
+    )
+
+    def reference(did: int) -> bytes:
+        raw = b"".join(
+            hashlib.md5(f"{IMG_X_SALT}:{did % IMG_X_BASES}:{j}".encode()).digest()
+            for j in range(IMG_X_DIGESTS)
+        )
+        px = (
+            np.frombuffer(raw, dtype=np.uint8)
+            .copy()
+            .reshape(IMG_X_SIDE, IMG_X_SIDE, 3)
+        )
+        px[0, 0] = (did * 37) % 256
+        return encode_ppm(px)
+
+    # ids spanning several bases and edit values, incl. 0
+    ids = [0, 1, 7, 40, 41, 123, 999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["media_id"]: bytes(r["content"])
+        for r in md5_image_media_from_ids(df).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i] == reference(i), i
