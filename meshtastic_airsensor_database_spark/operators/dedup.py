@@ -95,25 +95,24 @@ def md5_minhash_sketch(
         )
     base = fan_out(docs).select(F.col(id_col).alias("doc_id"), elems.alias("_toks"))
 
-    # factories, not default-arg lambdas: F.transform dispatches on the
-    # callable's arity, so a (t, s=salt) lambda would be invoked as the
-    # two-arg (element, index) form and receive the INDEX as s
-    def _dig(salt: str):
-        return lambda t: F.md5(F.concat(F.lit(salt + ":"), t))
-
-    def _u32(off: int):
-        return lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("long")
-
-    for g, salt in enumerate(MHJ_SALTS):
-        base = base.withColumn(f"_dig{g}", F.transform(F.col("_toks"), _dig(salt)))
-    mh_cols = []
-    for g in range(len(MHJ_SALTS)):
-        for w in range(4):
-            mh_cols.append(
-                F.array_min(
-                    F.transform(F.col(f"_dig{g}"), _u32(1 + 8 * w))
-                ).alias(f"mh{4 * g + w}")
-            )
+    # SQL-text expressions parsed by one F.expr each, not nested py4j
+    # Column calls (the simhash/sign-matrix lesson): 4 digest arrays +
+    # 16 window minima built as Columns cost hundreds of driver
+    # round-trips per sketch construction
+    dig_cols = [
+        F.expr(f"transform(_toks, t -> md5(concat('{salt}:', t))) AS _dig{g}")
+        for g, salt in enumerate(MHJ_SALTS)
+    ]
+    base = base.select("doc_id", "_toks", *dig_cols)
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(_dig{g}, d -> "
+            f"CAST(conv(substr(d, {1 + 8 * w}, 8), 16, 10) AS BIGINT))) "
+            f"AS mh{4 * g + w}"
+        )
+        for g in range(len(MHJ_SALTS))
+        for w in range(4)
+    ]
     return base.select("doc_id", F.col("_toks").alias("toks"), *mh_cols)
 
 

@@ -264,3 +264,47 @@ def bounded_pair_counts(
     return pairs.groupBy(f"p.{a}", f"p.{b}").agg(
         F.count(F.lit(1)).cast("long").alias("n_common")
     )
+
+
+def bounded_pair_and_member_counts(
+    sets_df: DataFrame,
+    set_col: str = "ss",
+    a: str = "source_a",
+    b: str = "source_b",
+) -> tuple[DataFrame, DataFrame]:
+    """One pass that counts BOTH the pair co-occurrences AND each
+    member's occurrences over the bounded sorted sets: every row emits
+    its C(m,2) pair structs plus m ``(member, NULL)`` singles, and a
+    single hash agg counts them all. Separate sizes/pairs passes each
+    consume the set stream — the gram-side aggregate (the heavy part)
+    ran TWICE because the two consumers sit above the exchange Spark
+    can reuse but the final aggregate it cannot. The counted frame is
+    bounded by |domain|² rows, so materializing it once makes both
+    split reads free. Returns ``(pairs(a, b, n_common),
+    sizes(member, n))``."""
+    from ..io_utils import materialize
+
+    elem_t = sets_df.schema[set_col].dataType.elementType.simpleString()
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col(set_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(set_col), i + 2, F.size(set_col)),
+                lambda y: F.struct(x.alias(a), y.alias(b)),
+            ),
+        )
+    )
+    singles_arr = F.transform(
+        F.col(set_col),
+        lambda x: F.struct(x.alias(a), F.lit(None).cast(elem_t).alias(b)),
+    )
+    counted = materialize(
+        sets_df.select(F.explode(F.concat(pairs_arr, singles_arr)).alias("p"))
+        .groupBy(f"p.{a}", f"p.{b}")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = counted.filter(F.col(b).isNotNull())
+    sizes = counted.filter(F.col(b).isNull()).select(
+        F.col(a).alias("member"), F.col("n_common").alias("n")
+    )
+    return pairs, sizes

@@ -30,7 +30,7 @@ from ..operators.setjoin import (
     prefix_filtered_jaccard_pairs,
 )
 from ..operators.textops import (
-    bounded_pair_counts,
+    bounded_pair_and_member_counts,
     build_vocab,
     encode_docs,
     novelty_counts,
@@ -1628,14 +1628,15 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the tiny per-source size table."""
     docs = load(spark, sf_dir, "documents")
     srcs = source_shingle_sets(docs, "text", "source", SHINGLE_N)
-    sizes = (
-        srcs.select(F.explode("ss").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # ONE pass counts pairs and per-source sizes together (the
+    # separate sizes aggregate re-ran the whole gram-side aggregate —
+    # the heavy part — as a second consumer above the reusable
+    # exchange)
+    common, sizes = bounded_pair_and_member_counts(
+        srcs, "ss", "source_a", "source_b"
     )
-    common = bounded_pair_counts(srcs, "ss", "source_a", "source_b")
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    sa = sizes.select(F.col("member").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("member").alias("source_b"), F.col("n").alias("n_b"))
     return (
         common.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")

@@ -4310,22 +4310,26 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < MHJ_SAMPLE_MAX_ID
     )
     sk = _md5_minhash_sketch(docs)
+    # SQL-text renames and the 16-term match sum parsed once each (the
+    # simhash lesson): the Column formulation was ~100 py4j round-trips
     a = sk.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("toks").alias("ta"),
-        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MHJ_PERMS)],
+        F.expr("doc_id AS id_a"),
+        F.expr("toks AS ta"),
+        *[F.expr(f"mh{k} AS a{k}") for k in range(MHJ_PERMS)],
     )
     b = sk.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("toks").alias("tb"),
-        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MHJ_PERMS)],
+        F.expr("doc_id AS id_b"),
+        F.expr("toks AS tb"),
+        *[F.expr(f"mh{k} AS b{k}") for k in range(MHJ_PERMS)],
     )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
-    matches = None
-    for k in range(MHJ_PERMS):
-        m = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
-        matches = m if matches is None else matches + m
+    matches = F.expr(
+        " + ".join(
+            f"(CASE WHEN a{k} = b{k} THEN 1 ELSE 0 END)"
+            for k in range(MHJ_PERMS)
+        )
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_inter", inter)
