@@ -1189,3 +1189,37 @@ def test_semantic_strict_tier_catches_planted_contamination(spark, tmp_path):
     n_train = len(planted) + n_distractors
     for r in out.values():
         assert r["n_candidates"] <= 0.25 * n_train, r
+
+
+def test_fold_numpy_twins():
+    """_matmul_fold/_matvec_fold must be BIT-identical to the ascending
+    left-fold Python arithmetic they replaced (np.add.accumulate is
+    sequential, not pairwise) — the exactness contract of the PCA
+    power-iteration drivers."""
+    import numpy as np
+
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        _dotfold,
+        _matmul_fold,
+        _matvec_fold,
+    )
+
+    rng = np.random.RandomState(11)
+    d = 37  # odd, above numpy's pairwise-summation block threshold
+    A = rng.randn(d, d) * rng.choice([1e-8, 1.0, 1e8], size=(d, d))
+    Bm = rng.randn(d, d)
+    got = _matmul_fold(A, Bm)
+    for i in range(d):
+        for j in range(d):
+            want = _dotfold(
+                [float(A[i][k]) for k in range(d)],
+                [float(Bm[k][j]) for k in range(d)],
+            )
+            assert got[i, j] == want, (i, j)
+    v = rng.randn(d)
+    gv = _matvec_fold(Bm, v)
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc += float(Bm[i][j]) * float(v[j])
+        assert gv[i] == acc, i
