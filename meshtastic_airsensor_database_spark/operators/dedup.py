@@ -166,31 +166,34 @@ def minhash_signature_df(
         F.explode(word_shingles(F.col(content_col), 3)).alias("_s"),
     )
     hashed = sh.select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MINHASH_P)).alias("_x"))
+    # SQL text parsed once per aggregate (the simhash lesson): n_perm
+    # Column chains are ~6 py4j round-trips each, per query build
     aggs = [
-        F.min((F.col("_x") * a + b) % _MINHASH_P).alias(f"_m{p}")
+        F.expr(f"MIN((_x * {a} + {b}) % {_MINHASH_P}) AS _m{p}")
         for p, (a, b) in enumerate(_perm_params(n_perm))
     ]
-    return (
-        hashed.groupBy("_id")
-        .agg(*aggs)
-        .select("_id", F.array(*[F.col(f"_m{p}") for p in range(n_perm)]).alias("sig"))
+    sig = F.expr(
+        "array(" + ",".join(f"_m{p}" for p in range(n_perm)) + ") AS sig"
     )
+    return hashed.groupBy("_id").agg(*aggs).select("_id", sig)
 
 
 def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """id -> (band_idx, band_hash) rows; equal band_hash within a band
     ==> LSH candidate pair."""
     with_sig = minhash_signature_df(df, id_col, content_col)
-    bands = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(*[F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
-                         for r in range(ROWS_PER_BAND)]).alias("band_hash"),
+    bands = ", ".join(
+        "struct({b} AS band_idx, xxhash64({elems}) AS band_hash)".format(
+            b=b,
+            elems=", ".join(
+                f"element_at(sig, {b * ROWS_PER_BAND + r + 1})"
+                for r in range(ROWS_PER_BAND)
+            ),
         )
         for b in range(N_BANDS)
-    ]
+    )
     return (
-        with_sig.select("_id", F.explode(F.array(*bands)).alias("band"))
+        with_sig.select("_id", F.explode(F.expr(f"array({bands})")).alias("band"))
         .select("_id", F.col("band.band_idx").alias("band_idx"),
                 F.col("band.band_hash").alias("band_hash"))
     )

@@ -3700,29 +3700,18 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         C[row["i"]][row["j"]] = row["cov"]
         C[row["j"]][row["i"]] = row["cov"]
 
-    B = C
-    for _ in range(PCA_PI_SQUARINGS):  # B <- B @ B, ascending-k left fold
-        B = [
-            [
-                _dotfold([B[i][k] for k in range(dim)], [B[k][j] for k in range(dim)])
-                for j in range(dim)
-            ]
-            for i in range(dim)
-        ]
+    import numpy as np
 
-    v = [1.0] * dim
+    B = np.array(C, dtype=np.float64)
+    for _ in range(PCA_PI_SQUARINGS):  # B <- B @ B, ascending-k left fold
+        B = _matmul_fold(B, B)
+
+    vv = np.ones(dim, dtype=np.float64)
     for _ in range(PCA_PI_ITERS):
-        u = []
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):  # ascending-j left fold == list_sum
-                acc += B[i][j] * v[j]
-            u.append(acc)
-        nrm = 0.0
-        for x in u:
-            nrm += x * x
-        nrm = math.sqrt(nrm)
-        v = [x / nrm for x in u]
+        u = _matvec_fold(B, vv)  # ascending-j left fold == list_sum
+        nrm = math.sqrt(np.add.accumulate(u * u)[-1])
+        vv = u / nrm
+    v = [float(x) for x in vv]
     w = []
     for i in range(dim):
         acc = 0.0
@@ -3754,6 +3743,30 @@ def _dotfold(a: list, b: list) -> float:
     for x, y in zip(a, b):  # ascending left fold == DuckDB list_sum
         acc += x * y
     return acc
+
+
+# numpy twins of the ascending-left-fold driver arithmetic. np.ufunc
+# .accumulate is SEQUENTIAL by definition (r[i] = op(r[i-1], a[i]) —
+# no pairwise blocking, unlike reduce/sum), so taking its last element
+# reproduces the exact ((p0+p1)+p2)... float64 chain of the Python
+# fold / DuckDB list_sum, while the 64^3-per-squaring multiply loops
+# run vectorized instead of interpreted (~0.5 s per PCA builder).
+# Bit-equality is pinned by tests/test_queries.py::test_fold_numpy_twins.
+
+
+def _matmul_fold(A, B):
+    import numpy as np
+
+    out = np.empty((A.shape[0], B.shape[1]), dtype=np.float64)
+    for i in range(A.shape[0]):
+        out[i] = np.add.accumulate(A[i][:, None] * B, axis=0)[-1]
+    return out
+
+
+def _matvec_fold(B, v):
+    import numpy as np
+
+    return np.add.accumulate(B * v, axis=1)[:, -1]
 
 
 def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
@@ -3805,32 +3818,19 @@ def _power_two_exact(spark: SparkSession, sf_dir: str) -> tuple:
         C[row["j"]][row["i"]] = row["cov"]
 
     def leading(M: list) -> list:
-        B = M
+        import numpy as np
+
+        # the numpy fold twins (sequential accumulate — bit-identical
+        # to the per-cell Python fold, vectorized multiplies)
+        B = np.array(M, dtype=np.float64)
         for _ in range(PCA_PI_SQUARINGS):
-            B = [
-                [
-                    _dotfold(
-                        [B[i][k] for k in range(dim)],
-                        [B[k][j] for k in range(dim)],
-                    )
-                    for j in range(dim)
-                ]
-                for i in range(dim)
-            ]
-        v = [1.0] * dim
+            B = _matmul_fold(B, B)
+        v = np.ones(dim, dtype=np.float64)
         for _ in range(PCA_PI_ITERS):
-            u = []
-            for i in range(dim):
-                acc = 0.0
-                for j in range(dim):
-                    acc += B[i][j] * v[j]
-                u.append(acc)
-            nrm = 0.0
-            for x in u:
-                nrm += x * x
-            nrm = math.sqrt(nrm)
-            v = [x / nrm for x in u]
-        return v
+            u = _matvec_fold(B, v)
+            nrm = math.sqrt(np.add.accumulate(u * u)[-1])
+            v = u / nrm
+        return [float(x) for x in v]
 
     def rayleigh(v: list) -> float:
         lam = 0.0
