@@ -90,74 +90,36 @@ def cooccurrence_edges(
     bucket,
     min_shared: int,
     max_bucket: int = COOC_MAX_BUCKET,
-    pack_ids: bool = False,
 ) -> DataFrame:
     """Build the co-occurrence graph: entities are connected when they
     appear in at least ``min_shared`` common buckets (users sharing
     active hours, terms sharing documents, items sharing baskets).
 
-    Scale shape (the setjoin posting-list pattern): distinct
-    (entity, bucket) via hash agg, then ONE shuffle on the bucket key
-    collects each bucket's sorted member list; the degenerate-hub gate
-    (> ``max_bucket`` members — a bucket everyone is in carries no
-    signal but generates B² pairs; the LSH MAX_BUCKET pattern) is a
-    plain size filter on that list, and the pair expansion is a NARROW
-    nested transform over the sorted list (entity_a < entity_b by
-    construction) — no self-join, no join-build side. One final hash
-    agg counts shared buckets per pair. Pair fan-out per bucket stays
-    capped at max_bucket²; the gate counts every distinct member
-    (null entities included, exactly like the old row count) while
-    pairs form among non-null members only (the old ``src < dst``
-    null semantics).
-
-    ``pack_ids=True`` (caller asserts entity ids are non-negative
-    integers < 2^31): each pair ships through the counting exchange as
-    ONE packed long (src << 32 | dst) instead of two — half the
-    shuffle key bytes, one 8-byte hash per pair (guide §2.3 narrower
-    types); ids are unpacked after the aggregate.
+    Scale shape: distinct (entity, bucket) via hash agg, a bucket-size
+    gate dropping degenerate hub buckets (> ``max_bucket`` members —
+    a bucket everyone is in carries no signal but generates B^2 pairs;
+    the LSH MAX_BUCKET pattern), then a SELF EQUI-JOIN on the bucket
+    key with entity_a < entity_b, and one more hash agg counting shared
+    buckets per pair. Both shuffles are on bounded-width keys; pair
+    fan-out per bucket is capped at max_bucket^2.
     """
     eb = df.select(
         F.col(entity).alias("_e"), bucket.alias("_b")
     ).distinct()
-    posts = (
-        eb.groupBy("_b")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.array_sort(F.collect_list("_e")).alias("ps"),
-        )
-        .filter((F.col("_n") <= max_bucket) & (F.size("ps") >= 2))
+    sizes = eb.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    kept = eb.join(
+        F.broadcast(sizes.where(F.col("_n") > max_bucket).select("_b")),
+        "_b",
+        "left_anti",
     )
-    if pack_ids:
-        mk_pair = lambda x, y: F.shiftleft(x.cast("long"), 32) + y  # noqa: E731
-    else:
-        mk_pair = lambda x, y: F.struct(  # noqa: E731
-            x.alias("src"), y.alias("dst")
-        )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ps"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps")) - i - 1),
-                    lambda y: mk_pair(x, y),
-                ),
-            )
-        )
-    ).alias("_p")
-    counted = (
-        posts.select(pair)
-        .groupBy("_p")
+    a = kept.select(F.col("_e").alias("src"), "_b")
+    b = kept.select(F.col("_e").alias("dst"), "_b")
+    return (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .where(F.col("shared") >= min_shared)
-    )
-    if pack_ids:
-        return counted.select(
-            F.shiftrightunsigned("_p", 32).alias("src"),
-            F.col("_p").bitwiseAND(F.lit(0xFFFFFFFF)).alias("dst"),
-            "shared",
-        )
-    return counted.select(
-        F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"), "shared"
     )
 
 

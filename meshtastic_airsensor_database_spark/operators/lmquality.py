@@ -110,17 +110,25 @@ def perplexity_scores(
     Returns ``(id, n_bigrams, avg_nll, ppl)``; docs with <2 tokens are
     absent (no bigrams to score).
     """
-    # The bigram-instance table feeds FIVE consumers (scoring join,
-    # bigram counts, context counts, both vocab arms). The explode is
-    # narrow, so without truncation every consumer re-runs the
-    # tokenize+zip+explode over the corpus — materialize it once (the
-    # multi-consumed-intermediate rule, io_utils.materialize).
+    # The bigram-instance table is materialized once (the
+    # multi-consumed-intermediate rule) but consumed only TWICE — the
+    # bigram-count aggregate and the scoring join. Context counts and
+    # the vocabulary size both derive from the (much smaller) distinct
+    # bigram table instead of re-scanning instances: c1(w1) = Σ_w2 c2
+    # and the distinct-word set of distinct bigrams IS the instance
+    # vocabulary — integer-exact either way. bigram_counts is itself
+    # materialized (3 consumers sit above its exchange; Spark reuses
+    # the exchange but re-runs the final aggregate per consumer).
     bg = materialize(_doc_bigrams(docs, text_col, id_col))
-    bigram_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    context_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bigram_counts = materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
     vocab = (
-        bg.select(F.col("w1").alias("w"))
-        .union(bg.select(F.col("w2").alias("w")))
+        bigram_counts.select(F.col("w1").alias("w"))
+        .union(bigram_counts.select(F.col("w2").alias("w")))
         .agg(F.count_distinct("w").alias("v"))
     )
     lm = (

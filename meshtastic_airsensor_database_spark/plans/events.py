@@ -740,10 +740,6 @@ def user_copresence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.unix_timestamp("ts") / 3600),
         min_shared=COPRESENCE_MIN_SHARED_HOURS,
-        # user ids are non-negative and far below 2^31 at every SF, so
-        # each pair ships through the counting exchange as ONE packed
-        # long — half the key bytes of the (src, dst) pair
-        pack_ids=True,
     )
     return triangle_counts(edges).select(
         F.col("node").alias("user_id"), "n_triangles"
