@@ -200,16 +200,33 @@ def _probe_and_rerank(
     unit-norm, so cosine-to-center and the Euclidean assignment would
     rank clusters differently and the probe could miss the assigned
     cluster of a true neighbor).
+
+    The query vector is ONE bounded row: it is collected once and
+    inlined as an array literal (cosine_similarity casts both sides to
+    array<double>, so the collected floats are value-identical to the
+    broadcast column), which removes both crossJoin + broadcast-build
+    jobs from the probe and keeps the re-rank a narrow projection.
     """
+    qrow = q.head()
+    if qrow is None:  # query id absent -> empty result, same as before
+        return (
+            assigned.select(
+                F.col(id_col),
+                F.col("cluster"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        )
+    qv_lit = F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in qrow["_qv"]) + ")"
+    )
     if probe_metric == "cosine":
-        score = cosine_similarity(F.col("centroid_vec"), F.col("_qv"))
+        score = cosine_similarity(F.col("centroid_vec"), qv_lit)
         order = [F.col("_score").desc(), F.col("centroid_id")]
     else:
-        score = _euclidean_dist2("centroid_vec", "_qv")
+        score = _euclidean_dist2(F.col("centroid_vec"), qv_lit)
         order = [F.col("_score").asc(), F.col("centroid_id")]
     probe = (
-        centers.crossJoin(F.broadcast(q))
-        .withColumn("_score", score)
+        centers.withColumn("_score", score)
         .orderBy(*order)
         .limit(n_probe)
         .select(F.col("centroid_id").alias("cluster"))
@@ -217,14 +234,13 @@ def _probe_and_rerank(
     return (
         assigned.join(F.broadcast(probe), "cluster", "inner")  # partition pruning dual
         .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
             F.col("cluster"),
             # decimal-route rounding (plans/base.py parity rule): plain
             # double ROUND half-up diverges from DuckDB at .xxxx5
             F.round(
-                cosine_similarity(F.col(vec_col), F.col("_qv")).cast(
+                cosine_similarity(F.col(vec_col), qv_lit).cast(
                     "decimal(38,9)"
                 ),
                 4,
