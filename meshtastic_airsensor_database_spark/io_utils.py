@@ -245,6 +245,57 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+_APPEND_STAGING_SUFFIX = ".append-staging"
+
+
+def parallel_append_ordered(path: str, writes: list) -> None:
+    """Append several frames to sibling tables of a persisted index
+    with the COMPUTE in parallel and the PUBLISH in caller order.
+
+    ``writes`` is an ordered list of ``(subdir, DataFrame)``. The
+    expensive Spark write jobs land in an ephemeral staging dir
+    CONCURRENTLY (guide §2.6 — independent jobs back-fill each other's
+    stragglers instead of running back to back), then the publish is a
+    sequence of per-file renames in the caller's order — so the
+    crash-ordering invariant the old sequential appends provided
+    (table N fully visible before table N+1 gains any row) holds at
+    EVERY crash point: a crash during staging publishes nothing, a
+    crash between renames leaves earlier tables ⊇ later ones (the safe
+    direction: an orphan sig/vec row is inert, the reverse silently
+    drops candidates), and a leftover staging dir is deleted on the
+    next entry. Appends stay retry-idempotent exactly as before — the
+    probes' distinct-id bucket counts and distinct reports absorb
+    duplicate rows from a crashed-then-retried extend, and Spark part
+    file names are job-unique (UUID), so a retry's files never collide
+    with a prior partial publish. Local/posix rename semantics (the
+    staged-build caveat: object stores need a manifest swap)."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    staging = path + _APPEND_STAGING_SUFFIX
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        with ThreadPoolExecutor(max_workers=max(len(writes), 1)) as pool:
+            futures = [
+                pool.submit(
+                    lambda df=df, sub=sub: df.write.parquet(
+                        os.path.join(staging, sub)
+                    )
+                )
+                for sub, df in writes
+            ]
+            for f in futures:
+                f.result()
+        for sub, _ in writes:
+            src = os.path.join(staging, sub)
+            dst = os.path.join(path, sub)
+            for name in sorted(os.listdir(src)):
+                if name.startswith("part-"):
+                    os.rename(os.path.join(src, name), os.path.join(dst, name))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def ephemeral_dir(prefix: str) -> str:
     """Session-lifetime temp dir for queries that materialize real
     side state (index-lifecycle builds, streaming-replay landing/output

@@ -61,7 +61,12 @@ from ..functions.vectors import (
     quantize_int8,
     sign_band_rows,
 )
-from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_build
+from ..io_utils import (
+    begin_staged_build,
+    commit_staged_build,
+    parallel_append_ordered,
+    recover_staged_build,
+)
 from .dedup import MAX_BUCKET
 
 # the strict decontamination tier's banding (plans/vectorq.py::
@@ -255,11 +260,16 @@ def extend_decon_index(
         new_train, id_col, emb_col, n_bands, band_bits, dim=len(first[0])
     )
     storage = _check_meta(path, dim, n_bands, band_bits)
-    _stored_vecs(vecs, storage).hint("rebalance").write.mode("append").parquet(
-        os.path.join(path, "vecs")
-    )
-    bands.hint("rebalance").write.mode("append").parquet(
-        os.path.join(path, "bands")
+    # compute both appends in parallel, publish vecs BEFORE bands (the
+    # crash-ordering invariant: a band row must never exist without
+    # its vector — io_utils.parallel_append_ordered keeps every crash
+    # point on the safe side while the two write jobs overlap)
+    parallel_append_ordered(
+        path,
+        [
+            ("vecs", _stored_vecs(vecs, storage).hint("rebalance")),
+            ("bands", bands.hint("rebalance")),
+        ],
     )
 
 

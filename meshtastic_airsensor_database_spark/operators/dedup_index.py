@@ -51,7 +51,12 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io_utils import begin_staged_build, commit_staged_build, recover_staged_build
+from ..io_utils import (
+    begin_staged_build,
+    commit_staged_build,
+    parallel_append_ordered,
+    recover_staged_build,
+)
 from .dedup import (
     _MINHASH_P,
     MAX_BUCKET,
@@ -239,11 +244,13 @@ def extend_minhash_index(
     recover_staged_build(path)
     sketch = _check_meta(path)
     bands, sigs = _index_rows(new_docs, id_col, content_col, sketch)
-    sigs.hint("rebalance").write.mode("append").parquet(
-        os.path.join(path, "sigs")
-    )
-    bands.hint("rebalance").write.mode("append").parquet(
-        os.path.join(path, "bands")
+    # compute both appends in parallel, publish sigs BEFORE bands (the
+    # crash-ordering invariant: a band row must never exist without
+    # its signature — io_utils.parallel_append_ordered keeps every
+    # crash point on the safe side while the two write jobs overlap)
+    parallel_append_ordered(
+        path,
+        [("sigs", sigs.hint("rebalance")), ("bands", bands.hint("rebalance"))],
     )
 
 

@@ -281,3 +281,52 @@ def test_sketch_tiers_never_mix(spark, index_path, tmp_path):
         extend_minhash_index(shard, index_path)
     with pytest.raises(ValueError, match="built with"):
         dedup_new_batch(shard, index_path)
+
+
+def test_parallel_append_publish_order_and_staging_cleanup(spark, index_path, tmp_path):
+    """parallel_append_ordered must (a) leave the same probe-visible
+    index state as the sequential appends it replaced, (b) clean a
+    leftover .append-staging from a crashed prior extend, and (c) keep
+    the sigs-before-bands crash invariant: a synthetic crash state with
+    staged-but-unpublished BANDS never surfaces candidates whose
+    signatures are missing."""
+    import shutil
+
+    from meshtastic_airsensor_database_spark.io_utils import (
+        _APPEND_STAGING_SUFFIX,
+    )
+
+    build_minhash_index(_df(spark, CORPUS), index_path)
+    shard = _df(spark, [(401, "ordered publish semantics shard one here")])
+
+    # (b) leftover staging from a "crash" is swept before the append
+    leftover = index_path + _APPEND_STAGING_SUFFIX
+    os.makedirs(os.path.join(leftover, "sigs"))
+    with open(os.path.join(leftover, "sigs", "part-stale"), "w") as f:
+        f.write("stale")
+    extend_minhash_index(shard, index_path)
+    assert not os.path.exists(leftover)
+
+    # (a) the extend is probe-visible exactly like the sequential form
+    probe = _df(spark, [(501, "ordered publish semantics shard one here")])
+    rows = dedup_new_batch(probe, index_path).collect()
+    assert [(r.new_id, r.indexed_id) for r in rows] == [(501, 401)]
+
+    # (c) synthetic crash AFTER the sigs publish, BEFORE bands: move the
+    # bands files back out (reconstructing the mid-publish state) — the
+    # probe sees orphan sigs (inert) and never a band row without its
+    # signature; a retried extend then converges
+    shard2 = _df(spark, [(402, "a totally different second shard text")])
+    bands_dir = os.path.join(index_path, "bands")
+    before = set(os.listdir(bands_dir))
+    extend_minhash_index(shard2, index_path)
+    added = set(os.listdir(bands_dir)) - before
+    stash = tmp_path / "bands_stash"
+    os.makedirs(stash)
+    for name in added:
+        shutil.move(os.path.join(bands_dir, name), str(stash / name))
+    probe2 = _df(spark, [(502, "a totally different second shard text")])
+    assert dedup_new_batch(probe2, index_path).count() == 0
+    extend_minhash_index(shard2, index_path)  # retry converges
+    rows2 = dedup_new_batch(probe2, index_path).collect()
+    assert [(r.new_id, r.indexed_id) for r in rows2] == [(502, 402)]
