@@ -19,6 +19,26 @@ def _as_double_array(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def double_sql_literal(x: float) -> str:
+    """A Python double as Spark SQL expression text. Finite values go
+    through ``repr`` (shortest repr re-parses to the identical double
+    — the centroid_local_relation exactness argument). Non-finite
+    values need the cast form: ``repr(nan)``/``repr(inf)`` produce
+    ``nan``/``inf``, which the SQL parser rejects as double literals,
+    so one NaN-poisoned centroid mean would turn a previously
+    NaN-propagating plan into an AnalysisException (r11 verdict #1);
+    ``CAST('NaN' AS DOUBLE)`` parses everywhere and evaluates to the
+    same IEEE value the broadcast path would carry."""
+    v = float(x)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-order dot product (parity with a SQL list_dot_product)."""
     prods = F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y)

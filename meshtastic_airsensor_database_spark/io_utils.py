@@ -127,10 +127,18 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     for driver-loop shapes (BPE rounds) where the next action is the
     very next statement: one job then both materializes the checkpoint
     and computes the round, instead of two back-to-back jobs per round.
+
+    The deferral applies to ``localCheckpoint`` ONLY: a non-eager
+    RELIABLE checkpoint writes its files via a separate recompute job
+    after the first action (the RDD is not cached), so with a
+    checkpoint dir configured ``eager=False`` would compute every
+    frame twice — strictly worse than the extra eager job it was meant
+    to save (r11 ADVICE). The checkpoint-dir branch therefore stays
+    eager regardless of the flag.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)
 
 
@@ -246,6 +254,16 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 _APPEND_STAGING_SUFFIX = ".append-staging"
+_APPEND_PENDING_MARKER = "_APPEND_PENDING"
+
+
+def has_pending_append(path: str) -> bool:
+    """True when a previous ``parallel_append_ordered`` publish crashed
+    mid-rename: some tables hold the append's rows and later ones do
+    not (the safe direction — earlier ⊇ later — but DETECTABLE now
+    instead of silently absorbed by the probes' distinct semantics).
+    Re-running the extend converges and clears the marker."""
+    return os.path.exists(os.path.join(path, _APPEND_PENDING_MARKER))
 
 
 def parallel_append_ordered(path: str, writes: list) -> None:
@@ -259,21 +277,31 @@ def parallel_append_ordered(path: str, writes: list) -> None:
     sequence of per-file renames in the caller's order — so the
     crash-ordering invariant the old sequential appends provided
     (table N fully visible before table N+1 gains any row) holds at
-    EVERY crash point: a crash during staging publishes nothing, a
-    crash between renames leaves earlier tables ⊇ later ones (the safe
-    direction: an orphan sig/vec row is inert, the reverse silently
-    drops candidates), and a leftover staging dir is deleted on the
-    next entry. Appends stay retry-idempotent exactly as before — the
-    probes' distinct-id bucket counts and distinct reports absorb
-    duplicate rows from a crashed-then-retried extend, and Spark part
-    file names are job-unique (UUID), so a retry's files never collide
-    with a prior partial publish. Local/posix rename semantics (the
-    staged-build caveat: object stores need a manifest swap)."""
+    every PROCESS-crash point: a crash during staging publishes
+    nothing, a crash between renames leaves earlier tables ⊇ later
+    ones (the safe direction: an orphan sig/vec row is inert, the
+    reverse silently drops candidates), and a leftover staging dir is
+    deleted on the next entry. (Power-loss durability is NOT claimed:
+    the destination directory is not fsync'd between tables, so
+    renames may persist out of order across a power cut — the same
+    posix-local scope as the staged build; object stores need a
+    manifest swap.)
+
+    A fsync'd ``_APPEND_PENDING`` marker brackets the publish window,
+    so a crashed-mid-publish extend is DETECTABLE
+    (``has_pending_append``) rather than only absorbed: appends stay
+    retry-idempotent exactly as before — the probes' distinct-id
+    bucket counts and distinct reports absorb duplicate rows from a
+    crashed-then-retried extend, and Spark part file names are
+    job-unique (UUID), so a retry's files never collide with a prior
+    partial publish; the retry clears the marker after its own
+    complete publish."""
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
     staging = path + _APPEND_STAGING_SUFFIX
     shutil.rmtree(staging, ignore_errors=True)
+    pending = os.path.join(path, _APPEND_PENDING_MARKER)
     try:
         with ThreadPoolExecutor(max_workers=max(len(writes), 1)) as pool:
             futures = [
@@ -286,12 +314,18 @@ def parallel_append_ordered(path: str, writes: list) -> None:
             ]
             for f in futures:
                 f.result()
+        # publish window: marker on (fsync'd) -> ordered renames ->
+        # marker off. Any crash inside the window leaves the marker.
+        with open(pending, "w") as f:
+            f.flush()
+            os.fsync(f.fileno())
         for sub, _ in writes:
             src = os.path.join(staging, sub)
             dst = os.path.join(path, sub)
             for name in sorted(os.listdir(src)):
                 if name.startswith("part-"):
                     os.rename(os.path.join(src, name), os.path.join(dst, name))
+        os.remove(pending)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dist2_raw, dot_raw, l2_norm
+from ..functions.vectors import (
+    cosine_similarity,
+    dist2_raw,
+    dot_raw,
+    double_sql_literal,
+    l2_norm,
+)
 from ..io_utils import fan_out
 
 N_HYPERPLANES = 16
@@ -217,7 +223,7 @@ def _probe_and_rerank(
             ).limit(0)
         )
     qv_lit = F.expr(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in qrow["_qv"]) + ")"
+        "array(" + ", ".join(double_sql_literal(x) for x in qrow["_qv"]) + ")"
     )
     if probe_metric == "cosine":
         score = cosine_similarity(F.col("centroid_vec"), qv_lit)
@@ -613,13 +619,15 @@ def _cents_array_literal(rows) -> "F.Column":
     named_structs, sorted by cid — byte-identical to the agg
     ``sort_array(collect_list(struct(cid, cv)))`` pack (cids are unique
     so the struct sort IS the cid sort). Doubles round-trip through
-    ``repr`` (shortest repr re-parses to the identical double), the
-    same exactness argument as ``centroid_local_relation``. The payoff
-    is plan shape: the assignment becomes a NARROW projection — no
-    crossJoin, no BroadcastExchange, no broadcast-build job."""
+    ``double_sql_literal`` (shortest repr re-parses to the identical
+    double; non-finite values take the CAST form so a NaN-poisoned
+    centroid mean stays NaN-propagating instead of failing to parse).
+    The payoff is plan shape: the assignment becomes a NARROW
+    projection — no crossJoin, no BroadcastExchange, no
+    broadcast-build job."""
     parts = []
     for row in sorted(rows, key=lambda r: int(r["cid"])):
-        cv = ", ".join(f"{float(x)!r}D" for x in row["cv"])
+        cv = ", ".join(double_sql_literal(x) for x in row["cv"])
         parts.append(
             f"named_struct('cid', CAST({int(row['cid'])} AS INT), "
             f"'cv', array({cv}))"
@@ -679,11 +687,24 @@ def assign_to_centroids_euclidean(
     pack larger than the literal cutover ships as the classic
     one-row broadcast instead. Tie-break: lowest distance, then lowest
     centroid id (negated id in the struct comparison). Returns
-    (id, vec, cluster)."""
-    rows = cents.select(
-        F.col("cid"), F.col("cv").cast("array<double>").alias("cv")
-    ).collect()
-    if rows and len(rows) * len(rows[0]["cv"]) <= _CENT_LITERAL_MAX_DOUBLES:
+    (id, vec, cluster).
+
+    The collect is LIMIT-bounded to the cutover: each centroid carries
+    >= 1 double, so more than ``_CENT_LITERAL_MAX_DOUBLES`` rows can
+    never take the literal path — the driver never holds more than the
+    cutover's worth of rows even when the frame is huge (the fallback
+    that exists to protect the driver must not itself collect the full
+    frame, r11 ADVICE)."""
+    rows = (
+        cents.select(F.col("cid"), F.col("cv").cast("array<double>").alias("cv"))
+        .limit(_CENT_LITERAL_MAX_DOUBLES + 1)
+        .collect()
+    )
+    if (
+        rows
+        and len(rows) <= _CENT_LITERAL_MAX_DOUBLES
+        and len(rows) * len(rows[0]["cv"]) <= _CENT_LITERAL_MAX_DOUBLES
+    ):
         return assign_to_centroid_rows(emb, rows, id_col, vec_col)
     cent_row = cents.agg(
         F.sort_array(
@@ -809,7 +830,7 @@ def centroid_local_relation(spark, rows) -> DataFrame:
         return spark.createDataFrame([], "cid int, cv array<double>")
     vals = ", ".join(
         "(CAST(%d AS INT), array(%s))"
-        % (int(row["cid"]), ", ".join(f"{float(x)!r}D" for x in row["cv"]))
+        % (int(row["cid"]), ", ".join(double_sql_literal(x) for x in row["cv"]))
         for row in rows
     )
     return spark.sql(f"SELECT * FROM VALUES {vals} AS t(cid, cv)")
@@ -1028,14 +1049,10 @@ def mmr_rerank(
     standard diversity re-rank between retrieval and the LLM context
     window.
 
-    MMR is inherently sequential in ``k``, so this runs the
-    bounded-driver-loop shape the BPE trainer and Lloyd's k-means use:
-    one 1-row collect per round (the argmax), with the selected
-    vectors folded back as literal arrays into the next round's
-    codegen'd expression — candidates are never collected, and each
-    round is one narrow scan of the pool. The pool itself must be
-    LIMIT-bounded upstream (top-N by relevance), which is also what
-    caps the literal fan-in at k vectors.
+    MMR is inherently sequential in ``k``, so this runs driver-side
+    over the ONE collected LIMIT-bounded pool (top-N by relevance
+    upstream — bounded driver data by construction, the same class as
+    the per-round 1-row collects this replaced).
 
     Every per-pair similarity and every MMR score is rounded via the
     decimal route (plans/base.py) BEFORE the argmax, so the greedy
@@ -1052,7 +1069,7 @@ def mmr_rerank(
     bit-identical arithmetic: the sequential-fold cosine mirrors
     ``cosine_similarity``'s aggregate order op for op, and every
     rounding goes through the same double → DECIMAL(38,9) → round(4)
-    route (``_r4_py``). The previous formulation ran one Spark job per
+    route (``_r4_py``). The pre-r11 formulation ran one Spark job per
     selection step (plus an eager localCheckpoint) and rebuilt a
     dim-length ``F.lit`` array per selected vector per round — ~14
     driver↔JVM jobs and thousands of py4j round-trips to re-rank 20
@@ -1123,10 +1140,18 @@ def _r4_py(x: float | None) -> float | None:
     DECIMAL(38,9) (half away from zero) → ROUND(.., 4) (half away from
     zero) → double; None propagates like SQL null. ``Decimal(float)``
     is the exact binary value, so this reproduces both engines' decimal
-    route bit-for-bit (the plans/textq.py::_r6_py convention)."""
+    route bit-for-bit (the plans/textq.py::_r6_py convention).
+
+    Non-finite inputs return None because Spark's CAST(double AS
+    DECIMAL) nulls NaN/±Infinity (measured on this session config) —
+    so a NaN cosine is NULL after the decimal route on BOTH sides and
+    ``F.greatest``/``max(nonnull)`` never see it; without this the
+    Python mirror raised InvalidOperation where Spark yielded NULL
+    (r11 ADVICE: NaN ordering divergence)."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    if x is None:
+    if x is None or not math.isfinite(x):
         return None
     d = Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
     return float(d.quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP))

@@ -20,6 +20,7 @@ from ..functions.vectors import (
     cosine_similarity,
     dist2_raw,
     dot_raw,
+    double_sql_literal,
     hplsh_sign_py,
     l2_norm,
     quantize_int8,
@@ -3030,7 +3031,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "p.s", "p.v")
 
     def _arr_lit(vals) -> str:
-        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+        # double_sql_literal: non-finite doubles take the CAST('NaN'…)
+        # form — repr(nan)/repr(inf) do not parse as SQL literals, so a
+        # NaN-poisoned codebook mean would otherwise raise instead of
+        # propagating (r11 verdict #1)
+        return "array(" + ", ".join(double_sql_literal(x) for x in vals) + ")"
 
     def _assign_rows(cent_rows) -> DataFrame:
         # the M codebooks as ONE parsed map literal s -> sorted
@@ -3097,6 +3102,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub_rows = (
         sub.filter(F.col("vec_id") == QUERY_VEC_ID).select("s", "v").collect()
     )
+    if not qsub_rows:
+        # absent query id -> empty top-k with the right schema, the
+        # same contract as _probe_and_rerank (an empty qmap literal
+        # would otherwise fail analysis as a VOID map, and the final
+        # head() would raise TypeError — r11 ADVICE)
+        return codes.select(
+            "vec_id",
+            F.lit(0.0).alias("adc_d2"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     qmap = F.expr(
         "map("
         + ", ".join(
@@ -3145,6 +3160,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to array<double>, so the collected floats are value-identical to
     # the crossJoin+broadcast column this replaces — one head() job
     # instead of one broadcast-build job, and the re-rank stays narrow)
+    # (non-None by construction here: qsub_rows was non-empty above,
+    # and sub derives from this same emb)
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]
     return (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")

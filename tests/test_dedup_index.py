@@ -330,3 +330,46 @@ def test_parallel_append_publish_order_and_staging_cleanup(spark, index_path, tm
     extend_minhash_index(shard2, index_path)  # retry converges
     rows2 = dedup_new_batch(probe2, index_path).collect()
     assert [(r.new_id, r.indexed_id) for r in rows2] == [(502, 402)]
+
+
+def test_crashed_mid_publish_extend_is_detectable_then_converges(
+    spark, index_path, monkeypatch
+):
+    """A crash INSIDE the ordered-publish window must be DETECTABLE
+    (``has_pending_append``) instead of only silently absorbed by the
+    probes' distinct semantics (r11 verdict #7): the fsync'd
+    ``_APPEND_PENDING`` marker brackets the renames, survives the
+    crash, and is cleared by the retried extend's complete publish."""
+    import meshtastic_airsensor_database_spark.io_utils as iou
+
+    build_minhash_index(_df(spark, CORPUS), index_path)
+    shard = _df(spark, [(601, "detectable pending append shard text")])
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        if "part-" in os.path.basename(src):
+            calls["n"] += 1
+            if calls["n"] >= 2:  # sigs published, bands not
+                raise OSError("simulated crash mid-publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(iou.os, "rename", failing_rename)
+    try:
+        extend_minhash_index(shard, index_path)
+    except OSError:
+        pass
+    monkeypatch.setattr(iou.os, "rename", real_rename)
+
+    # detectable: the pending marker survived the crash, and the crash
+    # state is the safe direction (orphan sigs, no dangling bands)
+    assert iou.has_pending_append(index_path)
+    probe = _df(spark, [(701, "detectable pending append shard text")])
+    assert dedup_new_batch(probe, index_path).count() == 0
+
+    # the retried extend converges AND clears the marker
+    extend_minhash_index(shard, index_path)
+    assert not iou.has_pending_append(index_path)
+    rows = dedup_new_batch(probe, index_path).collect()
+    assert [(r.new_id, r.indexed_id) for r in rows] == [(701, 601)]

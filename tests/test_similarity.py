@@ -719,3 +719,81 @@ def test_registered_ivf_lifecycle_query_pins_frozen_extend(spark, sf_dir):
         .collect()
     ]
     assert got == want and len(got) == TOP_K
+
+
+def test_nonfinite_centroid_pack_matches_broadcast_path(spark):
+    """A NaN/Inf-poisoned centroid mean must keep the literal-inlined
+    assignment on NaN-propagating semantics (identical to the classic
+    broadcast path), not raise an AnalysisException from an unparsable
+    ``nan``/``inf`` literal (r11 verdict #1)."""
+    import meshtastic_airsensor_database_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0, -1.0]),
+            (1, [float("nan"), 1.0, -1.0]),
+            (2, [float("inf"), float("-inf"), 0.0]),
+            (3, [9.0, 1.0, -1.0]),
+        ],
+        "cid int, cv array<double>",
+    )
+    lit_rows = sorted(
+        (r.vec_id, r.cluster)
+        for r in sim.assign_to_centroids_euclidean(emb, cents).collect()
+    )
+    # force the classic crossJoin+broadcast fallback by dropping the
+    # cutover to zero — the two paths must agree element for element
+    old = sim._CENT_LITERAL_MAX_DOUBLES
+    sim._CENT_LITERAL_MAX_DOUBLES = 0
+    try:
+        bc_rows = sorted(
+            (r.vec_id, r.cluster)
+            for r in sim.assign_to_centroids_euclidean(emb, cents).collect()
+        )
+    finally:
+        sim._CENT_LITERAL_MAX_DOUBLES = old
+    assert lit_rows == bc_rows and len(lit_rows) == 12
+
+
+def test_r4_py_nonfinite_mirrors_spark_decimal_route(spark):
+    """Spark's CAST(double AS DECIMAL(38,9)) nulls NaN/±Infinity, so
+    the decimal rounding route yields NULL for non-finite scores —
+    ``_r4_py`` must return None there (not raise InvalidOperation),
+    keeping the mmr greedy loop bit-faithful on poisoned cosines."""
+    from meshtastic_airsensor_database_spark.operators.similarity import _r4_py
+    from meshtastic_airsensor_database_spark.plans.base import r
+
+    vals = [float("nan"), float("inf"), float("-inf"), 0.123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [row[0] for row in df.select(r(F.col("x"), 4)).collect()]
+    got_py = [_r4_py(v) for v in vals]
+    assert got_spark == got_py == [None, None, None, 0.1235]
+
+
+def test_ann_pq_topk_absent_query_id_returns_empty(spark, tmp_path):
+    """An embeddings shard without the query id must yield an EMPTY
+    correctly-typed top-k (the replaced crossJoin(broadcast(q)) form's
+    contract), not a TypeError off ``head()[...]`` (r11 ADVICE)."""
+    from meshtastic_airsensor_database_spark.plans.vectorq import (
+        PQD_K,
+        QUERY_VEC_ID,
+        ann_pq_topk,
+    )
+
+    # ids start ABOVE the query id; dim 8 is divisible by PQD_M and the
+    # first PQD_K present ids seed the codebooks as usual
+    rows = [
+        (i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)], 0)
+        for i in range(QUERY_VEC_ID + 1, QUERY_VEC_ID + 1 + 4 * PQD_K)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_pq_topk(spark, sf_dir)
+    assert out.columns == ["vec_id", "adc_d2", "cosine"]
+    assert out.count() == 0
