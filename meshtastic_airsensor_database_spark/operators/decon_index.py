@@ -64,6 +64,7 @@ from ..functions.vectors import (
 from ..io_utils import (
     begin_staged_build,
     commit_staged_build,
+    materialize,
     parallel_append_ordered,
     recover_staged_build,
 )
@@ -330,27 +331,40 @@ def probe_decon_index(
         evals, id_col, emb_col, n_bands, band_bits, dim=len(first[0])
     )
     _check_meta(path, dim, n_bands, band_bits)
+    # band the eval shard ONCE (eager, eval-shard-sized checkpoint —
+    # the same bounded class the broadcasts already collect): every
+    # broadcast build below projects from the cached band rows, where
+    # the old shape re-ran the 80-projection banding per consumer
+    # (three broadcast builds per probe, r11 verdict next-round #1)
+    eval_bands = materialize(eval_bands)
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
 
     probe_keys = eval_bands.select("band_idx", "band_hash").distinct()
-    good_keys = (
+    bad_keys = (
         stored_bands.join(F.broadcast(probe_keys), ["band_idx", "band_hash"])
         .groupBy("band_idx", "band_hash")
         # DISTINCT ids, not rows: a crashed-then-retried extend can
         # leave duplicate band rows, which must not flip a legitimate
         # bucket over the degenerate cap (r10 ADVICE). Still two-phase:
         # the exchange carries per-partition partial distinct sets of
-        # the PROBED keys only, never bucket-sized row counts.
+        # the PROBED keys only, never bucket-sized row counts. The
+        # OVER-cap keys (tiny, usually empty) then prune the candidate
+        # scan as a broadcast anti-join BEFORE the eval join fans
+        # anything out — equivalent to the old inner join against the
+        # under-cap keys (candidate keys are probed ∧ not degenerate
+        # either way), one nested broadcast build fewer (r12).
         .agg(F.countDistinct("_id").alias("_bn"))
-        .filter(F.col("_bn") <= max_bucket)
+        .filter(F.col("_bn") > max_bucket)
         .select("band_idx", "band_hash")
     )
     cands = (
-        stored_bands.join(
+        stored_bands.join(F.broadcast(bad_keys), ["band_idx", "band_hash"],
+                          "left_anti")
+        .join(
             F.broadcast(
                 eval_bands.select(
                     F.col("_id").alias("eval_id"), "band_idx", "band_hash"
-                ).join(F.broadcast(good_keys), ["band_idx", "band_hash"])
+                )
             ),
             ["band_idx", "band_hash"],
         )

@@ -181,7 +181,14 @@ def minhash_signature_df(
 def minhash_bands(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """id -> (band_idx, band_hash) rows; equal band_hash within a band
     ==> LSH candidate pair."""
-    with_sig = minhash_signature_df(df, id_col, content_col)
+    return minhash_bands_from_sigs(minhash_signature_df(df, id_col, content_col))
+
+
+def minhash_bands_from_sigs(with_sig: DataFrame) -> DataFrame:
+    """Band rows projected from an ALREADY-COMPUTED (_id, sig) frame —
+    callers that need both tables (the persisted-index lifecycle)
+    materialize the signature once and derive bands from it instead of
+    re-sketching the corpus per table."""
     bands = ", ".join(
         "struct({b} AS band_idx, xxhash64({elems}) AS band_hash)".format(
             b=b,

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from ..io_utils import (
     begin_staged_build,
     commit_staged_build,
+    materialize,
     parallel_append_ordered,
     recover_staged_build,
 )
@@ -66,7 +67,7 @@ from .dedup import (
     N_BANDS,
     N_PERMUTATIONS,
     md5_minhash_sketch,
-    minhash_bands,
+    minhash_bands_from_sigs,
     minhash_signature_df,
 )
 
@@ -128,12 +129,27 @@ def _check_meta(path: str) -> str:
 
 
 def _index_rows(
-    docs: DataFrame, id_col: str, content_col: str, sketch: str
+    docs: DataFrame,
+    id_col: str,
+    content_col: str,
+    sketch: str,
+    share_sketch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
+    """(bands, sigs) for ``docs``. With ``share_sketch`` the sketch —
+    the expensive shared prefix of BOTH tables (shingle + 16 md5
+    digests / 32 permutation minima per doc) — is materialized eagerly
+    ONCE and both frames project from the cached rows; right for the
+    SHARD-sized probe/extend paths, where the old shape re-sketched
+    the shard once per consumer (three broadcast builds in the probe,
+    two concurrent appends in the extend). The corpus-sized build
+    keeps the lazy shape: a corpus-sized localCheckpoint is exactly
+    what the two concurrent staged writes avoid."""
     if sketch == "md5":
         sk = md5_minhash_sketch(
             docs, basis="shingles", id_col=id_col, content_col=content_col
         )
+        if share_sketch:
+            sk = materialize(sk)
         sigs = sk.select(
             F.col("doc_id").alias("_id"),
             F.array(*[F.col(f"mh{k}") for k in range(MHJ_PERMS)]).alias("sig"),
@@ -160,7 +176,9 @@ def _index_rows(
         ).select("_id", "band.band_idx", "band.band_hash")
         return bands, sigs
     sigs = minhash_signature_df(docs, id_col, content_col)
-    bands = minhash_bands(docs, id_col, content_col)
+    if share_sketch:
+        sigs = materialize(sigs)
+    bands = minhash_bands_from_sigs(sigs)
     return bands, sigs
 
 
@@ -243,6 +261,12 @@ def extend_minhash_index(
         return
     recover_staged_build(path)
     sketch = _check_meta(path)
+    # NOT share_sketch: an eager shared sketch would serialize one
+    # sketch job BEFORE the two appends — measured slower end-to-end
+    # (1.29 -> 1.53 s at sf0.1) than letting the two concurrent write
+    # jobs each sketch the shard with idle cores (guide §2.6); the
+    # probe path shares instead, where three sequential broadcast
+    # builds consumed the same sketch (r12 negative result, recorded)
     bands, sigs = _index_rows(new_docs, id_col, content_col, sketch)
     # compute both appends in parallel, publish sigs BEFORE bands (the
     # crash-ordering invariant: a band row must never exist without
@@ -275,11 +299,18 @@ def dedup_new_batch(
     own broadcast-probed index scan whose groupBy partially aggregates
     map-side — a degenerate bucket's rows are read (they share files
     with good rows) but the exchange carries one partial row per key
-    per partition, so nothing bucket-sized ever shuffles. Verify: the
-    distinct candidate pairs (small) broadcast-join one scan of the
-    stored signature table; est_jaccard = matching-minima fraction of
-    the two signatures (the unbiased MinHash estimator). The index side
-    is never sort-merge-joined and the corpus text is never read;
+    per partition, so nothing bucket-sized ever shuffles; the (tiny,
+    usually empty) OVER-cap key set then prunes the candidate scan as
+    a broadcast anti-join applied before the shard join fans anything
+    out (equivalent to the old inner join against the under-cap keys:
+    candidate keys are probed ∧ not degenerate either way, r12). The
+    shard is sketched ONCE (an eager shard-sized checkpoint) — every
+    broadcast build projects from the cached rows, where the old shape
+    re-sketched the shard per consumer. Verify: the distinct candidate
+    pairs (small) broadcast-join one scan of the stored signature
+    table; est_jaccard = matching-minima fraction of the two
+    signatures (the unbiased MinHash estimator). The index side is
+    never sort-merge-joined and the corpus text is never read;
     per-shard cost is three broadcast-probed index scans + shard-sized
     work, independent of shard count.
     """
@@ -297,26 +328,30 @@ def dedup_new_batch(
             F.col(id_col).cast(indexed_id_type).alias("indexed_id"),
             F.lit(0.0).alias("est_jaccard"),
         ).limit(0)
-    new_bands, new_sigs = _index_rows(new_docs, id_col, content_col, sketch)
+    new_bands, new_sigs = _index_rows(
+        new_docs, id_col, content_col, sketch, share_sketch=True
+    )
     stored_bands = spark.read.parquet(os.path.join(path, "bands"))
 
     probe_keys = new_bands.select("band_idx", "band_hash").distinct()
-    good_keys = (
+    bad_keys = (
         stored_bands.join(F.broadcast(probe_keys), ["band_idx", "band_hash"])
         .groupBy("band_idx", "band_hash")
         # DISTINCT ids, not rows: a crashed-then-retried extend can
         # leave duplicate band rows, which must not flip a legitimate
         # bucket over the degenerate cap (still two-phase map-side)
         .agg(F.countDistinct("_id").alias("_bn"))
-        .filter(F.col("_bn") <= max_bucket)
+        .filter(F.col("_bn") > max_bucket)
         .select("band_idx", "band_hash")
     )
     cands = (
-        stored_bands.join(
+        stored_bands.join(F.broadcast(bad_keys), ["band_idx", "band_hash"],
+                          "left_anti")
+        .join(
             F.broadcast(
                 new_bands.select(
                     F.col("_id").alias("new_id"), "band_idx", "band_hash"
-                ).join(F.broadcast(good_keys), ["band_idx", "band_hash"])
+                )
             ),
             ["band_idx", "band_hash"],
         )
