@@ -91,10 +91,13 @@ def build_ivf_index(
         emb, n_centroids, n_iters, id_col, vec_col, dim=dim
     )
     cents.write.parquet(os.path.join(staging, "centroids"))
-    # re-read so assignment uses exactly what a later extend will see
-    # (parquet round-trip, not the in-flight plan)
-    stored = emb.sparkSession.read.parquet(os.path.join(staging, "centroids"))
-    assigned = assign_to_centroids_euclidean(emb, stored, id_col, vec_col)
+    # assignment uses the in-memory LocalRelation centroids, which are
+    # BIT-IDENTICAL to what a later extend reads back: parquet stores
+    # int32/float64 exactly, so the round-trip is value-preserving and
+    # the old re-read-then-collect cost one job per build for the same
+    # rows (r12; the extend/search paths still read the parquet, which
+    # is what pins the round-trip in tests)
+    assigned = assign_to_centroids_euclidean(emb, cents, id_col, vec_col)
     # rebalance before the partitioned write: without it every upstream
     # task writes a file into every cluster partition it touches (tasks
     # × clusters tiny files — paid again by every probe's listing).
